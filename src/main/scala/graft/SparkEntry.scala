@@ -1,13 +1,196 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is one operator from SURVEY §2 expressed as a
+  * Spark plan over the driver testdata; `oracleSql` holds the equivalent
+  * DuckDB SQL (catalog-shaped operators run over the deterministic
+  * [[graft.catalog.DerivedCatalog]] so they are SQL-checkable too).
+  */
 object SparkEntry {
+  import OracleCte.{sql => o}
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- helpers ----------------------------------------------------------
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------------------
+    // Relational spine (exercises scan → agg → join machinery; bench heads)
+    // ------------------------------------------------------------------
+    "q1_pricing_summary" -> ((s, d) => {
+      li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_top_orders" -> ((s, d) => {
+      val l = li(s, d); val o = ord(s, d); val c = cust(s, d)
+      c.where(col("c_mktsegment") === "BUILDING")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ------------------------------------------------------------------
+    // Catalog / list-objects family (SURVEY S1, P1-P6, O1-O2)
+    // ------------------------------------------------------------------
+    "lso_page1" -> ((s, d) =>
+      ListObjects.run(DerivedCatalog.objects(s, d),
+        CatalogQuery(prefix = "data/dir03/", pageSize = 200))),
+
+    "lso_page2_token" -> ((s, d) => {
+      val cat = DerivedCatalog.objects(s, d)
+      val token = ListObjects.continuationToken(
+        ListObjects.run(cat, CatalogQuery(prefix = "data/dir03/", pageSize = 50))).getOrElse("")
+      ListObjects.run(cat, CatalogQuery(prefix = "data/dir03/", pageSize = 50, token = token))
+    }),
+
+    "lso_name_size" -> ((s, d) =>
+      ListObjects.run(DerivedCatalog.objects(s, d),
+        CatalogQuery(bucket = "bck1", prefix = "flat/", props = Seq("name", "size"), pageSize = 500))),
+
+    "lso_cached" -> ((s, d) =>
+      ListObjects.run(DerivedCatalog.objects(s, d),
+        CatalogQuery(prefix = "shards/", cachedOnly = true, props = Seq("name", "size", "version"), pageSize = 300))),
+
+    "lso_startafter" -> ((s, d) =>
+      ListObjects.run(DerivedCatalog.objects(s, d),
+        CatalogQuery(prefix = "flat/", startAfter = "flat/obj-00000600.dat",
+          props = Seq("name", "size"), pageSize = 100))),
+
+    "lso_norecurs" -> ((s, d) =>
+      ListObjects.run(DerivedCatalog.objects(s, d),
+        CatalogQuery(prefix = "data/", noRecursion = true, pageSize = 400))),
+
+    // ------------------------------------------------------------------
+    // Summaries (SURVEY A1, A2)
+    // ------------------------------------------------------------------
+    "bucket_summary" -> ((s, d) =>
+      Summaries.bucketSummary(DerivedCatalog.objects(s, d))),
+
+    "bucket_summary_prefix" -> ((s, d) =>
+      Summaries.bucketSummary(DerivedCatalog.objects(s, d), prefix = "data/", cachedOnly = true)),
+
+    "shard_summary" -> ((s, d) =>
+      Summaries.shardSummary(DerivedCatalog.members(s, d)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "lso_page1" -> o(
+      """SELECT name, size, checksum, atime_ns, version FROM objects
+        |WHERE name LIKE 'data/dir03/%' ORDER BY name LIMIT 200""".stripMargin,
+      OracleCte.objects),
+
+    "lso_page2_token" -> o(
+      """SELECT name, size, checksum, atime_ns, version FROM objects
+        |WHERE name LIKE 'data/dir03/%'
+        |  AND name > (SELECT max(name) FROM (
+        |    SELECT name FROM objects WHERE name LIKE 'data/dir03/%'
+        |    ORDER BY name LIMIT 50))
+        |ORDER BY name LIMIT 50""".stripMargin,
+      OracleCte.objects),
+
+    "lso_name_size" -> o(
+      """SELECT name, size FROM objects
+        |WHERE bucket = 'bck1' AND name LIKE 'flat/%' ORDER BY name LIMIT 500""".stripMargin,
+      OracleCte.objects),
+
+    "lso_cached" -> o(
+      """SELECT name, size, version FROM objects
+        |WHERE name LIKE 'shards/%' AND is_cached ORDER BY name LIMIT 300""".stripMargin,
+      OracleCte.objects),
+
+    "lso_startafter" -> o(
+      """SELECT name, size FROM objects
+        |WHERE name LIKE 'flat/%' AND name > 'flat/obj-00000600.dat'
+        |ORDER BY name LIMIT 100""".stripMargin,
+      OracleCte.objects),
+
+    "lso_norecurs" -> o(
+      """SELECT * FROM (
+        |  SELECT name, size, checksum, atime_ns, version, false AS is_dir
+        |  FROM objects WHERE name LIKE 'data/%' AND instr(substr(name, 6), '/') = 0
+        |  UNION ALL
+        |  SELECT DISTINCT
+        |    'data/' || substr(substr(name, 6), 1, instr(substr(name, 6), '/')) AS name,
+        |    CAST(0 AS BIGINT) AS size, CAST(NULL AS VARCHAR) AS checksum,
+        |    CAST(NULL AS BIGINT) AS atime_ns, CAST(NULL AS VARCHAR) AS version,
+        |    true AS is_dir
+        |  FROM objects WHERE name LIKE 'data/%' AND instr(substr(name, 6), '/') > 0
+        |) ORDER BY name LIMIT 400""".stripMargin,
+      OracleCte.objects),
+
+    "bucket_summary" -> o(
+      """SELECT bucket,
+        |  count(CASE WHEN is_cached THEN 1 END) AS obj_count_present,
+        |  count(CASE WHEN NOT is_cached THEN 1 END) AS obj_count_remote,
+        |  min(size) AS obj_size_min,
+        |  round(avg(size), 4) AS obj_size_avg,
+        |  max(size) AS obj_size_max,
+        |  CAST(sum(CASE WHEN is_cached THEN size ELSE 0 END) AS BIGINT) AS size_present,
+        |  CAST(sum(CASE WHEN NOT is_cached THEN size ELSE 0 END) AS BIGINT) AS size_remote,
+        |  CAST(sum(size * copies) AS BIGINT) AS size_on_disk
+        |FROM objects GROUP BY bucket ORDER BY bucket""".stripMargin,
+      OracleCte.objects),
+
+    "bucket_summary_prefix" -> o(
+      """SELECT bucket,
+        |  count(CASE WHEN is_cached THEN 1 END) AS obj_count_present,
+        |  count(CASE WHEN NOT is_cached THEN 1 END) AS obj_count_remote,
+        |  min(size) AS obj_size_min,
+        |  round(avg(size), 4) AS obj_size_avg,
+        |  max(size) AS obj_size_max,
+        |  CAST(sum(CASE WHEN is_cached THEN size ELSE 0 END) AS BIGINT) AS size_present,
+        |  CAST(sum(CASE WHEN NOT is_cached THEN size ELSE 0 END) AS BIGINT) AS size_remote,
+        |  CAST(sum(size * copies) AS BIGINT) AS size_on_disk
+        |FROM objects WHERE name LIKE 'data/%' AND is_cached
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+      OracleCte.objects),
+
+    "shard_summary" -> o(
+      """SELECT bucket,
+        |  count(DISTINCT shard) AS tar_objs,
+        |  CAST(sum(size) AS BIGINT) AS tar_size,
+        |  count(*) AS archived_objs,
+        |  count(CASE WHEN ext = 'cls' THEN 1 END) AS key_members,
+        |  count(DISTINCT sample_key) AS samples
+        |FROM members GROUP BY bucket ORDER BY bucket""".stripMargin,
+      OracleCte.members)
+  )
 }

@@ -1,0 +1,180 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic `objects` catalog derived from the driver's testdata.
+  *
+  * The reference's catalog row type is `LsoEnt` (see reference
+  * `cmn/objlist.go:25-45`) with attributes from `ObjAttrs`
+  * (`cmn/objattrs.go:76-82`). For correctness-gating we derive a catalog
+  * of that shape *deterministically* from the `orders` table, with an
+  * exactly equivalent SQL CTE ([[OracleCte]]) that DuckDB evaluates on the
+  * same parquet — so every catalog-semantics operator (prefix listing,
+  * pagination, summaries, diff, selections) has a hash-checkable oracle.
+  *
+  * Name families mirror the reference's test corpus
+  * (`ais/test/lso_test.go`): nested virtual dirs, flat objects, and
+  * `.tar` shards.
+  *
+  * Every expression here must stay in lockstep with [[OracleCte.objects]].
+  */
+object DerivedCatalog {
+
+  /** Columns of the canonical objects catalog (FIXTURES.md §1 subset that
+    * is deterministically derivable). */
+  val columns: Seq[String] = Seq(
+    "bucket", "name", "size", "checksum", "atime_ns", "version",
+    "is_cached", "status", "copies")
+
+  /** Build the objects catalog DataFrame from `orders` at `sfDir`. */
+  def objects(spark: SparkSession, sfDir: String): DataFrame =
+    objectsFrom(Tables.load(spark, sfDir, "orders"))
+
+  def objectsFrom(orders: DataFrame): DataFrame = {
+    val okey = col("o_orderkey")
+    orders.select(
+      concat(lit("bck"), (okey % 3).cast("string")).as("bucket"),
+      when(okey % 10 <= 5,
+        format_string("data/dir%02d/sub%d/obj-%08d.bin", okey % 12, okey % 4, okey))
+        .when(okey % 10 <= 8, format_string("flat/obj-%08d.dat", okey))
+        .otherwise(format_string("shards/shard-%05d.tar", okey))
+        .as("name"),
+      floor(col("o_totalprice") * 100).cast("long").as("size"),
+      md5(concat(lit("obj:"), okey.cast("string"))).as("checksum"),
+      (unix_timestamp(col("o_orderdate")) * 1000000000L).as("atime_ns"),
+      (lit(1) + okey % 5).cast("string").as("version"),
+      (okey % 3 =!= 0).as("is_cached"),
+      when(okey % 17 === 0, 2L).when(okey % 11 === 0, 1L).otherwise(0L).as("status"),
+      when(okey % 5 === 0, 2L).otherwise(1L).as("copies"))
+  }
+
+  /** A "remote backend listing" view of the same namespace, used by the
+    * remote-diff predicate (SURVEY P5) and the downloader diff resolver
+    * (SURVEY J2, reference `ext/dload/diff_resolver.go`):
+    *   - objects with `o_orderkey % 13 = 0` were deleted remotely;
+    *   - objects with `o_orderkey % 7 = 0` have a newer remote version.
+    * Must stay in lockstep with [[OracleCte.remote]]. */
+  def remote(spark: SparkSession, sfDir: String): DataFrame = {
+    val okey = col("o_orderkey")
+    Tables.load(spark, sfDir, "orders")
+      .where(okey % 13 =!= 0)
+      .select(
+        concat(lit("bck"), (okey % 3).cast("string")).as("bucket"),
+        when(okey % 10 <= 5,
+          format_string("data/dir%02d/sub%d/obj-%08d.bin", okey % 12, okey % 4, okey))
+          .when(okey % 10 <= 8, format_string("flat/obj-%08d.dat", okey))
+          .otherwise(format_string("shards/shard-%05d.tar", okey))
+          .as("name"),
+        floor(col("o_totalprice") * 100).cast("long").as("size"),
+        when(okey % 7 === 0, (lit(101) + okey % 5).cast("string"))
+          .otherwise((lit(1) + okey % 5).cast("string")).as("version"))
+  }
+
+  /** Deterministic shard-member table (FIXTURES.md §2 shape) derived from
+    * `lineitem`: each order's `.tar` shard holds its line items as members;
+    * samples are keyed by part, with extension cycling jpg/cls/json
+    * (WebDataset convention, reference `ext/dsort/shard/record.go:43-75`).
+    * `.cls` members carry an integer content key (`l_suppkey`) mirroring
+    * dSort's content-key extraction (`ext/dsort/shard/key.go:100-136`).
+    * Must stay in lockstep with [[OracleCte.members]].
+    */
+  def members(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.select(
+      concat(lit("bck"), (col("l_orderkey") % 3).cast("string")).as("bucket"),
+      format_string("shards/shard-%05d.tar", col("l_orderkey")).as("shard"),
+      format_string("s%07d_%02d", col("l_partkey"), col("l_linenumber")).as("sample_key"),
+      element_at(array(lit("jpg"), lit("cls"), lit("json")),
+        (col("l_suppkey") % 3 + 1).cast("int")).as("ext"),
+      (col("l_linenumber").cast("long") * 512L).as("offset"),
+      floor(col("l_quantity") * 1000).cast("long").as("size"),
+      col("l_suppkey").cast("long").as("content_key"))
+      .withColumn("member", concat(col("sample_key"), lit("."), col("ext")))
+      .select("bucket", "shard", "member", "sample_key", "ext", "offset", "size", "content_key")
+  }
+
+  /** Ordered GetBatch request list (FIXTURES.md §3) derived from `part`:
+    * a mix of hits and misses against the flat/ objects family.
+    * Must stay in lockstep with [[OracleCte.requests]]. */
+  def requests(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.load(spark, sfDir, "part")
+    p.select(
+      col("p_partkey").as("_req_idx"),
+      concat(lit("bck"), (col("p_partkey") % 3).cast("string")).as("bucket"),
+      format_string("flat/obj-%08d.dat", col("p_partkey")).as("objname"),
+      (col("p_size").cast("long") % 5L * 100L).as("start"),
+      when(col("p_partkey") % 4 === 0, -1L)
+        .otherwise(col("p_size").cast("long") % 7L * 50L).as("length"))
+  }
+}
+
+/** DuckDB-evaluable CTE bodies exactly mirroring [[DerivedCatalog]].
+  * These strings are prepended to oracle SQL (SparkEntry.oracleSql). */
+object OracleCte {
+  val objects: String =
+    """objects AS (
+      |  SELECT
+      |    'bck' || CAST(o_orderkey % 3 AS VARCHAR) AS bucket,
+      |    CASE
+      |      WHEN o_orderkey % 10 <= 5 THEN printf('data/dir%02d/sub%d/obj-%08d.bin', o_orderkey % 12, o_orderkey % 4, o_orderkey)
+      |      WHEN o_orderkey % 10 <= 8 THEN printf('flat/obj-%08d.dat', o_orderkey)
+      |      ELSE printf('shards/shard-%05d.tar', o_orderkey)
+      |    END AS name,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS size,
+      |    md5('obj:' || CAST(o_orderkey AS VARCHAR)) AS checksum,
+      |    CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 AS atime_ns,
+      |    CAST(1 + o_orderkey % 5 AS VARCHAR) AS version,
+      |    (o_orderkey % 3) <> 0 AS is_cached,
+      |    CAST(CASE WHEN o_orderkey % 17 = 0 THEN 2 WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS status,
+      |    CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS copies
+      |  FROM orders
+      |)""".stripMargin
+
+  val remote: String =
+    """remote AS (
+      |  SELECT
+      |    'bck' || CAST(o_orderkey % 3 AS VARCHAR) AS bucket,
+      |    CASE
+      |      WHEN o_orderkey % 10 <= 5 THEN printf('data/dir%02d/sub%d/obj-%08d.bin', o_orderkey % 12, o_orderkey % 4, o_orderkey)
+      |      WHEN o_orderkey % 10 <= 8 THEN printf('flat/obj-%08d.dat', o_orderkey)
+      |      ELSE printf('shards/shard-%05d.tar', o_orderkey)
+      |    END AS name,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS size,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN CAST(101 + o_orderkey % 5 AS VARCHAR)
+      |         ELSE CAST(1 + o_orderkey % 5 AS VARCHAR) END AS version
+      |  FROM orders WHERE o_orderkey % 13 <> 0
+      |)""".stripMargin
+
+  val members: String =
+    """members AS (
+      |  SELECT
+      |    'bck' || CAST(l_orderkey % 3 AS VARCHAR) AS bucket,
+      |    printf('shards/shard-%05d.tar', l_orderkey) AS shard,
+      |    printf('s%07d_%02d', l_partkey, l_linenumber) || '.' ||
+      |      (['jpg','cls','json'])[CAST(l_suppkey % 3 AS INT) + 1] AS member,
+      |    printf('s%07d_%02d', l_partkey, l_linenumber) AS sample_key,
+      |    (['jpg','cls','json'])[CAST(l_suppkey % 3 AS INT) + 1] AS ext,
+      |    CAST(l_linenumber AS BIGINT) * 512 AS offset,
+      |    CAST(floor(l_quantity * 1000) AS BIGINT) AS size,
+      |    CAST(l_suppkey AS BIGINT) AS content_key
+      |  FROM lineitem
+      |)""".stripMargin
+
+  val requests: String =
+    """requests AS (
+      |  SELECT
+      |    p_partkey AS _req_idx,
+      |    'bck' || CAST(p_partkey % 3 AS VARCHAR) AS bucket,
+      |    printf('flat/obj-%08d.dat', p_partkey) AS objname,
+      |    CAST(p_size AS BIGINT) % 5 * 100 AS start,
+      |    CASE WHEN p_partkey % 4 = 0 THEN CAST(-1 AS BIGINT)
+      |         ELSE CAST(p_size AS BIGINT) % 7 * 50 END AS length
+      |  FROM part
+      |)""".stripMargin
+
+  /** Compose a WITH clause from the given CTE bodies + a query. */
+  def sql(query: String, ctes: String*): String =
+    "WITH " + ctes.mkString(",\n") + "\n" + query
+}

@@ -1,0 +1,128 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The logical list-objects query — analog of `apc.LsoMsg` (reference
+  * `api/apc/lsmsg.go:200-240`).
+  *
+  * @param bucket        restrict to one bucket ("" = all)
+  * @param prefix        name prefix filter (reference `lsmsg.go:218-221`)
+  * @param props         projected properties; "name" always included
+  *                      (`lsmsg.go:143-193` GetProps*)
+  * @param pageSize      page cap (provider caps, `lsmsg.go:104-112`)
+  * @param token         continuation token = last name of previous page
+  *                      (`cmn/objlist_utils.go:109 TokenGreaterEQ`)
+  * @param startAfter    begin strictly after this name (`lsmsg.go:222-224`)
+  * @param cachedOnly    LsCached flag (`lsmsg.go:20-100`)
+  * @param notCachedOnly LsNotCached flag
+  * @param noRecursion   POSIX-style non-recursive listing with virtual dir
+  *                      entries (`cmn/objlist_utils.go:147`)
+  */
+final case class CatalogQuery(
+    bucket: String = "",
+    prefix: String = "",
+    props: Seq[String] = CatalogQuery.defaultProps,
+    pageSize: Int = 10000,
+    token: String = "",
+    startAfter: String = "",
+    cachedOnly: Boolean = false,
+    notCachedOnly: Boolean = false,
+    noRecursion: Boolean = false)
+
+object CatalogQuery {
+  /** Default prop set mirrors `apc.GetPropsDefaultAIS` (name, size,
+    * checksum, atime, version — `api/apc/lsmsg.go:176-184`). */
+  val defaultProps: Seq[String] = Seq("name", "size", "checksum", "atime_ns", "version")
+}
+
+/** List-objects over the catalog DataFrame: the whole proxy/target
+  * merge dance of the reference (`ais/plstcx.go:423-492` concatLso +
+  * finLsoA) collapses into one Catalyst plan — filter → sort → limit.
+  *
+  * Scale notes: the prefix filter and column projection push down to the
+  * parquet scan (verify via `PushedFilters`/`ReadSchema` in explain); a
+  * catalog laid out sorted/partitioned by (bucket, name) additionally gets
+  * file-level min/max skipping for the `name > token` seek, which is the
+  * Spark analog of the reference's continuation-token walk seek
+  * (`xact/xs/wi_lso.go:75-86`). The global sort + limit compiles to
+  * TakeOrderedAndProject — no full shuffle for page-sized results.
+  */
+object ListObjects {
+
+  /** Dirs-first, then name, ties broken by location status — the exact
+    * comparator of `cmn/objlist_utils.go:47-61` (SortLso). Our catalog
+    * stores only real objects; `is_dir` appears in no-recursion flow. */
+  private def sortKeys(df: DataFrame): Seq[Column] = {
+    val dirKey =
+      if (df.columns.contains("is_dir")) Seq(col("is_dir").desc) else Seq.empty[Column]
+    dirKey ++ Seq(col("name").asc, col("status").asc)
+  }
+
+  def run(catalog: DataFrame, q: CatalogQuery): DataFrame = {
+    var df = catalog
+    if (q.bucket.nonEmpty) df = df.where(col("bucket") === q.bucket)
+    if (q.prefix.nonEmpty) df = df.where(col("name").startsWith(q.prefix))
+    if (q.cachedOnly) df = df.where(col("is_cached"))
+    if (q.notCachedOnly) df = df.where(!col("is_cached"))
+    val after = Seq(q.token, q.startAfter).max // tokens are names; lexicographic
+    if (after.nonEmpty) df = df.where(col("name") > after)
+
+    if (q.noRecursion) return runNoRecursion(df, q)
+
+    val projected = project(df, q.props, extra = Seq("status"))
+    projected
+      .orderBy(col("name").asc, col("status").asc)
+      .limit(q.pageSize)
+      .drop(dropCols(q.props, Seq("status")): _*)
+  }
+
+  /** Non-recursive flow: entries directly under the prefix; deeper paths
+    * collapse into virtual directory entries (name = `prefix + seg + "/"`,
+    * size 0, is_dir), deduped, lexicographic sort (SortLsoLex,
+    * `cmn/objlist_utils.go:96-106` — token semantics require lex-only
+    * ordering here, see `ais/plstcx.go:449-458`). */
+  private def runNoRecursion(df: DataFrame, q: CatalogQuery): DataFrame = {
+    val rest = expr(s"substring(name, ${q.prefix.length + 1})")
+    val slash = instr(rest, "/")
+    val withKind = df
+      .withColumn("_rest", rest)
+      .withColumn("_slash", slash)
+    val files = withKind
+      .where(col("_slash") === 0)
+      .withColumn("is_dir", lit(false))
+    val dirs = withKind
+      .where(col("_slash") > 0)
+      .withColumn("name",
+        concat(lit(q.prefix), expr("substring(_rest, 1, _slash)")))
+      .groupBy("name")
+      .agg(
+        lit(0L).as("size"),
+        lit(true).as("is_dir"))
+    // dir entries carry only name/size/is_dir; null-fill remaining props
+    val fileCols = project(files, q.props, extra = Seq("is_dir"))
+    val dirCols = fileCols.columns.foldLeft(dirs) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    }.select(fileCols.columns.map(col): _*)
+    fileCols
+      .unionByName(dirCols)
+      .orderBy(col("name").asc)
+      .limit(q.pageSize)
+  }
+
+  private def project(df: DataFrame, props: Seq[String], extra: Seq[String]): DataFrame = {
+    val want = ("name" +: props).distinct ++ extra.filterNot(props.contains)
+    df.select(want.filter(c => df.columns.contains(c) || c == "is_dir").distinct.map {
+      case "is_dir" if !df.columns.contains("is_dir") => lit(false).as("is_dir")
+      case c => col(c)
+    }: _*)
+  }
+
+  private def dropCols(props: Seq[String], extra: Seq[String]): Seq[String] =
+    extra.filterNot(props.contains)
+
+  /** Continuation token for a page = its last (max) name —
+    * `ais/plstcx.go:481-492`. Driver-side helper. */
+  def continuationToken(page: DataFrame): Option[String] =
+    page.agg(max("name")).collect().headOption.flatMap(r => Option(r.getString(0)))
+}

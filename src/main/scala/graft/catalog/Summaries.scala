@@ -1,0 +1,50 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucket and shard summaries (SURVEY A1/A2).
+  *
+  * The reference computes these as per-target partial aggregations merged
+  * at the proxy (`xact/xs/nsumm.go:36-120`, `ais/prxbsumm.go`); Spark's
+  * HashAggregate partial/final is the exact same shape, map-side combine
+  * included — so a plain groupBy.agg scales to any number of "targets"
+  * (executors) without extra code.
+  */
+object Summaries {
+
+  /** Bucket summary — `apc.BsummResult` (`api/apc/bsummary.go:14-52`):
+    * object counts (present=cached / remote=not-cached), size min/avg/max,
+    * total sizes. Optional prefix + cached-only knobs mirror
+    * `apc.BsummCtrlMsg`. */
+  def bucketSummary(catalog: DataFrame, prefix: String = "", cachedOnly: Boolean = false): DataFrame = {
+    var df = catalog
+    if (prefix.nonEmpty) df = df.where(col("name").startsWith(prefix))
+    if (cachedOnly) df = df.where(col("is_cached"))
+    df.groupBy("bucket")
+      .agg(
+        count(when(col("is_cached"), 1)).as("obj_count_present"),
+        count(when(!col("is_cached"), 1)).as("obj_count_remote"),
+        min("size").as("obj_size_min"),
+        round(avg("size"), 4).as("obj_size_avg"),
+        max("size").as("obj_size_max"),
+        sum(when(col("is_cached"), col("size")).otherwise(0L)).as("size_present"),
+        sum(when(!col("is_cached"), col("size")).otherwise(0L)).as("size_remote"),
+        sum(col("size") * col("copies")).as("size_on_disk"))
+      .orderBy("bucket")
+  }
+
+  /** Shard summary — `apc.ShardSummResult` (`api/apc/shard_idx.go:16-47`):
+    * per-bucket TAR coverage over the member table: shard count, total
+    * shard bytes, archived member count, per-extension counts. */
+  def shardSummary(members: DataFrame): DataFrame =
+    members
+      .groupBy("bucket")
+      .agg(
+        countDistinct("shard").as("tar_objs"),
+        sum("size").as("tar_size"),
+        count(lit(1)).as("archived_objs"),
+        count(when(col("ext") === "cls", 1)).as("key_members"),
+        countDistinct("sample_key").as("samples"))
+      .orderBy("bucket")
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles, mimicking the driver's
+DuckDB compare: run graft.Verify first, then this script.
+
+Usage: python3 tools/check.py [sfdir] [verify_out]
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # round floats to tolerate last-ulp assoc differences (queries already round)
+    for c in df.columns:
+        if df[c].dtype == "float64" or df[c].dtype == "float32":
+            df[c] = df[c].astype("float64").round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    spark_results = {p.split("/")[-1] for p in glob.glob(f"{out}/*") if not p.endswith(".json")}
+    failures = 0
+    for name in sorted(spark_results):
+        try:
+            got = pd.read_parquet(f"{out}/{name}")
+        except Exception as e:
+            print(f"FAIL  {name}: cannot read spark result: {e}"); failures += 1; continue
+        if name not in oracle:
+            print(f"rows  {name}: no oracle, rows={len(got)}" + (" (EMPTY!)" if len(got) == 0 else ""))
+            if len(got) == 0: failures += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}"); failures += 1; continue
+        g, e = norm(got), norm(exp)
+        if sorted(g.columns) != sorted(e.columns):
+            print(f"FAIL  {name}: columns differ spark={sorted(g.columns)} duck={sorted(e.columns)}")
+            failures += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL  {name}: rowcount spark={len(g)} duck={len(e)}"); failures += 1; continue
+        if not g.equals(e):
+            diff_cols = [c for c in g.columns if not g[c].equals(e[c])]
+            print(f"FAIL  {name}: values differ in cols {diff_cols}")
+            for c in diff_cols[:3]:
+                neq = g[c] != e[c]
+                idx = neq[neq].index[:3]
+                for i in idx:
+                    print(f"        row {i} col {c}: spark={g[c][i]!r} duck={e[c][i]!r}")
+            failures += 1; continue
+        print(f"OK    {name}: rows={len(g)}")
+    for name in sorted(set(oracle) - spark_results):
+        print(f"FAIL  {name}: oracle present but spark result missing"); failures += 1
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()
