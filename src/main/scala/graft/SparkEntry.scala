@@ -91,7 +91,124 @@ object SparkEntry {
       Summaries.bucketSummary(DerivedCatalog.objects(s, d), prefix = "data/", cachedOnly = true)),
 
     "shard_summary" -> ((s, d) =>
-      Summaries.shardSummary(DerivedCatalog.members(s, d)))
+      Summaries.shardSummary(DerivedCatalog.members(s, d))),
+
+    // ------------------------------------------------------------------
+    // Templates + selections (SURVEY F1, P3, GB8)
+    // ------------------------------------------------------------------
+    "template_expand" -> ((s, d) =>
+      functions.NameTemplate.parse("shards/shard-{00010..00400..10}.tar")
+        .toDF(s).orderBy("name")),
+
+    "sel_template_join" -> ((s, d) =>
+      ops.Selection.apply(s, DerivedCatalog.objects(s, d),
+        ops.ObjSelection.Template("shards/shard-{00001..00500}.tar"))
+        .select("name", "size").orderBy("name")),
+
+    "sel_union" -> ((s, d) =>
+      ops.Selection.union(s, DerivedCatalog.objects(s, d), Seq(
+        ops.ObjSelection.NameList(Seq(
+          "flat/obj-00000006.dat", "flat/obj-00000007.dat", "flat/obj-99999999.dat")),
+        ops.ObjSelection.Template("shards/shard-{00009..00099..10}.tar"),
+        ops.ObjSelection.Prefix("data/dir05/")))
+        .select("name", "size").orderBy("name")),
+
+    // ------------------------------------------------------------------
+    // Copy / transform naming, sync prune, evict (SURVEY GB5, GB7, F2)
+    // ------------------------------------------------------------------
+    "copy_naming" -> ((s, d) =>
+      ops.CopySync.planCopy(DerivedCatalog.objects(s, d),
+        prefix = "flat/", prepend = "dst/", extMap = Map("dat" -> "bin"))
+        .select("name", "dst_name").orderBy("name")),
+
+    "sync_prune" -> ((s, d) =>
+      ops.CopySync.syncPrune(
+        dest = DerivedCatalog.objects(s, d),
+        src = DerivedCatalog.remote(s, d))
+        .select("name", "size").orderBy("name")),
+
+    "evict_delete" -> ((s, d) => {
+      val cat = DerivedCatalog.objects(s, d)
+      val sel = ops.Selection.apply(s, cat,
+        ops.ObjSelection.Template("shards/shard-{00000..00999}.tar"))
+      ops.CopySync.remainingAfterDelete(cat, sel)
+        .groupBy("bucket").agg(count(lit(1)).as("remaining")).orderBy("bucket")
+    }),
+
+    // ------------------------------------------------------------------
+    // Diff resolver + remote-diff listing (SURVEY J2, P5, S5)
+    // ------------------------------------------------------------------
+    "diff_resolve" -> ((s, d) =>
+      ops.DiffResolver.resolve(
+        src = DerivedCatalog.remote(s, d),
+        dst = DerivedCatalog.objects(s, d))
+        .select("name", "action", "src_version", "dst_version").orderBy("name")),
+
+    "lso_diff" -> ((s, d) =>
+      ops.DiffResolver.lsoDiff(
+        local = DerivedCatalog.objects(s, d).where(col("name").startsWith("flat/")),
+        remote = DerivedCatalog.remote(s, d).where(col("name").startsWith("flat/")))
+        .orderBy("name")),
+
+    // ------------------------------------------------------------------
+    // Blob chunk planning (SURVEY S6)
+    // ------------------------------------------------------------------
+    "blob_chunks" -> ((s, d) =>
+      ops.BlobChunks.plan(
+        DerivedCatalog.objects(s, d).where(col("size") > 40000000L), 4194304L)
+        .orderBy("name", "chunk_id")),
+
+    // ------------------------------------------------------------------
+    // Scalar functions (SURVEY F5, F7, F8)
+    // ------------------------------------------------------------------
+    "fn_time_format" -> ((s, d) =>
+      DerivedCatalog.objects(s, d)
+        .where(col("name").startsWith("flat/"))
+        .select(col("name"),
+          functions.GoTime.formatAtime(col("atime_ns")).as("atime_str"))
+        .orderBy("name").limit(500)),
+
+    "fn_custom_md" -> ((s, d) => {
+      val withMap = DerivedCatalog.objects(s, d)
+        .where(col("name").startsWith("shards/"))
+        .withColumn("custom",
+          map(lit("ETag"), col("checksum"), lit("src"), col("bucket")))
+      // serialize → parse → re-serialize: exercises both codec directions
+      withMap
+        .withColumn("md_str", functions.ObjNames.customMdToString(col("custom")))
+        .withColumn("md_rt", functions.ObjNames.customMdToString(
+          functions.ObjNames.stringToCustomMd(col("md_str"))))
+        .select("name", "md_str", "md_rt").orderBy("name")
+    }),
+
+    "fn_range_status" -> ((s, d) => {
+      val req = DerivedCatalog.requests(s, d)
+      val obj = DerivedCatalog.objects(s, d).select("name", "size")
+      req.join(obj, req("objname") === obj("name"), "inner")
+        .select(
+          col("_req_idx"), col("objname"), col("start"), col("length"), col("size"),
+          functions.ByteRanges.status(col("start"), col("length"), col("size")).as("range_status"),
+          functions.ByteRanges.effectiveOffset(col("start"), col("length"), col("size")).cast("long").as("eff_offset"),
+          functions.ByteRanges.effectiveLength(col("start"), col("length"), col("size")).cast("long").as("eff_length"))
+        .orderBy("_req_idx")
+    }),
+
+    // ------------------------------------------------------------------
+    // GetBatch request join + naming (SURVEY GB1, J3, F3) — metadata flow
+    // ------------------------------------------------------------------
+    "getbatch_order" -> ((s, d) => {
+      val req = DerivedCatalog.requests(s, d)
+      val obj = DerivedCatalog.objects(s, d).select(
+        col("name"), col("size").as("obj_size"))
+      req.join(obj, req("objname") === obj("name"), "left_outer")
+        .select(
+          col("_req_idx"), col("bucket"), col("objname"),
+          col("name").isNull.as("missing"),
+          functions.ObjNames.nameInArch(col("bucket"), col("objname"),
+            lit(""), onlyObjName = false, missing = col("name").isNull).as("tar_name"),
+          coalesce(col("obj_size"), lit(0L)).as("out_size"))
+        .orderBy("_req_idx")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -191,6 +308,124 @@ object SparkEntry {
         |  count(CASE WHEN ext = 'cls' THEN 1 END) AS key_members,
         |  count(DISTINCT sample_key) AS samples
         |FROM members GROUP BY bucket ORDER BY bucket""".stripMargin,
-      OracleCte.members)
+      OracleCte.members),
+
+    "template_expand" ->
+      """SELECT printf('shards/shard-%05d.tar', g) AS name
+        |FROM generate_series(10, 400, 10) t(g) ORDER BY name""".stripMargin,
+
+    "sel_template_join" -> o(
+      """SELECT o.name, o.size FROM objects o
+        |JOIN (SELECT printf('shards/shard-%05d.tar', g) AS name
+        |      FROM generate_series(1, 500) t(g)) n USING (name)
+        |ORDER BY name""".stripMargin,
+      OracleCte.objects),
+
+    "sel_union" -> o(
+      """SELECT name, size FROM objects
+        |WHERE name IN ('flat/obj-00000006.dat', 'flat/obj-00000007.dat', 'flat/obj-99999999.dat')
+        |   OR name IN (SELECT printf('shards/shard-%05d.tar', g)
+        |               FROM generate_series(9, 99, 10) t(g))
+        |   OR name LIKE 'data/dir05/%'
+        |ORDER BY name""".stripMargin,
+      OracleCte.objects),
+
+    "copy_naming" -> o(
+      """SELECT name,
+        |  'dst/' || CASE WHEN name LIKE '%.dat'
+        |    THEN regexp_replace(name, '\.[^./]+$', '') || '.bin'
+        |    ELSE name END AS dst_name
+        |FROM objects WHERE name LIKE 'flat/%' ORDER BY name""".stripMargin,
+      OracleCte.objects),
+
+    "sync_prune" -> o(
+      """SELECT o.name, o.size FROM objects o
+        |LEFT JOIN remote r ON o.name = r.name
+        |WHERE r.name IS NULL ORDER BY o.name""".stripMargin,
+      OracleCte.objects, OracleCte.remote),
+
+    "evict_delete" -> o(
+      """SELECT bucket, count(*) AS remaining FROM objects
+        |WHERE name NOT IN (SELECT printf('shards/shard-%05d.tar', g)
+        |                   FROM generate_series(0, 999) t(g))
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+      OracleCte.objects),
+
+    "diff_resolve" -> o(
+      """SELECT coalesce(s.name, d.name) AS name,
+        |  CASE WHEN s.name IS NULL THEN 'deleted'
+        |       WHEN d.name IS NULL THEN 'missing'
+        |       WHEN s.version <> d.version THEN 'changed'
+        |       ELSE 'ok' END AS action,
+        |  s.version AS src_version, d.version AS dst_version
+        |FROM remote s FULL OUTER JOIN objects d ON s.name = d.name
+        |ORDER BY name""".stripMargin,
+      OracleCte.objects, OracleCte.remote),
+
+    "lso_diff" -> o(
+      """SELECT coalesce(l.name, r.name) AS name, l.size AS size, l.version AS version,
+        |  (r.name IS NULL AND l.name IS NOT NULL) AS ver_removed,
+        |  (r.name IS NOT NULL AND l.name IS NOT NULL AND r.version <> l.version) AS ver_changed,
+        |  (l.name IS NULL) AS remote_only
+        |FROM (SELECT name, size, version FROM objects WHERE name LIKE 'flat/%') l
+        |FULL OUTER JOIN (SELECT name, version FROM remote WHERE name LIKE 'flat/%') r
+        |  ON l.name = r.name
+        |ORDER BY name""".stripMargin,
+      OracleCte.objects, OracleCte.remote),
+
+    "blob_chunks" -> o(
+      """SELECT name, "offset" // 4194304 AS chunk_id, "offset",
+        |  least(4194304, size - "offset") AS length
+        |FROM (SELECT name, size, unnest(generate_series(0, size - 1, 4194304)) AS "offset"
+        |      FROM objects WHERE size > 40000000)
+        |ORDER BY name, chunk_id""".stripMargin,
+      OracleCte.objects),
+
+    "fn_time_format" -> o(
+      """SELECT name,
+        |  strftime(make_timestamp(atime_ns // 1000), '%d %b %y %H:%M') || ' UTC' AS atime_str
+        |FROM objects WHERE name LIKE 'flat/%' ORDER BY name LIMIT 500""".stripMargin,
+      OracleCte.objects),
+
+    "fn_custom_md" -> o(
+      """SELECT name,
+        |  'ETag:' || checksum || ',src:' || bucket AS md_str,
+        |  'ETag:' || checksum || ',src:' || bucket AS md_rt
+        |FROM objects WHERE name LIKE 'shards/%' ORDER BY name""".stripMargin,
+      OracleCte.objects),
+
+    "fn_range_status" -> o(
+      """SELECT _req_idx, objname, start, length, size,
+        |  CASE WHEN NOT (start >= 0 AND length >= -1 AND NOT (start <> 0 AND length = 0)) THEN 'invalid'
+        |       WHEN start = 0 AND length = 0 THEN 'ok'
+        |       WHEN length = -1 THEN (CASE WHEN start < size THEN 'ok' ELSE '416' END)
+        |       WHEN start < size AND length <= size - start THEN 'ok'
+        |       ELSE '416' END AS range_status,
+        |  CASE WHEN (CASE WHEN NOT (start >= 0 AND length >= -1 AND NOT (start <> 0 AND length = 0)) THEN 'invalid'
+        |       WHEN start = 0 AND length = 0 THEN 'ok'
+        |       WHEN length = -1 THEN (CASE WHEN start < size THEN 'ok' ELSE '416' END)
+        |       WHEN start < size AND length <= size - start THEN 'ok'
+        |       ELSE '416' END) = 'ok' THEN start ELSE NULL END AS eff_offset,
+        |  CASE WHEN (CASE WHEN NOT (start >= 0 AND length >= -1 AND NOT (start <> 0 AND length = 0)) THEN 'invalid'
+        |       WHEN start = 0 AND length = 0 THEN 'ok'
+        |       WHEN length = -1 THEN (CASE WHEN start < size THEN 'ok' ELSE '416' END)
+        |       WHEN start < size AND length <= size - start THEN 'ok'
+        |       ELSE '416' END) <> 'ok' THEN NULL
+        |       WHEN start = 0 AND length = 0 THEN size
+        |       WHEN length = -1 THEN size - start
+        |       ELSE length END AS eff_length
+        |FROM requests JOIN objects ON objname = name
+        |ORDER BY _req_idx""".stripMargin,
+      OracleCte.objects, OracleCte.requests),
+
+    "getbatch_order" -> o(
+      """SELECT _req_idx, r.bucket AS bucket, objname,
+        |  (o.name IS NULL) AS missing,
+        |  CASE WHEN o.name IS NULL THEN '__404__/' || r.bucket || '/' || objname
+        |       ELSE r.bucket || '/' || objname END AS tar_name,
+        |  coalesce(o.size, 0) AS out_size
+        |FROM requests r LEFT JOIN objects o ON r.objname = o.name
+        |ORDER BY _req_idx""".stripMargin,
+      OracleCte.objects, OracleCte.requests)
   )
 }

@@ -104,7 +104,8 @@ object DerivedCatalog {
       col("p_partkey").as("_req_idx"),
       concat(lit("bck"), (col("p_partkey") % 3).cast("string")).as("bucket"),
       format_string("flat/obj-%08d.dat", col("p_partkey")).as("objname"),
-      (col("p_size").cast("long") % 5L * 100L).as("start"),
+      when(col("p_partkey") % 10 === 7, lit(10000000000L)) // out-of-bounds → 416
+        .otherwise(col("p_size").cast("long") % 5L * 100L).as("start"),
       when(col("p_partkey") % 4 === 0, -1L)
         .otherwise(col("p_size").cast("long") % 7L * 50L).as("length"))
   }
@@ -168,7 +169,8 @@ object OracleCte {
       |    p_partkey AS _req_idx,
       |    'bck' || CAST(p_partkey % 3 AS VARCHAR) AS bucket,
       |    printf('flat/obj-%08d.dat', p_partkey) AS objname,
-      |    CAST(p_size AS BIGINT) % 5 * 100 AS start,
+      |    CASE WHEN p_partkey % 10 = 7 THEN CAST(10000000000 AS BIGINT)
+      |         ELSE CAST(p_size AS BIGINT) % 5 * 100 END AS start,
       |    CASE WHEN p_partkey % 4 = 0 THEN CAST(-1 AS BIGINT)
       |         ELSE CAST(p_size AS BIGINT) % 7 * 50 END AS length
       |  FROM part

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Byte-range semantics (SURVEY F7) — exact port of the *behavior* of
+  * `apc.MossIn.CheckRange` (`api/apc/ml.go:170-188`) and the request-time
+  * validation (`ml.go:152-167`):
+  *
+  *   - (0, 0)      → whole object: (0, size)
+  *   - (N, -1)     → open-ended [N, EOF): valid iff 0 <= N < size
+  *   - (N, L>0)    → exact range: valid iff N >= 0, N < size, L <= size-N
+  *   - N < 0, L < -1, or (N != 0 && L == 0) → invalid request
+  *   - out-of-bounds → HTTP 416 range-not-satisfiable
+  *
+  * Expressed as Column functions so range resolution runs inside codegen
+  * for the whole batch at once (no per-row driver logic).
+  */
+object ByteRanges {
+  val StatusOk = "ok"
+  val StatusInvalid = "invalid" // malformed request (ml.go:152-167)
+  val StatusUnsatisfiable = "416" // out-of-bounds (ml.go:170-188)
+
+  /** Request-shape validity (independent of object size). */
+  def isValidRequest(start: Column, length: Column): Column =
+    start >= 0 && length >= -1 && !(start =!= 0 && length === 0)
+
+  /** Status classification given the object's size. */
+  def status(start: Column, length: Column, size: Column): Column =
+    when(!isValidRequest(start, length), lit(StatusInvalid))
+      .when(start === 0 && length === 0, lit(StatusOk))
+      .when(length === -1, when(start < size, lit(StatusOk)).otherwise(lit(StatusUnsatisfiable)))
+      .when(start < size && length <= size - start, lit(StatusOk))
+      .otherwise(lit(StatusUnsatisfiable))
+
+  /** Effective (offset, length) of a satisfiable range; null when not ok. */
+  def effectiveOffset(start: Column, length: Column, size: Column): Column =
+    when(status(start, length, size) === StatusOk, start).otherwise(lit(null))
+
+  def effectiveLength(start: Column, length: Column, size: Column): Column =
+    when(status(start, length, size) =!= StatusOk, lit(null))
+      .when(start === 0 && length === 0, size)
+      .when(length === -1, size - start)
+      .otherwise(length)
+
+  /** Slice a binary/string payload by the effective range (1-based substr). */
+  def slicePayload(payload: Column, start: Column, length: Column, size: Column): Column =
+    when(status(start, length, size) === StatusOk,
+      substring(payload,
+        (effectiveOffset(start, length, size) + 1).cast("int"),
+        effectiveLength(start, length, size).cast("int")))
+      .otherwise(lit(null))
+}

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** F5 — render int64-nanosecond atimes with Go time layouts
+  * (`api/apc/lsmsg.go:215-217` TimeFormat, default RFC822;
+  * `cmn/objlist_utils.go` Atime rendering).
+  *
+  * Go reference-time layouts translate token-for-token into JVM
+  * DateTimeFormatter patterns; the table covers every layout the
+  * reference accepts (the Go stdlib constants).
+  */
+object GoTime {
+  val RFC822 = "02 Jan 06 15:04 MST" // the reference's default TimeFormat
+
+  /** Longest-first token translation Go → JVM. */
+  private val tokens: Seq[(String, String)] = Seq(
+    "January" -> "MMMM",
+    "Monday" -> "EEEE",
+    "Jan" -> "MMM",
+    "Mon" -> "EEE",
+    "2006" -> "yyyy",
+    "15" -> "HH",
+    "01" -> "MM",
+    "02" -> "dd",
+    "03" -> "hh",
+    "04" -> "mm",
+    "05" -> "ss",
+    ".000" -> ".SSS",
+    ".000000" -> ".SSSSSS",
+    "-0700" -> "xx",
+    "-07:00" -> "xxx",
+    "Z07:00" -> "XXX",
+    "MST" -> "zzz",
+    "PM" -> "a",
+    "06" -> "yy")
+
+  def toJvmPattern(goLayout: String): String = {
+    // tokenize greedily, longest token first, escaping literals
+    val sorted = tokens.sortBy(-_._1.length)
+    val out = new StringBuilder
+    var i = 0
+    while (i < goLayout.length) {
+      sorted.find { case (go, _) => goLayout.startsWith(go, i) } match {
+        case Some((go, jvm)) => out ++= jvm; i += go.length
+        case None =>
+          val c = goLayout(i)
+          if (c.isLetter) out ++= s"'$c'" else out += c
+          i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** atime_ns (int64 nanoseconds) → formatted string in the session TZ. */
+  def formatAtime(atimeNs: Column, goLayout: String = RFC822): Column =
+    date_format(timestamp_micros((atimeNs / 1000L).cast("long")), toJvmPattern(goLayout))
+}

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Name-template grammar of the reference (`cmn/cos/template.go:30-57`):
+  *
+  *   - bash brace: `prefix-{0001..0100..2}-gap-{01..10}-suffix`
+  *     (digit count = min(len(start), len(end)); step optional, default 1)
+  *   - at-style:   `prefix-@00100-suffix` → range 0..100 inclusive,
+  *     digit count = len(number)
+  *   - fmt-style:  `prefix-%06d-suffix` → open range 0..Long.MaxValue-1
+  *     (callers must cap)
+  *   - `""` / `"*"` = match-all; no range syntax = prefix-only
+  *
+  * Expansion is capped at 10M names (`template.go:25`), and the
+  * DataFrame expansion stays lazy/distributed: `spark.range` partitions
+  * the index space so a 10M-name set never materializes on the driver —
+  * at 100 TB scale a template join is a broadcast-able names table, not a
+  * driver loop.
+  */
+final case class TemplateRange(start: Long, end: Long, step: Long, digitCount: Int, gap: String) {
+  def count: Long = (end - start) / step + 1
+}
+
+final case class ParsedTemplate(prefix: String, ranges: Seq[TemplateRange]) {
+  def isPrefixOnly: Boolean = ranges.isEmpty
+  def count: Long = ranges.foldLeft(1L)((n, r) => n * r.count)
+
+  /** Driver-side odometer iteration — mirrors `template.go:226-258`
+    * (InitIter/Next). For small sets and tests. */
+  def iterator: Iterator[String] =
+    if (ranges.isEmpty) Iterator.single(prefix)
+    else
+      ranges.foldLeft(Iterator.single(new StringBuilder(prefix).toString)) { (it, r) =>
+        it.flatMap { base =>
+          (r.start to r.end by r.step).iterator.map { v =>
+            val num = if (r.digitCount > 0) s"%0${r.digitCount}d".format(v) else v.toString
+            base + num + r.gap
+          }
+        }
+      }
+
+  /** Distributed expansion: one `name` column. Cross-join of per-range
+    * `spark.range` keeps it lazy; names never hit the driver. */
+  def toDF(spark: SparkSession, cap: Long = NameTemplate.MaxExpansion): DataFrame = {
+    require(count <= cap, s"template too large to expand ($count vs $cap max)")
+    if (ranges.isEmpty)
+      return spark.range(1).select(lit(prefix).as("name"))
+    var df: DataFrame = spark.range(1).select(lit(1).as("_one"))
+    val pieces = scala.collection.mutable.ArrayBuffer[Column](lit(prefix))
+    ranges.zipWithIndex.foreach { case (r, i) =>
+      val idx = spark.range(r.count).select((lit(r.start) + col("id") * r.step).as(s"_i$i"))
+      df = df.crossJoin(idx)
+      pieces += format_string(s"%0${math.max(r.digitCount, 1)}d", col(s"_i$i"))
+      pieces += lit(r.gap)
+    }
+    df.select(concat(pieces.toSeq: _*).as("name"))
+  }
+}
+
+object NameTemplate {
+  val MaxExpansion: Long = 10000000L // cmn/cos/template.go:25
+
+  def matchAll(t: String): Boolean = t.isEmpty || t == "*"
+
+  /** Parse order mirrors `NewParsedTemplate` (`template.go:122-142`):
+    * bash, then at, then fmt, then prefix-only fallback. Throws
+    * IllegalArgumentException on syntactically-rangeful-but-invalid input
+    * (start>end, negative start, non-positive step). */
+  def parse(template: String): ParsedTemplate = {
+    require(!matchAll(template), "empty range template")
+    parseBash(template)
+      .orElse(parseAt(template))
+      .orElse(parseFmt(template))
+      .getOrElse(ParsedTemplate(template, Nil))
+  }
+
+  private def validate(start: Long, end: Long, step: Long): Unit = {
+    require(start <= end, "'start' cannot be greater than 'end'")
+    require(start >= 0, "'start' is negative")
+    require(step > 0, "'step' is non-positive")
+  }
+
+  /** `prefix{0001..0010[..2]}gap{...}suffix` — `template.go:326-385`. */
+  private def parseBash(t: String): Option[ParsedTemplate] = {
+    if (!t.contains('{') || !t.contains('}')) return None
+    val prefix = t.take(t.indexOf('{'))
+    var rest = t
+    val ranges = scala.collection.mutable.ArrayBuffer[TemplateRange]()
+    while (rest.contains('{')) {
+      val l = rest.indexOf('{'); val r = rest.indexOf('}')
+      require(r > l, s"invalid 'bash' template $t")
+      val inside = rest.substring(l + 1, r)
+      val nums = inside.split("\\.\\.", -1)
+      require(nums.length == 2 || nums.length == 3, s"invalid 'bash' template $t")
+      val start = nums(0).toLong; val end = nums(1).toLong
+      val step = if (nums.length == 3) nums(2).toLong else 1L
+      validate(start, end, step)
+      rest = rest.substring(r + 1)
+      val gap = if (rest.contains('{')) rest.take(rest.indexOf('{')) else rest
+      ranges += TemplateRange(start, end, step, math.min(nums(0).length, nums(1).length), gap)
+    }
+    Some(ParsedTemplate(prefix, ranges.toSeq))
+  }
+
+  /** `prefix@00100gap@9suffix` → ranges 0..N — `template.go:391-441`. */
+  private def parseAt(t: String): Option[ParsedTemplate] = {
+    if (!t.contains('@')) return None
+    val prefix = t.take(t.indexOf('@'))
+    var rest = t
+    val ranges = scala.collection.mutable.ArrayBuffer[TemplateRange]()
+    while (rest.contains('@')) {
+      var i = rest.indexOf('@') + 1
+      val sb = new StringBuilder
+      while (i < rest.length && rest(i).isDigit) { sb += rest(i); i += 1 }
+      val end = sb.toString.toLong // NumberFormatException on empty — invalid '@'
+      validate(0, end, 1)
+      rest = rest.substring(i)
+      val gap = if (rest.contains('@')) rest.take(rest.indexOf('@')) else rest
+      ranges += TemplateRange(0, end, 1, sb.length, gap)
+    }
+    Some(ParsedTemplate(prefix, ranges.toSeq))
+  }
+
+  /** `prefix%06dsuffix` → open range, cap applies at expansion —
+    * `template.go:259-303`. */
+  private def parseFmt(t: String): Option[ParsedTemplate] = {
+    val p = t.indexOf('%')
+    if (p == -1) return None
+    require(t.indexOf('%', p + 1) == -1, s"invalid 'fmt' template $t")
+    val d = t.indexOf('d', p)
+    require(d != -1, s"invalid 'fmt' template $t")
+    val digits =
+      if (d - p > 1) {
+        val s = t.substring(p + 1, d)
+        require(s.length > 1 && s(0) == '0', s"invalid 'fmt' template $t")
+        s.drop(1).toInt
+      } else 0
+    Some(ParsedTemplate(t.take(p),
+      Seq(TemplateRange(0, Long.MaxValue - 1, 1, digits, t.substring(d + 1)))))
+  }
+}

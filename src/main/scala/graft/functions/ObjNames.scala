@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Object-naming scalar functions (SURVEY F2/F3/F8/F9) as pure Column
+  * compositions — everything stays inside whole-stage codegen; no UDFs.
+  */
+object ObjNames {
+
+  /** F2 — destination naming for copy/transform: prepend + extension remap
+    * (`api/apc/tcbtco.go:97-110` ToName). */
+  def remapExt(name: Column, from: String, to: String, prepend: String = ""): Column = {
+    val swapped = when(name.endsWith("." + from),
+      concat(regexp_replace(name, "\\.[^./]+$", ""), lit("." + to))).otherwise(name)
+    if (prepend.isEmpty) swapped else concat(lit(prepend), swapped)
+  }
+
+  /** F3 — name-in-resulting-archive convention for GetBatch
+    * (`api/apc/ml.go:122-136` NameInRespArch + `__404__` missing-dir
+    * convention, `ml.go:40-41`): `<bucket>/<objname>[/<archpath>]`, or
+    * `<objname>[/<archpath>]` when onlyObjName; misses land under
+    * `__404__/<bucket>/<objname>`. */
+  def nameInArch(bucket: Column, objName: Column, archPath: Column,
+                 onlyObjName: Boolean, missing: Column): Column = {
+    val base =
+      if (onlyObjName) objName
+      else concat_ws("/", bucket, objName)
+    val withArch = when(archPath.isNull || archPath === "", base)
+      .otherwise(concat_ws("/", base, archPath))
+    when(missing, concat(lit("__404__/"), concat_ws("/", bucket, objName)))
+      .otherwise(withArch)
+  }
+
+  /** F8 — custom-MD map → canonical string (`cmn/objlist_utils.go:200-320`
+    * CustomMD2S): `"k1:v1,k2:v2"` with keys sorted for determinism. */
+  def customMdToString(m: Column): Column =
+    array_join(
+      transform(array_sort(map_keys(m)), k => concat(k, lit(":"), element_at(m, k))),
+      ",")
+
+  /** F8 reverse — string → map (S2CustomMD). */
+  def stringToCustomMd(s: Column): Column = str_to_map(s, lit(","), lit(":"))
+
+  /** F9 — virtual-dir helpers (`cmn/objlist_utils.go:116-198`): depth =
+    * number of '/' separators; parent dir of a name. */
+  def nameDepth(name: Column): Column = size(split(name, "/")) - 1
+  def parentDir(name: Column): Column =
+    when(instr(name, "/") === 0, lit(""))
+      .otherwise(regexp_extract(name, "^(.*/)[^/]*$", 1))
+}

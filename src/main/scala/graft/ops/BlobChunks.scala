@@ -1,0 +1,27 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S6 — blob download planning (`api/apc/blob.go:19-25` BlobMsg,
+  * `xact/xs/blob_download.go`): split one large object into fixed-size
+  * chunks fetched by N workers. The *plan* — (name, chunk_id, offset,
+  * length) — is what the engine computes; the ranged reads themselves are
+  * the storage layer's job (Hadoop FS does parallel ranged reads
+  * natively). `sequence` + `explode` keeps chunk generation lazy and
+  * distributed: a 1 TB object at 16 MiB chunks is 65k rows, produced
+  * executor-side.
+  */
+object BlobChunks {
+  def plan(objects: DataFrame, chunkSize: Long): DataFrame =
+    objects
+      .where(col("size") > 0)
+      .select(
+        col("name"), col("size"),
+        explode(sequence(lit(0L), col("size") - 1, lit(chunkSize))).as("offset"))
+      .select(
+        col("name"),
+        (col("offset") / chunkSize).cast("long").as("chunk_id"),
+        col("offset"),
+        least(lit(chunkSize), col("size") - col("offset")).as("length"))
+}

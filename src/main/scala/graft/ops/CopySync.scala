@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ObjNames
+
+/** GB5 — multi-object copy/transform (TCB/TCO, reference
+  * `api/apc/tcbtco.go:19-89`, `xact/xs/tcb.go`, `tcobjs.go`) and
+  * GB7 — evict/delete (`xact/xs/evict.go:104-128`), expressed as pure
+  * DataFrame plans: the copy itself is `src.select(newName, payload)
+  * .write`, so the interesting semantics are destination naming and the
+  * `Sync` prune pass.
+  */
+object CopySync {
+
+  /** Destination naming for a copy/transform: prefix filter + prepend +
+    * extension remap (`tcbtco.go:97-110`). Returns (src name, dst name)
+    * plus carried columns. */
+  def planCopy(src: DataFrame, prefix: String, prepend: String,
+               extMap: Map[String, String]): DataFrame = {
+    var df = src
+    if (prefix.nonEmpty) df = df.where(col("name").startsWith(prefix))
+    val dst = extMap.foldLeft(col("name")) { case (c, (from, to)) =>
+      when(c.endsWith("." + from),
+        concat(regexp_replace(c, "\\.[^./]+$", ""), lit("." + to))).otherwise(c)
+    }
+    df.withColumn("dst_name",
+      if (prepend.isEmpty) dst else concat(lit(prepend), dst))
+  }
+
+  /** `Sync` prune (`tcbtco.go:37-40`, `xact/xs/prune.go`): objects present
+    * at the destination but no longer in the source must be deleted.
+    * Anti-join — no full shuffle when the smaller side broadcasts; at
+    * scale both sides shuffle-partition on `name`, which AQE handles. */
+  def syncPrune(dest: DataFrame, src: DataFrame): DataFrame =
+    dest.join(src.select("name"), Seq("name"), "left_anti")
+
+  /** GB7 evict/delete: remaining catalog after removing a selection. */
+  def remainingAfterDelete(catalog: DataFrame, selected: DataFrame): DataFrame =
+    catalog.join(selected.select("name"), Seq("name"), "left_anti")
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J2/P5 — source-of-truth vs destination comparison.
+  *
+  * The downloader's diff resolver (`ext/dload/diff_resolver.go`) walks
+  * both listings and emits one of {ok, missing, changed, deleted} per
+  * name; the list-objects `--check-versions` predicate
+  * (`xact/xs/wi_lso.go:126-145` checkRemoteMD) sets
+  * EntryVerChanged/EntryVerRemoved flags. Both are one full outer join
+  * on name — Spark shuffles both sides on the join key; with catalogs
+  * bucketed by name the shuffle disappears entirely.
+  */
+object DiffResolver {
+  val ActOk = "ok"
+  val ActMissing = "missing" // in source, not at destination → download
+  val ActChanged = "changed" // versions differ → re-download
+  val ActDeleted = "deleted" // at destination only → delete
+
+  /** Downloader `backend` diff: src = remote truth, dst = local bucket.
+    * Output: (name, action) + sizes/versions where known. */
+  def resolve(src: DataFrame, dst: DataFrame): DataFrame = {
+    val s = src.select(col("name"), col("version").as("src_version"), col("size").as("src_size"))
+    val d = dst.select(col("name"), col("version").as("dst_version"))
+    s.join(d, Seq("name"), "full_outer")
+      .withColumn("action",
+        when(col("src_version").isNull, lit(ActDeleted))
+          .when(col("dst_version").isNull, lit(ActMissing))
+          .when(col("src_version") =!= col("dst_version"), lit(ActChanged))
+          .otherwise(lit(ActOk)))
+  }
+
+  /** P5 — list-objects remote-diff flags: local catalog left-joined to the
+    * remote listing; `ver_changed` / `ver_removed` per entry, plus
+    * remote-only entries surfaced as not-cached (LsDiff bidirectional,
+    * `api/apc/lsmsg.go:60-66`). */
+  def lsoDiff(local: DataFrame, remote: DataFrame): DataFrame = {
+    val l = local.select(col("name"), col("size"), col("version"))
+    val r = remote.select(col("name"), col("version").as("remote_version"))
+    l.join(r, Seq("name"), "full_outer")
+      .select(
+        col("name"),
+        col("size"),
+        col("version"),
+        (col("remote_version").isNull && col("version").isNotNull).as("ver_removed"),
+        (col("remote_version").isNotNull && col("version").isNotNull &&
+          col("remote_version") =!= col("version")).as("ver_changed"),
+        col("version").isNull.as("remote_only"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.NameTemplate
+
+/** GB8 — the uniform list/range/prefix selection that drives every
+  * multi-object operator (archive, copy, transform, prefetch, evict,
+  * delete) — reference `xact/xs/lrit.go:40-130`.
+  *
+  * A selection resolves to a DataFrame of names; applying it to the
+  * catalog is a semi-join (broadcast when the selection is small — name
+  * lists and templates are bounded by the 10M expansion cap, so at
+  * 100 TB catalog scale the selection side is always the broadcast side)
+  * or a pushed-down prefix predicate (no join at all).
+  */
+sealed trait ObjSelection
+object ObjSelection {
+  /** Explicit name list (`apc.ListRange.ObjNames`). */
+  final case class NameList(names: Seq[String]) extends ObjSelection
+  /** Range template (`apc.ListRange.Template`) — F1 grammar. */
+  final case class Template(template: String) extends ObjSelection
+  /** Plain prefix (template with no ranges, `lrit.go` lrpPrefix). */
+  final case class Prefix(prefix: String) extends ObjSelection
+}
+
+object Selection {
+  import ObjSelection._
+
+  /** Resolve a selection to a single-column `name` DataFrame.
+    * Prefix selections return None — they apply as a predicate, which
+    * Catalyst pushes to the scan instead of joining. */
+  def namesDF(spark: SparkSession, sel: ObjSelection): Option[DataFrame] = sel match {
+    case NameList(names) =>
+      Some(spark.createDataFrame(
+        spark.sparkContext.parallelize(names.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))))
+    case Template(t) =>
+      val pt = NameTemplate.parse(t)
+      if (pt.isPrefixOnly) None else Some(pt.toDF(spark))
+    case Prefix(_) => None
+  }
+
+  /** Apply the selection to the catalog. Semi-join for lists/templates
+    * (selection side broadcast), pushdown predicate for prefixes. */
+  def apply(spark: SparkSession, catalog: DataFrame, sel: ObjSelection): DataFrame =
+    sel match {
+      case Prefix(p) => catalog.where(col("name").startsWith(p))
+      case Template(t) if NameTemplate.parse(t).isPrefixOnly =>
+        catalog.where(col("name").startsWith(NameTemplate.parse(t).prefix))
+      case other =>
+        val names = namesDF(spark, other).get
+        catalog.join(broadcast(names), Seq("name"), "left_semi")
+    }
+
+  /** Union of several selections (the reference iterates them serially;
+    * relationally it is a distinct union). */
+  def union(spark: SparkSession, catalog: DataFrame, sels: Seq[ObjSelection]): DataFrame =
+    sels.map(apply(spark, catalog, _)).reduce(_ unionByName _).dropDuplicates("name")
+}
