@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog._
+import graft.ops.DSort
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -208,7 +210,69 @@ object SparkEntry {
             lit(""), onlyObjName = false, missing = col("name").isNull).as("tar_name"),
           coalesce(col("obj_size"), lit(0L)).as("out_size"))
         .orderBy("_req_idx")
-    })
+    }),
+
+    // ------------------------------------------------------------------
+    // dSort / ishard record pipeline (SURVEY GB2, GB3, O4, O5, J4, J5, A3)
+    // ------------------------------------------------------------------
+    "sample_group" -> ((s, d) =>
+      DSort.samples(DerivedCatalog.members(s, d)).orderBy("sample_key")),
+
+    "dsort_dup_records" -> ((s, d) =>
+      DSort.duplicates(DerivedCatalog.members(s, d)).orderBy("sample_key")),
+
+    "dsort_alpha_pack" -> ((s, d) => {
+      val ss = DSort.samples(DerivedCatalog.members(s, d))
+      val alg = DSort.Algorithm.Alphanumeric()
+      DSort.packShards(DSort.withSortKey(ss, alg), alg, 500000L)
+        .select("sample_key", "size", "shard_id", "shard_name")
+        .orderBy("sample_key")
+    }),
+
+    "dsort_md5_top" -> ((s, d) => {
+      val keyed = DSort.withSortKey(
+        DSort.samples(DerivedCatalog.members(s, d)), DSort.Algorithm.Md5)
+      keyed.orderBy("_key", "sample_key").limit(1000)
+        .withColumn("rn", row_number().over(Window.orderBy("_key", "sample_key")).cast("long"))
+        .select(col("sample_key"), col("_key").as("md5_key"), col("rn"))
+    }),
+
+    "dsort_shuffle_top" -> ((s, d) => {
+      val keyed = DSort.withSortKey(
+        DSort.samples(DerivedCatalog.members(s, d)), DSort.Algorithm.Shuffle(42L))
+      keyed.orderBy("_key", "sample_key").limit(1000)
+        .withColumn("rn", row_number().over(Window.orderBy("_key", "sample_key")).cast("long"))
+        .select(col("sample_key"), col("_key").as("shuffle_key"), col("rn"))
+    }),
+
+    "dsort_content_top" -> ((s, d) => {
+      val m = DerivedCatalog.members(s, d)
+      val keyed = DSort.withSortKey(
+        DSort.samples(m), DSort.Algorithm.Content("cls", "int"), Some(m))
+      keyed.orderBy("_key", "sample_key").limit(1000)
+        .withColumn("rn", row_number().over(Window.orderBy("_key", "sample_key")).cast("long"))
+        .select(col("sample_key"), col("_key").as("ckey"), col("rn"))
+    }),
+
+    "ekm_assign" -> ((s, d) =>
+      DSort.ekmAssign(DSort.samples(DerivedCatalog.members(s, d)), Seq(
+        "^s000[0-4].*" -> "low-%03d.tar",
+        "^s0000[0-9].*" -> "dup-%d.tar",
+        "^s000[5-9].*" -> "mid-%03d.tar"))
+        .orderBy("sample_key")),
+
+    // ------------------------------------------------------------------
+    // Archive member match modes (SURVEY P8)
+    // ------------------------------------------------------------------
+    "arch_match_modes" -> ((s, d) =>
+      DerivedCatalog.members(s, d).select(
+        col("shard"), col("member"),
+        shards.ArchMatch.predicate(col("member"), "regexp", "^s00000\\d+_.*\\.jpg$").as("m_regexp"),
+        shards.ArchMatch.predicate(col("member"), "prefix", "s00001").as("m_prefix"),
+        shards.ArchMatch.predicate(col("member"), "suffix", ".cls").as("m_suffix"),
+        shards.ArchMatch.predicate(col("member"), "substr", "1_0").as("m_substr"),
+        shards.ArchMatch.predicate(col("member"), "wdskey", "s0000123_01").as("m_wdskey"))
+        .orderBy("shard", "member"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -426,6 +490,73 @@ object SparkEntry {
         |  coalesce(o.size, 0) AS out_size
         |FROM requests r LEFT JOIN objects o ON r.objname = o.name
         |ORDER BY _req_idx""".stripMargin,
-      OracleCte.objects, OracleCte.requests)
+      OracleCte.objects, OracleCte.requests),
+
+    "sample_group" -> o(
+      """SELECT sample_key, n_members, size, n_shards, first_member
+        |FROM samples ORDER BY sample_key""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "dsort_dup_records" -> o(
+      """SELECT sample_key, n_members, size, n_shards, first_member
+        |FROM samples WHERE n_shards > 1 ORDER BY sample_key""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "dsort_alpha_pack" -> o(
+      """SELECT sample_key, size,
+        |  CAST((c - size) // 500000 AS BIGINT) AS shard_id,
+        |  printf('out-shard-%06d.tar', CAST((c - size) // 500000 AS BIGINT)) AS shard_name
+        |FROM (SELECT sample_key, size,
+        |        sum(size) OVER (ORDER BY sample_key ROWS UNBOUNDED PRECEDING) AS c
+        |      FROM samples)
+        |ORDER BY sample_key""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "dsort_md5_top" -> o(
+      """SELECT sample_key, md5(sample_key) AS md5_key,
+        |  row_number() OVER (ORDER BY md5(sample_key), sample_key) AS rn
+        |FROM samples ORDER BY md5_key, sample_key LIMIT 1000""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "dsort_shuffle_top" -> o(
+      """SELECT sample_key, md5(sample_key || '42') AS shuffle_key,
+        |  row_number() OVER (ORDER BY md5(sample_key || '42'), sample_key) AS rn
+        |FROM samples ORDER BY shuffle_key, sample_key LIMIT 1000""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "dsort_content_top" -> o(
+      """SELECT s.sample_key, ckey,
+        |  row_number() OVER (ORDER BY ckey, s.sample_key) AS rn
+        |FROM samples s
+        |JOIN (SELECT sample_key, CAST(min(content_key) AS BIGINT) AS ckey
+        |      FROM members WHERE ext = 'cls' GROUP BY sample_key) c
+        |  USING (sample_key)
+        |ORDER BY ckey, s.sample_key LIMIT 1000""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "ekm_assign" -> o(
+      """SELECT sample_key,
+        |  CAST((CASE WHEN regexp_matches(sample_key, '^s000[0-4].*') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(sample_key, '^s0000[0-9].*') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(sample_key, '^s000[5-9].*') THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+        |  CASE WHEN (CASE WHEN regexp_matches(sample_key, '^s000[0-4].*') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(sample_key, '^s0000[0-9].*') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(sample_key, '^s000[5-9].*') THEN 1 ELSE 0 END) = 1
+        |    THEN (CASE WHEN regexp_matches(sample_key, '^s000[0-4].*') THEN 'low-%03d.tar'
+        |               WHEN regexp_matches(sample_key, '^s0000[0-9].*') THEN 'dup-%d.tar'
+        |               ELSE 'mid-%03d.tar' END)
+        |  END AS out_template
+        |FROM samples ORDER BY sample_key""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "arch_match_modes" -> o(
+      """SELECT shard, member,
+        |  regexp_matches(member, '^s00000\d+_.*\.jpg$') AS m_regexp,
+        |  starts_with(member, 's00001') AS m_prefix,
+        |  ends_with(member, '.cls') AS m_suffix,
+        |  contains(member, '1_0') AS m_substr,
+        |  (regexp_replace(member, '\.[^./]*$', '') = 's0000123_01') AS m_wdskey
+        |FROM members ORDER BY shard, member""".stripMargin,
+      OracleCte.members)
   )
 }

@@ -176,6 +176,18 @@ object OracleCte {
       |  FROM part
       |)""".stripMargin
 
+  /** Sample grouping over [[members]] — mirrors `graft.ops.DSort.samples`.
+    * Must follow `members` in the CTE list. */
+  val samples: String =
+    """samples AS (
+      |  SELECT sample_key,
+      |    count(*) AS n_members,
+      |    CAST(sum(size) AS BIGINT) AS size,
+      |    count(DISTINCT shard) AS n_shards,
+      |    min(member) AS first_member
+      |  FROM members GROUP BY sample_key
+      |)""".stripMargin
+
   /** Compose a WITH clause from the given CTE bodies + a query. */
   def sql(query: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + query

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GB2/GB3 — dSort / ishard record pipeline (reference `ext/dsort/`):
+  * sample grouping (J5), sort-key extraction for every algorithm (O4),
+  * size-capped output-shard packing (O5), EKM assignment (J4), duplicate
+  * record detection (A3).
+  *
+  * The reference's three phases map to Spark as:
+  *   phase 1 (extract)      → member-table scan + groupBy(sample_key)
+  *   phase 2 (distribution) → repartitionByRange shuffle (the shuffle IS
+  *                            the metadata distribution)
+  *   phase 3 (shard gen)    → distributed prefix sum → shard_id → writer
+  *
+  * Scale design: the global running sum needed for packing is computed
+  * WITHOUT a single-partition window — records are range-partitioned on
+  * the sort key, each partition computes a local cumsum, and partition
+  * offsets (one row per partition) are prefix-summed and broadcast back.
+  * At 1000 executors this is one shuffle + one tiny (≤ #partitions rows)
+  * aggregate, versus the reference's "ship all record metadata to one
+  * final target" (`dsort.go:431`) which our design strictly dominates.
+  */
+object DSort {
+
+  sealed trait Algorithm
+  object Algorithm {
+    /** `alphanumeric` asc/desc — `ext/dsort/api.go:18-25`. */
+    final case class Alphanumeric(decreasing: Boolean = false) extends Algorithm
+    /** `md5` of record name — `ext/dsort/shard/key.go:66-78`. */
+    case object Md5 extends Algorithm
+    /** Seeded deterministic shuffle — `sort.go:56-67`. The reference uses
+      * seeded PCG Fisher-Yates; the observable contract (deterministic
+      * uniform permutation under a seed) is preserved via ordering by
+      * `md5(key || seed)` — distributed and reproducible. */
+    final case class Shuffle(seed: Long) extends Algorithm
+    /** `content`: typed key read from the sample's key-extension member
+      * (`shard/key.go:100-136`), keyType ∈ {int, float, string}. */
+    final case class Content(ext: String, keyType: String, decreasing: Boolean = false) extends Algorithm
+  }
+
+  /** J5 — group members into samples (reference `shard/record.go:91-100`
+    * mergeObjects; `cmd/ishard` sample_key_pattern): one row per
+    * sample_key with member count, total size, source-shard spread. */
+  def samples(members: DataFrame): DataFrame =
+    members
+      .groupBy("sample_key")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum("size").as("size"),
+        countDistinct("shard").as("n_shards"),
+        min("member").as("first_member"))
+
+  /** A3 — duplicate detection (`shard/record.go:78-84` dups set;
+    * abort/warn policy `request_spec.go:196-198`): samples whose members
+    * arrive from more than one source shard. */
+  def duplicates(members: DataFrame): DataFrame =
+    samples(members).where(col("n_shards") > 1)
+
+  /** O4 — attach the sort key for an algorithm. Content keys join the
+    * key-extension members (broadcast-free: both sides partition on
+    * sample_key). Returns df + `_key` column (+ `_key_num` for typed
+    * numeric content keys). */
+  def withSortKey(samplesDf: DataFrame, alg: Algorithm, members: Option[DataFrame] = None): DataFrame =
+    alg match {
+      case Algorithm.Alphanumeric(_) => samplesDf.withColumn("_key", col("sample_key"))
+      case Algorithm.Md5 => samplesDf.withColumn("_key", md5(col("sample_key")))
+      case Algorithm.Shuffle(seed) =>
+        samplesDf.withColumn("_key", md5(concat(col("sample_key"), lit(seed.toString))))
+      case Algorithm.Content(ext, keyType, _) =>
+        val keys = members.get
+          .where(col("ext") === ext)
+          .groupBy("sample_key")
+          .agg(min("content_key").as("_raw_key"))
+        val joined = samplesDf.join(keys, Seq("sample_key"), "inner")
+        keyType match {
+          case "int" => joined.withColumn("_key", col("_raw_key").cast("long")).drop("_raw_key")
+          case "float" => joined.withColumn("_key", col("_raw_key").cast("double")).drop("_raw_key")
+          case _ => joined.withColumn("_key", col("_raw_key").cast("string")).drop("_raw_key")
+        }
+    }
+
+  private def keyOrder(alg: Algorithm): Seq[Column] = {
+    val desc = alg match {
+      case Algorithm.Alphanumeric(d) => d
+      case Algorithm.Content(_, _, d) => d
+      case _ => false
+    }
+    val k = if (desc) col("_key").desc else col("_key").asc
+    Seq(k, col("sample_key").asc) // sample_key = deterministic tiebreak
+  }
+
+  /** Distributed global prefix sum of `value` in (`order`) order.
+    * Adds `_cum` (inclusive cumulative sum). One range-partition shuffle;
+    * the per-partition offset table is #shuffle-partitions rows. */
+  def globalCumsum(df: DataFrame, order: Seq[Column], value: Column): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = df
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("_lcum", sum(value).over(w))
+    val offsets = local
+      .groupBy("_pid").agg(max("_lcum").as("_ptot"))
+      .withColumn("_offset",
+        coalesce(
+          sum("_ptot").over(
+            Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_pid", "_offset")
+    local
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_cum", col("_lcum") + col("_offset"))
+      .drop("_pid", "_lcum", "_offset")
+  }
+
+  /** O5 — size-capped shard assignment. The reference walks sorted
+    * records and cuts when the accumulator reaches `maxSize`
+    * (`dsort.go:556-607`); the scalable closed-form equivalent assigns a
+    * record to the shard its *starting* byte offset falls in:
+    * `shard_id = floor((cum - size) / maxSize)` — identical "size ≈ cap,
+    * order-preserving, sample-atomic" invariants, computable in one pass.
+    * Shard names come from the output template in order
+    * (`pt.Next()`, fmt-style `%06d`). */
+  def packShards(samplesWithKey: DataFrame, alg: Algorithm, maxSize: Long,
+                 nameTemplate: String = "out-shard-%06d.tar"): DataFrame = {
+    val order = keyOrder(alg)
+    globalCumsum(samplesWithKey, order, col("size"))
+      .withColumn("shard_id", ((col("_cum") - col("size")) / maxSize).cast("long"))
+      .withColumn("shard_name", format_string(nameTemplate, col("shard_id")))
+      .drop("_cum")
+  }
+
+  /** J4/P7 — EKM (external key map, `ext/dsort/shard/key.go:155-193`):
+    * regex-keyed rules mapping record name → output-shard template.
+    * Exactly one rule must match; 0 or >1 is an error per record. The
+    * rules table is tiny → broadcast theta-join on `rlike`, then a
+    * match-count check. Returns (sample_key, n_matches, out_template). */
+  def ekmAssign(samplesDf: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val spark = samplesDf.sparkSession
+    import spark.implicits._
+    val rulesDf = rules.toDF("_regex", "_template")
+    samplesDf
+      .join(broadcast(rulesDf), expr("regexp_like(sample_key, _regex)"), "left_outer")
+      .groupBy("sample_key")
+      .agg(
+        count(col("_regex")).as("n_matches"),
+        min("_template").as("matched_template"))
+      .withColumn("out_template",
+        when(col("n_matches") === 1, col("matched_template")).otherwise(lit(null)))
+      .drop("matched_template")
+  }
+
+  /** Strict EKM: raise on any 0/>1 match (reference errors out —
+    * `key.go:178-193`). */
+  def ekmAssignStrict(samplesDf: DataFrame, rules: Seq[(String, String)]): DataFrame =
+    ekmAssign(samplesDf, rules)
+      .withColumn("out_template",
+        when(col("n_matches") =!= 1,
+          raise_error(concat(lit("EKM: record matches "), col("n_matches").cast("string"),
+            lit(" rules (expected exactly 1): "), col("sample_key"))))
+          .otherwise(col("out_template")))
+}

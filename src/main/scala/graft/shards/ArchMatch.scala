@@ -1,0 +1,31 @@
+package graft.shards
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** P8 — archive-member match modes (`cmn/archive/read.go:25-38` MatchMode,
+  * `:151-167` matcher.do): given `archregx`, select members by one of
+  * five modes; `archpath` selects exactly one member and is mutually
+  * exclusive with archmode (`ais/dpq.go:279-307`).
+  */
+object ArchMatch {
+  val Regexp = "regexp"
+  val Prefix = "prefix"
+  val Suffix = "suffix"
+  val Substr = "substr"
+  val WdsKey = "wdskey"
+
+  /** Member-name predicate for a mode. `wdskey` compares the member name
+    * minus its extension (WebDataset sample key, `shard/key.go:84-98`). */
+  def predicate(member: Column, mode: String, pattern: String): Column = mode match {
+    case Regexp => member.rlike(pattern)
+    case Prefix => member.startsWith(pattern)
+    case Suffix => member.endsWith(pattern)
+    case Substr => member.contains(pattern)
+    case WdsKey => regexp_replace(member, "\\.[^./]*$", "") === pattern
+    case other => throw new IllegalArgumentException(s"unknown archmode: $other")
+  }
+
+  /** `archpath` point selection — exactly one member by full path. */
+  def archPath(member: Column, path: String): Column = member === path
+}
