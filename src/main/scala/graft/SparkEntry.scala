@@ -272,7 +272,40 @@ object SparkEntry {
         shards.ArchMatch.predicate(col("member"), "suffix", ".cls").as("m_suffix"),
         shards.ArchMatch.predicate(col("member"), "substr", "1_0").as("m_substr"),
         shards.ArchMatch.predicate(col("member"), "wdskey", "s0000123_01").as("m_wdskey"))
-        .orderBy("shard", "member"))
+        .orderBy("shard", "member")),
+
+    // ------------------------------------------------------------------
+    // TAR shard layer: DataSourceV2 scan + writer round trip (SURVEY S4,
+    // GB4, GB10) — offsets and payload digests are oracle-checked because
+    // the writer's layout is deterministic
+    // ------------------------------------------------------------------
+    "tar_scan" -> ((s, d) =>
+      shards.TarFixtures.read(s, d)
+        .select("shard", "member", "sample_key", "ext", "offset", "size")
+        .orderBy("shard", "member")),
+
+    "tar_payload_md5" -> ((s, d) =>
+      shards.TarFixtures.read(s, d)
+        .select(col("shard"), col("member"),
+          md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast("long").as("payload_len"))
+        .orderBy("shard", "member")),
+
+    "getbatch_ranges" -> ((s, d) => {
+      val fix = shards.TarFixtures.membersDf(s, d)
+        .withColumn("start", col("psize") % 5 * 7)
+        .withColumn("length",
+          when(col("psize") % 4 === 0, lit(-1L))
+            .when(col("psize") % 4 === 1, lit(0L))
+            .when(col("psize") % 4 === 2, col("psize") * 2)
+            .otherwise((col("psize") / 3).cast("long")))
+      fix.select(
+        col("shard_name").as("shard"), col("member"), col("start"), col("length"),
+        functions.ByteRanges.status(col("start"), col("length"), col("psize")).as("range_status"),
+        md5(functions.ByteRanges.slicePayload(
+          col("payload_str"), col("start"), col("length"), col("psize"))).as("slice_md5"))
+        .orderBy("shard", "member")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -557,6 +590,49 @@ object SparkEntry {
         |  contains(member, '1_0') AS m_substr,
         |  (regexp_replace(member, '\.[^./]*$', '') = 's0000123_01') AS m_wdskey
         |FROM members ORDER BY shard, member""".stripMargin,
-      OracleCte.members)
+      OracleCte.members),
+
+    "tar_scan" -> o(
+      """SELECT shard, member, sample_key, ext,
+        |  CAST(512 * row_number() OVER (PARTITION BY shard ORDER BY member)
+        |     + 512 * coalesce(sum((psize + 511) // 512) OVER (
+        |         PARTITION BY shard ORDER BY member
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  psize AS size
+        |FROM tarfix ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    "tar_payload_md5" -> o(
+      """SELECT shard, member, md5(payload_str) AS payload_md5,
+        |  CAST(length(payload_str) AS BIGINT) AS payload_len
+        |FROM tarfix ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    "getbatch_ranges" -> o(
+      """SELECT shard, member, start, length,
+        |  CASE WHEN NOT (start >= 0 AND length >= -1 AND NOT (start <> 0 AND length = 0)) THEN 'invalid'
+        |       WHEN start = 0 AND length = 0 THEN 'ok'
+        |       WHEN length = -1 THEN (CASE WHEN start < psize THEN 'ok' ELSE '416' END)
+        |       WHEN start < psize AND length <= psize - start THEN 'ok'
+        |       ELSE '416' END AS range_status,
+        |  CASE WHEN (CASE WHEN NOT (start >= 0 AND length >= -1 AND NOT (start <> 0 AND length = 0)) THEN 'invalid'
+        |       WHEN start = 0 AND length = 0 THEN 'ok'
+        |       WHEN length = -1 THEN (CASE WHEN start < psize THEN 'ok' ELSE '416' END)
+        |       WHEN start < psize AND length <= psize - start THEN 'ok'
+        |       ELSE '416' END) = 'ok'
+        |    THEN md5(substr(payload_str, CAST(start AS INT) + 1,
+        |      CAST(CASE WHEN start = 0 AND length = 0 THEN psize
+        |                WHEN length = -1 THEN psize - start
+        |                ELSE length END AS INT)))
+        |  END AS slice_md5
+        |FROM (SELECT shard, member, psize, payload_str,
+        |        CAST(psize % 5 * 7 AS BIGINT) AS start,
+        |        CAST(CASE WHEN psize % 4 = 0 THEN -1
+        |                  WHEN psize % 4 = 1 THEN 0
+        |                  WHEN psize % 4 = 2 THEN psize * 2
+        |                  ELSE psize // 3 END AS BIGINT) AS length
+        |      FROM tarfix)
+        |ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix)
   )
 }

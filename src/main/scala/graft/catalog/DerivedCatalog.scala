@@ -188,6 +188,17 @@ object OracleCte {
       |  FROM members GROUP BY sample_key
       |)""".stripMargin
 
+  /** TAR-fixture derivation — mirrors `graft.shards.TarFixtures.membersDf`.
+    * Must follow `members` in the CTE list. */
+  val tarfix: String =
+    """tarfix AS (
+      |  SELECT replace(shard, 'shards/', '') AS shard, member, sample_key, ext,
+      |    CAST(size % 499 AS BIGINT) AS psize,
+      |    substr(repeat(sample_key || '|', CAST(size % 499 AS INT) // (length(sample_key) + 1) + 1),
+      |           1, CAST(size % 499 AS INT)) AS payload_str
+      |  FROM members WHERE bucket = 'bck0'
+      |)""".stripMargin
+
   /** Compose a WITH clause from the given CTE bodies + a query. */
   def sql(query: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + query

@@ -34,7 +34,9 @@ final case class ParsedTemplate(prefix: String, ranges: Seq[TemplateRange]) {
     else
       ranges.foldLeft(Iterator.single(new StringBuilder(prefix).toString)) { (it, r) =>
         it.flatMap { base =>
-          (r.start to r.end by r.step).iterator.map { v =>
+          // explicit iteration — NumericRange overflows on the open-ended
+          // fmt-style range (0 .. Long.MaxValue-1)
+          Iterator.iterate(r.start)(_ + r.step).takeWhile(v => v <= r.end && v >= r.start).map { v =>
             val num = if (r.digitCount > 0) s"%0${r.digitCount}d".format(v) else v.toString
             base + num + r.gap
           }

@@ -98,10 +98,17 @@ object DSort {
   def globalCumsum(df: DataFrame, order: Seq[Column], value: Column): DataFrame = {
     val spark = df.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // localCheckpoint pins the range partitioning: the plan below reads
+    // `parted` in two branches (offset table + join-back), and without
+    // materialization each branch re-plans the exchange — AQE may coalesce
+    // the two differently, mis-aligning `_pid` between branches (observed:
+    // out-of-order shards). Checkpointing makes both branches read the
+    // same physical partitions.
     val parted = df
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val w = Window.partitionBy("_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("_lcum", sum(value).over(w))

@@ -1,0 +1,97 @@
+package graft.ops
+
+import java.io.OutputStream
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.{ByteRanges, ObjNames}
+import graft.shards.TarWriter
+
+/** GB1 — GetBatch (x-moss, reference `api/apc/ml.go:14-120`,
+  * `xact/xs/moss.go`): an ordered batch of (object | archived member |
+  * byte range) requests assembled into one TAR whose entries appear in
+  * **exactly request order**; misses become zero-size `__404__/` entries
+  * when `continueOnErr`, or fail the batch otherwise.
+  *
+  * The reference's three-phase proxy/DT/peer dance collapses to one plan:
+  * requests ⟕ member/object table → range slice → order by `_req_idx` →
+  * streamed TAR encode. Order preservation across the join shuffle is
+  * carried by `_req_idx` and restored with one final sort; duplicate
+  * request names are legal and never deduped (`SURVEY §7.4`).
+  *
+  * Scale: the requests side is batch-sized (≤ millions) → broadcast;
+  * the member/object side is the 100 TB table, partition-pruned by the
+  * join. `toLocalIterator` streams the final TAR with bounded memory —
+  * the analog of `StreamingGet` (`ml.go:104`).
+  */
+object GetBatch {
+
+  /** Resolve a request batch against a payload table.
+    *
+    * @param requests columns: `_req_idx, bucket, objname` + optional
+    *                 `archpath` ("" = whole object), `start`, `length`
+    * @param payloads columns: `bucket, objname` + optional `archpath`,
+    *                 `payload BINARY` (whole-object rows use archpath "")
+    * @return one row per request, in order: `_req_idx, tar_name, payload,
+    *         size, missing, range_status`
+    */
+  def assemble(requests: DataFrame, payloads: DataFrame,
+               continueOnErr: Boolean = true, onlyObjName: Boolean = false): DataFrame = {
+    val req = Seq("archpath", "start", "length").foldLeft(requests) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, if (c == "archpath") lit("") else lit(0L))
+    }
+    val pay = (if (payloads.columns.contains("archpath")) payloads
+               else payloads.withColumn("archpath", lit("")))
+      .select(col("bucket"), col("objname"), col("archpath"), col("payload"))
+
+    // right_outer with the request batch broadcast: Spark can only build
+    // the broadcast side opposite the preserved side, so this shape (and
+    // not requests.join(pay, "left_outer")) keeps the 100 TB payload table
+    // un-shuffled — each payload partition probes the tiny request map.
+    val joined = pay
+      .join(broadcast(req), Seq("bucket", "objname", "archpath"), "right_outer")
+      .withColumn("_full_size", when(col("payload").isNull, lit(null)).otherwise(length(col("payload")).cast("long")))
+      .withColumn("range_status",
+        when(col("payload").isNull, lit(null))
+          .otherwise(ByteRanges.status(col("start"), col("length"), col("_full_size"))))
+      .withColumn("_sliced",
+        when(col("payload").isNull, lit(null))
+          .otherwise(ByteRanges.slicePayload(col("payload"), col("start"), col("length"), col("_full_size"))))
+      .withColumn("missing", col("payload").isNull || col("range_status") =!= ByteRanges.StatusOk)
+
+    val named = joined.select(
+      col("_req_idx"),
+      ObjNames.nameInArch(col("bucket"),
+        when(col("archpath") === "", col("objname"))
+          .otherwise(concat_ws("/", col("objname"), col("archpath"))),
+        lit(""), onlyObjName, col("missing")).as("tar_name"),
+      when(col("missing"), lit(Array.emptyByteArray)).otherwise(col("_sliced")).as("payload"),
+      when(col("missing"), lit(0L))
+        .otherwise(length(col("_sliced")).cast("long")).as("size"),
+      col("missing"),
+      col("range_status"))
+      .orderBy("_req_idx")
+
+    if (continueOnErr) named
+    else named.withColumn("payload",
+      when(col("missing"),
+        raise_error(concat(lit("GetBatch: missing or unsatisfiable entry: "), col("tar_name"))))
+        .otherwise(col("payload")))
+  }
+
+  /** Stream the assembled batch as one TAR (StreamingGet analog):
+    * `toLocalIterator` pulls partitions lazily, memory stays bounded by
+    * one partition. Entries are written in `_req_idx` order. */
+  def writeTar(assembled: DataFrame, out: OutputStream): Long = {
+    var n = 0L
+    TarWriter.withTar(out) { tar =>
+      val it = assembled.select("tar_name", "payload").toLocalIterator()
+      while (it.hasNext) {
+        val r: Row = it.next()
+        TarWriter.putEntry(tar, r.getString(0), Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray))
+        n += 1
+      }
+    }
+    n
+  }
+}

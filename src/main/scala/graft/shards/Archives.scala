@@ -1,0 +1,100 @@
+package graft.shards
+
+import java.io.{BufferedInputStream, InputStream}
+import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+import org.apache.commons.compress.archivers.zip.ZipArchiveInputStream
+import java.util.zip.GZIPInputStream
+import net.jpountz.lz4.LZ4FrameInputStream
+
+/** Low-level archive member iteration (SURVEY S4) — the Spark-side analog
+  * of `cmn/archive/read.go:110` (NewReader) with the same supported MIME
+  * set (`cmn/archive/mime.go:25-29`): `.tar`, `.tgz`/`.tar.gz`, `.zip`,
+  * `.tar.lz4`.
+  *
+  * For plain `.tar` the byte offset of each member's data section is
+  * recorded (the shard-index fast path, `xact/xs/shard_idx.go:27-31`);
+  * for compressed formats offsets are stream-relative and reported as -1,
+  * matching the reference's TAR-only fast-path restriction
+  * (`xact/api_table.go:132-143`).
+  */
+object Archives {
+
+  /** One archive member: name, offset of data within the (uncompressed)
+    * archive or -1, size, and a payload reader that must be consumed
+    * before the iterator advances (or skipped). */
+  final case class Entry(name: String, offset: Long, size: Long, read: () => Array[Byte])
+
+  val SupportedExts: Seq[String] = Seq(".tar", ".tgz", ".tar.gz", ".zip", ".tar.lz4")
+
+  def extOf(name: String): Option[String] =
+    SupportedExts.sortBy(-_.length).find(name.toLowerCase.endsWith(_))
+
+  /** Iterate members of an archive stream. `readPayloads=false` lets the
+    * caller skip data sections entirely (column pruning: metadata-only
+    * scans never touch payload bytes). */
+  def iterate(shardName: String, in: InputStream, readPayloads: Boolean): Iterator[Entry] =
+    extOf(shardName) match {
+      case Some(".tar") => iterateTar(new CountingInputStream(in), counting = true, readPayloads)
+      case Some(".tgz") | Some(".tar.gz") =>
+        iterateTar(new CountingInputStream(new GZIPInputStream(in)), counting = false, readPayloads)
+      case Some(".tar.lz4") =>
+        iterateTar(new CountingInputStream(new LZ4FrameInputStream(in)), counting = false, readPayloads)
+      case Some(".zip") => iterateZip(in, readPayloads)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported archive extension: $shardName (want one of ${SupportedExts.mkString(",")})")
+    }
+
+  private def iterateTar(cin: CountingInputStream, counting: Boolean,
+                         readPayloads: Boolean): Iterator[Entry] = {
+    // blockSize = recordSize = 512 so the underlying stream position after
+    // a header read is exactly the member's data offset (no read-ahead).
+    val tar = new TarArchiveInputStream(cin, 512, 512)
+    Iterator
+      .continually(tar.getNextEntry)
+      .takeWhile(_ != null)
+      .filter(e => !e.isDirectory)
+      .map { e =>
+        val off = if (counting) cin.count else -1L
+        Entry(e.getName, off, e.getSize,
+          () => if (readPayloads) tar.readNBytes(e.getSize.toInt) else Array.emptyByteArray)
+      }
+  }
+
+  private def iterateZip(in: InputStream, readPayloads: Boolean): Iterator[Entry] = {
+    val zip = new ZipArchiveInputStream(in)
+    Iterator
+      .continually(zip.getNextEntry)
+      .takeWhile(_ != null)
+      .filter(e => !e.isDirectory)
+      .map { e =>
+        // ZIP sizes may be unknown until the entry is read (streaming mode)
+        val bytes = zip.readAllBytes()
+        Entry(e.getName, -1L, bytes.length.toLong, () => if (readPayloads) bytes else Array.emptyByteArray)
+      }
+  }
+
+  /** WebDataset sample key = member name minus extension
+    * (`ext/dsort/shard/key.go:84-98`). */
+  def sampleKeyOf(member: String): String = {
+    val dot = member.lastIndexOf('.')
+    if (dot <= 0) member else member.substring(0, dot)
+  }
+
+  def memberExtOf(member: String): String = {
+    val dot = member.lastIndexOf('.')
+    if (dot <= 0 || dot == member.length - 1) "" else member.substring(dot + 1)
+  }
+
+  /** InputStream wrapper tracking the absolute read position. */
+  final class CountingInputStream(in: InputStream) extends InputStream {
+    private var n = 0L
+    def count: Long = n
+    override def read(): Int = { val b = in.read(); if (b >= 0) n += 1; b }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      val r = in.read(buf, off, len); if (r > 0) n += r; r
+    }
+    override def skip(k: Long): Long = { val s = in.skip(k); n += s; s }
+    override def available(): Int = in.available()
+    override def close(): Unit = in.close()
+  }
+}

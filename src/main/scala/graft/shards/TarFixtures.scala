@@ -1,0 +1,52 @@
+package graft.shards
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.DerivedCatalog
+
+/** Deterministic TAR corpus derived from the members table, used by the
+  * driver-facing TAR queries: because [[TarWriter]] writes a canonical
+  * layout (sorted members, zeroed metadata), every member's offset inside
+  * the shard is a closed-form function of the member sizes — which makes
+  * the *binary* writer→reader round trip checkable by the DuckDB oracle
+  * (see `tar_scan` / `tar_payload_md5` in SparkEntry).
+  *
+  * Payloads: `repeat(sample_key || "|")` truncated to `size % 499` bytes —
+  * mirrored 1:1 in [[graft.catalog.OracleCte.tarfix]].
+  */
+object TarFixtures {
+
+  /** The derived (shard, member, payload) set — bck0 only to bound size. */
+  def membersDf(spark: SparkSession, sfDir: String): DataFrame =
+    DerivedCatalog.members(spark, sfDir)
+      .where(col("bucket") === "bck0")
+      .select(
+        regexp_replace(col("shard"), "^shards/", "").as("shard_name"),
+        col("member"),
+        col("sample_key"),
+        col("ext"),
+        (col("size") % 499).as("psize"))
+      .withColumn("payload_str",
+        expr("substring(repeat(sample_key || '|', CAST(psize AS INT) DIV (length(sample_key) + 1) + 1), 1, CAST(psize AS INT))"))
+
+  /** Build the TAR corpus under /tmp (idempotent per sfDir). */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = "/tmp/graft_tars_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val marker = new File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      new File(dir).mkdirs()
+      TarWriter.writeShards(
+        membersDf(spark, sfDir)
+          .select(col("shard_name"), col("member"),
+            col("payload_str").cast("binary").as("payload")),
+        dir)
+      marker.createNewFile()
+    }
+    dir
+  }
+
+  /** Read the corpus back through the custom DataSourceV2. */
+  def read(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("tarmembers").load(ensure(spark, sfDir))
+}

@@ -1,0 +1,75 @@
+package graft.shards
+
+import java.io.{BufferedOutputStream, OutputStream}
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** TAR shard writers (SURVEY O5 creation phase, GB4 archive, GB1
+  * assembly).
+  *
+  * Determinism contract: members are written in sorted order with zeroed
+  * mtime/uid/gid, so a shard's byte layout — and therefore every member's
+  * offset — is a pure function of the (member, payload) set. This is what
+  * makes the TAR round-trip oracle-checkable and shard outputs
+  * reproducible across runs (the reference gets this for free from its
+  * single-writer walk; we guarantee it explicitly).
+  *
+  * Scale: `writeShards` repartitions by shard name so each task writes
+  * whole shards (one open stream per shard, no cross-task coordination —
+  * the Spark analog of each target building its assigned shards in dSort
+  * phase 3, `ext/dsort/dsort.go:815`).
+  */
+object TarWriter {
+
+  /** Append one member to an open TAR stream with normalized metadata. */
+  def putEntry(tar: TarArchiveOutputStream, name: String, payload: Array[Byte]): Unit = {
+    val e = new TarArchiveEntry(name)
+    e.setSize(payload.length.toLong)
+    e.setModTime(0L)
+    e.setUserId(0); e.setGroupId(0)
+    e.setUserName(""); e.setGroupName("")
+    tar.putArchiveEntry(e)
+    tar.write(payload)
+    tar.closeArchiveEntry()
+  }
+
+  def withTar[A](out: OutputStream)(f: TarArchiveOutputStream => A): A = {
+    val tar = new TarArchiveOutputStream(new BufferedOutputStream(out), 512)
+    tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    try { val a = f(tar); tar.finish(); a } finally tar.close()
+  }
+
+  /** Write `(shard_name, member, payload)` rows as TAR files under
+    * `outDir`, one file per distinct shard_name, members sorted by name
+    * within each shard. Executor-side, one pass, no driver involvement. */
+  def writeShards(df: DataFrame, outDir: String): Unit = {
+    val plan = df
+      .select(col("shard_name"), col("member"), col("payload"))
+      .repartition(col("shard_name"))
+      .sortWithinPartitions("shard_name", "member")
+    plan.foreachPartition { (rows: Iterator[Row]) =>
+      val conf = new Configuration()
+      var curShard: String = null
+      var tar: TarArchiveOutputStream = null
+      var raw: OutputStream = null
+      def closeCurrent(): Unit = if (tar != null) { tar.finish(); tar.close(); tar = null; raw = null }
+      try {
+        rows.foreach { r =>
+          val shard = r.getString(0)
+          if (shard != curShard) {
+            closeCurrent()
+            val p = new Path(outDir, shard)
+            raw = p.getFileSystem(conf).create(p, true)
+            tar = new TarArchiveOutputStream(new BufferedOutputStream(raw), 512)
+            tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+            curShard = shard
+          }
+          putEntry(tar, r.getString(1), r.getAs[Array[Byte]](2))
+        }
+      } finally closeCurrent()
+    }
+  }
+}

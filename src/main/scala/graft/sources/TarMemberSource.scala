@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.shards.Archives
+
+import scala.jdk.CollectionConverters._
+
+/** The one custom Catalyst component (SURVEY §4, §7.3): a DataSourceV2
+  * that scans TAR/TGZ/ZIP/TAR.LZ4 shards into the canonical `members`
+  * table `(shard, member, sample_key, ext, offset, size, payload)` —
+  * FIXTURES.md §2, mirroring the reference's shard-index content
+  * (`xact/xs/shard_idx.go:27-53`) and archive listing
+  * (`cmn/archive/list.go`).
+  *
+  * Usage: `spark.read.format("tarmembers").load("/path/to/shards")`.
+  *
+  * Scale design:
+  *   - one input partition per shard file → embarrassingly parallel over
+  *     any number of executors; Spark schedules thousands of shard scans
+  *     the same way it schedules parquet splits;
+  *   - column pruning is pushed into the reader: a metadata-only query
+  *     (e.g. shard summaries, dSort phase 1) never reads payload bytes —
+  *     the data sections are `skip`ped, which for plain TAR turns the
+  *     scan into header hops (the "shard index" fast path,
+  *     `docs/get_batch.md` — orders-of-magnitude for big members);
+  *   - offsets recorded for plain TAR enable later ranged point reads
+  *     (`archpath` member GETs) without re-scanning.
+  */
+class TarMemberSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "tarmembers"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TarMemberTable.fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TarMemberTable(properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object TarMemberTable {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("member", StringType, nullable = false),
+    StructField("sample_key", StringType, nullable = false),
+    StructField("ext", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Expand the `path`/`paths` option into the shard file list. */
+  def listShardFiles(paths: Seq[String]): Seq[(String, Long)] = {
+    val conf = new Configuration()
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      def walk(st: FileStatus): Seq[FileStatus] =
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk) else Seq(st)
+      val matched: Seq[FileStatus] =
+        if (fs.getFileStatus(path).isDirectory) walk(fs.getFileStatus(path))
+        else fs.globStatus(path).toSeq.flatMap(walk)
+      matched
+        .filter(st => Archives.extOf(st.getPath.getName).isDefined)
+        .map(st => (st.getPath.toString, st.getLen))
+    }.sortBy(_._1)
+  }
+}
+
+class TarMemberTable(properties: Map[String, String]) extends Table with SupportsRead {
+  private val paths: Seq[String] =
+    properties.get("paths")
+      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .orElse(properties.get("path").map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException("tarmembers: path option required"))
+
+  override def name(): String = s"tarmembers(${paths.mkString(",")})"
+  override def schema(): StructType = TarMemberTable.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TarScanBuilder(paths)
+}
+
+class TarScanBuilder(paths: Seq[String]) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TarMemberTable.fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new TarScan(paths, required)
+}
+
+final case class TarFilePartition(file: String) extends InputPartition
+
+class TarScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TarMemberScan(files=${paths.mkString(",")}, columns=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    TarMemberTable.listShardFiles(paths).map(f => TarFilePartition(f._1)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TarReaderFactory(required)
+}
+
+class TarReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TarPartitionReader(partition.asInstanceOf[TarFilePartition].file, required)
+}
+
+/** Streams one shard file; emits one InternalRow per member. Payload
+  * bytes are read only when the `payload` column survives pruning. */
+class TarPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val needPayload = required.fieldNames.contains("payload")
+  private val path = new Path(file)
+  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val shardName = path.getName
+  private val entries = Archives.iterate(shardName, in, readPayloads = needPayload)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!entries.hasNext) false
+    else {
+      val e = entries.next()
+      val payload = e.read() // consume (or skip) before advancing
+      current = InternalRow.fromSeq(required.fieldNames.toSeq.map {
+        case "shard" => UTF8String.fromString(shardName)
+        case "member" => UTF8String.fromString(e.name)
+        case "sample_key" => UTF8String.fromString(Archives.sampleKeyOf(e.name))
+        case "ext" => UTF8String.fromString(Archives.memberExtOf(e.name))
+        case "offset" => e.offset
+        case "size" => e.size
+        case "payload" => payload
+      })
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

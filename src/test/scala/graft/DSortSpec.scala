@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.DerivedCatalog
+import graft.ops.DSort
+import graft.ops.DSort.Algorithm
+
+/** dSort invariants (reference `ext/dsort/sortrecords_internal_test.go`
+  * + the structural golden rules of SURVEY §5: global order across output
+  * shards, sample atomicity, size ≈ cap, counts conserved). */
+class DSortSpec extends SparkSpec {
+
+  private lazy val members = DerivedCatalog.members(spark, TestSpark.sf001).cache()
+  private lazy val samples = DSort.samples(members).cache()
+
+  test("counts conserved: every sample lands in exactly one shard") {
+    val packed = DSort.packShards(
+      DSort.withSortKey(samples, Algorithm.Alphanumeric()),
+      Algorithm.Alphanumeric(), 100000L)
+    assert(packed.count() == samples.count())
+    assert(packed.select("sample_key").distinct().count() == samples.count())
+  }
+
+  test("global order: max key of shard k <= min key of shard k+1") {
+    val packed = DSort.packShards(
+      DSort.withSortKey(samples, Algorithm.Alphanumeric()),
+      Algorithm.Alphanumeric(), 100000L)
+    val bounds = packed.groupBy("shard_id")
+      .agg(min("sample_key").as("lo"), max("sample_key").as("hi"))
+      .orderBy("shard_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    bounds.sliding(2).foreach {
+      case Array((k1, _, hi1), (k2, lo2, _)) =>
+        assert(k1 < k2 && hi1 <= lo2, s"shard $k1 hi=$hi1 vs shard $k2 lo=$lo2")
+      case _ =>
+    }
+  }
+
+  test("shard sizes approximate the cap") {
+    val cap = 100000L
+    val packed = DSort.packShards(
+      DSort.withSortKey(samples, Algorithm.Alphanumeric()),
+      Algorithm.Alphanumeric(), cap)
+    val sizes = packed.groupBy("shard_id").agg(sum("size").as("sz"))
+      .orderBy("shard_id").collect().map(_.getLong(1))
+    val maxSample = samples.agg(max("size")).head().getLong(0)
+    // every shard except possibly the last holds >= cap - maxSampleSize
+    sizes.dropRight(1).foreach(s => assert(s >= cap - maxSample, s"undersized shard: $s"))
+    sizes.foreach(s => assert(s <= cap + maxSample, s"oversized shard: $s"))
+  }
+
+  test("seeded shuffle is deterministic and differs across seeds") {
+    def order(seed: Long) = DSort
+      .withSortKey(samples, Algorithm.Shuffle(seed))
+      .orderBy("_key", "sample_key").select("sample_key")
+      .limit(50).collect().map(_.getString(0)).toSeq
+    assert(order(42L) == order(42L))
+    assert(order(42L) != order(7L))
+  }
+
+  test("content keys: typed int ordering, not lexicographic") {
+    val keyed = DSort.withSortKey(samples, Algorithm.Content("cls", "int"), Some(members))
+    val keys = keyed.orderBy("_key", "sample_key")
+      .select("_key").collect().map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("EKM strict raises on ambiguous match") {
+    import spark.implicits._
+    val two = Seq("s0000001_01").toDF("sample_key").withColumn("size", lit(1L))
+    intercept[Exception] {
+      DSort.ekmAssignStrict(two, Seq(
+        "^s000.*" -> "a-%d.tar",
+        "^s0000.*" -> "b-%d.tar")).collect()
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.io.ByteArrayInputStream
+import org.apache.spark.sql.functions._
+import graft.ops.GetBatch
+import graft.shards.Archives
+
+/** GetBatch invariants from `api/apc/ml.go` + `ais/test/moss_test.go`:
+  * exact request order in the output TAR, `__404__/` naming for misses
+  * under continue-on-error, failure without it, range application,
+  * duplicate requests never deduped. */
+class GetBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def payloads = Seq(
+    ("bck0", "obj/a", "", "AAAAAAAAAA"),   // 10 bytes
+    ("bck0", "obj/b", "", "BBBBBBBBBBBBBBBBBBBB"), // 20 bytes
+    ("bck0", "shard.tar", "m1.jpg", "MEMBER-ONE"),
+    ("bck0", "shard.tar", "m2.cls", "42"))
+    .toDF("bucket", "objname", "archpath", "p")
+    .select($"bucket", $"objname", $"archpath", $"p".cast("binary").as("payload"))
+
+  private def requests = Seq(
+    (0L, "bck0", "obj/b", "", 0L, 0L),          // whole object
+    (1L, "bck0", "obj/a", "", 2L, 4L),          // exact range
+    (2L, "bck0", "missing/x", "", 0L, 0L),      // miss
+    (3L, "bck0", "shard.tar", "m1.jpg", 0L, 0L), // archived member
+    (4L, "bck0", "obj/a", "", 5L, -1L),         // open-ended range
+    (5L, "bck0", "obj/a", "", 2L, 4L),          // duplicate of idx 1 — legal
+    (6L, "bck0", "obj/a", "", 100L, 5L))        // out of bounds → 416 → miss
+    .toDF("_req_idx", "bucket", "objname", "archpath", "start", "length")
+
+  test("assembly preserves request order exactly and applies ranges") {
+    val got = GetBatch.assemble(requests, payloads).collect()
+    assert(got.map(_.getLong(0)).toSeq == (0L to 6L))
+    val byIdx = got.map(r => r.getLong(0) ->
+      (r.getString(1), new String(r.getAs[Array[Byte]](2)), r.getLong(3), r.getBoolean(4))).toMap
+    assert(byIdx(0L) == ("bck0/obj/b", "BBBBBBBBBBBBBBBBBBBB", 20L, false))
+    assert(byIdx(1L) == ("bck0/obj/a", "AAAA", 4L, false))
+    assert(byIdx(2L) == ("__404__/bck0/missing/x", "", 0L, true))
+    assert(byIdx(3L) == ("bck0/shard.tar/m1.jpg", "MEMBER-ONE", 10L, false))
+    assert(byIdx(4L) == ("bck0/obj/a", "AAAAA", 5L, false))
+    assert(byIdx(5L) == ("bck0/obj/a", "AAAA", 4L, false))
+    assert(byIdx(6L)._4 == true) // 416 → miss
+    assert(byIdx(6L)._1 == "__404__/bck0/obj/a")
+  }
+
+  test("output TAR entries appear in precisely request order") {
+    val bos = new ByteArrayOutputStream()
+    val n = GetBatch.writeTar(GetBatch.assemble(requests, payloads), bos)
+    assert(n == 7)
+    // materialize payloads during iteration — Entry.read() is only valid
+    // before the iterator advances
+    val entries = Archives.iterate("batch.tar",
+      new ByteArrayInputStream(bos.toByteArray), readPayloads = true)
+      .map(e => (e.name, e.size, e.read())).toSeq
+    assert(entries.map(_._1) == Seq(
+      "bck0/obj/b", "bck0/obj/a", "__404__/bck0/missing/x",
+      "bck0/shard.tar/m1.jpg", "bck0/obj/a", "bck0/obj/a", "__404__/bck0/obj/a"))
+    assert(new String(entries(1)._3) == "AAAA")
+    assert(entries(2)._2 == 0)
+  }
+
+  test("onlyObjName naming convention") {
+    val got = GetBatch.assemble(requests.where($"_req_idx" === 3), payloads,
+      onlyObjName = true).head()
+    assert(got.getString(1) == "shard.tar/m1.jpg")
+  }
+
+  test("continueOnErr=false fails the batch on a miss") {
+    intercept[Exception] {
+      GetBatch.assemble(requests, payloads, continueOnErr = false).collect()
+    }
+  }
+
+  test("mossresp sizes mirror effective ranges") {
+    val sizes = GetBatch.assemble(requests, payloads)
+      .select("_req_idx", "size").as[(Long, Long)].collect().toMap
+    assert(sizes == Map(0L -> 20L, 1L -> 4L, 2L -> 0L, 3L -> 10L, 4L -> 5L, 5L -> 4L, 6L -> 0L))
+  }
+}

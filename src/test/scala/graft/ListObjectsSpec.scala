@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.{CatalogQuery, DerivedCatalog, ListObjects}
+
+/** Pagination invariants ported from the reference's list-objects suite
+  * (`ais/test/lso_test.go`: paging, prefix, no-recursion incl. the
+  * randomized-tree idea of TestLsoNoRecursionRandom at `:1762`). */
+class ListObjectsSpec extends SparkSpec {
+
+  private lazy val cat = DerivedCatalog.objects(spark, TestSpark.sf001).cache()
+
+  test("paging round trip: concatenated pages == one full sorted listing") {
+    val full = ListObjects.run(cat, CatalogQuery(prefix = "data/", pageSize = 1000000))
+      .select("name").collect().map(_.getString(0)).toSeq
+    var token = ""
+    var pages = Vector.empty[String]
+    var n = 0
+    while ({
+      val page = ListObjects.run(cat,
+        CatalogQuery(prefix = "data/", pageSize = 137, token = token))
+        .select("name").collect().map(_.getString(0)).toSeq
+      pages ++= page
+      token = page.lastOption.getOrElse("")
+      n += 1
+      page.nonEmpty && n < 100
+    }) ()
+    assert(pages == full)
+    assert(pages == pages.sorted)
+  }
+
+  test("no-recursion: virtual dirs + files directly under prefix, deduped, lex order") {
+    val page = ListObjects.run(cat,
+      CatalogQuery(prefix = "data/", noRecursion = true, pageSize = 100000)).collect()
+    val names = page.map(_.getAs[String]("name")).toSeq
+    assert(names == names.sorted)
+    assert(names.distinct == names, "dir entries must be deduped")
+    val dirs = page.filter(_.getAs[Boolean]("is_dir")).map(_.getAs[String]("name"))
+    assert(dirs.forall(d => d.startsWith("data/dir") && d.endsWith("/")))
+    // every object under data/ is represented by exactly its first segment
+    val covered = cat.where(col("name").startsWith("data/"))
+      .select("name").collect().map(_.getString(0))
+      .map(n => "data/" + n.drop(5).takeWhile(_ != '/') + "/").distinct.sorted
+    assert(dirs.sorted.toSeq == covered.toSeq)
+  }
+
+  test("startAfter strictly excludes the boundary name") {
+    val all = ListObjects.run(cat, CatalogQuery(prefix = "flat/", pageSize = 100000))
+      .select("name").collect().map(_.getString(0))
+    val boundary = all(all.length / 2)
+    val after = ListObjects.run(cat,
+      CatalogQuery(prefix = "flat/", startAfter = boundary, pageSize = 100000))
+      .select("name").collect().map(_.getString(0))
+    assert(!after.contains(boundary))
+    assert(after.toSeq == all.filter(_ > boundary).toSeq)
+  }
+
+  test("props projection: only requested columns, name always present") {
+    val df = ListObjects.run(cat, CatalogQuery(prefix = "flat/", props = Seq("size")))
+    assert(df.columns.toSeq == Seq("name", "size"))
+  }
+
+  test("flag filters partition the listing") {
+    val cached = ListObjects.run(cat, CatalogQuery(cachedOnly = true, pageSize = 1000000)).count()
+    val notCached = ListObjects.run(cat, CatalogQuery(notCachedOnly = true, pageSize = 1000000)).count()
+    assert(cached + notCached == cat.count())
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.NameTemplate
+
+/** Grammar cases from the reference (`cmn/cos/template.go` file-level
+  * comment and parser tests). */
+class NameTemplateSpec extends AnyFunSuite {
+
+  test("bash single range") {
+    val pt = NameTemplate.parse("prefix-{0001..0010}-suffix")
+    assert(pt.count == 10)
+    val names = pt.iterator.toSeq
+    assert(names.head == "prefix-0001-suffix")
+    assert(names.last == "prefix-0010-suffix")
+  }
+
+  test("bash multi range with step and gap") {
+    val pt = NameTemplate.parse("prefix-{00001..00010..2}-gap-{001..100..2}-suffix")
+    assert(pt.count == 5 * 50)
+    val names = pt.iterator.toSeq
+    assert(names.head == "prefix-00001-gap-001-suffix")
+    assert(names.last == "prefix-00009-gap-099-suffix")
+  }
+
+  test("digit count is min(len(start), len(end))") {
+    val pt = NameTemplate.parse("x{098..100}y")
+    assert(pt.iterator.toSeq == Seq("x098y", "x099y", "x100y"))
+  }
+
+  test("at style: 0..N inclusive") {
+    val pt = NameTemplate.parse("prefix-@00100-suffix")
+    assert(pt.count == 101)
+    val names = pt.iterator.toSeq
+    assert(names.head == "prefix-00000-suffix")
+    assert(names.last == "prefix-00100-suffix")
+  }
+
+  test("at multi range") {
+    val pt = NameTemplate.parse("prefix-@00001-gap-@100-suffix")
+    assert(pt.count == 2 * 101)
+  }
+
+  test("fmt style") {
+    val pt = NameTemplate.parse("prefix-%06d-suffix")
+    assert(pt.ranges.head.digitCount == 6)
+    assert(pt.iterator.take(2).toSeq == Seq("prefix-000000-suffix", "prefix-000001-suffix"))
+  }
+
+  test("prefix-only fallback") {
+    val pt = NameTemplate.parse("logs/2025/07/")
+    assert(pt.isPrefixOnly)
+    assert(pt.iterator.toSeq == Seq("logs/2025/07/"))
+  }
+
+  test("invalid: start > end, negative-ish, bad step") {
+    intercept[IllegalArgumentException](NameTemplate.parse("x{10..1}y"))
+    intercept[IllegalArgumentException](NameTemplate.parse("x{1..10..0}y"))
+    intercept[IllegalArgumentException](NameTemplate.parse(""))
+  }
+
+  test("expansion cap enforced") {
+    val pt = NameTemplate.parse("x{0..99999}y{0..9999}z") // 10^9 > 10M cap
+    intercept[IllegalArgumentException](pt.toDF(TestSpark.spark))
+  }
+
+  test("toDF equals iterator expansion") {
+    val pt = NameTemplate.parse("s-{01..20..3}-m-{5..8}")
+    val fromDf = pt.toDF(TestSpark.spark).collect().map(_.getString(0)).sorted.toSeq
+    assert(fromDf == pt.iterator.toSeq.sorted)
+  }
+}
