@@ -305,8 +305,127 @@ object SparkEntry {
         md5(functions.ByteRanges.slicePayload(
           col("payload_str"), col("start"), col("length"), col("psize"))).as("slice_md5"))
         .orderBy("shard", "member")
+    }),
+
+    // ------------------------------------------------------------------
+    // ETL transforms (SURVEY U1-U6)
+    // ------------------------------------------------------------------
+    "etl_pipeline" -> ((s, d) => {
+      val t = etl.Transforms.upper >> etl.Transforms.suffix
+      shards.TarFixtures.membersDf(s, d)
+        .withColumn("p", t(col("payload_str").cast("binary"), col("member"), lit("-v1")))
+        .select(col("shard_name").as("shard"), col("member"),
+          md5(col("p")).as("out_md5"), length(col("p")).cast("long").as("out_len"))
+        .orderBy("shard", "member")
+    }),
+
+    "etl_offline" -> ((s, d) =>
+      etl.Transforms.offline(
+        shards.TarFixtures.membersDf(s, d)
+          .select(col("member").as("name"), col("payload_str").cast("binary").as("payload")),
+        etl.Transforms.md5hex, prepend = "etl/", extFrom = "jpg", extTo = "txt")
+        .select(col("src_name"), col("dst_name"), col("payload").cast("string").as("digest"))
+        .orderBy("src_name", "dst_name")),
+
+    // ------------------------------------------------------------------
+    // Dedup (SURVEY §7.6): exact, MinHash+LSH, SimHash
+    // ------------------------------------------------------------------
+    "dedup_exact" -> ((s, d) =>
+      ext.Dedup.exact(dedupCorpus(s, d)).orderBy("keep_id")),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      ext.Dedup.nearDupMinhashLsh(dedupCorpus(s, d), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, d) =>
+      ext.Dedup.simhash16(Tables.load(s, d, "documents")).orderBy("doc_id")),
+
+    // ------------------------------------------------------------------
+    // Similarity search (SURVEY §7.6)
+    // ------------------------------------------------------------------
+    "embed_near_dup" -> ((s, d) =>
+      ext.Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.35)
+        .orderBy("vec_a", "vec_b")),
+
+    "embed_knn" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      ext.Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN — scale path; no SQL oracle (rows-only check),
+    // exactness covered by EmbeddingSpec against brute force.
+    "embed_knn_lsh" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      ext.Similarity.lshTopK(emb,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        k = 5, bits = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ------------------------------------------------------------------
+    // Text analysis (SURVEY §7.6)
+    // ------------------------------------------------------------------
+    "text_stats" -> ((s, d) =>
+      ext.TextAnalysis.qualityFeatures(Tables.load(s, d, "documents"))
+        .select("doc_id", "n_tokens", "n_uniq_tokens", "stopword_ratio",
+          "uniq_ratio", "avg_token_len", "quality_score")
+        .orderBy("doc_id")),
+
+    "lang_id" -> ((s, d) =>
+      ext.TextAnalysis.langId(Tables.load(s, d, "documents"))
+        .select("doc_id", "votes_de", "votes_en", "votes_es", "votes_fr", "pred_lang")
+        .orderBy("doc_id")),
+
+    "token_count_bpe" -> ((s, d) => {
+      val t = col("text")
+      Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        ext.TextAnalysis.tokenCount(t).as("n_ws_tokens"),
+        ext.TextAnalysis.bpeTokenCount(t).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "doc_fingerprint" -> ((s, d) =>
+      ext.TextAnalysis.fingerprint(Tables.load(s, d, "documents"))
+        .orderBy("doc_id")),
+
+    // ------------------------------------------------------------------
+    // Events: windowed aggregation + sessionization (SURVEY §2.11 ext)
+    // ------------------------------------------------------------------
+    "events_window" -> ((s, d) =>
+      graft.streaming.EventsStream.windowedAgg(Tables.load(s, d, "events"))
+        .orderBy("window_start", "event_type")),
+
+    "events_sessionize" -> ((s, d) =>
+      graft.streaming.EventsStream.sessionize(Tables.load(s, d, "events"))
+        .orderBy("user_id")),
+
+    // ------------------------------------------------------------------
+    // Multimodal sample columns (SURVEY §7.6) — stubbed decode,
+    // real plumbing (binary columns through mapPartitions + codegen math)
+    // ------------------------------------------------------------------
+    "multimodal_meta" -> ((s, d) => {
+      val withPayload = shards.TarFixtures.membersDf(s, d)
+        .select(col("shard_name").as("shard"), col("member"),
+          col("payload_str").cast("binary").as("payload"))
+      ext.Multimodal.resizePlan(ext.Multimodal.withImageMeta(withPayload), 256)
+        .select(col("shard"), col("member"),
+          col("image_meta.width").as("width"),
+          col("image_meta.height").as("height"),
+          col("out_width"), col("out_height"))
+        .orderBy("shard", "member")
     })
   )
+
+  /** Documents plus injected duplicates — mirrors OracleCte.corpus. */
+  private def dedupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -632,6 +751,169 @@ object SparkEntry {
         |                  WHEN psize % 4 = 2 THEN psize * 2
         |                  ELSE psize // 3 END AS BIGINT) AS length
         |      FROM tarfix)
+        |ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    "etl_pipeline" -> o(
+      """SELECT shard, member, md5(upper(payload_str) || '-v1') AS out_md5,
+        |  CAST(length(payload_str) + 3 AS BIGINT) AS out_len
+        |FROM tarfix ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    "etl_offline" -> o(
+      """SELECT member AS src_name,
+        |  'etl/' || CASE WHEN member LIKE '%.jpg'
+        |    THEN regexp_replace(member, '\.[^./]+$', '') || '.txt'
+        |    ELSE member END AS dst_name,
+        |  md5(payload_str) AS digest
+        |FROM tarfix ORDER BY src_name, dst_name""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    "dedup_exact" -> o(
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+      OracleCte.corpus),
+
+    "dedup_minhash_lsh" -> o(
+      """SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT i.doc_a, i.doc_b,
+        |    round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 4) AS jaccard
+        |  FROM (
+        |    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |    FROM (
+        |      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM (SELECT doc_id, seed // 3 AS band, md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
+        |            FROM (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+        |                  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+        |                  GROUP BY doc_id, seed)
+        |            GROUP BY doc_id, seed // 3) a
+        |      JOIN (SELECT doc_id, seed // 3 AS band, md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
+        |            FROM (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+        |                  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+        |                  GROUP BY doc_id, seed)
+        |            GROUP BY doc_id, seed // 3) b
+        |        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id) c
+        |    JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |    GROUP BY c.doc_a, c.doc_b) i
+        |  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) na ON na.doc_id = i.doc_a
+        |  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) nb ON nb.doc_id = i.doc_b)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+      OracleCte.corpus, OracleCte.shingles),
+
+    "dedup_simhash" -> {
+      val bitSums = (0 until 16)
+        .map(b => s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val bitCase = (0 until 16)
+        .map(b => s"CASE WHEN b$b > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""SELECT doc_id, $bitCase AS simhash
+         |FROM (SELECT doc_id, $bitSums
+         |      FROM (SELECT DISTINCT doc_id, md5(tok) AS h
+         |            FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |                  FROM documents))
+         |      GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "embed_near_dup" ->
+      """SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "embed_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id IN (17, 42, 99, 123, 256)),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+        |SELECT query_id, vec_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |FROM (SELECT query_id, vec_id,
+        |        round(list_dot_product(qv, cv)
+        |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
+        |      FROM c JOIN q ON vec_id <> query_id)
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_uniq_tokens,
+        |  round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 4) AS stopword_ratio,
+        |  round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 4) AS uniq_ratio,
+        |  round(CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len,
+        |  round(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')), 4) * 0.4
+        |    + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS BIGINT) AS votes_de,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS votes_en,
+        |  CAST(len(regexp_extract_all(text, '\b(el|la|los|y|es|un)\b')) AS BIGINT) AS votes_es,
+        |  CAST(len(regexp_extract_all(text, '\b(le|la|les|et|est|un)\b')) AS BIGINT) AS votes_fr,
+        |  CASE WHEN greatest(votes_de, votes_en, votes_es, votes_fr) = 0 THEN 'unknown'
+        |       WHEN votes_de >= votes_en AND votes_de >= votes_es AND votes_de >= votes_fr THEN 'de'
+        |       WHEN votes_en >= votes_es AND votes_en >= votes_fr THEN 'en'
+        |       WHEN votes_es >= votes_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "token_count_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, min(md5(shingle)) AS fingerprint,
+        |  count(DISTINCT shingle) AS n_shingles
+        |FROM (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |                  FROM documents)
+        |            WHERE len(w) >= 3))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(brk) + 1 AS BIGINT) AS n_sessions
+        |FROM (SELECT user_id,
+        |        CASE WHEN prev IS NULL THEN 0
+        |             WHEN epoch(ts) - epoch(prev) > 1800 THEN 1
+        |             ELSE 0 END AS brk
+        |      FROM (SELECT user_id, ts,
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |            FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "multimodal_meta" -> o(
+      """SELECT shard, member,
+        |  CAST(psize % 640 + 1 AS INT) AS width,
+        |  CAST((psize * 7 + first_byte) % 480 + 1 AS INT) AS height,
+        |  CAST(ceil((psize % 640 + 1) * scale) AS INT) AS out_width,
+        |  CAST(ceil(((psize * 7 + first_byte) % 480 + 1) * scale) AS INT) AS out_height
+        |FROM (SELECT shard, member, psize, first_byte,
+        |        round(least(256.0 / (psize % 640 + 1),
+        |                    256.0 / ((psize * 7 + first_byte) % 480 + 1), 1.0), 6) AS scale
+        |      FROM (SELECT shard, member, psize,
+        |              CASE WHEN psize = 0 THEN 0 ELSE ascii(substr(payload_str, 1, 1)) END AS first_byte
+        |            FROM tarfix))
         |ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix)
   )

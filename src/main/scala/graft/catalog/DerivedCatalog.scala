@@ -199,6 +199,27 @@ object OracleCte {
       |  FROM members WHERE bucket = 'bck0'
       |)""".stripMargin
 
+  /** Dedup test corpus: documents plus injected duplicates (every 10th
+    * doc re-inserted under doc_id + 1,000,000) — mirrors
+    * `SparkEntry.dedupCorpus`. */
+  val corpus: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Distinct word-3-gram shingles over [[corpus]] — mirrors
+    * `graft.ext.Dedup.shingles`. Must follow `corpus`. */
+  val shingles: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |              FROM corpus)
+      |        WHERE len(w) >= 3)
+      |)""".stripMargin
+
   /** Compose a WITH clause from the given CTE bodies + a query. */
   def sql(query: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + query

@@ -1,0 +1,107 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ObjNames
+
+/** U1-U6 — the ETL subsystem re-expressed Spark-first.
+  *
+  * The reference registers per-object transformer containers
+  * (`ext/etl/api.go:109-138`) speaking `transform(data, path, etl_args)
+  * -> bytes` (`python/aistore/sdk/etl/etl.py:242-346`); pipelines compose
+  * with `>>` (`etl.py:81-96`); transforms apply inline on GET
+  * (`ais/tgtetl.go`) or offline over a bucket/selection (TCB/TCO with
+  * transform, `xact/xs/tcb.go:318`).
+  *
+  * Here a transform is a Column function `(payload, path, args) =>
+  * payload` — whole-stage-codegen'd, no serialization boundary, executed
+  * inside the same scan stage (the moral equivalent of the reference's
+  * fastest `fqn + direct_put` path, but with zero data movement). The
+  * [[BytesTransform]] escape hatch covers opaque native logic via
+  * `mapPartitions`, the analog of the container hop — use only when a
+  * Column expression genuinely cannot express the transform.
+  */
+trait Transform { self =>
+  def name: String
+  def apply(payload: Column, path: Column, args: Column): Column
+
+  /** Pipeline composition `t1 >> t2` (etl.py __rshift__): t2(t1(x)). */
+  def >>(next: Transform): Transform = new Transform {
+    def name: String = s"${self.name}>>${next.name}"
+    def apply(p: Column, path: Column, args: Column): Column =
+      next(self(p, path, args), path, args)
+  }
+}
+
+object Transforms {
+
+  /** FIXTURES.md §6 corpus of named transforms. Payloads are BINARY;
+    * text-wise ops round-trip through UTF-8 casts. */
+  val upper: Transform = named("upper")((p, _, _) =>
+    org.apache.spark.sql.functions.upper(p.cast("string")).cast("binary"))
+  val lower: Transform = named("lower")((p, _, _) =>
+    org.apache.spark.sql.functions.lower(p.cast("string")).cast("binary"))
+  /** payload → 32-char hex digest (size-changing). */
+  val md5hex: Transform = named("md5hex")((p, _, _) => md5(p).cast("binary"))
+  /** append etl_args bytes (exercises args plumbing). */
+  val suffix: Transform = named("suffix")((p, _, a) =>
+    concat(p.cast("string"), coalesce(a, lit(""))).cast("binary"))
+  /** prepend the object path (exercises path plumbing / FQN mode). */
+  val pathPrefix: Transform = named("path_prefix")((p, path, _) =>
+    concat(path, lit(":"), p.cast("string")).cast("binary"))
+  val identity: Transform = named("identity")((p, _, _) => p)
+
+  def named(n: String)(f: (Column, Column, Column) => Column): Transform = new Transform {
+    def name: String = n
+    def apply(p: Column, path: Column, args: Column): Column = f(p, path, args)
+  }
+
+  /** The registry (≅ etl init, `ext/etl/api.go`): init = add, inline/
+    * offline look up by name. */
+  val registry: Map[String, Transform] =
+    Seq(upper, lower, md5hex, suffix, pathPrefix, identity).map(t => t.name -> t).toMap
+
+  /** U5 — inline ETL on the read path (`?etl_name=&etl_args=`): lazily
+    * rewrites the payload column; Catalyst fuses it into the scan stage. */
+  def inline(df: DataFrame, t: Transform, etlArgs: String = "",
+             payloadCol: String = "payload", pathCol: String = "name"): DataFrame =
+    df.withColumn(payloadCol, t(col(payloadCol), col(pathCol), lit(etlArgs)))
+
+  /** U6 — offline ETL-bucket (TCB with transform + destination naming
+    * knobs): returns (dst_name, transformed payload, src name). */
+  def offline(src: DataFrame, t: Transform, etlArgs: String = "",
+              prepend: String = "", extFrom: String = "", extTo: String = "",
+              payloadCol: String = "payload", nameCol: String = "name"): DataFrame = {
+    val dst =
+      if (extFrom.nonEmpty) ObjNames.remapExt(col(nameCol), extFrom, extTo, prepend)
+      else if (prepend.nonEmpty) concat(lit(prepend), col(nameCol))
+      else col(nameCol)
+    src.select(
+      col(nameCol).as("src_name"),
+      dst.as("dst_name"),
+      t(col(payloadCol), col(nameCol), lit(etlArgs)).as("payload"))
+  }
+}
+
+/** U3 escape hatch — opaque bytes→bytes logic via mapPartitions, for
+  * transforms a Column expression cannot express (external codecs, native
+  * libs). One JVM call per row, batched per partition; at scale this is
+  * the direct analog of the per-target ETL container, minus the HTTP hop. */
+object BytesTransform {
+  def apply(df: DataFrame, f: (Array[Byte], String, String) => Array[Byte],
+            etlArgs: String = "",
+            payloadCol: String = "payload", pathCol: String = "name"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val pIdx = schema.fieldIndex(payloadCol)
+    val nIdx = schema.fieldIndex(pathCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val out = f(bytes, r.getString(nIdx), etlArgs)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(pIdx, out))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

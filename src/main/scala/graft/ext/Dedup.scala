@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §7.6,
+  * driver north star): exact, MinHash+LSH near-dup, SimHash, n-gram
+  * Jaccard. All pure Column compositions — shuffles only on the hash/band
+  * keys, so every stage is a standard partial-aggregated groupBy that
+  * scales linearly with executors.
+  *
+  * Design notes for 100 TB:
+  *   - exact dedup shuffles one 32-byte digest per document, never text;
+  *   - MinHash bands turn the O(n²) pair space into per-bucket joins —
+  *     candidate generation is groupBy(band_hash), and only candidates
+  *     (a vanishing fraction) pay the exact-Jaccard verification join;
+  *   - signatures/hashes use md5 (deterministic everywhere) rather than
+  *     JVM-seeded hashing, so results are reproducible across runs and
+  *     engines.
+  */
+object Dedup {
+
+  /** Exact dedup by content digest: one row per distinct content with the
+    * surviving (minimum) id and the duplicate count. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word 3-gram shingles, distinct per document. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+          .as("shingle"))
+      .distinct()
+
+  /** MinHash signature: for seeds 0..n-1, the minimum of
+    * `md5(seed || ':' || shingle)` — a valid uniform min-hash family over
+    * the md5 string order, deterministic across engines. Output:
+    * (doc_id, seed, h). */
+  def minhash(sh: DataFrame, numHashes: Int = 12): DataFrame = {
+    val spark = sh.sparkSession
+    val seeds = spark.range(numHashes).select(col("id").cast("int").as("seed"))
+    sh.crossJoin(broadcast(seeds))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("h"))
+  }
+
+  /** LSH banding: group each signature into bands of `rowsPerBand`
+    * hashes; the band hash is md5 of the concatenated member hashes.
+    * Docs sharing any (band, band_hash) bucket become candidate pairs. */
+  def lshBands(sig: DataFrame, rowsPerBand: Int = 3): DataFrame =
+    sig
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(",", sort_array(collect_list(struct(col("seed"), col("h")))
+        .getField("h"))).cast("binary")).as("band_hash"))
+
+  /** Candidate pairs from shared LSH buckets (a < b). */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * sets; keeps pairs with jaccard >= threshold. */
+  def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline. */
+  def nearDupMinhashLsh(docs: DataFrame, threshold: Double = 0.5,
+                        numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val sh = shingles(docs)
+    verifyJaccard(candidatePairs(lshBands(minhash(sh, numHashes), rowsPerBand)), sh, threshold)
+  }
+
+  /** 16-bit SimHash over whitespace tokens: bit b is set iff the sum of
+    * (+1 / -1) votes from each distinct token's md5 nibble b is positive.
+    * Entirely string-arithmetic → portable and deterministic; 16 bits is
+    * the width that keeps the construction expressible as one groupBy.
+    * Output: (doc_id, simhash) with simhash a 16-char '0'/'1' string. */
+  def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).as("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .distinct()
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val bitCols = (0 until 16).map { b =>
+      sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"_b$b")
+    }
+    tokens
+      .groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 16).map(b =>
+          when(col(s"_b$b") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (SURVEY §7.6): image/audio/video travel as
+  * opaque BINARY columns with typed metadata structs; decode/feature
+  * steps run as partition-batched functions over the binary column.
+  *
+  * The decode itself is STUBBED — deterministic fake decoders stand in
+  * for libjpeg/ffmpeg (not present in this container, and irrelevant to
+  * the engine's job). What is real, and tested: the schema contract, the
+  * partition-batched execution shape (one decoder instance per partition,
+  * not per row — exactly how a Pandas-UDF/mapInPandas pipeline batches),
+  * payload plumbing, and the derived-metadata determinism that lets the
+  * driver oracle-check the pipeline end to end.
+  */
+object Multimodal {
+
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false)))
+
+  /** STUB image decode: metadata derived deterministically from the
+    * payload bytes (length + first byte). A real deployment swaps
+    * `decodeOne` for an actual codec; everything downstream is unchanged. */
+  private def decodeOne(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = if (payload == null) 0 else payload.length
+    val first = if (n == 0) 0 else payload(0) & 0xff
+    (n % 640 + 1, (n * 7 + first) % 480 + 1, 3)
+  }
+
+  /** Attach decoded image metadata. Partition-batched mapPartitions over
+    * the binary column — the Scala analog of `mapInPandas`: per-partition
+    * setup cost amortized over the batch, constant memory. */
+  def withImageMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField("image_meta", imageMetaSchema))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      // per-partition decoder setup would go here (load codec once)
+      it.map { r =>
+        val (w, h, c) = decodeOne(r.getAs[Array[Byte]](pIdx))
+        Row.fromSeq(r.toSeq :+ Row(w, h, c))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** STUB frame sampling plan for "video" payloads: every `stride`-th
+    * frame index of a fake frame count derived from payload length.
+    * Real decoders replace the count; the lazy explode shape stays. */
+  def frameSamplePlan(df: DataFrame, stride: Int,
+                      payloadCol: String = "payload"): DataFrame =
+    df.withColumn("n_frames", (length(col(payloadCol)) % 30 + 1).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+
+  /** Resize plan (pure metadata op): target box with aspect preserved,
+    * computed from decoded meta — the kind of column math that stays in
+    * codegen even when the decode is external. */
+  def resizePlan(df: DataFrame, maxSide: Int): DataFrame =
+    df.withColumn("scale",
+      round(least(
+        lit(maxSide) / col("image_meta.width").cast("double"),
+        lit(maxSide) / col("image_meta.height").cast("double"),
+        lit(1.0)), 6))
+      .withColumn("out_width", ceil(col("image_meta.width") * col("scale")).cast("int"))
+      .withColumn("out_height", ceil(col("image_meta.height") * col("scale")).cast("int"))
+}

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY §7.6):
+  * brute-force cosine top-k as the exact baseline, and a sign-LSH
+  * (random-hyperplane) bucketed variant as the 100 TB path.
+  *
+  * Embeddings are `ArrayType(FloatType)`; all math is done in double via
+  * `zip_with`/`aggregate` (codegen'd higher-order functions — no UDF, no
+  * per-row JVM boundary).
+  *
+  * Scale: brute force is a broadcast nested loop of the (small) query set
+  * against the corpus — linear in corpus size, embarrassingly parallel.
+  * The LSH path buckets both sides by sign-pattern so each query probes
+  * only its bucket (plus optional neighboring probes), trading recall for
+  * a ~2^bits reduction in candidates.
+  */
+object Similarity {
+
+  /** cos(a, b) in double; deterministic left-to-right summation. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors of each query vector (excluding self).
+    * `queries` is expected to be small → broadcast; ranking is done
+    * per-query with a window partitioned by query id (k rows per query
+    * survive the local top-k, no global sort). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** All pairs (a < b) with cosine >= threshold — embedding near-dup.
+    * Exact (quadratic): use for modest corpora or post-LSH candidates. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("_va"))
+    val b = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("_vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("_va"), col("_vb")), 4))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Sign-LSH bucket id: `bits` pseudo-random hyperplanes derived
+    * deterministically from md5(planeIdx, dim) in {-1, +1}; the bucket is
+    * the sign pattern of the projections. */
+  def signLshBucket(vec: Column, bits: Int, dim: Int): Column = {
+    val planeBits = (0 until bits).map { p =>
+      // plane p: component d = +1 if md5("p:d") first nibble >= '8'
+      val proj = (0 until dim).map { d =>
+        val sign = if (java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$d".getBytes)(0) < 0) -1.0 else 1.0
+        element_at(vec, d + 1).cast("double") * sign
+      }.reduce(_ + _)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(planeBits: _*)
+  }
+
+  /** ANN via sign-LSH: queries probe only their bucket. Recall < 1 by
+    * construction; verify-stage reranks candidates with exact cosine. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
+      signLshBucket(col(vecCol), bits, dim).as("_bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      signLshBucket(col(vecCol), bits, dim).as("_bucket"))
+    val scored = c.join(broadcast(q), Seq("_bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+}

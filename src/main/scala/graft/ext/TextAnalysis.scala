@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §7.6):
+  * token counting (whitespace + BPE-ish), quality scoring, n-gram
+  * language-ID heuristic, document fingerprinting. All codegen'd Column
+  * expressions — a single scan pass computes every feature.
+  */
+object TextAnalysis {
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single
+    * non-space symbols (the usual byte-pair pre-split regex family). */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"))
+
+  def whitespaceTokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokenCount(text: Column): Column = size(whitespaceTokens(text)).cast("long")
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
+  private def stopwordRegex(ws: Seq[String]): String = "\\b(" + ws.mkString("|") + ")\\b"
+
+  def stopwordCount(text: Column, lang: String = "en"): Column =
+    size(regexp_extract_all(text, lit(stopwordRegex(Stopwords(lang))), lit(0))).cast("long")
+
+  /** Quality features + composite score (length / stopword-ratio /
+    * repetition), deterministic and rounded for cross-engine equality. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars2", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_uniq_tokens", size(array_distinct(whitespaceTokens(t))).cast("long"))
+      .withColumn("stopword_ratio",
+        round(stopwordCount(t).cast("double") / tokenCount(t), 4))
+      .withColumn("uniq_ratio",
+        round(col("n_uniq_tokens").cast("double") / col("n_tokens"), 4))
+      .withColumn("avg_token_len",
+        round((length(t) - (tokenCount(t) - 1)).cast("double") / tokenCount(t), 4))
+      .withColumn("quality_score",
+        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
+          + col("uniq_ratio") * 0.4
+          + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.2, 4))
+  }
+
+  /** n-gram/stopword voting language-ID: count stopword hits per
+    * language, pick the argmax (ties broken by language code order).
+    * A heuristic — scored for determinism, not against ground truth. */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val votes = Stopwords.keys.toSeq.sorted.map(l =>
+      stopwordCount(t, l).as(s"votes_$l"))
+    val withVotes = df.select(col("*") +: votes: _*)
+    val langs = Stopwords.keys.toSeq.sorted
+    val best = langs.tail.foldLeft((col(s"votes_${langs.head}"), lit(langs.head))) {
+      case ((bestV, bestL), l) =>
+        (when(col(s"votes_$l") > bestV, col(s"votes_$l")).otherwise(bestV),
+          when(col(s"votes_$l") > bestV, lit(l)).otherwise(bestL))
+    }
+    withVotes.withColumn("pred_lang", when(best._1 > 0, best._2).otherwise(lit("unknown")))
+  }
+
+  /** Document fingerprint: minimum md5 over word 3-gram shingles (a
+    * 1-permutation MinHash — stable under small edits) plus the distinct
+    * shingle count. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.shingles(docs, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(
+        min(md5(col("shingle").cast("binary"))).as("fingerprint"),
+        countDistinct("shingle").as("n_shingles"))
+}

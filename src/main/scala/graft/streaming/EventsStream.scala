@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming ingest (SURVEY §2.11, §7.6 extension): the
+  * reference has no event-time processing — this is the continuous-ETL
+  * extension surface. The same windowed aggregation is exposed in batch
+  * form (oracle-checkable) and streaming form (file source + watermark +
+  * availableNow trigger); the streaming spec asserts both agree.
+  */
+object EventsStream {
+
+  /** Batch-equivalent windowed aggregation: tumbling 1h windows per
+    * event_type. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Sessionization: a session break is a >30min gap per user; expressed
+    * with a lag window partitioned by user (scales with user cardinality,
+    * no global window). */
+  def sessionize(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("_prev", lag("ts", 1).over(w))
+      .withColumn("_break",
+        when(col("_prev").isNull, 0)
+          // cast-to-double keeps sub-second precision (unix_timestamp
+          // truncates to seconds and would disagree with the oracle)
+          .when(col("ts").cast("double") - col("_prev").cast("double") > 1800d, 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum("_break") + 1).cast("long").as("n_sessions"))
+  }
+
+  /** Streaming flavor of [[windowedAgg]]: parquet file source →
+    * watermark → tumbling window → memory sink, driven to completion
+    * with availableNow (batch parity on a static directory). Returns the
+    * materialized result. */
+  def runWindowedStream(spark: SparkSession, eventsDir: String,
+                        queryName: String = "events_windowed"): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

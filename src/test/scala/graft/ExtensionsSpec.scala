@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+/** LLM-pipeline extension invariants (SURVEY §7.6). */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, TestSpark.sf001, "documents").cache()
+  private lazy val emb = Tables.load(spark, TestSpark.sf001, "embeddings").cache()
+
+  private lazy val corpusWithDups = {
+    val base = docs.select("doc_id", "text")
+    base.unionByName(base.where($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L))
+  }
+
+  test("exact dedup finds exactly the injected duplicates") {
+    val groups = Dedup.exact(corpusWithDups)
+    val dupGroups = groups.where($"n_copies" > 1).collect()
+    val expected = docs.where($"doc_id" % 10 === 0).count()
+    assert(dupGroups.length == expected)
+    assert(dupGroups.forall(_.getLong(2) == 2L))
+    // survivor is always the original (minimum) id
+    assert(dupGroups.forall(_.getLong(1) < 1000000L))
+  }
+
+  test("minhash-LSH recalls every exact duplicate pair with jaccard 1.0") {
+    val pairs = Dedup.nearDupMinhashLsh(corpusWithDups, threshold = 0.5).collect()
+    val expected = docs.where($"doc_id" % 10 === 0)
+      .select($"doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs share every band → recall 1.0 on exact dups
+    assert(expected.subsetOf(got))
+    val exact = pairs.filter(r => expected.contains((r.getLong(0), r.getLong(1))))
+    assert(exact.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("simhash: identical texts collide, signature is 16 bits") {
+    val sigs = Dedup.simhash16(corpusWithDups).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+    docs.where($"doc_id" % 10 === 0).select($"doc_id").collect().map(_.getLong(0))
+      .foreach(id => assert(sigs(id) == sigs(id + 1000000L), s"doc $id"))
+  }
+
+  test("LSH ANN results agree with brute force on shared pairs") {
+    val queries = emb.where($"vec_id".isin(17L, 42L, 99L))
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 50)
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, bits = 4, dim = 64).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit's cosine must equal the exact computation
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bf.get(key).foreach(c => assert(c == r.getDouble(2)))
+    }
+    // ranks are 1..k per query, descending cos
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length))
+      assert(sorted.map(_.getDouble(2)).toSeq.reverse.sorted.reverse == sorted.map(_.getDouble(2)).toSeq)
+    }
+  }
+
+  test("multimodal: frame sampling explodes the stride plan lazily") {
+    val df = Seq(("a.mp4", "x" * 65), ("b.mp4", "y" * 10))
+      .toDF("member", "p").select($"member", $"p".cast("binary").as("payload"))
+    val frames = Multimodal.frameSamplePlan(df, stride = 2)
+      .groupBy("member").agg(count(lit(1)).as("n"), max("frame_idx").as("maxf"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // 65 bytes → 65%30+1=6 frames → idx 0,2,4 ; 10 bytes → 11 frames → 0,2,..,10
+    assert(frames("a.mp4") == ((3L, 4)))
+    assert(frames("b.mp4") == ((6L, 10)))
+  }
+
+  test("multimodal: resize plan preserves aspect and caps the long side") {
+    val df = Seq(("i.jpg", "z" * 700)).toDF("member", "p")
+      .select($"member", $"p".cast("binary").as("payload"))
+    val r = Multimodal.resizePlan(Multimodal.withImageMeta(df), 256).head()
+    val (w, h) = (r.getAs[org.apache.spark.sql.Row]("image_meta").getInt(0),
+      r.getAs[org.apache.spark.sql.Row]("image_meta").getInt(1))
+    val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+    assert(ow <= 256 + 1 && oh <= 256 + 1)
+    assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.05)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import graft.streaming.EventsStream
+
+/** Structured-Streaming parity: the streaming windowed aggregation over a
+  * static directory (availableNow) must equal the batch plan. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed agg == batch windowed agg") {
+    val batch = EventsStream.windowedAgg(
+      Tables.events(spark, TestSpark.sf001))
+      .collect().map(_.toSeq).toSet
+    // streaming source needs the same nanos-as-long handling; stream from
+    // a re-written µs-timestamp copy of the events table
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events").toString
+    Tables.events(spark, TestSpark.sf001).write.mode("overwrite").parquet(tmp)
+    val streamed = EventsStream.runWindowedStream(spark, tmp)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("sessionize: session count bounded by event count, deterministic") {
+    val s1 = EventsStream.sessionize(Tables.events(spark, TestSpark.sf001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s2 = EventsStream.sessionize(Tables.events(spark, TestSpark.sf001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s1.toSet == s2.toSet)
+    s1.foreach { case (_, nEvents, nSessions) =>
+      assert(nSessions >= 1 && nSessions <= nEvents)
+    }
+  }
+}

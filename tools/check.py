@@ -18,7 +18,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == "float64" or df[c].dtype == "float32":
             df[c] = df[c].astype("float64").round(6)
         elif str(df[c].dtype).startswith("datetime"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
         elif df[c].dtype == object:
             df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
