@@ -192,9 +192,13 @@ object OracleCte {
     * Must follow `members` in the CTE list. */
   val tarfix: String =
     """tarfix AS (
-      |  SELECT replace(shard, 'shards/', '') AS shard, member, sample_key, ext,
+      |  SELECT printf('tshard-%03d.tar', CAST(substr(shard, 14, 5) AS INT) % 256) AS shard,
+      |    substr(shard, 14, 5) || '/' || member AS member,
+      |    substr(shard, 14, 5) || '/' || sample_key AS sample_key,
+      |    ext,
       |    CAST(size % 499 AS BIGINT) AS psize,
-      |    substr(repeat(sample_key || '|', CAST(size % 499 AS INT) // (length(sample_key) + 1) + 1),
+      |    substr(repeat(substr(shard, 14, 5) || '/' || sample_key || '|',
+      |             CAST(size % 499 AS INT) // (length(sample_key) + 7) + 1),
       |           1, CAST(size % 499 AS INT)) AS payload_str
       |  FROM members WHERE bucket = 'bck0'
       |)""".stripMargin

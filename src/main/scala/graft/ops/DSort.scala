@@ -98,13 +98,17 @@ object DSort {
   def globalCumsum(df: DataFrame, order: Seq[Column], value: Column): DataFrame = {
     val spark = df.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // localCheckpoint pins the range partitioning: the plan below reads
+    // First checkpoint: repartitionByRange SAMPLES its input to pick
+    // boundaries, then shuffles it — without materialization the upstream
+    // plan (often an expensive groupBy) runs twice.
+    val input = df.localCheckpoint()
+    // Second checkpoint pins the range partitioning: the plan below reads
     // `parted` in two branches (offset table + join-back), and without
     // materialization each branch re-plans the exchange — AQE may coalesce
     // the two differently, mis-aligning `_pid` between branches (observed:
     // out-of-order shards). Checkpointing makes both branches read the
     // same physical partitions.
-    val parted = df
+    val parted = input
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())

@@ -17,14 +17,22 @@ import graft.catalog.DerivedCatalog
   */
 object TarFixtures {
 
-  /** The derived (shard, member, payload) set — bck0 only to bound size. */
+  /** The derived (shard, member, payload) set — bck0 only to bound size.
+    *
+    * Members are regrouped from the per-order logical shards into 256
+    * consolidated TAR files (`tshard-%03d.tar`): realistic shard sizing —
+    * the per-order grouping would mean ~50k tiny TARs at sf0.1, which is
+    * exactly the small-file pathology shard formats exist to avoid.
+    * Member paths get the order number as a directory prefix so they stay
+    * unique within a consolidated shard (WebDataset-style subdirs). */
   def membersDf(spark: SparkSession, sfDir: String): DataFrame =
     DerivedCatalog.members(spark, sfDir)
       .where(col("bucket") === "bck0")
+      .withColumn("_onum", substring(col("shard"), 14, 5))
       .select(
-        regexp_replace(col("shard"), "^shards/", "").as("shard_name"),
-        col("member"),
-        col("sample_key"),
+        format_string("tshard-%03d.tar", col("_onum").cast("int") % 256).as("shard_name"),
+        concat(col("_onum"), lit("/"), col("member")).as("member"),
+        concat(col("_onum"), lit("/"), col("sample_key")).as("sample_key"),
         col("ext"),
         (col("size") % 499).as("psize"))
       .withColumn("payload_str",

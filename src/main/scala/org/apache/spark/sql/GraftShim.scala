@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the `private[sql]` Column ↔ Expression converters —
+  * the standard pattern for Spark extension libraries that define native
+  * Catalyst expressions (Spark 4 removed the public `new Column(expr)`
+  * constructor). Nothing else from the private API surface is touched.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
