@@ -1,0 +1,95 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The managed objects catalog (SURVEY §7.0) — the analog of AIStore's
+  * BMD + per-object LOM metadata (`core/lom.go:59`), stored as Parquet
+  * with the FIXTURES.md §1 schema.
+  *
+  * Builders ingest from a directory tree (file listing → rows) or via the
+  * `binaryFile` source when payloads are wanted (promote, S7). At cluster
+  * scale the catalog is written partitioned by bucket and sorted by name
+  * within files, so prefix and continuation-token predicates prune at the
+  * file level (parquet min/max on `name`) — the Spark analog of the
+  * reference's directory-subtree walk pruning (`xact/xs/wi_lso.go:62-80`).
+  */
+object ObjectCatalog {
+
+  val schema: StructType = StructType(Seq(
+    StructField("provider", StringType),
+    StructField("namespace", StringType),
+    StructField("bucket", StringType),
+    StructField("name", StringType),
+    StructField("size", LongType),
+    StructField("checksum", StringType),
+    StructField("atime_ns", LongType),
+    StructField("version", StringType),
+    StructField("custom", MapType(StringType, StringType)),
+    StructField("copies", IntegerType),
+    StructField("is_cached", BooleanType),
+    StructField("is_dir", BooleanType),
+    StructField("in_arch", BooleanType),
+    StructField("is_archive", BooleanType),
+    StructField("status", IntegerType)))
+
+  /** Build catalog rows from a directory tree: name = path relative to
+    * `root` ('/'-separated), size = file length, atime = mtime. The walk
+    * happens on the driver (metadata-only, cheap); at 100 TB the same
+    * rows come from cloud inventory listings (S3 Inventory ≅ NBI) or a
+    * distributed `binaryFile` scan. */
+  def fromDirectory(spark: SparkSession, root: String, bucket: String,
+                    provider: String = "ais"): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(new Configuration())
+    val rootUri = fs.getFileStatus(rootPath).getPath.toUri
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk) else Seq(st)
+    val rows = walk(fs.getFileStatus(rootPath)).map { st =>
+      val rel = rootUri.relativize(st.getPath.toUri).getPath
+      Row(provider, "", bucket, rel, st.getLen, null,
+        st.getModificationTime * 1000000L, "1", null, 1,
+        true, false, false,
+        graft.shards.Archives.extOf(rel).isDefined,
+        0)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.sortBy(_.getString(3)), 1), schema)
+  }
+
+  /** S7 promote — ingest local files as objects WITH payloads via the
+    * distributed `binaryFile` source; returns catalog columns + payload. */
+  def promote(spark: SparkSession, root: String, bucket: String,
+              provider: String = "ais"): DataFrame = {
+    val normalized = new Path(root).getFileSystem(new Configuration())
+      .getFileStatus(new Path(root)).getPath.toString
+    spark.read.format("binaryFile").load(normalized + "/*")
+      .select(
+        lit(provider).as("provider"),
+        lit("").as("namespace"),
+        lit(bucket).as("bucket"),
+        regexp_replace(col("path"), java.util.regex.Pattern.quote(normalized + "/"), "").as("name"),
+        col("length").as("size"),
+        md5(col("content")).as("checksum"),
+        (unix_timestamp(col("modificationTime")) * 1000000000L).as("atime_ns"),
+        lit("1").as("version"),
+        col("content").as("payload"))
+  }
+
+  /** Persist the catalog for scale: partitioned by bucket, sorted by name
+    * within partitions → parquet min/max file skipping on prefix/token
+    * predicates. */
+  def write(catalog: DataFrame, path: String): Unit =
+    catalog
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "name")
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

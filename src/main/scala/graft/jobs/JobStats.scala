@@ -1,0 +1,56 @@
+package graft.jobs
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** §7.5 observability parity — the user-visible xaction snapshot fields
+  * (`xact/api_snap.go`: objects in/out, bytes, elapsed, state) fed from
+  * Spark's listener bus instead of per-target counters.
+  */
+final case class JobSnap(
+    kind: String,
+    id: String,
+    recordsIn: Long,
+    bytesIn: Long,
+    recordsOut: Long,
+    bytesOut: Long,
+    elapsedMs: Long,
+    state: String)
+
+/** Wrap a Spark action with metric collection. One tracker per session;
+  * jobs are serialized through `run` (matching the reference's one-
+  * xaction-per-kind-per-bucket rule, `xact/api_table.go`). */
+class JobTracker(spark: SparkSession) {
+  private val nextId = new AtomicLong(0)
+
+  def run[T](kind: String)(body: => T): (T, JobSnap) = synchronized {
+    val id = s"$kind-${nextId.incrementAndGet()}"
+    val recordsIn = new AtomicLong(0); val bytesIn = new AtomicLong(0)
+    val recordsOut = new AtomicLong(0); val bytesOut = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          recordsIn.addAndGet(m.inputMetrics.recordsRead)
+          bytesIn.addAndGet(m.inputMetrics.bytesRead)
+          recordsOut.addAndGet(m.outputMetrics.recordsWritten)
+          bytesOut.addAndGet(m.outputMetrics.bytesWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    try {
+      val result = body
+      // listener bus is async; give queued task-end events a moment to drain
+      Thread.sleep(200)
+      val snap = JobSnap(kind, id, recordsIn.get, bytesIn.get,
+        recordsOut.get, bytesOut.get, (System.nanoTime() - t0) / 1000000L, "finished")
+      (result, snap)
+    } catch {
+      case e: Throwable =>
+        throw e
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.{CatalogQuery, ListObjects, ObjectCatalog}
+import graft.jobs.JobTracker
+
+/** Catalog ingest from a real file tree (FIXTURES.md §5: "treat each
+  * parquet file as an object") + promote + managed write/load + job
+  * stats. */
+class ObjectCatalogSpec extends SparkSpec {
+
+  test("fromDirectory lists the testdata tree as objects") {
+    val cat = ObjectCatalog.fromDirectory(spark, TestSpark.sf001, "testdata")
+    val names = cat.select("name").collect().map(_.getString(0)).toSeq
+    assert(names.contains("lineitem.parquet") && names.contains("orders.parquet"))
+    assert(names == names.sorted)
+    val li = cat.where(col("name") === "lineitem.parquet").head()
+    assert(li.getAs[Long]("size") == new File(TestSpark.sf001, "lineitem.parquet").length())
+    assert(li.getAs[String]("bucket") == "testdata")
+  }
+
+  test("list-objects runs over an ingested catalog") {
+    val cat = ObjectCatalog.fromDirectory(spark, TestSpark.sf001, "testdata")
+    val page = ListObjects.run(cat, CatalogQuery(prefix = "l", props = Seq("name", "size")))
+    assert(page.collect().map(_.getString(0)).forall(_.startsWith("l")))
+  }
+
+  test("promote ingests payloads and digests match file bytes") {
+    val dir = Files.createTempDirectory("graft_promote")
+    Files.write(dir.resolve("a.txt"), "hello".getBytes)
+    Files.write(dir.resolve("b.bin"), Array[Byte](1, 2, 3))
+    val promoted = ObjectCatalog.promote(spark, dir.toString, "bck")
+      .orderBy("name").collect()
+    assert(promoted.map(_.getAs[String]("name")).toSeq == Seq("a.txt", "b.bin"))
+    assert(new String(promoted(0).getAs[Array[Byte]]("payload")) == "hello")
+    assert(promoted(0).getAs[String]("checksum") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("hello"))
+  }
+
+  test("managed catalog write/load round trip preserves listing semantics") {
+    val out = Files.createTempDirectory("graft_cat").toString
+    val cat = ObjectCatalog.fromDirectory(spark, TestSpark.sf001, "testdata")
+    ObjectCatalog.write(cat, out)
+    val loaded = ObjectCatalog.load(spark, out)
+    assert(loaded.count() == cat.count())
+    val a = ListObjects.run(loaded, CatalogQuery(pageSize = 1000)).select("name")
+      .collect().map(_.getString(0)).toSeq
+    val b = ListObjects.run(cat, CatalogQuery(pageSize = 1000)).select("name")
+      .collect().map(_.getString(0)).toSeq
+    assert(a == b)
+  }
+
+  test("job tracker snaps records/bytes for an action") {
+    val (n, snap) = new JobTracker(spark).run("list-objects") {
+      Tables.load(spark, TestSpark.sf001, "lineitem").count()
+    }
+    assert(n == 6000L)
+    assert(snap.recordsIn >= 6000L)
+    assert(snap.bytesIn > 0L)
+    assert(snap.state == "finished" && snap.elapsedMs >= 0)
+  }
+}
