@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.catalog._
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val sf = "/root/testdata/sf0.01"
+    // 1. managed parquet catalog: prefix + token pushdown
+    val catDir = "/tmp/graft_cat_explain"
+    ObjectCatalog.write(DerivedCatalog.objects(spark, sf)
+      .withColumn("provider", lit("ais")), catDir)
+    val loaded = ObjectCatalog.load(spark, catDir)
+    println("=== LSO over managed catalog (prefix+token) ===")
+    ListObjects.run(loaded, CatalogQuery(prefix = "data/dir03/", token = "data/dir03/sub1/x", pageSize = 100))
+      .explain("formatted")
+    println("=== q3 join ===")
+    SparkEntry.queries("q3_top_orders")(spark, sf).explain("formatted")
+    println("=== getbatch join ===")
+    SparkEntry.queries("getbatch_order")(spark, sf).explain("formatted")
+    println("=== tarmembers pruned scan ===")
+    spark.read.format("tarmembers").load(shards.TarFixtures.ensure(spark, sf))
+      .select("shard","member","size").explain("formatted")
+    spark.stop()
+  }
+}

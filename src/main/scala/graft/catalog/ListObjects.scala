@@ -68,7 +68,7 @@ object ListObjects {
     val after = Seq(q.token, q.startAfter).max // tokens are names; lexicographic
     if (after.nonEmpty) df = df.where(col("name") > after)
 
-    if (q.noRecursion) return runNoRecursion(df, q)
+    if (q.noRecursion) return runNoRecursion(df, q, after)
 
     val projected = project(df, q.props, extra = Seq("status"))
     projected
@@ -82,7 +82,7 @@ object ListObjects {
     * size 0, is_dir), deduped, lexicographic sort (SortLsoLex,
     * `cmn/objlist_utils.go:96-106` — token semantics require lex-only
     * ordering here, see `ais/plstcx.go:449-458`). */
-  private def runNoRecursion(df: DataFrame, q: CatalogQuery): DataFrame = {
+  private def runNoRecursion(df: DataFrame, q: CatalogQuery, after: String): DataFrame = {
     val rest = expr(s"substring(name, ${q.prefix.length + 1})")
     val slash = instr(rest, "/")
     val withKind = df
@@ -104,8 +104,14 @@ object ListObjects {
     val dirCols = fileCols.columns.foldLeft(dirs) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }.select(fileCols.columns.map(col): _*)
-    fileCols
-      .unionByName(dirCols)
+    val unioned = fileCols.unionByName(dirCols)
+    // the token filter must re-apply AFTER dir derivation: a child name
+    // ("a/x/y") can be > token while its derived dir entry ("a/") is not —
+    // without this a dir already emitted on the previous page resurfaces
+    // (reference token semantics: ais/plstcx.go:449-492 + TokenGreaterEQ)
+    val tokenFiltered =
+      if (after.nonEmpty) unioned.where(col("name") > after) else unioned
+    tokenFiltered
       .orderBy(col("name").asc)
       .limit(q.pageSize)
   }

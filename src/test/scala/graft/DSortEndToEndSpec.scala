@@ -1,0 +1,112 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{DSort, GetBatch}
+import graft.ops.DSort.Algorithm
+import graft.shards.TarWriter
+
+/** GB2/GB3 through real binary shards: build WebDataset-style input TARs,
+  * run the full pipeline (member scan → content-key sort → size-capped
+  * pack → TAR creation), re-read the OUTPUT shards and assert the
+  * reference's golden invariants (SURVEY §5): global order across output
+  * shards, sample atomicity, counts conserved, size ≈ cap. Then GetBatch
+  * straight off the member table (archpath extraction + ranges).
+  */
+class DSortEndToEndSpec extends SparkSpec {
+
+  // 40 samples: <key>.jpg (payload) + <key>.cls (int content key, reversed
+  // order so content-sort != name-sort), spread over 4 input shards
+  private lazy val inDir: File = {
+    val d = Files.createTempDirectory("graft_dsort_in").toFile
+    (0 until 4).foreach { s =>
+      TarWriter.withTar(new FileOutputStream(new File(d, f"in-$s%02d.tar"))) { tar =>
+        (0 until 10).foreach { i =>
+          val k = s * 10 + i
+          TarWriter.putEntry(tar, f"k$k%04d.jpg", ("P" * (50 + k)).getBytes)
+          TarWriter.putEntry(tar, f"k$k%04d.cls", (999 - k).toString.getBytes)
+        }
+      }
+    }
+    d
+  }
+
+  test("dsort: content-key sorted, size-capped output shards hold all invariants") {
+    val members = spark.read.format("tarmembers").load(inDir.getAbsolutePath)
+    // content keys live in the .cls payloads → parse to long
+    val withKeys = members
+      .withColumn("content_key",
+        when(col("ext") === "cls", col("payload").cast("string").cast("long")))
+    val samples = DSort.samples(members)
+    val keyed = DSort.withSortKey(samples, Algorithm.Content("cls", "int"),
+      Some(withKeys))
+    val packed = DSort.packShards(keyed, Algorithm.Content("cls", "int"),
+      maxSize = 500L, nameTemplate = "out-%04d.tar")
+
+    // counts conserved
+    assert(packed.count() == 40)
+
+    // write output shards: every member of a sample goes to its sample's shard
+    val outDir = Files.createTempDirectory("graft_dsort_out").toString
+    val payloadBySample = members.select(
+      col("sample_key"), col("member"), col("payload"))
+    TarWriter.writeShards(
+      payloadBySample.join(packed.select("sample_key", "shard_name"), Seq("sample_key")),
+      outDir)
+
+    // re-read OUTPUT shards and verify
+    val out = spark.read.format("tarmembers").load(outDir)
+      .select("shard", "member", "size").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 80, "all members present in output")
+
+    // sample atomicity: both extensions of a key in the same output shard
+    val byKey = out.groupBy(_._2.takeWhile(_ != '.'))
+    byKey.foreach { case (k, rows) =>
+      assert(rows.map(_._1).distinct.length == 1, s"sample $k split across shards")
+      assert(rows.length == 2, s"sample $k member count")
+    }
+
+    // global order: content key decreases with k (999-k), so shard 0 must
+    // hold the HIGHEST k values; max key of shard i <= min key of shard i+1
+    val keyOf: String => Int = m => 999 - m.drop(1).takeWhile(_.isDigit).toInt
+    val shardKeys = out.groupBy(_._1).view.mapValues(_.map(r => keyOf(r._2))).toMap
+    val ordered = shardKeys.toSeq.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Seq((s1, k1), (s2, k2)) =>
+        assert(k1.max <= k2.min, s"order violated between $s1 and $s2")
+      case _ =>
+    }
+
+    // size ≈ cap: every non-final shard within cap + max sample size
+    val sampleSizes = out.groupBy(_._2.takeWhile(_ != '.')).map(_._2.map(_._3).sum)
+    val maxSample = sampleSizes.max
+    val shardSizes = ordered.map { case (s, _) =>
+      out.filter(_._1 == s).map(_._3).sum
+    }
+    shardSizes.dropRight(1).foreach(sz =>
+      assert(sz >= 500 - maxSample && sz <= 500 + maxSample, s"shard size $sz"))
+  }
+
+  test("getbatch extracts archived members by archpath from real shards") {
+    val payloads = spark.read.format("tarmembers").load(inDir.getAbsolutePath)
+      .select(lit("bck").as("bucket"), col("shard").as("objname"),
+        col("member").as("archpath"), col("payload"))
+    import spark.implicits._
+    val requests = Seq(
+      (0L, "bck", "in-01.tar", "k0015.jpg", 0L, 0L),
+      (1L, "bck", "in-00.tar", "k0003.cls", 0L, 0L),
+      (2L, "bck", "in-03.tar", "k0039.jpg", 10L, 5L),
+      (3L, "bck", "in-00.tar", "nope.jpg", 0L, 0L))
+      .toDF("_req_idx", "bucket", "objname", "archpath", "start", "length")
+    val got = GetBatch.assemble(requests, payloads).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(new String(got(0).getAs[Array[Byte]](2)) == "P" * 65)
+    assert(new String(got(1).getAs[Array[Byte]](2)) == "996")
+    assert(new String(got(2).getAs[Array[Byte]](2)) == "PPPPP")
+    // misses keep the archpath: __404__/<bck>/<obj>/<archpath>
+    // (reference moss.go:1881-1893 addMissingIn + _withArchpath)
+    assert(got(3).getBoolean(4) && got(3).getString(1) == "__404__/bck/in-00.tar/nope.jpg")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions.lit
+import graft.catalog.{CatalogQuery, ListObjects}
+
+/** Randomized pagination invariants — ports the idea of the reference's
+  * TestLsoNoRecursionRandom (`ais/test/lso_test.go:1762`): random virtual
+  * dir trees, random page sizes; invariants must hold for every tree.
+  * Seeded Random keeps failures reproducible.
+  */
+class PaginationPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomTree(rnd: Random): Seq[String] = {
+    val segs = Vector("a", "b", "c", "dd", "e1")
+    (0 until (5 + rnd.nextInt(55))).map { _ =>
+      val depth = 1 + rnd.nextInt(4)
+      val path = (0 until depth).map(_ => segs(rnd.nextInt(segs.size)))
+      (path :+ f"obj-${rnd.nextInt(100)}%03d").mkString("/")
+    }.distinct
+  }
+
+  private def catalogOf(names: Seq[String]) =
+    names.toDF("name")
+      .withColumn("size", lit(1L)).withColumn("bucket", lit("b"))
+      .withColumn("is_cached", lit(true)).withColumn("status", lit(0L))
+      .withColumn("checksum", lit("x")).withColumn("atime_ns", lit(0L))
+      .withColumn("version", lit("1"))
+
+  private def pageAll(cat: org.apache.spark.sql.DataFrame, pageSize: Int,
+                      noRecursion: Boolean): Seq[String] = {
+    var token = ""
+    var acc = Vector.empty[String]
+    var guard = 0
+    while ({
+      val page = ListObjects.run(cat,
+        CatalogQuery(noRecursion = noRecursion, pageSize = pageSize, token = token))
+        .select("name").collect().map(_.getString(0)).toSeq
+      assert(page.size <= pageSize)
+      acc ++= page
+      token = page.lastOption.getOrElse("")
+      guard += 1
+      page.nonEmpty && guard < 1000
+    }) ()
+    acc
+  }
+
+  test("no-recursion paging over random trees: pages == full listing, dirs deduped") {
+    val rnd = new Random(42)
+    (1 to 8).foreach { round =>
+      val names = randomTree(rnd)
+      val pageSize = 1 + rnd.nextInt(7)
+      val cat = catalogOf(names)
+      val expected = names.map { n =>
+        if (n.contains("/")) n.takeWhile(_ != '/') + "/" else n
+      }.distinct.sorted
+      val full = ListObjects.run(cat,
+        CatalogQuery(noRecursion = true, pageSize = 1000000))
+        .select("name").collect().map(_.getString(0)).toSeq
+      assert(full == expected, s"round $round full listing")
+      assert(pageAll(cat, pageSize, noRecursion = true) == expected,
+        s"round $round pageSize $pageSize")
+    }
+  }
+
+  test("recursive paging over random trees partitions the sorted listing") {
+    val rnd = new Random(7)
+    (1 to 8).foreach { round =>
+      val names = randomTree(rnd)
+      val pageSize = 1 + rnd.nextInt(9)
+      val cat = catalogOf(names)
+      assert(pageAll(cat, pageSize, noRecursion = false) == names.sorted,
+        s"round $round pageSize $pageSize")
+    }
+  }
+}
