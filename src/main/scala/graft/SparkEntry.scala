@@ -416,8 +416,55 @@ object SparkEntry {
           col("image_meta.height").as("height"),
           col("out_width"), col("out_height"))
         .orderBy("shard", "member")
-    })
+    }),
+
+    // ------------------------------------------------------------------
+    // NBI snapshot listing (SURVEY S3): list FROM the persisted catalog
+    // ------------------------------------------------------------------
+    "nbi_snapshot_listing" -> ((s, d) =>
+      ListObjects.run(nbiSnapshot(s, d),
+        CatalogQuery(bucket = "bck1", prefix = "data/dir07/",
+          props = Seq("name", "size", "version"), pageSize = 300))),
+
+    // O4 descending variant
+    "dsort_alpha_desc_top" -> ((s, d) => {
+      val keyed = DSort.withSortKey(
+        DSort.samples(DerivedCatalog.members(s, d)),
+        DSort.Algorithm.Alphanumeric(decreasing = true))
+      keyed.orderBy(col("_key").desc, col("sample_key").asc).limit(500)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("_key").desc, col("sample_key").asc)).cast("long"))
+        .select(col("sample_key"), col("rn"))
+    }),
+
+    // A5 extension: corpus vocabulary stats (exact distincts per source)
+    "vocab_stats" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("source"), col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("source")
+        .agg(
+          countDistinct("tok").as("vocab"),
+          count(lit(1)).as("total_tokens"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source"))
   )
+
+  /** NBI snapshot (SURVEY S3): the catalog persisted as a managed parquet
+    * snapshot (partitioned by bucket, name-sorted) and listed FROM the
+    * snapshot — exercising real parquet predicate pushdown inside the
+    * correctness gate. Idempotent per sfDir. */
+  private def nbiSnapshot(s: SparkSession, d: String): DataFrame = {
+    val dir = "/tmp/graft_nbi_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val marker = new java.io.File(dir, "_GRAFT_DONE")
+    this.synchronized {
+      if (!marker.exists()) {
+        catalog.ObjectCatalog.write(DerivedCatalog.objects(s, d), dir)
+        marker.createNewFile()
+      }
+    }
+    catalog.ObjectCatalog.load(s, dir)
+  }
 
   /** Documents plus injected duplicates — mirrors OracleCte.corpus. */
   private def dedupCorpus(s: SparkSession, d: String): DataFrame = {
@@ -915,6 +962,27 @@ object SparkEntry {
         |              CASE WHEN psize = 0 THEN 0 ELSE ascii(substr(payload_str, 1, 1)) END AS first_byte
         |            FROM tarfix))
         |ORDER BY shard, member""".stripMargin,
-      OracleCte.members, OracleCte.tarfix)
+      OracleCte.members, OracleCte.tarfix),
+
+    "nbi_snapshot_listing" -> o(
+      """SELECT name, size, version FROM objects
+        |WHERE bucket = 'bck1' AND name LIKE 'data/dir07/%'
+        |ORDER BY name LIMIT 300""".stripMargin,
+      OracleCte.objects),
+
+    "dsort_alpha_desc_top" -> o(
+      """SELECT sample_key,
+        |  row_number() OVER (ORDER BY sample_key DESC) AS rn
+        |FROM samples ORDER BY sample_key DESC LIMIT 500""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "vocab_stats" ->
+      """SELECT source,
+        |  count(DISTINCT tok) AS vocab,
+        |  count(*) AS total_tokens,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM (SELECT source, lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

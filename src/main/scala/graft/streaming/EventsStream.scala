@@ -43,6 +43,50 @@ object EventsStream {
         (sum("_break") + 1).cast("long").as("n_sessions"))
   }
 
+  /** Stateful streaming sessionization via flatMapGroupsWithState — the
+    * custom-state surface (SURVEY §2.11 → `KeyValueGroupedDataset`).
+    * State per user = (last event time, session count); a >30min gap
+    * opens a new session. Emits the final per-user snapshot with
+    * availableNow (batch parity with [[sessionize]]). */
+  def runStatefulSessionize(spark: SparkSession, eventsDir: String,
+                            queryName: String = "events_sessions"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .select(col("user_id"), col("ts").cast("double").as("tsec"))
+      .as[(Long, Double)]
+
+    def update(userId: Long, events: Iterator[(Long, Double)],
+               state: GroupState[(Double, Long, Long)]): Iterator[(Long, Long, Long)] = {
+      var (lastTs, sessions, count) = state.getOption.getOrElse((Double.MinValue, 0L, 0L))
+      events.toSeq.sortBy(_._2).foreach { case (_, t) =>
+        if (lastTs == Double.MinValue || t - lastTs > 1800d) sessions += 1
+        lastTs = t
+        count += 1
+      }
+      state.update((lastTs, sessions, count))
+      Iterator.single((userId, count, sessions))
+    }
+
+    val out = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "n_events", "n_sessions")
+    val q = out.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // memory sink in update mode appends each update; keep the last per user
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
+        org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"))
+  }
+
   /** Streaming flavor of [[windowedAgg]]: parquet file source →
     * watermark → tumbling window → memory sink, driven to completion
     * with availableNow (batch parity on a static directory). Returns the

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GoTime
+
+/** Go layout → JVM pattern translation (SURVEY F5): the layouts the
+  * reference's TimeFormat accepts (Go stdlib constants). */
+class GoTimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1995-01-02 03:04:05 UTC
+  private val ns = 789015845000000000L
+
+  private def render(layout: String): String =
+    Seq(ns).toDF("atime_ns")
+      .select(GoTime.formatAtime($"atime_ns", layout)).head().getString(0)
+
+  test("RFC822 (the default TimeFormat)") {
+    assert(render("02 Jan 06 15:04 MST") == "02 Jan 95 03:04 UTC")
+  }
+
+  test("RFC3339-like") {
+    assert(render("2006-01-02T15:04:05Z07:00") == "1995-01-02T03:04:05Z")
+  }
+
+  test("RFC1123-like") {
+    assert(render("Mon, 02 Jan 2006 15:04:05 MST") == "Mon, 02 Jan 1995 03:04:05 UTC")
+  }
+
+  test("long forms and 12-hour clock") {
+    assert(render("Monday, January 02 2006 03:04 PM") == "Monday, January 02 1995 03:04 AM")
+  }
+
+  test("pattern translation table") {
+    assert(GoTime.toJvmPattern("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss")
+    assert(GoTime.toJvmPattern("02 Jan 06 15:04 MST") == "dd MMM yy HH:mm zzz")
+  }
+}

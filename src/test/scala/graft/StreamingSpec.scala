@@ -19,6 +19,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stateful flatMapGroupsWithState sessionizer == batch sessionize") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_state").toString
+    Tables.events(spark, TestSpark.sf001).write.mode("overwrite").parquet(tmp)
+    val streamed = EventsStream.runStatefulSessionize(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventsStream.sessionize(Tables.events(spark, TestSpark.sf001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("sessionize: session count bounded by event count, deterministic") {
     val s1 = EventsStream.sessionize(Tables.events(spark, TestSpark.sf001))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
