@@ -437,6 +437,14 @@ object SparkEntry {
         .select(col("sample_key"), col("rn"))
     }),
 
+    // GB3 ishard: pack by base_filename sample keys, input order kept
+    "ishard_pack" -> ((s, d) =>
+      ops.IShard.pack(
+        DerivedCatalog.members(s, d).where(col("bucket") === "bck1"),
+        sampleKeyPattern = "base_filename", shardSize = 300000L)
+        .select("sample_key", "size", "n_members", "shard_id", "shard_name")
+        .orderBy("sample_key")),
+
     // A5 extension: corpus vocabulary stats (exact distincts per source)
     "vocab_stats" -> ((s, d) =>
       Tables.load(s, d, "documents")
@@ -975,6 +983,21 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY sample_key DESC) AS rn
         |FROM samples ORDER BY sample_key DESC LIMIT 500""".stripMargin,
       OracleCte.members, OracleCte.samples),
+
+    "ishard_pack" -> o(
+      """SELECT sample_key, size, n_members,
+        |  CAST((c - size) // 300000 AS BIGINT) AS shard_id,
+        |  printf('ishard-%06d.tar', CAST((c - size) // 300000 AS BIGINT)) AS shard_name
+        |FROM (SELECT sample_key, size, n_members,
+        |        sum(size) OVER (ORDER BY first_member ROWS UNBOUNDED PRECEDING) AS c
+        |      FROM (SELECT regexp_replace(regexp_extract(member, '([^/]+)$', 1), '\.[^./]*$', '') AS sample_key,
+        |              CAST(sum(size) AS BIGINT) AS size,
+        |              count(*) AS n_members,
+        |              min(member) AS first_member
+        |            FROM members WHERE bucket = 'bck1'
+        |            GROUP BY 1))
+        |ORDER BY sample_key""".stripMargin,
+      OracleCte.members),
 
     "vocab_stats" ->
       """SELECT source,

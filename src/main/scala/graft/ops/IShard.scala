@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.jobs.{JobSnap, JobTracker}
+
+/** GB3 — ishard: pack loose files into ≈shard_size shards keeping
+  * samples together (reference `cmd/ishard/README.md:21-59`,
+  * `ishard/ishard.go:37-162`). dSort minus the sort: group by sample
+  * key, order by name, size-cap cut.
+  *
+  * `sample_key_pattern` presets mirror the reference exactly:
+  * base_filename (name minus dirs minus ext), full_name, collapse_all_dir
+  * (drop all '/'), or a custom regex whose first group is the key.
+  */
+object IShard {
+
+  /** The reference's named sample-key patterns. */
+  def sampleKey(member: Column, pattern: String): Column = pattern match {
+    case "base_filename" =>
+      regexp_replace(regexp_extract(member, "([^/]+)$", 1), "\\.[^./]*$", "")
+    case "full_name" => regexp_replace(member, "\\.[^./]*$", "")
+    case "collapse_all_dir" =>
+      regexp_replace(regexp_replace(member, "/", ""), "\\.[^./]*$", "")
+    case custom => regexp_extract(member, custom, 1)
+  }
+
+  /** Pack members into output shards: group to samples by the pattern,
+    * keep name order (no global re-sort — ishard preserves input
+    * ordering), cut by size. Returns one row per sample with its
+    * assigned shard. */
+  def pack(members: DataFrame, sampleKeyPattern: String, shardSize: Long,
+           nameTemplate: String = "ishard-%06d.tar"): DataFrame = {
+    val keyed = members
+      .withColumn("_skey", sampleKey(col("member"), sampleKeyPattern))
+      .groupBy("_skey")
+      .agg(
+        sum("size").as("size"),
+        count(lit(1)).as("n_members"),
+        min("member").as("first_member"))
+    // order by first member name = input order proxy (names are walked
+    // in order in the reference); distributed prefix-sum cut as in dSort
+    DSort.globalCumsum(keyed, Seq(col("first_member")), col("size"))
+      .withColumn("shard_id", ((col("_cum") - col("size")) / shardSize).cast("long"))
+      .withColumn("shard_name", format_string(nameTemplate, col("shard_id")))
+      .drop("_cum")
+      .withColumnRenamed("_skey", "sample_key")
+  }
+}
+
+/** GB6 — prefetch: in Spark terms, materializing a selection into the
+  * cluster cache. The observable parity is the job snap (objects/bytes
+  * warmed), which [[graft.jobs.JobTracker]] provides. */
+object Prefetch {
+  def run(df: DataFrame, tracker: JobTracker): JobSnap = {
+    val cached = df.cache()
+    val (_, snap) = tracker.run("prefetch") { cached.count() }
+    snap
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.DerivedCatalog
+import graft.jobs.JobTracker
+import graft.ops.{IShard, Prefetch}
+
+class IShardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sample_key_pattern presets match the reference semantics") {
+    val df = Seq("a/b/n0333_02.jpg").toDF("member")
+    def k(p: String) = df.select(IShard.sampleKey($"member", p)).head().getString(0)
+    assert(k("base_filename") == "n0333_02")
+    assert(k("full_name") == "a/b/n0333_02")
+    assert(k("collapse_all_dir") == "abn0333_02")
+    assert(k("(n\\d+)_") == "n0333")
+  }
+
+  test("ishard pack: conservation + size ≈ cap, samples atomic") {
+    val members = DerivedCatalog.members(spark, TestSpark.sf001)
+      .where(col("bucket") === "bck1")
+    val packed = IShard.pack(members, "base_filename", 100000L).cache()
+    val nSamples = members
+      .select(IShard.sampleKey(col("member"), "base_filename")).distinct().count()
+    assert(packed.count() == nSamples)
+    val sizes = packed.groupBy("shard_id").agg(sum("size").as("sz"))
+      .orderBy("shard_id").collect().map(_.getLong(1))
+    val maxSample = packed.agg(max("size")).head().getLong(0)
+    sizes.dropRight(1).foreach(s => assert(s >= 100000L - maxSample && s <= 100000L + maxSample))
+  }
+
+  test("prefetch materializes and reports a snap") {
+    val snap = Prefetch.run(
+      Tables.load(spark, TestSpark.sf001, "lineitem"), new JobTracker(spark))
+    assert(snap.kind == "prefetch" && snap.recordsIn >= 6000L && snap.state == "finished")
+  }
+}
