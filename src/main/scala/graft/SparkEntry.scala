@@ -52,6 +52,41 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q5_local_supplier_volume" -> ((s, d) => {
+      val l = li(s, d); val o = ord(s, d); val c = cust(s, d)
+      val su = Tables.load(s, d, "supplier")
+      val n = Tables.load(s, d, "nation"); val r = Tables.load(s, d, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "q6_forecast_revenue" -> ((s, d) =>
+      li(s, d)
+        .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    "q10_returned_items" -> ((s, d) => {
+      val l = li(s, d); val o = ord(s, d); val c = cust(s, d)
+      val n = Tables.load(s, d, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .where(col("l_returnflag") === "R")
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // ------------------------------------------------------------------
     // Catalog / list-objects family (SURVEY S1, P1-P6, O1-O2)
     // ------------------------------------------------------------------
@@ -354,6 +389,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-bucketed ANN — scale path; rows-only check, agreement with
+    // brute force covered in ExtensionsSpec.
+    "embed_knn_ivf" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      ext.Similarity.ivfTopK(emb,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        centroids = emb.where(col("vec_id") % 31 === 0),
+        k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN — scale path; no SQL oracle (rows-only check),
     // exactness covered by EmbeddingSpec against brute force.
     "embed_knn_lsh" -> ((s, d) => {
@@ -499,6 +545,34 @@ object SparkEntry {
         |  JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "lso_page1" -> o(
       """SELECT name, size, checksum, atime_ns, version FROM objects

@@ -86,6 +86,40 @@ object Similarity {
     concat(planeBits: _*)
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
+    * cell (one broadcast pass); each query probes its `nprobe` nearest
+    * cells and reranks candidates with exact cosine. Centroids are any
+    * small DataFrame of (cell_id, embedding) — deterministic sampling
+    * (e.g. every K-th vector) keeps results reproducible. At 100 TB the
+    * assignment is a single scan + broadcast argmin, and queries touch
+    * `nprobe/numCells` of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("_centv"),
+      sqrt(floatDot(col(vecCol), col(vecCol))).as("_centn"))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("_cdist").asc, col("cell_id").asc)
+      df.crossJoin(broadcast(cent))
+        // cosine argmin for a fixed row vector: -dot/|centroid| (row norm constant)
+        .withColumn("_cdist", -floatDot(col(vec), col("_centv")) / col("_centn"))
+        .withColumn("_crank", row_number().over(w))
+        .where(col("_crank") <= keep)
+        .drop("_centv", "_centn", "_cdist", "_crank")
+    }
+    val c = assign(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv")),
+      "vec_id", "_cv", 1)
+    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+      "query_id", "_qv", nprobe)
+    val scored = c.join(broadcast(q), Seq("cell_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
   /** ANN via sign-LSH: queries probe only their bucket. Recall < 1 by
     * construction; verify-stage reranks candidates with exact cosine. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int,

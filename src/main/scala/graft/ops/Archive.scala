@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.shards.{Archives, TarWriter}
+
+/** GB4 — archive multi-object (`api/apc/multiobj.go:151-180` ArchiveMsg,
+  * `xact/xs/archive.go`): pack a selection of (name, payload) rows into
+  * ONE shard. Knobs mirrored: `AppendIfExists` (merge with the existing
+  * shard's members — new members win on name collision, then rewrite),
+  * `BaseNameOnly` (strip directories from archived names).
+  *
+  * The result streams through `toLocalIterator` → bounded memory; the
+  * multi-shard bulk path is `TarWriter.writeShards` (dSort/ishard).
+  */
+object Archive {
+
+  def create(selection: DataFrame, outPath: String,
+             appendIfExists: Boolean = false,
+             baseNameOnly: Boolean = false): Long = {
+    val path = new Path(outPath)
+    val fs = path.getFileSystem(new Configuration())
+
+    val existing: Seq[(String, Array[Byte])] =
+      if (appendIfExists && fs.exists(path)) {
+        val in = fs.open(path)
+        try Archives.iterate(path.getName, in, readPayloads = true)
+          .map(e => (e.name, e.read())).toVector
+        finally in.close()
+      } else Seq.empty
+
+    def nameOf(n: String): String =
+      if (baseNameOnly) n.substring(n.lastIndexOf('/') + 1) else n
+
+    var n = 0L
+    val newNames = scala.collection.mutable.HashSet[String]()
+    val tmp = new Path(outPath + "._tmp")
+    val out = fs.create(tmp, true)
+    TarWriter.withTar(out) { tar =>
+      val it = selection.select("name", "payload").toLocalIterator()
+      while (it.hasNext) {
+        val r: Row = it.next()
+        val nm = nameOf(r.getString(0))
+        newNames += nm
+        TarWriter.putEntry(tar, nm,
+          Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray))
+        n += 1
+      }
+      existing.filterNot(e => newNames.contains(e._1)).foreach { case (nm, p) =>
+        TarWriter.putEntry(tar, nm, p); n += 1
+      }
+    }
+    out.close()
+    fs.delete(path, false)
+    fs.rename(tmp, path)
+    n
+  }
+}

@@ -79,19 +79,47 @@ object GetBatch {
         .otherwise(col("payload")))
   }
 
-  /** Stream the assembled batch as one TAR (StreamingGet analog):
+  /** Stream the assembled batch as one archive (StreamingGet analog):
     * `toLocalIterator` pulls partitions lazily, memory stays bounded by
-    * one partition. Entries are written in `_req_idx` order. */
-  def writeTar(assembled: DataFrame, out: OutputStream): Long = {
+    * one partition. Entries are written in `_req_idx` order.
+    * `mime` mirrors `MossReq.OutputFormat` (`cmn/archive/mime.go:25-29`):
+    * ".tar" (default), ".tgz"/".tar.gz", ".tar.lz4", ".zip". */
+  def writeArchive(assembled: DataFrame, out: OutputStream, mime: String = ".tar"): Long = {
     var n = 0L
-    TarWriter.withTar(out) { tar =>
-      val it = assembled.select("tar_name", "payload").toLocalIterator()
-      while (it.hasNext) {
-        val r: Row = it.next()
-        TarWriter.putEntry(tar, r.getString(0), Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray))
-        n += 1
-      }
+    val it = assembled.select("tar_name", "payload").toLocalIterator()
+    def payloadOf(r: Row): Array[Byte] =
+      Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+    mime match {
+      case ".tar" | "" =>
+        TarWriter.withTar(out) { tar =>
+          while (it.hasNext) { val r = it.next(); TarWriter.putEntry(tar, r.getString(0), payloadOf(r)); n += 1 }
+        }
+      case ".tgz" | ".tar.gz" =>
+        TarWriter.withTar(new java.util.zip.GZIPOutputStream(out)) { tar =>
+          while (it.hasNext) { val r = it.next(); TarWriter.putEntry(tar, r.getString(0), payloadOf(r)); n += 1 }
+        }
+      case ".tar.lz4" =>
+        TarWriter.withTar(new net.jpountz.lz4.LZ4FrameOutputStream(out)) { tar =>
+          while (it.hasNext) { val r = it.next(); TarWriter.putEntry(tar, r.getString(0), payloadOf(r)); n += 1 }
+        }
+      case ".zip" =>
+        val zip = new org.apache.commons.compress.archivers.zip.ZipArchiveOutputStream(out)
+        try {
+          while (it.hasNext) {
+            val r = it.next()
+            val e = new org.apache.commons.compress.archivers.zip.ZipArchiveEntry(r.getString(0))
+            e.setTime(0L)
+            zip.putArchiveEntry(e); zip.write(payloadOf(r)); zip.closeArchiveEntry()
+            n += 1
+          }
+          zip.finish()
+        } finally zip.close()
+      case other => throw new IllegalArgumentException(s"unsupported output format: $other")
     }
     n
   }
+
+  /** Back-compat alias for the default TAR format. */
+  def writeTar(assembled: DataFrame, out: OutputStream): Long =
+    writeArchive(assembled, out, ".tar")
 }

@@ -66,6 +66,64 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: cosines exact, ranks well-formed, recall reasonable") {
+    import graft.ext.Similarity
+    val queries = emb.where($"vec_id".isin(17L, 42L, 99L))
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, queries,
+      centroids = emb.where($"vec_id" % 31 === 0), k = 5, nprobe = 8).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // any pair the exact top-5 also contains must agree on the cosine
+      bf.get(key).foreach(c => assert(c == r.getDouble(2)))
+    }
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length))
+    }
+  }
+
+  test("archive create + appendIfExists merges members, new wins") {
+    import graft.ops.Archive
+    val out = java.nio.file.Files.createTempDirectory("graft_arch").toString + "/sel.tar"
+    val first = Seq(("dir/x.txt", "one"), ("dir/y.txt", "two"))
+      .toDF("name", "p").select($"name", $"p".cast("binary").as("payload"))
+    assert(Archive.create(first, out) == 2)
+    val second = Seq(("dir/y.txt", "TWO2"), ("z.txt", "three"))
+      .toDF("name", "p").select($"name", $"p".cast("binary").as("payload"))
+    assert(Archive.create(second, out, appendIfExists = true) == 3)
+    val members = spark.read.format("tarmembers").load(out)
+      .select("member", "payload").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1))).toMap
+    assert(members == Map("dir/x.txt" -> "one", "dir/y.txt" -> "TWO2", "z.txt" -> "three"))
+    // baseNameOnly strips directories
+    val out2 = out + ".base.tar"
+    Archive.create(first, out2, baseNameOnly = true)
+    val names2 = spark.read.format("tarmembers").load(out2)
+      .select("member").collect().map(_.getString(0)).toSet
+    assert(names2 == Set("x.txt", "y.txt"))
+  }
+
+  test("getbatch writeArchive emits tgz and zip with identical entry order") {
+    import graft.ops.GetBatch
+    import graft.shards.Archives
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    val payloads = Seq(("b", "o1", "", "AL"), ("b", "o2", "", "BETA"))
+      .toDF("bucket", "objname", "archpath", "p")
+      .select($"bucket", $"objname", $"archpath", $"p".cast("binary").as("payload"))
+    val reqs = Seq((0L, "b", "o2"), (1L, "b", "o1"))
+      .toDF("_req_idx", "bucket", "objname")
+    for (mime <- Seq(".tgz", ".zip", ".tar.lz4")) {
+      val bos = new ByteArrayOutputStream()
+      assert(GetBatch.writeArchive(GetBatch.assemble(reqs, payloads), bos, mime) == 2)
+      val ext = if (mime == ".zip") "a.zip" else if (mime == ".tgz") "a.tgz" else "a.tar.lz4"
+      val entries = Archives.iterate(ext, new ByteArrayInputStream(bos.toByteArray),
+        readPayloads = true).map(e => (e.name, new String(e.read()))).toSeq
+      assert(entries == Seq("b/o2" -> "BETA", "b/o1" -> "AL"), mime)
+    }
+  }
+
   test("multimodal: frame sampling explodes the stride plan lazily") {
     val df = Seq(("a.mp4", "x" * 65), ("b.mp4", "y" * 10))
       .toDF("member", "p").select($"member", $"p".cast("binary").as("payload"))
