@@ -41,25 +41,31 @@ object Dedup {
 
   /** MinHash signature: for seeds 0..n-1, the minimum of
     * `md5(seed || ':' || shingle)` — a valid uniform min-hash family over
-    * the md5 string order, deterministic across engines. Output:
-    * (doc_id, seed, h). */
+    * the md5 string order, deterministic across engines.
+    *
+    * Computed WIDE: all n minima in one groupBy pass (n min-aggregates)
+    * instead of exploding shingles ×n and re-shuffling — same values,
+    * one shuffle, no row blowup. Output: (doc_id, h0..h{n-1}). */
   def minhash(sh: DataFrame, numHashes: Int = 12): DataFrame = {
-    val spark = sh.sparkSession
-    val seeds = spark.range(numHashes).select(col("id").cast("int").as("seed"))
-    sh.crossJoin(broadcast(seeds))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("h"))
+    val mins = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"h$s"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: group each signature into bands of `rowsPerBand`
-    * hashes; the band hash is md5 of the concatenated member hashes.
-    * Docs sharing any (band, band_hash) bucket become candidate pairs. */
-  def lshBands(sig: DataFrame, rowsPerBand: Int = 3): DataFrame =
-    sig
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",", sort_array(collect_list(struct(col("seed"), col("h")))
-        .getField("h"))).cast("binary")).as("band_hash"))
+  /** LSH banding over the wide signature: band b's hash is md5 of the
+    * comma-joined member hashes in seed order. Docs sharing any
+    * (band, band_hash) bucket become candidate pairs. */
+  def lshBands(sig: DataFrame, rowsPerBand: Int = 3): DataFrame = {
+    val numHashes = sig.columns.count(_.startsWith("h"))
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val members = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"h$s"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", members: _*).cast("binary")).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("_b"))
+      .select(col("doc_id"), col("_b.band").as("band"), col("_b.band_hash").as("band_hash"))
+  }
 
   /** Candidate pairs from shared LSH buckets (a < b). */
   def candidatePairs(bands: DataFrame): DataFrame = {

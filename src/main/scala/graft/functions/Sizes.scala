@@ -1,0 +1,55 @@
+package graft.functions
+
+/** F6 — size/quantity parsing (reference `cos.ParseSize` /
+  * `ParseQuantity`, used by dSort specs `ext/dsort/request_spec.go:100,159`):
+  * IEC suffixes (KiB/MiB/GiB/TiB, 1024-based), SI (KB/MB/GB/TB,
+  * 1000-based), bare bytes, fractional values ("1.5GiB"), and percent
+  * quantities ("80%"). Driver-side API utility (never a row expression).
+  */
+object Sizes {
+
+  private val iec = Map("kib" -> (1L << 10), "mib" -> (1L << 20), "gib" -> (1L << 30), "tib" -> (1L << 40))
+  private val si = Map("kb" -> 1000L, "mb" -> 1000000L, "gb" -> 1000000000L, "tb" -> 1000000000000L)
+
+  /** "16MiB" → 16777216; "4KB" → 4000; "123" / "123B" → 123. */
+  def parseSize(in: String): Long = {
+    val s = in.trim.toLowerCase
+    require(s.nonEmpty, "empty size")
+    val (numPart, mult) =
+      (iec ++ si).collectFirst { case (suf, m) if s.endsWith(suf) => (s.dropRight(suf.length), m) }
+        .orElse(if (s.endsWith("b")) Some((s.dropRight(1), 1L)) else None)
+        .getOrElse((s, 1L))
+    val v = numPart.trim.toDouble
+    require(v >= 0, s"negative size: $in")
+    math.round(v * mult)
+  }
+
+  /** Quantity = percent or bytes (`cos.ParseQuantity`). */
+  sealed trait Quantity
+  final case class Percent(value: Int) extends Quantity
+  final case class Bytes(value: Long) extends Quantity
+
+  def parseQuantity(in: String): Quantity = {
+    val s = in.trim
+    if (s.endsWith("%")) {
+      val p = s.dropRight(1).trim.toInt
+      require(p >= 0 && p <= 100, s"percent out of range: $in")
+      Percent(p)
+    } else Bytes(parseSize(s))
+  }
+}
+
+/** O6 — provider paging caps (`api/apc/lsmsg.go:104-112`). */
+object PagingCaps {
+  val Ais = 10000
+  val Aws = 1000
+  val Gcp = 1000
+  val Oci = 1000
+  val Azure = 5000
+  def forProvider(p: String): Int = p.toLowerCase match {
+    case "ais" | "ht" => Ais
+    case "aws" | "gcp" | "oci" => Aws
+    case "azure" => Azure
+    case _ => Ais
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{PagingCaps, Sizes}
+
+class SizesSpec extends AnyFunSuite {
+  test("IEC / SI / bare / fractional sizes") {
+    assert(Sizes.parseSize("16MiB") == 16L << 20)
+    assert(Sizes.parseSize("4KB") == 4000L)
+    assert(Sizes.parseSize("1GiB") == 1L << 30)
+    assert(Sizes.parseSize("1.5GiB") == (1.5 * (1L << 30)).toLong)
+    assert(Sizes.parseSize("123") == 123L)
+    assert(Sizes.parseSize("123B") == 123L)
+    assert(Sizes.parseSize(" 2 TiB ") == 2L << 40)
+    intercept[Exception](Sizes.parseSize(""))
+    intercept[Exception](Sizes.parseSize("-5MiB"))
+  }
+
+  test("quantities: percent vs bytes") {
+    assert(Sizes.parseQuantity("80%") == Sizes.Percent(80))
+    assert(Sizes.parseQuantity("16MiB") == Sizes.Bytes(16L << 20))
+    intercept[Exception](Sizes.parseQuantity("120%"))
+  }
+
+  test("provider paging caps") {
+    assert(PagingCaps.forProvider("ais") == 10000)
+    assert(PagingCaps.forProvider("aws") == 1000)
+    assert(PagingCaps.forProvider("azure") == 5000)
+  }
+}
