@@ -87,6 +87,33 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q12_shipmode_priority" -> ((s, d) => {
+      val l = li(s, d); val o = ord(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_returnflag") === "N")
+        .groupBy("l_linestatus")
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    "q14_promo_revenue" -> ((s, d) => {
+      val l = li(s, d); val p = Tables.load(s, d, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0d)) * 100.0 /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct"))
+    }),
+
+    // S1 over a REAL file tree: the sf dir itself ingested as a catalog
+    // (rows-only: DuckDB cannot list the filesystem)
+    "catalog_from_dir" -> ((s, d) =>
+      ListObjects.run(
+        catalog.ObjectCatalog.fromDirectory(s, d, "testdata"),
+        CatalogQuery(props = Seq("name", "size", "is_archive"), pageSize = 100))),
+
     // ------------------------------------------------------------------
     // Catalog / list-objects family (SURVEY S1, P1-P6, O1-O2)
     // ------------------------------------------------------------------
@@ -362,6 +389,26 @@ object SparkEntry {
         .select(col("src_name"), col("dst_name"), col("payload").cast("string").as("digest"))
         .orderBy("src_name", "dst_name")),
 
+    "etl_inline" -> ((s, d) => {
+      // U5: transform on the read path with etl_args; payload = text bytes
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          concat(lit("doc/"), col("doc_id").cast("string")).as("name"))
+      etl.Transforms.inline(docs, etl.Transforms.upper >> etl.Transforms.suffix, etlArgs = "!x")
+        .select(col("doc_id"), md5(col("payload")).as("out_md5"),
+          length(col("payload")).cast("long").as("out_len"))
+        .orderBy("doc_id")
+    }),
+
+    // A5 approx variant: HLL distincts (no oracle - algorithm-specific;
+    // accuracy asserted against exact counts in ExtensionsSpec)
+    "vocab_stats_approx" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("source")
+        .agg(approx_count_distinct("tok").as("vocab_approx"))
+        .orderBy("source")),
+
     // ------------------------------------------------------------------
     // Dedup (SURVEY §7.6): exact, MinHash+LSH, SimHash
     // ------------------------------------------------------------------
@@ -573,6 +620,21 @@ object SparkEntry {
         |  JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_shipmode_priority" ->
+      """SELECT l_linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'N'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0 /
+        |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "lso_page1" -> o(
       """SELECT name, size, checksum, atime_ns, version FROM objects
@@ -897,6 +959,11 @@ object SparkEntry {
         |  md5(payload_str) AS digest
         |FROM tarfix ORDER BY src_name, dst_name""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
+
+    "etl_inline" ->
+      """SELECT doc_id, md5(upper(text) || '!x') AS out_md5,
+        |  CAST(length(text) + 2 AS BIGINT) AS out_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" -> o(
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -124,6 +124,19 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("approx vocab within 5% of exact") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, explode, split, trim, col}
+    val toks = docs.select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val exact = toks.groupBy("source").agg(countDistinct("tok").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = toks.groupBy("source").agg(approx_count_distinct("tok").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (s, a) =>
+      val e = exact(s)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"source $s approx=$a exact=$e")
+    }
+  }
+
   test("multimodal: frame sampling explodes the stride plan lazily") {
     val df = Seq(("a.mp4", "x" * 65), ("b.mp4", "y" * 10))
       .toDF("member", "p").select($"member", $"p".cast("binary").as("payload"))
