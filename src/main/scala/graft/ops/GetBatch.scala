@@ -36,10 +36,29 @@ object GetBatch {
     */
   def assemble(requests: DataFrame, payloads: DataFrame,
                continueOnErr: Boolean = true, onlyObjName: Boolean = false): DataFrame = {
-    val req = Seq("archpath", "start", "length").foldLeft(requests) { (df, c) =>
+    val req0 = Seq("archpath", "start", "length").foldLeft(requests) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, if (c == "archpath") lit("") else lit(0L))
     }
+    // Malformed range SHAPES (null, start<0, length<-1, start!=0&&length==0)
+    // reject the batch at request time regardless of continueOnErr — the
+    // reference validates in MossIn.UnmarshalJSON (ml.go:152-167) before any
+    // data access; only OUT-OF-BOUNDS ranges become soft 404s under coer
+    // (ml.go:170-188). Validation runs on the broadcast-sized request side
+    // BEFORE the join (fails fast; and objname is a join key, so the
+    // raise_error cannot be column-pruned away downstream). Message format
+    // mirrors the reference: the -1 open-ended sentinel is not echoed.
+    val req = req0.withColumn("objname",
+      when(col("start").isNull || col("length").isNull ||
+        !ByteRanges.isValidRequest(col("start"), col("length")),
+        raise_error(concat(lit("GetBatch: invalid range request ("),
+          when(col("length") === -1,
+            concat(lit("start="), coalesce(col("start").cast("string"), lit("null"))))
+            .otherwise(concat(
+              lit("start="), coalesce(col("start").cast("string"), lit("null")),
+              lit(",length="), coalesce(col("length").cast("string"), lit("null")))),
+          lit("): "), col("objname"))))
+        .otherwise(col("objname")))
     val pay = (if (payloads.columns.contains("archpath")) payloads
                else payloads.withColumn("archpath", lit("")))
       .select(col("bucket"), col("objname"), col("archpath"), col("payload"))

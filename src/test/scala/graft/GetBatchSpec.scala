@@ -68,6 +68,26 @@ class GetBatchSpec extends SparkSpec {
     assert(got.getString(1) == "shard.tar/m1.jpg")
   }
 
+  test("malformed range shape rejects the batch even under continueOnErr") {
+    val bad = Seq((0L, "bck0", "obj/a", "", 5L, 0L)) // start!=0, length=0
+      .toDF("_req_idx", "bucket", "objname", "archpath", "start", "length")
+    intercept[Exception] {
+      GetBatch.assemble(bad, payloads, continueOnErr = true).collect()
+    }
+    // ...even when the caller's projection never references the name
+    // column (validation lives on the join key — not prunable)
+    intercept[Exception] {
+      GetBatch.assemble(bad, payloads, continueOnErr = true)
+        .select("_req_idx", "size").collect()
+    }
+    // null start/length are malformed too
+    val nullReq = Seq((0L, "bck0", "obj/a", "", Some(5L), Option.empty[Long]))
+      .toDF("_req_idx", "bucket", "objname", "archpath", "start", "length")
+    intercept[Exception] {
+      GetBatch.assemble(nullReq, payloads, continueOnErr = true).collect()
+    }
+  }
+
   test("continueOnErr=false fails the batch on a miss") {
     intercept[Exception] {
       GetBatch.assemble(requests, payloads, continueOnErr = false).collect()
