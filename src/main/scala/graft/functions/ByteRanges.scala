@@ -21,9 +21,11 @@ object ByteRanges {
   val StatusInvalid = "invalid" // malformed request (ml.go:152-167)
   val StatusUnsatisfiable = "416" // out-of-bounds (ml.go:170-188)
 
-  /** Request-shape validity (independent of object size). */
+  /** Request-shape validity (independent of object size). Null start or
+    * length is malformed — coalesce keeps the predicate two-valued so
+    * callers can negate it safely. */
   def isValidRequest(start: Column, length: Column): Column =
-    start >= 0 && length >= -1 && !(start =!= 0 && length === 0)
+    coalesce(start >= 0 && length >= -1 && !(start =!= 0 && length === 0), lit(false))
 
   /** Status classification given the object's size. */
   def status(start: Column, length: Column, size: Column): Column =

@@ -49,15 +49,14 @@ object GetBatch {
     // raise_error cannot be column-pruned away downstream). Message format
     // mirrors the reference: the -1 open-ended sentinel is not echoed.
     val req = req0.withColumn("objname",
-      when(col("start").isNull || col("length").isNull ||
-        !ByteRanges.isValidRequest(col("start"), col("length")),
+      when(!ByteRanges.isValidRequest(col("start"), col("length")),
         raise_error(concat(lit("GetBatch: invalid range request ("),
           when(col("length") === -1,
             concat(lit("start="), coalesce(col("start").cast("string"), lit("null"))))
             .otherwise(concat(
               lit("start="), coalesce(col("start").cast("string"), lit("null")),
               lit(",length="), coalesce(col("length").cast("string"), lit("null")))),
-          lit("): "), col("objname"))))
+          lit("): "), coalesce(col("objname"), lit("null")))))
         .otherwise(col("objname")))
     val pay = (if (payloads.columns.contains("archpath")) payloads
                else payloads.withColumn("archpath", lit("")))
