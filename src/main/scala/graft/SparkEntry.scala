@@ -316,6 +316,13 @@ object SparkEntry {
         .select(col("sample_key"), col("_key").as("ckey"), col("rn"))
     }),
 
+    "ekm_pack" -> ((s, d) =>
+      DSort.ekmPack(DSort.samples(DerivedCatalog.members(s, d)), Seq(
+        "^s000[0-4].*" -> "low-%03d.tar",
+        "^s0000[0-9].*" -> "dup-%d.tar",
+        "^s000[5-9].*" -> "mid-%03d.tar"), maxSize = 400000L)
+        .orderBy("sample_key")),
+
     "ekm_assign" -> ((s, d) =>
       DSort.ekmAssign(DSort.samples(DerivedCatalog.members(s, d)), Seq(
         "^s000[0-4].*" -> "low-%03d.tar",
@@ -890,6 +897,28 @@ object SparkEntry {
         |               ELSE 'mid-%03d.tar' END)
         |  END AS out_template
         |FROM samples ORDER BY sample_key""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "ekm_pack" -> o(
+      """SELECT sample_key, size, out_template,
+        |  CAST((c - size) // 400000 AS BIGINT) AS shard_id,
+        |  printf(out_template, CAST((c - size) // 400000 AS BIGINT)) AS shard_name
+        |FROM (
+        |  SELECT sample_key, size, out_template,
+        |    sum(size) OVER (PARTITION BY out_template ORDER BY sample_key
+        |                    ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM (
+        |    SELECT sample_key, size,
+        |      CASE WHEN (CASE WHEN regexp_matches(sample_key, '^s000[0-4].*') THEN 1 ELSE 0 END
+        |          + CASE WHEN regexp_matches(sample_key, '^s0000[0-9].*') THEN 1 ELSE 0 END
+        |          + CASE WHEN regexp_matches(sample_key, '^s000[5-9].*') THEN 1 ELSE 0 END) = 1
+        |        THEN (CASE WHEN regexp_matches(sample_key, '^s000[0-4].*') THEN 'low-%03d.tar'
+        |                   WHEN regexp_matches(sample_key, '^s0000[0-9].*') THEN 'dup-%d.tar'
+        |                   ELSE 'mid-%03d.tar' END)
+        |      END AS out_template
+        |    FROM samples)
+        |  WHERE out_template IS NOT NULL)
+        |ORDER BY sample_key""".stripMargin,
       OracleCte.members, OracleCte.samples),
 
     "arch_match_modes" -> o(

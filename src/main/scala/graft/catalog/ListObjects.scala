@@ -59,7 +59,17 @@ object ListObjects {
     dirKey ++ Seq(col("name").asc, col("status").asc)
   }
 
+  /** The full prop vocabulary (`api/apc/lsmsg.go:143-174` GetProps*). */
+  val knownProps: Set[String] = Set(
+    "name", "size", "checksum", "atime_ns", "version", "location", "custom",
+    "copies", "is_cached", "is_dir", "in_arch", "is_archive", "ver_changed",
+    "ver_removed", "head_fail", "is_chunked", "status", "bucket", "provider",
+    "namespace")
+
   def run(catalog: DataFrame, q: CatalogQuery): DataFrame = {
+    val unknown = q.props.filterNot(knownProps)
+    require(unknown.isEmpty,
+      s"unknown object properties: ${unknown.mkString(",")}") // lsmsg.go prop validation
     var df = catalog
     if (q.bucket.nonEmpty) df = df.where(col("bucket") === q.bucket)
     if (q.prefix.nonEmpty) df = df.where(col("name").startsWith(q.prefix))

@@ -167,6 +167,42 @@ object DSort {
       .drop("matched_template")
   }
 
+  /** EKM-routed packing (`dsort.go:731` generateShardsWithOrderingFile):
+    * records are routed to their matched template's shard stream; each
+    * template maintains its OWN size-capped shard counter. One
+    * template-partitioned prefix sum — templates pack independently and
+    * in parallel. Returns (sample_key, size, out_template, shard_id,
+    * shard_name); unmatched/ambiguous records are excluded (strict mode
+    * raises instead, see [[ekmAssignStrict]]). */
+  def ekmPack(samplesDf: DataFrame, rules: Seq[(String, String)], maxSize: Long): DataFrame = {
+    val routed = ekmAssign(samplesDf, rules)
+      .where(col("out_template").isNotNull)
+      .join(samplesDf.select("sample_key", "size"), Seq("sample_key"))
+    val w = Window.partitionBy("out_template").orderBy("sample_key")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    routed
+      .withColumn("_cum", sum("size").over(w))
+      .withColumn("shard_id", ((col("_cum") - col("size")) / maxSize).cast("long"))
+      .withColumn("shard_name", format_string2(col("out_template"), col("shard_id")))
+      .select("sample_key", "size", "out_template", "shard_id", "shard_name")
+  }
+
+  /** format_string with a per-row format column (Spark's format_string
+    * needs a literal format; printf-style with dynamic format = replace
+    * the single %d-style directive manually). Supports `%d` and `%0Nd`. */
+  private def format_string2(fmt: Column, v: Column): Column = {
+    val padded = lpad(v.cast("string"),
+      coalesce(regexp_extract(fmt, "%0(\\d+)d", 1).cast("int"), lit(1)), lit("0"))
+    val value = when(regexp_extract(fmt, "%0(\\d+)d", 1) === "", v.cast("string"))
+      .otherwise(greatest2(padded, v.cast("string")))
+    regexp_replace(fmt, lit("%0?\\d*d"), value)
+  }
+
+  /** max-by-length of two strings: lpad must not truncate when the value
+    * outgrows the pad width (printf semantics). */
+  private def greatest2(padded: Column, raw: Column): Column =
+    when(length(raw) > length(padded), raw).otherwise(padded)
+
   /** Strict EKM: raise on any 0/>1 match (reference errors out —
     * `key.go:178-193`). */
   def ekmAssignStrict(samplesDf: DataFrame, rules: Seq[(String, String)]): DataFrame =

@@ -65,6 +65,25 @@ class DSortSpec extends SparkSpec {
     assert(keys == keys.sorted)
   }
 
+  test("EKM pack: each template packs independently with its own counter") {
+    import spark.implicits._
+    // keys a0..a5 route to template A, b0..b5 to B; size 60 each, cap 100
+    // → cumsum crosses the cap every 2 records per template.
+    val df = ((0 to 5).map(i => (f"a$i", 60L)) ++ (0 to 5).map(i => (f"b$i", 60L)))
+      .toDF("sample_key", "size")
+    val packed = DSort.ekmPack(df, Seq("^a.*" -> "A-%03d.tar", "^b.*" -> "B-%d.tar"), 100L)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getString(4))).sortBy(_._1)
+    val aShards = packed.filter(_._1.startsWith("a")).map(_._2).toSeq
+    val bShards = packed.filter(_._1.startsWith("b")).map(_._2).toSeq
+    // shard = floor(start_offset / cap); both templates restart at shard 0
+    // (independent counters): starts 0,60,120,180,240,300 → 0,0,1,1,2,3
+    assert(aShards == Seq(0L, 0L, 1L, 1L, 2L, 3L))
+    assert(bShards == Seq(0L, 0L, 1L, 1L, 2L, 3L))
+    // dynamic printf: %03d zero-pads, bare %d does not
+    assert(packed.find(_._1 == "a0").get._3 == "A-000.tar")
+    assert(packed.find(_._1 == "b4").get._3 == "B-2.tar")
+  }
+
   test("EKM strict raises on ambiguous match") {
     import spark.implicits._
     val two = Seq("s0000001_01").toDF("sample_key").withColumn("size", lit(1L))

@@ -60,6 +60,22 @@ class ListObjectsSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("name", "size"))
   }
 
+  test("unknown props are rejected") {
+    intercept[IllegalArgumentException] {
+      ListObjects.run(cat, CatalogQuery(props = Seq("size", "bogus_prop")))
+    }
+  }
+
+  test("name helpers: depth and parent dir") {
+    import graft.functions.ObjNames
+    import spark.implicits._
+    val r = Seq("a/b/c.txt", "top.bin").toDF("name")
+      .select(ObjNames.nameDepth($"name").as("d"), ObjNames.parentDir($"name").as("p"))
+      .collect()
+    assert(r(0).getInt(0) == 2 && r(0).getString(1) == "a/b/")
+    assert(r(1).getInt(0) == 0 && r(1).getString(1) == "")
+  }
+
   test("flag filters partition the listing") {
     val cached = ListObjects.run(cat, CatalogQuery(cachedOnly = true, pageSize = 1000000)).count()
     val notCached = ListObjects.run(cat, CatalogQuery(notCachedOnly = true, pageSize = 1000000)).count()
