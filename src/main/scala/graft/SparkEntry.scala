@@ -223,6 +223,21 @@ object SparkEntry {
         .orderBy("name", "chunk_id")),
 
     // ------------------------------------------------------------------
+    // Rechunk: monolithic ↔ chunked format transform (SURVEY GB9)
+    // ------------------------------------------------------------------
+    "rechunk_chunks" -> ((s, d) =>
+      ops.Rechunk.chunkPlan(DerivedCatalog.objects(s, d),
+        objSizeLimit = 20000000L, chunkSize = 4194304L,
+        isChunked = col("size") >= 500000L)
+        .orderBy("name", "chunk_id")),
+
+    "rechunk_summary" -> ((s, d) =>
+      ops.Rechunk.summary(DerivedCatalog.objects(s, d),
+        objSizeLimit = 20000000L, chunkSize = 4194304L,
+        isChunked = col("size") >= 500000L)
+        .orderBy("action")),
+
+    // ------------------------------------------------------------------
     // Scalar functions (SURVEY F5, F7, F8)
     // ------------------------------------------------------------------
     "fn_time_format" -> ((s, d) =>
@@ -793,6 +808,41 @@ object SparkEntry {
         |FROM (SELECT name, size, unnest(generate_series(0, size - 1, 4194304)) AS "offset"
         |      FROM objects WHERE size > 40000000)
         |ORDER BY name, chunk_id""".stripMargin,
+      OracleCte.objects),
+
+    "rechunk_chunks" -> o(
+      """SELECT bucket, name, size, action, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(c AS BIGINT) AS chunk_id,
+        |  CAST(CASE WHEN action = 'restore' THEN 0 ELSE c * 4194304 END AS BIGINT) AS chunk_start,
+        |  CAST(CASE WHEN action = 'restore' THEN size
+        |            ELSE least(4194304, size - c * 4194304) END AS BIGINT) AS chunk_len
+        |FROM (
+        |  SELECT *, unnest(generate_series(0, n_chunks - 1)) AS c
+        |  FROM (
+        |    SELECT bucket, name, size, action,
+        |      CASE WHEN action = 'rechunk' THEN (size + 4194303) // 4194304
+        |           WHEN action = 'restore' THEN 1 ELSE 0 END AS n_chunks
+        |    FROM (
+        |      SELECT bucket, name, size,
+        |        CASE WHEN size >= 20000000 THEN 'rechunk'
+        |             WHEN size >= 500000 THEN 'restore'
+        |             ELSE 'noop' END AS action
+        |      FROM objects))
+        |  WHERE n_chunks > 0)
+        |ORDER BY name, chunk_id""".stripMargin,
+      OracleCte.objects),
+
+    "rechunk_summary" -> o(
+      """SELECT action, count(*) AS n_objects,
+        |  CAST(sum(CASE WHEN action = 'rechunk' THEN (size + 4194303) // 4194304
+        |               WHEN action = 'restore' THEN 1 ELSE 0 END) AS BIGINT) AS n_writes,
+        |  CAST(sum(CASE WHEN action = 'noop' THEN 0 ELSE size END) AS BIGINT) AS bytes_written
+        |FROM (SELECT size,
+        |        CASE WHEN size >= 20000000 THEN 'rechunk'
+        |             WHEN size >= 500000 THEN 'restore'
+        |             ELSE 'noop' END AS action
+        |      FROM objects)
+        |GROUP BY action ORDER BY action""".stripMargin,
       OracleCte.objects),
 
     "fn_time_format" -> o(

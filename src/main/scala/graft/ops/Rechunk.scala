@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rechunk — bucket-wide monolithic ↔ chunked format transform
+  * (reference `xact/xs/rechunk.go`, message `api/apc/rechunk.go:13-25`).
+  *
+  * Decision table (`rechunk.go:131-136`):
+  * {{{
+  * | Object Size     | Was Chunked? | Action             |
+  * | < objSizeLimit  |     Yes      | restore monolithic |
+  * | < objSizeLimit  |     No       | no-op              |
+  * | >= objSizeLimit |     --       | re-chunk           |
+  * }}}
+  * `objSizeLimit == 0` disables chunking entirely: every chunked object
+  * is restored, every monolithic object is a no-op.
+  *
+  * Spark-first shape: the plan is a single narrow projection (no shuffle);
+  * the chunk-write plan explodes `sequence(0, n_chunks-1)` per object —
+  * fully distributed, linear in output size. Chunk counts are bounded by
+  * objectSize/chunkSize, so the per-row array stays small for realistic
+  * chunk sizes (reference default chunk sizes are MB-scale).
+  */
+object Rechunk {
+
+  /** Per-object action + chunk count. `isChunked` is a predicate column
+    * (the analytic catalog carries no physical chunk manifest). */
+  def plan(objects: DataFrame, objSizeLimit: Long, chunkSize: Long,
+           isChunked: Column, prefix: String = ""): DataFrame = {
+    require(chunkSize > 0, "chunk size is not set") // rechunk.go:119-121
+    val scoped = if (prefix.isEmpty) objects else objects.where(col("name").startsWith(prefix))
+    val below = if (objSizeLimit == 0) lit(true) else col("size") < objSizeLimit
+    scoped
+      .withColumn("action",
+        when(below && !isChunked, lit("noop"))
+          .when(below, lit("restore"))
+          .otherwise(lit("rechunk")))
+      .withColumn("n_chunks",
+        when(col("action") === "rechunk",
+          expr(s"(size + ${chunkSize - 1}) div $chunkSize"))
+          .when(col("action") === "restore", lit(1L))
+          .otherwise(lit(0L)))
+  }
+
+  /** Write-op plan: one row per output chunk. `restore` emits a single
+    * whole-object write; `noop` objects are excluded (nothing written). */
+  def chunkPlan(objects: DataFrame, objSizeLimit: Long, chunkSize: Long,
+                isChunked: Column, prefix: String = ""): DataFrame =
+    plan(objects, objSizeLimit, chunkSize, isChunked, prefix)
+      .where(col("n_chunks") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk_start",
+        when(col("action") === "restore", lit(0L))
+          .otherwise(col("chunk_id") * chunkSize))
+      .withColumn("chunk_len",
+        when(col("action") === "restore", col("size"))
+          .otherwise(least(lit(chunkSize), col("size") - col("chunk_start"))))
+      .select("bucket", "name", "size", "action", "n_chunks",
+        "chunk_id", "chunk_start", "chunk_len")
+
+  /** Job summary: objects and bytes per action (reference tracks
+    * processed/skipped via `ObjsAdd` — `rechunk.go:141,196`). */
+  def summary(objects: DataFrame, objSizeLimit: Long, chunkSize: Long,
+              isChunked: Column, prefix: String = ""): DataFrame =
+    plan(objects, objSizeLimit, chunkSize, isChunked, prefix)
+      .groupBy("action")
+      .agg(count(lit(1)).as("n_objects"),
+        sum("n_chunks").cast("long").as("n_writes"),
+        sum(when(col("action") === "noop", 0L).otherwise(col("size")))
+          .cast("long").as("bytes_written"))
+}

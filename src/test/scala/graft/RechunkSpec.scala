@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.DerivedCatalog
+import graft.ops.Rechunk
+
+/** Rechunk decision table + chunk-plan invariants (reference
+  * `xact/xs/rechunk.go:131-136`). */
+class RechunkSpec extends SparkSpec {
+
+  private val limit = 20000000L
+  private val cs = 4194304L
+  private lazy val objects = DerivedCatalog.objects(spark, TestSpark.sf001).cache()
+  private lazy val plan =
+    Rechunk.plan(objects, limit, cs, isChunked = col("size") >= 500000L).cache()
+
+  test("decision table: action follows size vs limit and chunked flag") {
+    val bad = plan.where(
+      (col("size") >= limit && col("action") =!= "rechunk") ||
+      (col("size") < limit && col("size") >= 500000L && col("action") =!= "restore") ||
+      (col("size") < 500000L && col("action") =!= "noop")).count()
+    assert(bad == 0)
+    // all three branches exercised by the derived catalog
+    assert(plan.select("action").distinct().count() == 3)
+  }
+
+  test("chunk plan: chunks tile each object exactly, restore is whole-object") {
+    val chunks = Rechunk.chunkPlan(objects, limit, cs, col("size") >= 500000L)
+    // per-object: sum of chunk lengths == size, chunk ids dense from 0
+    val bad = chunks.groupBy("name", "size", "n_chunks")
+      .agg(sum("chunk_len").as("covered"), count(lit(1)).as("rows"),
+        min("chunk_id").as("lo"), max("chunk_id").as("hi"))
+      .where(col("covered") =!= col("size") || col("rows") =!= col("n_chunks") ||
+        col("lo") =!= 0L || col("hi") =!= col("n_chunks") - 1)
+      .count()
+    assert(bad == 0)
+    // every chunk except an object's last is exactly chunkSize
+    val short = chunks.where(col("action") === "rechunk" &&
+      col("chunk_id") < col("n_chunks") - 1 && col("chunk_len") =!= cs).count()
+    assert(short == 0)
+  }
+
+  test("objSizeLimit=0 disables chunking: restore chunked, noop the rest") {
+    val p = Rechunk.plan(objects, 0L, cs, isChunked = col("size") >= 500000L)
+    assert(p.where(col("action") === "rechunk").count() == 0)
+    assert(p.where(col("action") === "restore").count() ==
+      objects.where(col("size") >= 500000L).count())
+  }
+
+  test("prefix scopes the job") {
+    val p = Rechunk.plan(objects, limit, cs, col("size") >= 500000L, prefix = "flat/")
+    assert(p.count() == objects.where(col("name").startsWith("flat/")).count())
+    assert(p.where(!col("name").startsWith("flat/")).count() == 0)
+  }
+}
