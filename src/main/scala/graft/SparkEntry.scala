@@ -343,6 +343,7 @@ object SparkEntry {
         "^s000[0-4].*" -> "low-%03d.tar",
         "^s0000[0-9].*" -> "dup-%d.tar",
         "^s000[5-9].*" -> "mid-%03d.tar"))
+        .select("sample_key", "n_matches", "out_template")
         .orderBy("sample_key")),
 
     // ------------------------------------------------------------------

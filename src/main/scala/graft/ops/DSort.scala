@@ -149,23 +149,22 @@ object DSort {
 
   /** J4/P7 — EKM (external key map, `ext/dsort/shard/key.go:155-193`):
     * regex-keyed rules mapping record name → output-shard template.
-    * Exactly one rule must match; 0 or >1 is an error per record. The
-    * rules table is tiny → broadcast theta-join on `rlike`, then a
-    * match-count check. Returns (sample_key, n_matches, out_template). */
-  def ekmAssign(samplesDf: DataFrame, rules: Seq[(String, String)]): DataFrame = {
-    val spark = samplesDf.sparkSession
-    import spark.implicits._
-    val rulesDf = rules.toDF("_regex", "_template")
+    * Exactly one rule must match; 0 or >1 is an error per record.
+    *
+    * The rules list is tiny and known at plan time, so each rule unrolls
+    * to a literal-pattern `rlike` (regex compiled once, whole-stage
+    * codegen'd) — no join, no shuffle, all input columns preserved (rows
+    * are assumed unique by `sample_key`, which [[samples]] guarantees).
+    * Adds `n_matches` and `out_template` (null unless exactly one rule
+    * matched). */
+  def ekmAssign(samplesDf: DataFrame, rules: Seq[(String, String)]): DataFrame =
     samplesDf
-      .join(broadcast(rulesDf), expr("regexp_like(sample_key, _regex)"), "left_outer")
-      .groupBy("sample_key")
-      .agg(
-        count(col("_regex")).as("n_matches"),
-        min("_template").as("matched_template"))
+      .withColumn("n_matches", rules.map { case (re, _) =>
+        when(col("sample_key").rlike(re), 1L).otherwise(0L) }.reduce(_ + _))
       .withColumn("out_template",
-        when(col("n_matches") === 1, col("matched_template")).otherwise(lit(null)))
-      .drop("matched_template")
-  }
+        when(col("n_matches") === 1,
+          coalesce(rules.map { case (re, t) =>
+            when(col("sample_key").rlike(re), lit(t)) }: _*)))
 
   /** EKM-routed packing (`dsort.go:731` generateShardsWithOrderingFile):
     * records are routed to their matched template's shard stream; each
@@ -177,7 +176,6 @@ object DSort {
   def ekmPack(samplesDf: DataFrame, rules: Seq[(String, String)], maxSize: Long): DataFrame = {
     val routed = ekmAssign(samplesDf, rules)
       .where(col("out_template").isNotNull)
-      .join(samplesDf.select("sample_key", "size"), Seq("sample_key"))
     val w = Window.partitionBy("out_template").orderBy("sample_key")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     routed
