@@ -5,6 +5,13 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     val sf = "/root/testdata/sf0.01"
+    if (args.nonEmpty) { // explain specific SparkEntry queries by name
+      args.foreach { name =>
+        println(s"=== $name ===")
+        SparkEntry.queries(name)(spark, sf).explain("formatted")
+      }
+      spark.stop(); return
+    }
     // 1. managed parquet catalog: prefix + token pushdown
     val catDir = "/tmp/graft_cat_explain"
     ObjectCatalog.write(DerivedCatalog.objects(spark, sf)

@@ -52,6 +52,44 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q4_order_priority" -> ((s, d) => {
+      // TPC-H q4 shape adapted to the testdata schema: the EXISTS
+      // predicate is "order has >=1 returned line item" (left-semi join)
+      val l = li(s, d); val o = ord(s, d)
+      o.where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .join(l.where(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q7_volume_shipping" -> ((s, d) => {
+      // supplier/customer pre-filtered to the nation pair BEFORE touching
+      // lineitem: the broadcast semi-shrinks the fact table to ~2/N of
+      // rows ahead of the orders shuffle join
+      val l = li(s, d); val o = ord(s, d); val c = cust(s, d)
+      val su = Tables.load(s, d, "supplier"); val n = Tables.load(s, d, "nation")
+      val pair = Seq("NATION_1", "NATION_2")
+      val sn = su.join(n.where(col("n_name").isin(pair: _*)),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cn = c.join(n.where(col("n_name").isin(pair: _*)),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      l.where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     "q5_local_supplier_volume" -> ((s, d) => {
       val l = li(s, d); val o = ord(s, d); val c = cust(s, d)
       val su = Tables.load(s, d, "supplier")
@@ -212,6 +250,13 @@ object SparkEntry {
       ops.DiffResolver.lsoDiff(
         local = DerivedCatalog.objects(s, d).where(col("name").startsWith("flat/")),
         remote = DerivedCatalog.remote(s, d).where(col("name").startsWith("flat/")))
+        .orderBy("name")),
+
+    // LsDiff flag in the paged listing itself (SURVEY P5/S2 integration)
+    "lso_diff_page" -> ((s, d) =>
+      ListObjects.runDiff(DerivedCatalog.objects(s, d),
+        CatalogQuery(bucket = "bck1", prefix = "data/", pageSize = 500),
+        DerivedCatalog.remote(s, d))
         .orderBy("name")),
 
     // ------------------------------------------------------------------
@@ -616,6 +661,32 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
 
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier
+        |    JOIN lineitem ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n1.n_name <> n2.n_name
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "q5_local_supplier_volume" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -801,6 +872,18 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT name, version FROM remote WHERE name LIKE 'flat/%') r
         |  ON l.name = r.name
         |ORDER BY name""".stripMargin,
+      OracleCte.objects, OracleCte.remote),
+
+    "lso_diff_page" -> o(
+      """SELECT p.name, p.size, p.checksum, p.atime_ns, p.version,
+        |  (r.version IS NULL) AS ver_removed,
+        |  CASE WHEN r.version IS NULL THEN FALSE
+        |       ELSE r.version <> p.version END AS ver_changed
+        |FROM (SELECT bucket, name, size, checksum, atime_ns, version FROM objects
+        |      WHERE bucket = 'bck1' AND name LIKE 'data/%'
+        |      ORDER BY name LIMIT 500) p
+        |LEFT JOIN remote r ON p.bucket = r.bucket AND p.name = r.name
+        |ORDER BY p.name""".stripMargin,
       OracleCte.objects, OracleCte.remote),
 
     "blob_chunks" -> o(

@@ -126,6 +126,36 @@ object ListObjects {
       .limit(q.pageSize)
   }
 
+  /** LsDiff flow (`api/apc/lsmsg.go:79-86`): enrich one listed page with
+    * bidirectional version-diff flags against the remote listing —
+    * `ver_removed` (no longer exists remotely) and `ver_changed` (remote
+    * version differs), mirroring `cmn.LsoEnt` flags `EntryVerChanged` /
+    * `EntryVerRemoved` (`lsmsg.go:134-135`).
+    *
+    * Scale shape: flags are computed AFTER page trim — a page is bounded
+    * by the provider cap (≤10k rows). An outer join would have to build
+    * (= broadcast) the remote side, so instead the remote listing is
+    * probed with a broadcast INNER join on the page keys (build side =
+    * page, output ≤ page size), and the page left-outer-joins that tiny
+    * matched set. The 100 TB side streams once with bucket/prefix
+    * pushdown intact; nothing shuffles. */
+  def runDiff(catalog: DataFrame, q: CatalogQuery, remote: DataFrame): DataFrame = {
+    val helpers = Seq("bucket", "version").filterNot(q.props.contains)
+    val page = run(catalog, q.copy(props = q.props ++ helpers))
+    var r = remote
+    if (q.bucket.nonEmpty) r = r.where(col("bucket") === q.bucket)
+    if (q.prefix.nonEmpty) r = r.where(col("name").startsWith(q.prefix))
+    val matched = r.select(col("bucket"), col("name"), col("version").as("_rver"))
+      .join(broadcast(page.select("bucket", "name")), Seq("bucket", "name"))
+    page
+      .join(broadcast(matched), Seq("bucket", "name"), "left_outer")
+      .withColumn("ver_removed", col("_rver").isNull)
+      .withColumn("ver_changed",
+        when(col("_rver").isNull, lit(false)).otherwise(col("_rver") =!= col("version")))
+      .drop("_rver")
+      .drop(helpers: _*)
+  }
+
   private def project(df: DataFrame, props: Seq[String], extra: Seq[String]): DataFrame = {
     val want = ("name" +: props).distinct ++ extra.filterNot(props.contains)
     df.select(want.filter(c => df.columns.contains(c) || c == "is_dir").distinct.map {

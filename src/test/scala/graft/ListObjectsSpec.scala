@@ -76,6 +76,24 @@ class ListObjectsSpec extends SparkSpec {
     assert(r(1).getInt(0) == 0 && r(1).getString(1) == "")
   }
 
+  test("runDiff: flags partition the page and agree with the remote view") {
+    import graft.catalog.DerivedCatalog
+    val remote = DerivedCatalog.remote(spark, TestSpark.sf001)
+    val q = CatalogQuery(bucket = "bck1", prefix = "data/", pageSize = 300)
+    val page = ListObjects.runDiff(
+      DerivedCatalog.objects(spark, TestSpark.sf001), q, remote).cache()
+    assert(page.count() == 300)
+    // a removed entry is never also changed
+    assert(page.where(col("ver_removed") && col("ver_changed")).count() == 0)
+    // every ver_removed name is absent from the remote listing
+    val removed = page.where(col("ver_removed")).select("name")
+    assert(removed.join(remote.where(col("bucket") === "bck1"), Seq("name"),
+      "left_semi").count() == 0)
+    // the diff derivation (%13 deleted, %7 changed) is visible in the page
+    assert(page.where(col("ver_removed")).count() > 0)
+    assert(page.where(col("ver_changed")).count() > 0)
+  }
+
   test("flag filters partition the listing") {
     val cached = ListObjects.run(cat, CatalogQuery(cachedOnly = true, pageSize = 1000000)).count()
     val notCached = ListObjects.run(cat, CatalogQuery(notCachedOnly = true, pageSize = 1000000)).count()
