@@ -491,6 +491,20 @@ object SparkEntry {
       ext.Dedup.simhash16(Tables.load(s, d, "documents")).orderBy("doc_id")),
 
     // ------------------------------------------------------------------
+    // Deterministic sampling (SURVEY §7.6 training-pipeline scope)
+    // ------------------------------------------------------------------
+    "sample_stratified" -> ((s, d) =>
+      ext.Sampling.stratifiedExact(Tables.load(s, d, "documents"),
+        col("lang"), col("doc_id"), 0.2)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "sample_bernoulli" -> ((s, d) =>
+      ext.Sampling.bernoulliHash(Tables.load(s, d, "documents"), col("doc_id"), 0.3)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // ------------------------------------------------------------------
     // Similarity search (SURVEY §7.6)
     // ------------------------------------------------------------------
     "embed_near_dup" -> ((s, d) =>
@@ -1197,6 +1211,21 @@ object SparkEntry {
         |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
         |      FROM c JOIN q ON vec_id <> query_id)
         |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rn <= ceil(n * 0.2)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_bernoulli" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 1288490188
+        |ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (SURVEY §7.6
+  * north-star scope). All samplers are pure functions of the data — the
+  * same input always yields the same sample on any cluster layout, which
+  * is what makes them oracle-checkable AND reproducible across pipeline
+  * re-runs (the property data curators actually need; Spark's built-in
+  * `df.sample` is seed+partition-layout dependent).
+  */
+object Sampling {
+
+  /** Exact-fraction stratified sample: within each stratum, rows are
+    * ranked by a cryptographic hash of their key (a deterministic
+    * "shuffle") and the first `ceil(n_stratum * frac)` are kept — every
+    * stratum is represented at exactly the requested rate regardless of
+    * skew.
+    *
+    * Scale: one hash-partition shuffle on the stratum column; each
+    * stratum's window sorts locally. A pathologically hot stratum
+    * (>> one executor's memory) would need the two-pass rank used in
+    * [[graft.ops.DSort]]'s globalCumsum; document-corpus strata (lang,
+    * source, domain) are far from that. */
+  def stratifiedExact(df: DataFrame, stratum: Column, key: Column, frac: Double): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"fraction out of range: $frac")
+    val order = Seq(md5(key.cast("string")), key.cast("string"))
+    df.withColumn("_rn", row_number().over(Window.partitionBy(stratum).orderBy(order: _*)))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(stratum)))
+      .where(col("_rn") <= ceil(col("_n") * frac))
+      .drop("_rn", "_n")
+  }
+
+  /** Systematic 1-in-N sample over a numeric key — zero-shuffle row
+    * filter, the cheapest reproducible downsample. */
+  def systematic(df: DataFrame, key: Column, everyN: Int): DataFrame = {
+    require(everyN > 0, s"everyN must be positive: $everyN")
+    df.where(pmod(key, lit(everyN)) === 0)
+  }
+
+  /** Deterministic hash-Bernoulli: keep a row iff the first 8 hex chars
+    * of md5(key), read as an integer, fall under `frac * 2^32`. Unlike
+    * [[systematic]] this is unbiased for structured/periodic keys;
+    * unlike [[stratifiedExact]] it needs no shuffle at all. */
+  def bernoulliHash(df: DataFrame, key: Column, frac: Double): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"fraction out of range: $frac")
+    val threshold = (frac * 4294967296d).toLong
+    df.where(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") < threshold)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Sampling
+
+/** Deterministic-sampling invariants: exact per-stratum rates,
+  * reproducibility, and unbiasedness of the hash-Bernoulli filter. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, TestSpark.sf001, "documents").cache()
+
+  test("stratifiedExact: every stratum sampled at exactly ceil(n*frac)") {
+    val sampled = Sampling.stratifiedExact(docs, col("lang"), col("doc_id"), 0.2)
+    val got = sampled.groupBy("lang").agg(count(lit(1)).as("k"))
+    val want = docs.groupBy("lang").agg(ceil(count(lit(1)) * 0.2).as("k"))
+    assert(got.join(want, Seq("lang", "k")).count() == want.count())
+  }
+
+  test("stratifiedExact is deterministic across runs and repartitioning") {
+    def ids(parts: Int) =
+      Sampling.stratifiedExact(docs.repartition(parts), col("lang"), col("doc_id"), 0.2)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(3) == ids(17))
+  }
+
+  test("bernoulliHash: rate within tolerance, no shuffle in the plan") {
+    val sampled = Sampling.bernoulliHash(docs, col("doc_id"), 0.3)
+    val rate = sampled.count().toDouble / docs.count()
+    assert(rate > 0.2 && rate < 0.4, s"rate=$rate")
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("systematic: exact 1-in-N on a dense key") {
+    import spark.implicits._
+    val dense = (0L until 1000L).toDF("k")
+    assert(Sampling.systematic(dense, col("k"), 10).count() == 100)
+  }
+}
