@@ -87,6 +87,29 @@ object EventsStream {
         org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"))
   }
 
+  /** Streaming exact dedup — the continuous face of
+    * [[graft.ext.Dedup]].exact: `dropDuplicatesWithinWatermark` on the
+    * content key. The watermark bounds the dedup state to the lateness
+    * horizon instead of unbounded key history — the property that keeps
+    * a continuous 100 TB/day ingest deduper's state finite. Driven with
+    * availableNow on a static directory for batch parity. */
+  def runDedupStream(spark: SparkSession, eventsDir: String,
+                     keys: Seq[String],
+                     queryName: String = "events_deduped"): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val q = spark.readStream.schema(schema).parquet(eventsDir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming flavor of [[windowedAgg]]: parquet file source →
     * watermark → tumbling window → memory sink, driven to completion
     * with availableNow (batch parity on a static directory). Returns the

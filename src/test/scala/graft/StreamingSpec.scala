@@ -29,6 +29,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup-within-watermark == batch key cardinality") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_dedup").toString
+    Tables.events(spark, TestSpark.sf001).write.mode("overwrite").parquet(tmp)
+    val deduped = EventsStream.runDedupStream(spark, tmp, Seq("user_id", "event_type"))
+    val distinctKeys = Tables.events(spark, TestSpark.sf001)
+      .select("user_id", "event_type").distinct().count()
+    assert(deduped.count() == distinctKeys)
+    // one surviving row per key
+    assert(deduped.groupBy("user_id", "event_type").count()
+      .where(col("count") > 1).count() == 0)
+  }
+
   test("sessionize: session count bounded by event count, deterministic") {
     val s1 = EventsStream.sessionize(Tables.events(spark, TestSpark.sf001))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
