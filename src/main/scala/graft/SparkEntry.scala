@@ -504,6 +504,12 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    "seq_pack" -> ((s, d) =>
+      ext.SeqPack.pack(Tables.load(s, d, "documents").select("doc_id", "text"),
+        col("doc_id"), ext.TextAnalysis.tokenCount(col("text")), budget = 2048L)
+        .select("doc_id", "n_tokens", "bin_id", "bin_offset")
+        .orderBy("doc_id")),
+
     // ------------------------------------------------------------------
     // Similarity search (SURVEY §7.6)
     // ------------------------------------------------------------------
@@ -1256,6 +1262,21 @@ object SparkEntry {
         |       WHEN votes_es >= votes_fr THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "seq_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM toks)
+        |SELECT doc_id, n_tokens,
+        |  (c - n_tokens) // 2048 AS bin_id,
+        |  (c - n_tokens) - ((c - n_tokens) // 2048) * 2048 AS bin_offset
+        |FROM cum ORDER BY doc_id""".stripMargin,
 
     "token_count_bpe" ->
       """SELECT doc_id,

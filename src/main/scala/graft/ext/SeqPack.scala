@@ -1,0 +1,29 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.DSort
+
+/** Sequence packing for LLM pretraining (SURVEY §7.6 training-pipeline
+  * scope): concatenate documents in a deterministic order and cut the
+  * token stream into fixed-budget context windows ("bins"). Each doc is
+  * assigned the bin its FIRST token falls in — the same closed-form
+  * `floor(start_offset / budget)` used by dsort shard packing, over
+  * [[DSort.globalCumsum]]'s distributed prefix sum (one range-partition
+  * shuffle, no single-partition window, holds at 100 TB corpus scale).
+  *
+  * `bin_offset` is the doc's start position within its bin; a doc whose
+  * tokens overflow the bin boundary spills into the next bin(s) at
+  * training time (greedy concat-then-chunk convention).
+  */
+object SeqPack {
+
+  def pack(docs: DataFrame, order: Column, tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    DSort.globalCumsum(docs.withColumn("_tok", tokens), Seq(order.asc), col("_tok"))
+      .withColumn("bin_id", floor((col("_cum") - col("_tok")) / budget).cast("long"))
+      .withColumn("bin_offset", col("_cum") - col("_tok") - col("bin_id") * budget)
+      .drop("_cum")
+      .withColumnRenamed("_tok", "n_tokens")
+  }
+}

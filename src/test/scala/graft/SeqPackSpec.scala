@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{SeqPack, TextAnalysis}
+
+/** Sequence-packing invariants: bins respect the token budget closed-form,
+  * offsets stay within [0, budget), and packing is deterministic across
+  * input partitioning (the scale-out property the operator exists for). */
+class SeqPackSpec extends SparkSpec {
+
+  private lazy val docs =
+    Tables.load(spark, TestSpark.sf001, "documents").select("doc_id", "text").cache()
+
+  private def packed =
+    SeqPack.pack(docs, col("doc_id"), TextAnalysis.tokenCount(col("text")), 2048L)
+
+  test("bin_id/bin_offset match the serial prefix-sum closed form") {
+    val rows = packed.select("doc_id", "n_tokens", "bin_id", "bin_offset")
+      .orderBy("doc_id").collect()
+    var cum = 0L
+    rows.foreach { r =>
+      val (tok, bin, off) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bin == cum / 2048L, s"doc=${r.getLong(0)} bin=$bin want=${cum / 2048}")
+      assert(off == cum - bin * 2048L && off >= 0 && off < 2048L)
+      cum += tok
+    }
+    assert(cum > 0)
+  }
+
+  test("bin ids are dense: no empty bin below the last") {
+    val bins = packed.select("bin_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(bins.head == 0L && bins.last == bins.length - 1L)
+  }
+
+  test("deterministic across input partitioning") {
+    def sig(parts: Int) =
+      SeqPack.pack(docs.repartition(parts), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")), 2048L)
+        .select("doc_id", "bin_id", "bin_offset").orderBy("doc_id")
+        .collect().toSeq
+    assert(sig(3) == sig(17))
+  }
+
+  test("budget must be positive") {
+    intercept[IllegalArgumentException] {
+      SeqPack.pack(docs, col("doc_id"), lit(1L), 0L)
+    }
+  }
+}
