@@ -145,6 +145,93 @@ object SparkEntry {
             sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct"))
     }),
 
+    "q9_product_profit" -> ((s, d) => {
+      // TPC-H q9 shape adapted to the testdata schema (no partsupp table:
+      // profit = revenue, no supplycost term). Part filter + supplier→
+      // nation dims broadcast; the fact table shuffles once, on l_orderkey.
+      val l = li(s, d); val o = ord(s, d)
+      val p = Tables.load(s, d, "part").where(col("p_name").contains("red"))
+      val su = Tables.load(s, d, "supplier")
+      val n = Tables.load(s, d, "nation")
+      val sn = su.join(n, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      l.join(broadcast(p.select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy("nation", "o_year")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    }),
+
+    "q13_cust_distribution" -> ((s, d) => {
+      // TPC-H q13: order-count distribution over a LEFT OUTER join (the
+      // filter lives on the orders side so zero-order customers survive).
+      // Comment-pattern filter adapted to o_orderpriority.
+      val c = cust(s, d)
+      val o = ord(s, d).where(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q15_top_supplier" -> ((s, d) => {
+      // TPC-H q15: supplier(s) with max 3-month revenue. The max is a
+      // window over the POST-AGG table (one row per supplier) — the
+      // single-partition exchange holds #suppliers rows, never lineitem.
+      val w = Window.partitionBy(lit(1))
+      val rev = li(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      rev.withColumn("_mx", max("total_revenue").over(w))
+        .where(col("total_revenue") === col("_mx"))
+        .join(broadcast(Tables.load(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q18_large_orders" -> ((s, d) => {
+      // TPC-H q18: large-volume orders via a HAVING subquery re-joined to
+      // the fact table (threshold 250 ≈ p99 of per-order quantity here).
+      val l = li(s, d); val o = ord(s, d); val c = cust(s, d)
+      val big = l.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q"))
+        .where(col("q") > 250)
+        .select(col("l_orderkey").as("big_orderkey"))
+      o.join(big, col("o_orderkey") === col("big_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    "q19_discounted_revenue" -> ((s, d) => {
+      // TPC-H q19: disjunctive brand/size/quantity predicate (no
+      // p_container in the testdata schema). The OR-of-ANDs sits on the
+      // joined row; part is broadcast so lineitem never shuffles.
+      val l = li(s, d); val p = Tables.load(s, d, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // S1 over a REAL file tree: the sf dir itself ingested as a catalog
     // (rows-only: DuckDB cannot list the filesystem)
     "catalog_from_dir" -> ((s, d) =>
@@ -749,6 +836,57 @@ object SparkEntry {
         |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0 /
         |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q19_discounted_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "lso_page1" -> o(
       """SELECT name, size, checksum, atime_ns, version FROM objects
