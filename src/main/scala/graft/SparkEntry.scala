@@ -282,6 +282,19 @@ object SparkEntry {
     "shard_summary" -> ((s, d) =>
       Summaries.shardSummary(DerivedCatalog.members(s, d))),
 
+    // A1 approx variant: HLL distincts + t-digest quantiles (rows-only —
+    // sketch estimates are algorithm-specific; accuracy vs exact is
+    // asserted in ApproxSpec)
+    "bucket_summary_approx" -> ((s, d) =>
+      Summaries.bucketSummaryApprox(DerivedCatalog.objects(s, d))),
+
+    "events_users_approx" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(approx_count_distinct("user_id").as("uniq_users_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy("day")),
+
     // ------------------------------------------------------------------
     // Templates + selections (SURVEY F1, P3, GB8)
     // ------------------------------------------------------------------

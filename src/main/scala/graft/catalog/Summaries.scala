@@ -34,6 +34,26 @@ object Summaries {
       .orderBy("bucket")
   }
 
+  /** Approximate bucket summary — the scale path for interactive "how
+    * big / how diverse is this bucket" questions. HLL++ distinct counts
+    * and t-digest-style size quantiles are single-pass and partially
+    * aggregable (map-side combine), so nothing but fixed-size sketches
+    * crosses the shuffle — vs `countDistinct`, whose expand+distinct
+    * reshuffles every raw row. rsd 0.02 ≈ ±2% error at ~1.5 KB of
+    * sketch per group. Reference analog: `apc.BsummResult` counts
+    * served from per-target partials (`xact/xs/nsumm.go:36-120`). */
+  def bucketSummaryApprox(catalog: DataFrame, rsd: Double = 0.02): DataFrame =
+    catalog.groupBy("bucket")
+      .agg(
+        count(lit(1)).as("obj_count"),
+        approx_count_distinct(col("checksum"), rsd).as("uniq_payloads_approx"),
+        approx_count_distinct(concat_ws("@", col("name"), col("version")), rsd)
+          .as("uniq_versions_approx"),
+        percentile_approx(col("size"), array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(10000)).as("size_p50_p95_p99"),
+        sum("size").as("size_total"))
+      .orderBy("bucket")
+
   /** Shard summary — `apc.ShardSummResult` (`api/apc/shard_idx.go:16-47`):
     * per-bucket TAR coverage over the member table: shard count, total
     * shard bytes, archived member count, per-extension counts. */

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.{DerivedCatalog, Summaries}
+
+/** Accuracy contracts for the sketch-based (rows-only) summaries: HLL++
+  * distinct counts within the configured rsd band, t-digest quantiles
+  * within rank tolerance of exact. These are the checks the DuckDB
+  * oracle cannot express (sketch estimates are algorithm-specific). */
+class ApproxSpec extends SparkSpec {
+
+  test("bucketSummaryApprox: HLL distincts within 5% of exact") {
+    val cat = DerivedCatalog.objects(spark, TestSpark.sf001).cache()
+    val approx = Summaries.bucketSummaryApprox(cat).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = cat.groupBy("bucket")
+      .agg(countDistinct("checksum").as("cs"),
+        countDistinct(concat_ws("@", col("name"), col("version"))).as("vs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (b, (cs, vs)) =>
+      val (acs, avs) = approx(b)
+      assert(math.abs(acs - cs) <= math.max(2L, (cs * 0.05).toLong),
+        s"bucket=$b checksums approx=$acs exact=$cs")
+      assert(math.abs(avs - vs) <= math.max(2L, (vs * 0.05).toLong),
+        s"bucket=$b versions approx=$avs exact=$vs")
+    }
+  }
+
+  test("bucketSummaryApprox: size quantiles within 2% rank tolerance") {
+    val cat = DerivedCatalog.objects(spark, TestSpark.sf001).cache()
+    val row = Summaries.bucketSummaryApprox(cat)
+      .where(col("bucket") === "bck1").select("size_p50_p95_p99").head()
+    val qs = row.getSeq[Long](0)
+    val sizes = cat.where(col("bucket") === "bck1")
+      .select("size").collect().map(_.getLong(0)).sorted
+    Seq(0.5, 0.95, 0.99).zip(qs).foreach { case (p, est) =>
+      // rank of the estimate must be within ±2% of the target rank
+      val rank = sizes.count(_ <= est).toDouble / sizes.length
+      assert(math.abs(rank - p) <= 0.02, s"p=$p est=$est rank=$rank")
+    }
+  }
+
+  test("approx plan shuffles sketches, not raw distinct rows") {
+    val plan = Summaries.bucketSummaryApprox(DerivedCatalog.objects(spark, TestSpark.sf001))
+      .queryExecution.executedPlan.toString
+    // exact countDistinct plans contain an Expand node (one duplicate of
+    // every input row per distinct column); the sketch path must not
+    assert(!plan.contains("Expand"), plan.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("events_users_approx within 5% of exact per day") {
+    val ev = Tables.events(spark, TestSpark.sf001).cache()
+    val approx = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(approx_count_distinct("user_id").as("u"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val exact = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    exact.foreach { case (day, u) =>
+      assert(math.abs(approx(day) - u) <= math.max(2L, (u * 0.05).toLong),
+        s"day=$day approx=${approx(day)} exact=$u")
+    }
+  }
+}
