@@ -467,6 +467,16 @@ object SparkEntry {
         .select(col("sample_key"), col("_key").as("shuffle_key"), col("rn"))
     }),
 
+    // O4 fast variant (rows-only: DuckDB lacks xxhash64; contract
+    // asserted in DSortSpec)
+    "dsort_shuffle_fast_top" -> ((s, d) => {
+      val keyed = DSort.withSortKey(
+        DSort.samples(DerivedCatalog.members(s, d)), DSort.Algorithm.ShuffleFast(42L))
+      keyed.orderBy("_key", "sample_key").limit(1000)
+        .withColumn("rn", row_number().over(Window.orderBy("_key", "sample_key")).cast("long"))
+        .select(col("sample_key"), col("_key").as("shuffle_key"), col("rn"))
+    }),
+
     "dsort_content_top" -> ((s, d) => {
       val m = DerivedCatalog.members(s, d)
       val keyed = DSort.withSortKey(

@@ -36,6 +36,12 @@ object DSort {
       * uniform permutation under a seed) is preserved via ordering by
       * `md5(key || seed)` — distributed and reproducible. */
     final case class Shuffle(seed: Long) extends Algorithm
+    /** Shuffle via seeded xxhash64 — same observable contract as
+      * [[Shuffle]] but the key is a codegen'd 64-bit hash instead of a
+      * 128-bit crypto digest: ~10× less CPU per row, the right default
+      * at corpus scale. md5 variant kept for the cross-engine oracle
+      * (DuckDB has no xxhash64). */
+    final case class ShuffleFast(seed: Long) extends Algorithm
     /** `content`: typed key read from the sample's key-extension member
       * (`shard/key.go:100-136`), keyType ∈ {int, float, string}. */
     final case class Content(ext: String, keyType: String, decreasing: Boolean = false) extends Algorithm
@@ -69,6 +75,10 @@ object DSort {
       case Algorithm.Md5 => samplesDf.withColumn("_key", md5(col("sample_key")))
       case Algorithm.Shuffle(seed) =>
         samplesDf.withColumn("_key", md5(concat(col("sample_key"), lit(seed.toString))))
+      case Algorithm.ShuffleFast(seed) =>
+        // two-arg xxhash64 mixes the seed through the hash state; ties
+        // (64-bit collisions) broken by sample_key in keyOrder
+        samplesDf.withColumn("_key", xxhash64(col("sample_key"), lit(seed)))
       case Algorithm.Content(ext, keyType, _) =>
         val keys = members.get
           .where(col("ext") === ext)

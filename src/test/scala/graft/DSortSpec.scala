@@ -58,6 +58,24 @@ class DSortSpec extends SparkSpec {
     assert(order(42L) != order(7L))
   }
 
+  test("xxhash64 shuffle: deterministic, seed-sensitive, uniform-ish") {
+    def order(seed: Long) = DSort
+      .withSortKey(samples, Algorithm.ShuffleFast(seed))
+      .orderBy("_key", "sample_key").select("sample_key")
+      .limit(50).collect().map(_.getString(0)).toSeq
+    assert(order(42L) == order(42L))
+    assert(order(42L) != order(7L))
+    // a permutation, not an accidental sort: the top-50 under the hash
+    // order must not be the lexicographic head
+    val lex = samples.orderBy("sample_key").select("sample_key")
+      .limit(50).collect().map(_.getString(0)).toSeq
+    assert(order(42L) != lex)
+    // no md5 in the fast path's plan (codegen'd xxhash only)
+    val plan = DSort.withSortKey(samples, Algorithm.ShuffleFast(1L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("md5"))
+  }
+
   test("content keys: typed int ordering, not lexicographic") {
     val keyed = DSort.withSortKey(samples, Algorithm.Content("cls", "int"), Some(members))
     val keys = keyed.orderBy("_key", "sample_key")
