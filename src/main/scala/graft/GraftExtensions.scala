@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.FloatDotProduct
+
+/** SparkSessionExtensions entry point — makes the library's native
+  * Catalyst expressions first-class SQL functions, so a pure-SQL user
+  * (`spark.sql`, JDBC, notebooks) gets the same codegen'd operators as
+  * the Column API, with no UDF wrapping.
+  *
+  * Activate via `spark.sql.extensions=graft.GraftExtensions` (any
+  * session, including spark-submit of third-party apps) — the idiomatic
+  * Spark extension-library pattern.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"float_dot takes 2 arguments, got ${children.length}")
+        FloatDotProduct(children.head, children(1))
+      }))
+  }
+}

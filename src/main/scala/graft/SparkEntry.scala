@@ -634,6 +634,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The SparkSessionExtensions SQL surface: pure SQL text over the
+    // injected native expression (GraftExtensions.float_dot)
+    "embed_sql_cosine" -> ((s, d) => {
+      Tables.load(s, d, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql(
+        """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |  round(float_dot(a.embedding, b.embedding) /
+          |    (sqrt(float_dot(a.embedding, a.embedding)) *
+          |     sqrt(float_dot(b.embedding, b.embedding))), 4) AS cos
+          |FROM emb_sql a JOIN emb_sql b ON b.vec_id = a.vec_id + 100
+          |ORDER BY vec_a""".stripMargin)
+    }),
+
     // IVF-bucketed ANN — scale path; rows-only check, agreement with
     // brute force covered in ExtensionsSpec.
     "embed_knn_ivf" -> ((s, d) => {
@@ -1378,6 +1391,14 @@ object SparkEntry {
         |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
         |      FROM c JOIN q ON vec_id <> query_id)
         |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "embed_sql_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
+        |ORDER BY vec_a""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM (

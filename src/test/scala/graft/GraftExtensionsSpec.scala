@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SparkSessionExtensions surface: native expressions must be
+  * callable from plain SQL text with the same results and codegen as
+  * the Column API. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("float_dot is a SQL function with Column-API-identical results") {
+    val got = spark.sql(
+      "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(4 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").head().getDouble(0)
+    assert(got == 1.5 * 4 + 2 * 0.5)
+  }
+
+  test("float_dot over the embeddings table matches the Column API path") {
+    val emb = Tables.load(spark, TestSpark.sf001, "embeddings").limit(50).cache()
+    emb.createOrReplaceTempView("emb_ext_spec")
+    val sql = spark.sql(
+      """SELECT a.vec_id, round(float_dot(a.embedding, b.embedding), 6) AS d
+        |FROM emb_ext_spec a JOIN emb_ext_spec b ON b.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin).collect()
+    val api = emb.select(col("vec_id"),
+        round(functions.VectorFunctions.floatDot(col("embedding"), col("embedding")), 6).as("d"))
+      .orderBy("vec_id").collect()
+    assert(sql.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      api.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("arity is validated at resolution time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT float_dot(array(CAST(1 AS FLOAT)))").head()
+    }
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("float_dot"))
+  }
+}
