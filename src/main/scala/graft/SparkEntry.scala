@@ -359,6 +359,14 @@ object SparkEntry {
         DerivedCatalog.remote(s, d))
         .orderBy("name")),
 
+    // CDC catalog maintenance (SURVEY §2.11 + S7 PUT/DELETE upkeep):
+    // batch form of the streaming merge; multi-epoch parity in
+    // CatalogStreamSpec
+    "catalog_stream_apply" -> ((s, d) =>
+      graft.streaming.CatalogStream.applyLog(
+        DerivedCatalog.objects(s, d), DerivedCatalog.mutations(s, d))
+        .orderBy("bucket", "name")),
+
     // ------------------------------------------------------------------
     // Blob chunk planning (SURVEY S6)
     // ------------------------------------------------------------------
@@ -1079,6 +1087,27 @@ object SparkEntry {
         |LEFT JOIN remote r ON p.bucket = r.bucket AND p.name = r.name
         |ORDER BY p.name""".stripMargin,
       OracleCte.objects, OracleCte.remote),
+
+    "catalog_stream_apply" -> o(
+      """SELECT o.bucket, o.name, o.size, o.checksum, o.atime_ns, o.version,
+        |  o.is_cached, o.status, o.copies
+        |FROM objects o LEFT JOIN latest l
+        |  ON o.bucket = l.bucket AND o.name = l.name
+        |WHERE l.name IS NULL
+        |UNION ALL
+        |SELECT bucket, name, size, checksum, atime_ns, version,
+        |  TRUE AS is_cached, CAST(0 AS BIGINT) AS status,
+        |  CAST(1 AS BIGINT) AS copies
+        |FROM latest WHERE op = 'put'
+        |ORDER BY bucket, name""".stripMargin,
+      OracleCte.objects, OracleCte.mutations,
+      """latest AS (
+        |  SELECT * FROM (
+        |    SELECT m.*, row_number() OVER (PARTITION BY bucket, name
+        |      ORDER BY mut_seq DESC) AS rn
+        |    FROM mutations m)
+        |  WHERE rn = 1
+        |)""".stripMargin),
 
     "blob_chunks" -> o(
       """SELECT name, "offset" // 4194304 AS chunk_id, "offset",

@@ -109,6 +109,28 @@ object DerivedCatalog {
       when(col("p_partkey") % 4 === 0, -1L)
         .otherwise(col("p_size").cast("long") % 7L * 50L).as("length"))
   }
+
+  /** Deterministic object-mutation log (PUT/DELETE CDC stream) derived
+    * from `customer`: two mutations per key (seq = 2k and 2k+1) so
+    * last-writer-wins is actually exercised; every 5th key's second
+    * mutation is a DELETE. Names land in the flat/ family of [[objects]]
+    * — some update existing objects, some create new ones.
+    * Must stay in lockstep with [[OracleCte.mutations]]. */
+  def mutations(spark: SparkSession, sfDir: String): DataFrame = {
+    val ckey = col("c_custkey")
+    Tables.load(spark, sfDir, "customer")
+      .select(ckey, explode(array(lit(0L), lit(1L))).as("s"))
+      .select(
+        concat(lit("bck"), (ckey % 3).cast("string")).as("bucket"),
+        format_string("flat/obj-%08d.dat", ckey).as("name"),
+        (ckey * 2 + col("s")).as("mut_seq"),
+        when(col("s") === 1 && ckey % 5 === 0, "del").otherwise("put").as("op"),
+        (ckey * 7 % 10000 + col("s") * 13).as("size"),
+        md5(concat(lit("mut:"), ckey.cast("string"), lit(":"),
+          col("s").cast("string"))).as("checksum"),
+        ((ckey * 2 + col("s")) * 1000000000L).as("atime_ns"),
+        (lit(1) + col("s")).cast("string").as("version"))
+  }
 }
 
 /** DuckDB-evaluable CTE bodies exactly mirroring [[DerivedCatalog]].
@@ -174,6 +196,20 @@ object OracleCte {
       |    CASE WHEN p_partkey % 4 = 0 THEN CAST(-1 AS BIGINT)
       |         ELSE CAST(p_size AS BIGINT) % 7 * 50 END AS length
       |  FROM part
+      |)""".stripMargin
+
+  val mutations: String =
+    """mutations AS (
+      |  SELECT
+      |    'bck' || CAST(c_custkey % 3 AS VARCHAR) AS bucket,
+      |    printf('flat/obj-%08d.dat', c_custkey) AS name,
+      |    CAST(c_custkey * 2 + s AS BIGINT) AS mut_seq,
+      |    CASE WHEN s = 1 AND c_custkey % 5 = 0 THEN 'del' ELSE 'put' END AS op,
+      |    CAST(c_custkey * 7 % 10000 + s * 13 AS BIGINT) AS size,
+      |    md5('mut:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS checksum,
+      |    CAST((c_custkey * 2 + s) * 1000000000 AS BIGINT) AS atime_ns,
+      |    CAST(1 + s AS VARCHAR) AS version
+      |  FROM customer CROSS JOIN (SELECT unnest([0, 1]) AS s) t
       |)""".stripMargin
 
   /** Sample grouping over [[members]] — mirrors `graft.ops.DSort.samples`.

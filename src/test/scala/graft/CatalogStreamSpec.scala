@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.DerivedCatalog
+import graft.streaming.CatalogStream
+
+/** CDC catalog maintenance: the streaming merge must agree with the
+  * one-shot batch form regardless of how the log is chopped into
+  * epochs, and tombstones must beat late-arriving stale PUTs. */
+class CatalogStreamSpec extends SparkSpec {
+
+  private def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+
+  test("streaming multi-epoch merge == one-shot applyLog (out-of-order files)") {
+    val base = DerivedCatalog.objects(spark, TestSpark.sf001)
+    val log = DerivedCatalog.mutations(spark, TestSpark.sf001)
+    val dir = Files.createTempDirectory("graft_mut").toString
+    // three files with interleaved seq ranges: file boundaries (= epoch
+    // boundaries under maxFilesPerTrigger=1) do NOT respect seq order
+    log.where(col("mut_seq") % 3 === 0).coalesce(1).write.parquet(s"$dir/f0")
+    log.where(col("mut_seq") % 3 === 1).coalesce(1).write.parquet(s"$dir/f1")
+    log.where(col("mut_seq") % 3 === 2).coalesce(1).write.parquet(s"$dir/f2")
+    val flat = Files.createTempDirectory("graft_mut_flat").toString
+    spark.read.parquet(s"$dir/f0", s"$dir/f1", s"$dir/f2")
+      .repartition(3).write.mode("overwrite").parquet(flat)
+
+    val streamed = CatalogStream.runApplyStream(spark, flat, base)
+      .orderBy("bucket", "name").collect()
+    val batch = CatalogStream.applyLog(base, log)
+      .orderBy("bucket", "name").collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("tombstone outranks a late-arriving stale PUT") {
+    import spark.implicits._
+    val base = Seq(("bck0", "flat/x", 10L, "c0", 0L, "1", true, 0L, 1L))
+      .toDF("bucket", "name", "size", "checksum", "atime_ns", "version",
+        "is_cached", "status", "copies")
+    def mut(seq: Long, op: String) =
+      Seq(("bck0", "flat/x", seq, op, 99L, s"c$seq", seq, "2"))
+        .toDF("bucket", "name", "mut_seq", "op", "size", "checksum",
+          "atime_ns", "version")
+    // epoch 1 delivers the DELETE (seq 5); epoch 2 the older PUT (seq 3)
+    val s1 = CatalogStream.step(CatalogStream.init(base), mut(5, "del"))
+    val s2 = CatalogStream.step(s1, mut(3, "put"))
+    assert(CatalogStream.snapshot(s2).count() == 0L)
+    // and a genuinely newer PUT (seq 7) resurrects the object
+    val s3 = CatalogStream.step(s2, mut(7, "put"))
+    val row = CatalogStream.snapshot(s3).head()
+    assert(row.getAs[Long]("size") == 99L && row.getAs[String]("version") == "2")
+  }
+
+  test("deletes shrink, new puts grow, updates keep cardinality") {
+    val base = DerivedCatalog.objects(spark, TestSpark.sf001)
+    val log = DerivedCatalog.mutations(spark, TestSpark.sf001).cache()
+    val out = CatalogStream.applyLog(base, log).cache()
+    val baseKeys = base.select("bucket", "name").collect().map(key).toSet
+    val outKeys = out.select("bucket", "name").collect().map(key).toSet
+    val lastOp = CatalogStream.latest(log).cache()
+    val delKeys = lastOp.where(col("op") === "del")
+      .select("bucket", "name").collect().map(key).toSet
+    val putKeys = lastOp.where(col("op") === "put")
+      .select("bucket", "name").collect().map(key).toSet
+    assert(delKeys.forall(!outKeys.contains(_)))
+    assert(putKeys.forall(outKeys.contains))
+    assert(outKeys == baseKeys -- delKeys ++ putKeys)
+  }
+}
