@@ -145,6 +145,17 @@ object SparkEntry {
             sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct"))
     }),
 
+    // Skew-mitigated join: salted fact⋈dim with a low hot threshold so
+    // both the replicated-hot and cold (slot-0) paths execute; the
+    // oracle is the PLAIN join — salting must be invisible in results
+    "skew_salted_join" -> ((s, d) =>
+      ops.Skew.saltedJoin(li(s, d), ord(s, d), "l_orderkey", "o_orderkey",
+        salt = 8, hotThreshold = 5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("price_sum"))
+        .orderBy("l_returnflag")),
+
     "q9_product_profit" -> ((s, d) => {
       // TPC-H q9 shape adapted to the testdata schema (no partsupp table:
       // profit = revenue, no supplycost term). Part filter + supplier→
@@ -880,6 +891,12 @@ object SparkEntry {
         |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0 /
         |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS price_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q9_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose hot keys overwhelm single shuffle
+  * partitions (the 100 TB failure mode AQE's skew-join split cannot
+  * always fix: AQE splits oversized SORT-MERGE partitions post-hoc, but
+  * a single key's rows still land on one task per split boundary, and
+  * skewed BROADCAST candidates may simply be too big to broadcast).
+  *
+  * `saltedJoin` shards each hot build-side key into `salt` replicas and
+  * scatters the probe side's hot keys uniformly across them, so a key
+  * with 10^9 rows becomes `salt` tasks of 10^9/salt — at the cost of
+  * replicating only the HOT build rows `salt`×. Cold keys join
+  * unreplicated (salt slot 0), so the overhead is proportional to the
+  * skew, not the table. Equality with the plain join is asserted in
+  * SkewSpec.
+  *
+  * Reference analog: none — the reference's dSort hand-shards by key
+  * template (EKM); this is the declarative form of the same idea.
+  */
+object Skew {
+
+  /** Keys of `df` whose row count exceeds `threshold` — the hot set,
+    * computed with one cheap pre-aggregation (sketch-sized output). */
+  def hotKeys(df: DataFrame, key: Column, threshold: Long): DataFrame =
+    df.groupBy(key.as("_hot_key")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > threshold)
+      .select("_hot_key")
+
+  /** Inner-join `probe` (large, skewed) with `build` (the smaller side,
+    * but too big / too hot to broadcast) on `probe(probeKey) ===
+    * build(buildKey)`, salting hot keys `salt` ways.
+    *
+    * Hot probe rows get a uniform salt in [0, salt); hot build rows are
+    * replicated once per salt slot; cold rows on both sides use slot 0.
+    * The join key becomes (key, slot) — one shuffle each side, hot keys
+    * spread over `salt` partitions. */
+  def saltedJoin(probe: DataFrame, build: DataFrame,
+                 probeKey: String, buildKey: String,
+                 salt: Int, hotThreshold: Long): DataFrame = {
+    require(salt > 1, s"salt must be > 1: $salt")
+    val hot = hotKeys(probe, col(probeKey), hotThreshold)
+
+    // probe: hot rows scatter uniformly; xxhash64 of the full row's
+    // monotonically-unique bits would do, but a per-row uniform via
+    // rand() breaks determinism — hash the row id instead
+    val p = probe
+      .join(broadcast(hot), col(probeKey) === col("_hot_key"), "left_outer")
+      .withColumn("_slot",
+        when(col("_hot_key").isNotNull,
+          pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+          .otherwise(lit(0L)))
+      .drop("_hot_key")
+
+    // build: replicate hot rows across all slots, cold rows slot 0 only
+    val b = build
+      .join(broadcast(hot), col(buildKey) === col("_hot_key"), "left_outer")
+      .withColumn("_slots",
+        when(col("_hot_key").isNotNull,
+          sequence(lit(0L), lit(salt.toLong - 1)))
+          .otherwise(array(lit(0L))))
+      .withColumn("_slot", explode(col("_slots")))
+      .drop("_slots", "_hot_key")
+
+    p.join(b, p(probeKey) === b(buildKey) && p("_slot") === b("_slot"))
+      .drop("_slot")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+/** Salted-join contract: identical results to the plain join, hot keys
+  * actually spread over multiple shuffle partitions. */
+class SkewSpec extends SparkSpec {
+
+  // one pathological key (5000 rows) + a cold tail
+  private lazy val probe = spark.range(5000)
+    .select(lit(1L).as("pk"), col("id").as("v"))
+    .union(spark.range(100).select((col("id") + 2).as("pk"), col("id").as("v")))
+    .cache()
+  private lazy val build = spark.range(50)
+    .select((col("id") + 1).as("bk"), (col("id") * 2).as("w")).cache()
+
+  test("hotKeys finds exactly the heavy hitters") {
+    val hot = Skew.hotKeys(probe, col("pk"), 1000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot == Seq(1L))
+  }
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val plain = probe.join(build, col("pk") === col("bk"))
+      .select("pk", "v", "bk", "w")
+    val salted = Skew.saltedJoin(probe, build, "pk", "bk",
+        salt = 8, hotThreshold = 1000)
+      .select("pk", "v", "bk", "w")
+    val a = plain.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    val b = salted.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("the hot key's rows land on more than one shuffle partition") {
+    val salted = Skew.saltedJoin(probe, build, "pk", "bk",
+      salt = 8, hotThreshold = 1000)
+    val parts = salted.where(col("pk") === 1L)
+      .select(spark_partition_id()).distinct().count()
+    assert(parts > 1, s"hot key still on $parts partition(s)")
+  }
+}
