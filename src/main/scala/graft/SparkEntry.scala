@@ -717,6 +717,12 @@ object SparkEntry {
     // ------------------------------------------------------------------
     // Events: windowed aggregation + sessionization (SURVEY §2.11 ext)
     // ------------------------------------------------------------------
+    // Stream-stream interval join (batch form; streaming parity in
+    // StreamingSpec): views joined to same-user purchases within 1h
+    "events_funnel" -> ((s, d) =>
+      graft.streaming.EventsStream.funnelAttribution(Tables.load(s, d, "events"))
+        .orderBy("view_id", "purchase_id")),
+
     "events_window" -> ((s, d) =>
       graft.streaming.EventsStream.windowedAgg(Tables.load(s, d, "events"))
         .orderBy("window_start", "event_type")),
@@ -1521,6 +1527,15 @@ object SparkEntry {
         |                  FROM documents)
         |            WHERE len(w) >= 3))
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "events_funnel" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.ts AS view_ts, p.ts AS purchase_ts, round(p.value, 2) AS value
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -26,7 +26,9 @@ object Tables {
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          // integer div: `/` would promote the ns long (> 2^53) to
+          // double and round the µs by ±1
+          org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
   /** Register every table as a temp view named like the file. */

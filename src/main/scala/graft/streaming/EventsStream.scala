@@ -93,6 +93,56 @@ object EventsStream {
     * horizon instead of unbounded key history — the property that keeps
     * a continuous 100 TB/day ingest deduper's state finite. Driven with
     * availableNow on a static directory for batch parity. */
+  /** Batch-equivalent funnel attribution: each view joined to the same
+    * user's purchases within the following hour. Inner interval join —
+    * in streaming form both sides carry watermarks and the time-bound
+    * condition caps join state (Spark drops buffered rows older than
+    * watermark − interval). */
+  def funnelAttribution(events: DataFrame): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), round(col("value"), 2).as("value"))
+  }
+
+  /** Streaming flavor of [[funnelAttribution]]: two file-source streams,
+    * watermarks on both sides + the interval condition = bounded state
+    * (SURVEY §2.11 stream-stream join). availableNow drives it to batch
+    * parity, asserted in StreamingSpec. */
+  def runFunnelStream(spark: SparkSession, eventsDir: String,
+                      queryName: String = "events_funnel"): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    def src = spark.readStream.schema(schema).parquet(eventsDir)
+    val v = src.where(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = src.where(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val joined = v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), round(col("value"), 2).as("value"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   def runDedupStream(spark: SparkSession, eventsDir: String,
                      keys: Seq[String],
                      queryName: String = "events_deduped"): DataFrame = {

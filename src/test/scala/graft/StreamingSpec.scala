@@ -19,6 +19,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join == batch funnel attribution") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_funnel").toString
+    Tables.events(spark, TestSpark.sf001).write.mode("overwrite").parquet(tmp)
+    val streamed = EventsStream.runFunnelStream(spark, tmp)
+      .collect().map(_.toSeq).toSet
+    val batch = EventsStream.funnelAttribution(Tables.events(spark, TestSpark.sf001))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("stateful flatMapGroupsWithState sessionizer == batch sessionize") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_events_state").toString
     Tables.events(spark, TestSpark.sf001).write.mode("overwrite").parquet(tmp)
