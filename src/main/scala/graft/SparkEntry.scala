@@ -578,6 +578,19 @@ object SparkEntry {
         .orderBy("shard", "member")
     }),
 
+    // payload codec (≅ ais-etl compress transformer): gzip >> gunzip
+    // must be identity — the oracle checks against the UNtransformed
+    // payload; compression determinism itself is spec'd in GzipCodecSpec
+    "etl_gzip_roundtrip" -> ((s, d) => {
+      val t = etl.Transforms.gzip >> etl.Transforms.gunzip
+      shards.TarFixtures.membersDf(s, d)
+        .withColumn("p", t(col("payload_str").cast("binary"), col("member"), lit("")))
+        .select(col("shard_name").as("shard"), col("member"),
+          md5(col("p")).as("restored_md5"),
+          length(col("p")).cast("long").as("restored_len"))
+        .orderBy("shard", "member")
+    }),
+
     "etl_offline" -> ((s, d) =>
       etl.Transforms.offline(
         shards.TarFixtures.membersDf(s, d)
@@ -1357,6 +1370,12 @@ object SparkEntry {
     "etl_pipeline" -> o(
       """SELECT shard, member, md5(upper(payload_str) || '-v1') AS out_md5,
         |  CAST(length(payload_str) + 3 AS BIGINT) AS out_len
+        |FROM tarfix ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    "etl_gzip_roundtrip" -> o(
+      """SELECT shard, member, md5(payload_str) AS restored_md5,
+        |  CAST(length(payload_str) AS BIGINT) AS restored_len
         |FROM tarfix ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
 

@@ -1,0 +1,51 @@
+package graft.etl
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, DeflaterOutputStream, GZIPInputStream}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Deterministic gzip for payload columns.
+  *
+  * RFC 1952 stream written by hand (header + raw deflate + CRC32/ISIZE
+  * trailer) so the MTIME field is pinned to 0 — `java.util.zip
+  * .GZIPOutputStream` would stamp wall-clock time into byte 4..7,
+  * making compressed output (and any checksum of it) run-dependent.
+  * Fixed BEST_SPEED level: ETL compression at corpus scale is
+  * CPU-bound; level is a codec constant, not a tuning knob per call.
+  */
+object GzipCodec {
+
+  private val GzipHeader =
+    Array[Byte](0x1f, 0x8b.toByte, Deflater.DEFLATED.toByte, 0, 0, 0, 0, 0, 0, 0)
+
+  def compress(in: Array[Byte]): Array[Byte] = {
+    if (in == null) return null
+    val bos = new ByteArrayOutputStream(in.length / 2 + 32)
+    bos.write(GzipHeader)
+    val deflater = new Deflater(Deflater.BEST_SPEED, /*nowrap=*/ true)
+    val dos = new DeflaterOutputStream(bos, deflater, 8192)
+    dos.write(in); dos.finish(); deflater.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(in)
+    def le32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue); le32(in.length.toLong)
+    bos.toByteArray
+  }
+
+  def decompress(in: Array[Byte]): Array[Byte] = {
+    if (in == null) return null
+    val gis = new GZIPInputStream(new java.io.ByteArrayInputStream(in), 8192)
+    val bos = new ByteArrayOutputStream(in.length * 3 + 32)
+    val buf = new Array[Byte](8192)
+    var n = gis.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = gis.read(buf) }
+    bos.toByteArray
+  }
+
+  val compressUdf: Column => Column = udf(compress _).apply(_)
+  val decompressUdf: Column => Column = udf(decompress _).apply(_)
+}

@@ -51,6 +51,14 @@ object Transforms {
     concat(path, lit(":"), p.cast("string")).cast("binary"))
   val identity: Transform = named("identity")((p, _, _) => p)
 
+  /** gzip payload codec (≅ the reference's `compress` transformer,
+    * ais-etl `transformers/compress`; mode via etl_args). Deterministic:
+    * fixed compression level, no gzip mtime header (OS/time-dependent
+    * bytes would break content-addressed checksums downstream). Pure
+    * JVM-deflate per row — composes with `>>` like any transform. */
+  val gzip: Transform = named("gzip")((p, _, _) => GzipCodec.compressUdf(p))
+  val gunzip: Transform = named("gunzip")((p, _, _) => GzipCodec.decompressUdf(p))
+
   def named(n: String)(f: (Column, Column, Column) => Column): Transform = new Transform {
     def name: String = n
     def apply(p: Column, path: Column, args: Column): Column = f(p, path, args)
@@ -59,7 +67,8 @@ object Transforms {
   /** The registry (≅ etl init, `ext/etl/api.go`): init = add, inline/
     * offline look up by name. */
   val registry: Map[String, Transform] =
-    Seq(upper, lower, md5hex, suffix, pathPrefix, identity).map(t => t.name -> t).toMap
+    Seq(upper, lower, md5hex, suffix, pathPrefix, identity, gzip, gunzip)
+      .map(t => t.name -> t).toMap
 
   /** U5 — inline ETL on the read path (`?etl_name=&etl_args=`): lazily
     * rewrites the payload column; Catalyst fuses it into the scan stage. */

@@ -1,0 +1,50 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.functions._
+import graft.etl.{GzipCodec, Transforms}
+
+/** Deterministic-gzip contract: byte-stable output (no mtime), RFC 1952
+  * interop both directions, identity round trip including edge payloads. */
+class GzipCodecSpec extends SparkSpec {
+
+  private val samples: Seq[Array[Byte]] = Seq(
+    Array.emptyByteArray,
+    "hello world".getBytes("UTF-8"),
+    Array.fill(100000)(7.toByte),
+    Array.tabulate(4096)(i => (i * 31 % 251).toByte))
+
+  test("round trip is identity; compression is byte-deterministic") {
+    samples.foreach { in =>
+      val gz1 = GzipCodec.compress(in)
+      val gz2 = GzipCodec.compress(in)
+      assert(gz1.toSeq == gz2.toSeq)
+      assert(GzipCodec.decompress(gz1).toSeq == in.toSeq)
+      assert(gz1(3) == 0 && gz1.slice(4, 8).forall(_ == 0), "flags/mtime must be zeroed")
+    }
+  }
+
+  test("interop: standard GZIPOutputStream bytes decompress") {
+    val in = "standard library payload".getBytes("UTF-8")
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos); g.write(in); g.close()
+    assert(GzipCodec.decompress(bos.toByteArray).toSeq == in.toSeq)
+  }
+
+  test("repetitive payloads actually shrink") {
+    val in = Array.fill(100000)(7.toByte)
+    assert(GzipCodec.compress(in).length < in.length / 10)
+  }
+
+  test("registry pipeline gzip >> gunzip == identity over a DataFrame") {
+    import spark.implicits._
+    val df = Seq(("a", "some text payload"), ("b", ""), ("c", "x" * 5000))
+      .toDF("name", "s").withColumn("payload", col("s").cast("binary"))
+    val t = Transforms.registry("gzip") >> Transforms.registry("gunzip")
+    val out = Transforms.inline(df, t)
+      .select(col("name"), col("payload").cast("string").as("s2"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "some text payload", "b" -> "", "c" -> "x" * 5000))
+  }
+}
