@@ -175,6 +175,64 @@ object SparkEntry {
         .orderBy(col("nation").asc, col("o_year").desc)
     }),
 
+    "q8_market_share" -> ((s, d) => {
+      // TPC-H q8 shape: NATION_1's share of ASIA's order volume per year.
+      // Both dim chains (supplier→nation for the numerator flag,
+      // customer→nation→region for the market filter) broadcast.
+      val l = li(s, d); val o = ord(s, d); val c = cust(s, d)
+      val su = Tables.load(s, d, "supplier")
+      val n = Tables.load(s, d, "nation"); val r = Tables.load(s, d, "region")
+      val custAsia = c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA").select("c_custkey")
+      val suppNation = su.join(
+          n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_1", col("volume")).otherwise(0d)) /
+            sum(col("volume")), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    "q17_small_qty_revenue" -> ((s, d) => {
+      // TPC-H q17: revenue from line items under 20% of their part's
+      // average quantity — the correlated scalar subquery decorrelates
+      // to a pre-agg joined back on partkey (broadcast: one row/part).
+      val l = li(s, d); val p = Tables.load(s, d, "part")
+      val avgQty = l.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      l.join(broadcast(p.where(col("p_brand") === "Brand#2")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("a_partkey"))
+        .where(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    "q22_dormant_customers" -> ((s, d) => {
+      // TPC-H q22 shape adapted (no c_phone): per-nation count/balance of
+      // above-average-balance customers with no orders SINCE 2000 —
+      // scalar-subquery threshold + anti join
+      val c = cust(s, d); val o = ord(s, d)
+      val n = Tables.load(s, d, "nation")
+      val threshold = c.where(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("thr"))
+      c.join(broadcast(threshold)).where(col("c_acctbal") > col("thr"))
+        .join(o.where(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("nation")
+    }),
+
     "q13_cust_distribution" -> ((s, d) => {
       // TPC-H q13: order-count distribution over a LEFT OUTER join (the
       // filter lives on the orders side so zero-order customers survive).
@@ -925,6 +983,38 @@ object SparkEntry {
         |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
         |  AND p_name LIKE '%red%'
         |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |    sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#2'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """SELECT n_name AS nation, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q13_cust_distribution" ->
       """SELECT c_count, count(*) AS custdist
