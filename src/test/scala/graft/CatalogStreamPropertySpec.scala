@@ -1,0 +1,49 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.streaming.CatalogStream
+
+/** Randomized CDC-merge invariants: for random mutation logs chopped
+  * into random epoch batches delivered in random order, the folded
+  * state must equal the one-shot apply — the property that makes the
+  * streaming form trustworthy under arbitrary file-source batching.
+  * Seeded Random keeps failures reproducible. */
+class CatalogStreamPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def baseOf(keys: Seq[Int]) =
+    keys.map(k => (s"b${k % 2}", f"o-$k%03d", k.toLong, s"c$k", 0L, "1", true, 0L, 1L))
+      .toDF("bucket", "name", "size", "checksum", "atime_ns", "version",
+        "is_cached", "status", "copies")
+
+  private def logOf(muts: Seq[(Int, Long, String)]) =
+    muts.map { case (k, seq, op) =>
+      (s"b${k % 2}", f"o-$k%03d", seq, op, seq * 10L, s"m$seq", seq, "2")
+    }.toDF("bucket", "name", "mut_seq", "op", "size", "checksum",
+      "atime_ns", "version")
+
+  test("random logs, random epoch splits, random delivery order") {
+    val rnd = new Random(20260812L)
+    (1 to 8).foreach { trial =>
+      val base = baseOf(0 until (3 + rnd.nextInt(8)))
+      // mutations over a key space overlapping base and beyond it;
+      // unique global seqs, several per key
+      val muts = rnd.shuffle((1 to (5 + rnd.nextInt(20))).map { seq =>
+        (rnd.nextInt(14), seq.toLong, if (rnd.nextInt(3) == 0) "del" else "put")
+      })
+      val oneShot = CatalogStream.applyLog(base, logOf(muts))
+        .orderBy("bucket", "name").collect().map(_.toSeq).toSeq
+
+      // chop into 1..4 random batches, deliver in random order
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = rnd.shuffle(muts.groupBy(_ => rnd.nextInt(nBatches)).values.toSeq)
+      val folded = CatalogStream.snapshot(
+        batches.foldLeft(CatalogStream.init(base)) { (st, b) =>
+          CatalogStream.step(st, logOf(b))
+        })
+        .orderBy("bucket", "name").collect().map(_.toSeq).toSeq
+      assert(folded == oneShot, s"trial $trial: fold != one-shot")
+    }
+  }
+}
