@@ -392,6 +392,14 @@ object SparkEntry {
         prefix = "flat/", prepend = "dst/", extMap = Map("dat" -> "bin"))
         .select("name", "dst_name").orderBy("name")),
 
+    // mv semantics: post-rename catalog, moved objects overwrite
+    // destination collisions
+    "rename_prefix" -> ((s, d) =>
+      ops.CopySync.renamePrefix(DerivedCatalog.objects(s, d),
+        fromPrefix = "data/", toPrefix = "archive/")
+        .select("bucket", "name", "size", "version")
+        .orderBy("bucket", "name")),
+
     "sync_prune" -> ((s, d) =>
       ops.CopySync.syncPrune(
         dest = DerivedCatalog.objects(s, d),
@@ -1165,6 +1173,20 @@ object SparkEntry {
         |    THEN regexp_replace(name, '\.[^./]+$', '') || '.bin'
         |    ELSE name END AS dst_name
         |FROM objects WHERE name LIKE 'flat/%' ORDER BY name""".stripMargin,
+      OracleCte.objects),
+
+    "rename_prefix" -> o(
+      """SELECT bucket, name, size, version FROM (
+        |  SELECT o.bucket, o.name, o.size, o.version FROM objects o
+        |  WHERE o.name NOT LIKE 'data/%'
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM objects r
+        |      WHERE r.name LIKE 'data/%' AND r.bucket = o.bucket
+        |        AND 'archive/' || substring(r.name, 6) = o.name)
+        |  UNION ALL
+        |  SELECT bucket, 'archive/' || substring(name, 6) AS name, size, version
+        |  FROM objects WHERE name LIKE 'data/%')
+        |ORDER BY bucket, name""".stripMargin,
       OracleCte.objects),
 
     "sync_prune" -> o(

@@ -35,6 +35,22 @@ object CopySync {
   def syncPrune(dest: DataFrame, src: DataFrame): DataFrame =
     dest.join(src.select("name"), Seq("name"), "left_anti")
 
+  /** Prefix rename (`ais bucket mv` / object mv, reference
+    * `ais/prxbck.go` rename xaction + `api/apc/actmsg.go` ActMoveBck):
+    * the post-rename catalog — matching names rewritten, collisions at
+    * the destination overwritten by the moved objects (mv semantics).
+    * Pure plan: prefix rewrite is injective, so renamed rows cannot
+    * collide with each other; only untouched rows can be shadowed. */
+  def renamePrefix(catalog: DataFrame, fromPrefix: String, toPrefix: String): DataFrame = {
+    require(fromPrefix.nonEmpty, "fromPrefix must be non-empty")
+    val renamed = catalog.where(col("name").startsWith(fromPrefix))
+      .withColumn("name",
+        concat(lit(toPrefix), expr(s"substring(name, ${fromPrefix.length + 1})")))
+    val untouched = catalog.where(!col("name").startsWith(fromPrefix))
+      .join(renamed.select("bucket", "name"), Seq("bucket", "name"), "left_anti")
+    untouched.unionByName(renamed.select(untouched.columns.map(col): _*))
+  }
+
   /** GB7 evict/delete: remaining catalog after removing a selection. */
   def remainingAfterDelete(catalog: DataFrame, selected: DataFrame): DataFrame =
     catalog.join(selected.select("name"), Seq("name"), "left_anti")

@@ -52,6 +52,18 @@ class ObjectCatalogSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("renamePrefix: moved objects overwrite destination collisions") {
+    import spark.implicits._
+    val cat = Seq(
+      ("b", "data/x", 1L), // will move to archive/x
+      ("b", "archive/x", 2L), // pre-existing target: must be shadowed
+      ("b", "other/y", 3L))
+      .toDF("bucket", "name", "size")
+    val out = graft.ops.CopySync.renamePrefix(cat, "data/", "archive/")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("archive/x" -> 1L, "other/y" -> 3L))
+  }
+
   test("job tracker snaps records/bytes for an action") {
     val (n, snap) = new JobTracker(spark).run("list-objects") {
       Tables.load(spark, TestSpark.sf001, "lineitem").count()
