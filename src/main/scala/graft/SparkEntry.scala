@@ -17,8 +17,10 @@ object SparkEntry {
   import OracleCte.{sql => o}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the composed corpus-cleaning pipeline — what this engine
+    * exists to run (language filter → quality threshold → dedup). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("corpus_clean")(spark, "/root/testdata/sf0.001")
 
   // ---- helpers ----------------------------------------------------------
   private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
@@ -711,6 +713,21 @@ object SparkEntry {
       ext.Sampling.bernoulliHash(Tables.load(s, d, "documents"), col("doc_id"), 0.3)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+
+    // The composed training-data flagship: language filter → quality
+    // threshold → exact dedup, each stage the already-oracle'd operator.
+    // Dedup as row_number over the content hash keeps it ONE scan of the
+    // (regex-heavy) scored plan — an agg + join-back would run it twice.
+    "corpus_clean" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val scored = ext.TextAnalysis.qualityFeatures(ext.TextAnalysis.langId(docs))
+        .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+        .orderBy(col("doc_id").asc)
+      scored.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select("doc_id", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    }),
 
     "seq_pack" -> ((s, d) =>
       ext.SeqPack.pack(Tables.load(s, d, "documents").select("doc_id", "text"),
@@ -1627,6 +1644,31 @@ object SparkEntry {
         |       WHEN votes_es >= votes_fr THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_clean" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    round(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 0.4
+        |      + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) AS quality_score,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS votes_de,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS votes_en,
+        |    len(regexp_extract_all(text, '\b(el|la|los|y|es|un)\b')) AS votes_es,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et|est|un)\b')) AS votes_fr
+        |  FROM documents),
+        |filt AS (
+        |  SELECT * FROM scored
+        |  WHERE quality_score >= 0.5
+        |    AND greatest(votes_de, votes_en, votes_es, votes_fr) > 0
+        |    AND NOT (votes_de >= votes_en AND votes_de >= votes_es AND votes_de >= votes_fr)
+        |    AND (votes_en >= votes_es AND votes_en >= votes_fr)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text))
+        |SELECT f.doc_id, f.n_tokens, f.quality_score
+        |FROM filt f JOIN keep k ON f.doc_id = k.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
 
     "seq_pack" ->
       """WITH toks AS (
