@@ -438,6 +438,13 @@ object SparkEntry {
         DerivedCatalog.remote(s, d))
         .orderBy("name")),
 
+    // ArchDir listing: archived members inlined after their shard entry
+    "lso_archive" -> ((s, d) =>
+      ListObjects.runWithArchMembers(
+        DerivedCatalog.objects(s, d), DerivedCatalog.members(s, d),
+        CatalogQuery(bucket = "bck1", prefix = "shards/",
+          props = Seq("name", "size", "in_arch"), pageSize = 300))),
+
     // CDC catalog maintenance (SURVEY §2.11 + S7 PUT/DELETE upkeep):
     // batch form of the streaming merge; multi-epoch parity in
     // CatalogStreamSpec
@@ -1252,6 +1259,19 @@ object SparkEntry {
         |LEFT JOIN remote r ON p.bucket = r.bucket AND p.name = r.name
         |ORDER BY p.name""".stripMargin,
       OracleCte.objects, OracleCte.remote),
+
+    "lso_archive" -> o(
+      """SELECT name, size, in_arch FROM (
+        |  SELECT bucket, name, size, FALSE AS in_arch FROM objects
+        |  UNION ALL
+        |  SELECT m.bucket, m.shard || '/' || m.member AS name, m.size,
+        |    TRUE AS in_arch
+        |  FROM members m
+        |  WHERE EXISTS (SELECT 1 FROM objects o
+        |                WHERE o.bucket = m.bucket AND o.name = m.shard))
+        |WHERE bucket = 'bck1' AND name LIKE 'shards/%'
+        |ORDER BY name LIMIT 300""".stripMargin,
+      OracleCte.objects, OracleCte.members),
 
     "catalog_stream_apply" -> o(
       """SELECT o.bucket, o.name, o.size, o.checksum, o.atime_ns, o.version,

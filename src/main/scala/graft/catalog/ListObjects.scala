@@ -156,6 +156,36 @@ object ListObjects {
       .drop(helpers: _*)
   }
 
+  /** `ais ls --archive` (ArchDir flag, `api/apc/lsmsg.go:20-100`
+    * LsArchDir): archived members appear as entries inlined after their
+    * shard object — `shard.tar` then `shard.tar/member` — which plain
+    * lexicographic name order gives for free (a member path extends its
+    * shard's name). Member entries carry name/size/in_arch; object-only
+    * props are null for them, mirroring the reference's sparse LsoEnt.
+    * Same filter/sort/trim machinery as [[run]] — the union is two
+    * pushdown-friendly scans, no extra shuffle beyond the page sort. */
+  def runWithArchMembers(objects: DataFrame, members: DataFrame, q: CatalogQuery): DataFrame = {
+    val obj = objects.withColumn("in_arch", lit(false))
+    // only members of shards that exist as objects in this catalog (the
+    // member fixture is a superset); the shard-name list is tiny next to
+    // the member table — a broadcast semi-join, no member-side shuffle
+    val owned = members.join(
+      broadcast(objects.select(col("bucket"), col("name").as("shard"))),
+      Seq("bucket", "shard"), "left_semi")
+    val mem = owned.select(
+      col("bucket"),
+      concat(col("shard"), lit("/"), col("member")).as("name"),
+      col("size"),
+      lit(null).cast("string").as("checksum"),
+      lit(null).cast("long").as("atime_ns"),
+      lit(null).cast("string").as("version"),
+      lit(true).as("is_cached"),
+      lit(0L).as("status"),
+      lit(1L).as("copies"),
+      lit(true).as("in_arch"))
+    run(obj.unionByName(mem, allowMissingColumns = true), q)
+  }
+
   private def project(df: DataFrame, props: Seq[String], extra: Seq[String]): DataFrame = {
     val want = ("name" +: props).distinct ++ extra.filterNot(props.contains)
     df.select(want.filter(c => df.columns.contains(c) || c == "is_dir").distinct.map {

@@ -99,4 +99,22 @@ class ListObjectsSpec extends SparkSpec {
     val notCached = ListObjects.run(cat, CatalogQuery(notCachedOnly = true, pageSize = 1000000)).count()
     assert(cached + notCached == cat.count())
   }
+
+  test("archive listing inlines members directly after their shard entry") {
+    val page = ListObjects.runWithArchMembers(
+      graft.catalog.DerivedCatalog.objects(spark, TestSpark.sf001),
+      graft.catalog.DerivedCatalog.members(spark, TestSpark.sf001),
+      CatalogQuery(bucket = "bck1", prefix = "shards/",
+        props = Seq("name", "size", "in_arch"), pageSize = 5000))
+      .collect().map(r => (r.getString(0), r.getBoolean(2)))
+    assert(page.exists(_._2) && page.exists(!_._2))
+    // every member row's name extends the most recent shard entry's name
+    var shard = ""
+    page.foreach { case (name, inArch) =>
+      if (!inArch) shard = name
+      else assert(name.startsWith(shard + "/"), s"$name not under $shard")
+    }
+    // and the page is name-sorted
+    assert(page.map(_._1).toSeq == page.map(_._1).sorted.toSeq)
+  }
 }
