@@ -704,6 +704,20 @@ object SparkEntry {
       ext.Dedup.nearDupMinhashLsh(dedupCorpus(s, d), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Standalone exact n-gram Jaccard (oracle-checkable ground truth for
+    // the LSH pipeline) on a deterministic 10% slice — candidate
+    // generation by shingle join is quadratic in shared-shingle counts;
+    // nearDupMinhashLsh is the scale path. The slice keeps every
+    // injected duplicate pair (dup id = original + 10^6 ≡ same mod 10).
+    "dedup_jaccard" -> ((s, d) => {
+      val sh = ext.Dedup.shingles(dedupCorpus(s, d).where(col("doc_id") % 10 === 0))
+      val cands = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      ext.Dedup.verifyJaccard(cands, sh, 0.8).orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       ext.Dedup.simhash16(Tables.load(s, d, "documents")).orderBy("doc_id")),
 
@@ -1547,6 +1561,25 @@ object SparkEntry {
         |  count(*) AS n_copies
         |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
       OracleCte.corpus),
+
+    "dedup_jaccard" -> o(
+      """SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT i.doc_a, i.doc_b,
+        |    round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 4) AS jaccard
+        |  FROM (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |        FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |              FROM shf a JOIN shf b
+        |                ON a.shingle = b.shingle AND a.doc_id < b.doc_id) c
+        |        JOIN shf sa ON sa.doc_id = c.doc_a
+        |        JOIN shf sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |        GROUP BY 1, 2) i
+        |  JOIN (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id) na
+        |    ON na.doc_id = i.doc_a
+        |  JOIN (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id) nb
+        |    ON nb.doc_id = i.doc_b)
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+      OracleCte.corpus, OracleCte.shingles,
+      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0)"),
 
     "dedup_minhash_lsh" -> o(
       """SELECT doc_a, doc_b, jaccard FROM (
