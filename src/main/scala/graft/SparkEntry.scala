@@ -203,6 +203,71 @@ object SparkEntry {
         .orderBy("o_year")
     }),
 
+    "q16_supplier_count" -> ((s, d) => {
+      // TPC-H q16 adapted: lineitem is the part–supplier bridge (no
+      // partsupp table); "complaint" suppliers = negative balance.
+      val l = li(s, d); val p = Tables.load(s, d, "part")
+      val bad = Tables.load(s, d, "supplier")
+        .where(col("s_acctbal") < 0).select("s_suppkey")
+      l.join(broadcast(p.where(col("p_brand") =!= "Brand#2" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    }),
+
+    "q20_excess_shippers" -> ((s, d) => {
+      // TPC-H q20 adapted (no partsupp.availqty): NATION_1 suppliers who
+      // shipped > 350 units of red parts in 1996 — having-subquery
+      // semi-joined back to supplier
+      val l = li(s, d); val su = Tables.load(s, d, "supplier")
+      val p = Tables.load(s, d, "part"); val n = Tables.load(s, d, "nation")
+      val heavy = l
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .join(broadcast(p.where(col("p_name").contains("red")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey").agg(sum("l_quantity").as("q"))
+        .where(col("q") > 350).select("l_suppkey")
+      su.join(broadcast(n.where(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    "q21_waiting_suppliers" -> ((s, d) => {
+      // TPC-H q21 adapted (no commit/receipt dates: late = shipped >60
+      // days after order date): suppliers who were the ONLY late shipper
+      // on a multi-supplier order — exists + not-exists over one
+      // per-(order, supplier) lateness aggregate
+      val l = li(s, d); val o = ord(s, d)
+      val su = Tables.load(s, d, "supplier")
+      val late = l.join(o.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0)).as("is_late"))
+      // exists(other supplier) ⟺ n_supp >= 2; not-exists(other late,
+      // given this row is late) ⟺ n_late = 1 — one per-order agg
+      // replaces a semi and an anti join over the same derived table
+      val perOrder = late.groupBy("ok")
+        .agg(count(lit(1)).as("n_supp"), sum("is_late").as("n_late"))
+      late.where(col("is_late") === 1)
+        .join(perOrder, Seq("ok"))
+        .where(col("n_supp") >= 2 && col("n_late") === 1)
+        .join(broadcast(su), col("sk") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+
     "q17_small_qty_revenue" -> ((s, d) => {
       // TPC-H q17: revenue from line items under 20% of their part's
       // average quantity — the correlated scalar subquery decorrelates
@@ -1044,6 +1109,47 @@ object SparkEntry {
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#2' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_shippers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    WHERE p_name LIKE '%red%'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey HAVING sum(l_quantity) > 350)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.sk = s_suppkey
+        |WHERE l1.is_late = 1
+        |  AND EXISTS (SELECT 1 FROM late l2
+        |              WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.ok = l1.ok AND l3.sk <> l1.sk
+        |                    AND l3.is_late = 1)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "q17_small_qty_revenue" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
