@@ -33,7 +33,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // marker-prefixed duplicate: survives log-tail truncation / [info]
+    // prefixing so the driver can grep one unambiguous line to parse
+    println(s"BENCH_JSON $json")
     spark.stop()
   }
 }

@@ -645,6 +645,27 @@ object SparkEntry {
         .select(col("sample_key"), col("_key").as("ckey"), col("rn"))
     }),
 
+    // O4 content key typed `float` (shard/key.go:100-136 keyType branch)
+    "dsort_content_float_top" -> ((s, d) => {
+      val m = DerivedCatalog.members(s, d)
+      val keyed = DSort.withSortKey(
+        DSort.samples(m), DSort.Algorithm.Content("cls", "float", decreasing = true), Some(m))
+      keyed.orderBy(col("_key").desc, col("sample_key").asc).limit(1000)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("_key").desc, col("sample_key").asc)).cast("long"))
+        .select(col("sample_key"), round(col("_key"), 4).as("ckey"), col("rn"))
+    }),
+
+    // O4 `none` algorithm (ext/dsort/api.go:18-25): pack in input
+    // (source shard, member offset) order, no re-sort
+    "dsort_none_pack" -> ((s, d) => {
+      val m = DerivedCatalog.members(s, d)
+      val keyed = DSort.withSortKey(DSort.samples(m), DSort.Algorithm.None, Some(m))
+      DSort.packShards(keyed, DSort.Algorithm.None, 500000L)
+        .select("sample_key", "size", "shard_id", "shard_name")
+        .orderBy("sample_key")
+    }),
+
     "ekm_pack" -> ((s, d) =>
       DSort.ekmPack(DSort.samples(DerivedCatalog.members(s, d)), Seq(
         "^s000[0-4].*" -> "low-%03d.tar",
@@ -1515,12 +1536,13 @@ object SparkEntry {
       OracleCte.members, OracleCte.samples),
 
     "dsort_alpha_pack" -> o(
-      """SELECT sample_key, size,
-        |  CAST((c - size) // 500000 AS BIGINT) AS shard_id,
-        |  printf('out-shard-%06d.tar', CAST((c - size) // 500000 AS BIGINT)) AS shard_name
+      """SELECT sample_key, size, shard_id,
+        |  printf('out-shard-%06d.tar', shard_id) AS shard_name
         |FROM (SELECT sample_key, size,
-        |        sum(size) OVER (ORDER BY sample_key ROWS UNBOUNDED PRECEDING) AS c
-        |      FROM samples)
+        |        CAST(dense_rank() OVER (ORDER BY (c - size) // 500000) - 1 AS BIGINT) AS shard_id
+        |      FROM (SELECT sample_key, size,
+        |              sum(size) OVER (ORDER BY sample_key ROWS UNBOUNDED PRECEDING) AS c
+        |            FROM samples))
         |ORDER BY sample_key""".stripMargin,
       OracleCte.members, OracleCte.samples),
 
@@ -1546,6 +1568,31 @@ object SparkEntry {
         |ORDER BY ckey, s.sample_key LIMIT 1000""".stripMargin,
       OracleCte.members, OracleCte.samples),
 
+    "dsort_content_float_top" -> o(
+      """SELECT s.sample_key, round(ckey, 4) AS ckey,
+        |  row_number() OVER (ORDER BY ckey DESC, s.sample_key) AS rn
+        |FROM samples s
+        |JOIN (SELECT sample_key, CAST(min(content_key) AS DOUBLE) AS ckey
+        |      FROM members WHERE ext = 'cls' GROUP BY sample_key) c
+        |  USING (sample_key)
+        |ORDER BY ckey DESC, s.sample_key LIMIT 1000""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "dsort_none_pack" -> o(
+      """SELECT sample_key, size, shard_id,
+        |  printf('out-shard-%06d.tar', shard_id) AS shard_name
+        |FROM (SELECT sample_key, size,
+        |        CAST(dense_rank() OVER (ORDER BY (c - size) // 500000) - 1 AS BIGINT) AS shard_id
+        |      FROM (SELECT s.sample_key, s.size,
+        |              sum(s.size) OVER (ORDER BY p.pos, s.sample_key
+        |                ROWS UNBOUNDED PRECEDING) AS c
+        |            FROM samples s
+        |            JOIN (SELECT sample_key,
+        |                    min(shard || '@' || lpad(CAST("offset" AS VARCHAR), 12, '0')) AS pos
+        |                  FROM members GROUP BY sample_key) p USING (sample_key)))
+        |ORDER BY sample_key""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
     "ekm_assign" -> o(
       """SELECT sample_key,
         |  CAST((CASE WHEN regexp_matches(sample_key, '^s000[0-4].*') THEN 1 ELSE 0 END
@@ -1562,10 +1609,13 @@ object SparkEntry {
       OracleCte.members, OracleCte.samples),
 
     "ekm_pack" -> o(
-      """SELECT sample_key, size, out_template,
-        |  CAST((c - size) // 400000 AS BIGINT) AS shard_id,
-        |  printf(out_template, CAST((c - size) // 400000 AS BIGINT)) AS shard_name
+      """SELECT sample_key, size, out_template, shard_id,
+        |  printf(out_template, shard_id) AS shard_name
         |FROM (
+        |  SELECT sample_key, size, out_template,
+        |    CAST(dense_rank() OVER (PARTITION BY out_template
+        |      ORDER BY (c - size) // 400000) - 1 AS BIGINT) AS shard_id
+        |  FROM (
         |  SELECT sample_key, size, out_template,
         |    sum(size) OVER (PARTITION BY out_template ORDER BY sample_key
         |                    ROWS UNBOUNDED PRECEDING) AS c
@@ -1579,7 +1629,7 @@ object SparkEntry {
         |                   ELSE 'mid-%03d.tar' END)
         |      END AS out_template
         |    FROM samples)
-        |  WHERE out_template IS NOT NULL)
+        |  WHERE out_template IS NOT NULL))
         |ORDER BY sample_key""".stripMargin,
       OracleCte.members, OracleCte.samples),
 
@@ -1914,17 +1964,18 @@ object SparkEntry {
       OracleCte.members, OracleCte.samples),
 
     "ishard_pack" -> o(
-      """SELECT sample_key, size, n_members,
-        |  CAST((c - size) // 300000 AS BIGINT) AS shard_id,
-        |  printf('ishard-%06d.tar', CAST((c - size) // 300000 AS BIGINT)) AS shard_name
+      """SELECT sample_key, size, n_members, shard_id,
+        |  printf('ishard-%06d.tar', shard_id) AS shard_name
         |FROM (SELECT sample_key, size, n_members,
-        |        sum(size) OVER (ORDER BY first_member ROWS UNBOUNDED PRECEDING) AS c
-        |      FROM (SELECT regexp_replace(regexp_extract(member, '([^/]+)$', 1), '\.[^./]*$', '') AS sample_key,
-        |              CAST(sum(size) AS BIGINT) AS size,
-        |              count(*) AS n_members,
-        |              min(member) AS first_member
-        |            FROM members WHERE bucket = 'bck1'
-        |            GROUP BY 1))
+        |        CAST(dense_rank() OVER (ORDER BY (c - size) // 300000) - 1 AS BIGINT) AS shard_id
+        |      FROM (SELECT sample_key, size, n_members,
+        |              sum(size) OVER (ORDER BY first_member ROWS UNBOUNDED PRECEDING) AS c
+        |            FROM (SELECT regexp_replace(regexp_extract(member, '([^/]+)$', 1), '\.[^./]*$', '') AS sample_key,
+        |                    CAST(sum(size) AS BIGINT) AS size,
+        |                    count(*) AS n_members,
+        |                    min(member) AS first_member
+        |                  FROM members WHERE bucket = 'bck1'
+        |                  GROUP BY 1)))
         |ORDER BY sample_key""".stripMargin,
       OracleCte.members),
 

@@ -49,8 +49,14 @@ object Summaries {
         approx_count_distinct(col("checksum"), rsd).as("uniq_payloads_approx"),
         approx_count_distinct(concat_ws("@", col("name"), col("version")), rsd)
           .as("uniq_versions_approx"),
-        percentile_approx(col("size"), array(lit(0.5), lit(0.95), lit(0.99)),
-          lit(10000)).as("size_p50_p95_p99"),
+        // Scalar quantile columns (not one ARRAY column): same t-digest
+        // sketch, but sortable/hashable by any downstream comparator.
+        element_at(percentile_approx(col("size"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)), 1).as("size_p50"),
+        element_at(percentile_approx(col("size"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)), 2).as("size_p95"),
+        element_at(percentile_approx(col("size"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)), 3).as("size_p99"),
         sum("size").as("size_total"))
       .orderBy("bucket")
 

@@ -45,6 +45,12 @@ object DSort {
     /** `content`: typed key read from the sample's key-extension member
       * (`shard/key.go:100-136`), keyType ∈ {int, float, string}. */
     final case class Content(ext: String, keyType: String, decreasing: Boolean = false) extends Algorithm
+    /** `none` — `ext/dsort/api.go:18-25`: records keep the order they
+      * were read from the input shards. The distributed equivalent of
+      * "read order" is the (source shard, member offset) position of the
+      * sample's first member, which is what a sequential reader walking
+      * the shard list would see. Requires `members`. */
+    case object None extends Algorithm
   }
 
   /** J5 — group members into samples (reference `shard/record.go:91-100`
@@ -79,6 +85,14 @@ object DSort {
         // two-arg xxhash64 mixes the seed through the hash state; ties
         // (64-bit collisions) broken by sample_key in keyOrder
         samplesDf.withColumn("_key", xxhash64(col("sample_key"), lit(seed)))
+      case Algorithm.None =>
+        // input position of the sample = first (shard, offset) among its
+        // members; zero-padded offset so string order == numeric order
+        val pos = members.get
+          .groupBy("sample_key")
+          .agg(min(concat(col("shard"), lit("@"),
+            lpad(col("offset").cast("string"), 12, "0"))).as("_key"))
+        samplesDf.join(pos, Seq("sample_key"), "inner")
       case Algorithm.Content(ext, keyType, _) =>
         val keys = members.get
           .where(col("ext") === ext)
@@ -105,9 +119,23 @@ object DSort {
   /** Distributed global prefix sum of `value` in (`order`) order.
     * Adds `_cum` (inclusive cumulative sum). One range-partition shuffle;
     * the per-partition offset table is #shuffle-partitions rows. */
-  def globalCumsum(df: DataFrame, order: Seq[Column], value: Column): DataFrame = {
+  def globalCumsum(df: DataFrame, order: Seq[Column], value: Column): DataFrame =
+    groupedCumsum(df, Nil, order, value)
+
+  /** Distributed prefix sum of `value` in (`order`) order, restarting at
+    * each distinct `groups` value — the scale-safe replacement for
+    * `Window.partitionBy(groups)`, which ships EVERY row of a group into
+    * ONE task. Here a hot group's rows stay spread across range
+    * partitions: range-partition on (groups ++ order), local cumsum per
+    * physical partition per group, then prefix-sum the per-(partition,
+    * group) totals within each group and broadcast them back. Because
+    * range partitioning keeps each group in a contiguous run of
+    * partitions, the offset table has ≤ #partitions + #groups rows —
+    * driver-tiny at any scale. */
+  def groupedCumsum(df: DataFrame, groups: Seq[String], order: Seq[Column], value: Column): DataFrame = {
     val spark = df.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val fullOrder = groups.map(col(_).asc) ++ order
     // First checkpoint: repartitionByRange SAMPLES its input to pick
     // boundaries, then shuffles it — without materialization the upstream
     // plan (often an expensive groupBy) runs twice.
@@ -119,23 +147,29 @@ object DSort {
     // out-of-order shards). Checkpointing makes both branches read the
     // same physical partitions.
     val parted = input
-      .repartitionByRange(n, order: _*)
-      .sortWithinPartitions(order: _*)
+      .repartitionByRange(n, fullOrder: _*)
+      .sortWithinPartitions(fullOrder: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    val w = Window.partitionBy("_pid").orderBy(order: _*)
+    val localKeys = "_pid" +: groups
+    val w = Window.partitionBy(localKeys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("_lcum", sum(value).over(w))
+    // per-(partition, group) totals → running offset within each group
+    // across partitions; the offset table is tiny, so its window is
+    // harmless wherever it lands
+    val offW =
+      if (groups.isEmpty) Window.orderBy("_pid")
+      else Window.partitionBy(groups.map(col): _*).orderBy("_pid")
     val offsets = local
-      .groupBy("_pid").agg(max("_lcum").as("_ptot"))
+      .groupBy(localKeys.map(col): _*).agg(max("_lcum").as("_ptot"))
       .withColumn("_offset",
         coalesce(
-          sum("_ptot").over(
-            Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          sum("_ptot").over(offW.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select("_pid", "_offset")
+      .select((localKeys :+ "_offset").map(col): _*)
     local
-      .join(broadcast(offsets), Seq("_pid"))
+      .join(broadcast(offsets), localKeys)
       .withColumn("_cum", col("_lcum") + col("_offset"))
       .drop("_pid", "_lcum", "_offset")
   }
@@ -144,17 +178,38 @@ object DSort {
     * records and cuts when the accumulator reaches `maxSize`
     * (`dsort.go:556-607`); the scalable closed-form equivalent assigns a
     * record to the shard its *starting* byte offset falls in:
-    * `shard_id = floor((cum - size) / maxSize)` — identical "size ≈ cap,
-    * order-preserving, sample-atomic" invariants, computable in one pass.
-    * Shard names come from the output template in order
-    * (`pt.Next()`, fmt-style `%06d`). */
+    * `shard_id = floor((cum - size) / maxSize)` — same "size ≈ cap,
+    * order-preserving, sample-atomic" cuts, computable in one pass. A
+    * sample larger than maxSize would skip raw ids, so ids are densely
+    * renumbered ([[denseShardIds]]) to stay the consecutive `pt.Next()`
+    * sequence the reference emits. Shard names come from the output
+    * template in order (fmt-style `%06d`). */
   def packShards(samplesWithKey: DataFrame, alg: Algorithm, maxSize: Long,
                  nameTemplate: String = "out-shard-%06d.tar"): DataFrame = {
     val order = keyOrder(alg)
-    globalCumsum(samplesWithKey, order, col("size"))
+    val raw = globalCumsum(samplesWithKey, order, col("size"))
       .withColumn("shard_id", ((col("_cum") - col("size")) / maxSize).cast("long"))
+    denseShardIds(raw, Nil)
       .withColumn("shard_name", format_string(nameTemplate, col("shard_id")))
       .drop("_cum")
+  }
+
+  /** Densely renumber `shard_id` (within `groups`, if any) so shard names
+    * form a consecutive 0..n sequence even when an oversized sample spans
+    * multiple cap boundaries (reference behavior: `pt.Next()` never
+    * skips — `dsort.go:556-607`). Scale: the distinct-id table has one
+    * row per OUTPUT SHARD (≈ total_bytes / maxSize — ~100k rows at
+    * 100 TB / 1 GiB), so its single-task window and the broadcast join
+    * back are both trivially cheap. */
+  private[ops] def denseShardIds(df: DataFrame, groups: Seq[String]): DataFrame = {
+    val keyCols = groups :+ "shard_id"
+    val w =
+      if (groups.isEmpty) Window.orderBy("shard_id")
+      else Window.partitionBy(groups.map(col): _*).orderBy("shard_id")
+    val ids = df.select(keyCols.map(col): _*).distinct()
+      .withColumn("_dense", (row_number().over(w) - 1).cast("long"))
+    df.join(broadcast(ids), keyCols)
+      .withColumn("shard_id", col("_dense")).drop("_dense")
   }
 
   /** J4/P7 — EKM (external key map, `ext/dsort/shard/key.go:155-193`):
@@ -178,19 +233,22 @@ object DSort {
 
   /** EKM-routed packing (`dsort.go:731` generateShardsWithOrderingFile):
     * records are routed to their matched template's shard stream; each
-    * template maintains its OWN size-capped shard counter. One
-    * template-partitioned prefix sum — templates pack independently and
-    * in parallel. Returns (sample_key, size, out_template, shard_id,
-    * shard_name); unmatched/ambiguous records are excluded (strict mode
-    * raises instead, see [[ekmAssignStrict]]). */
+    * template maintains its OWN size-capped shard counter. The prefix
+    * sum restarts per template but runs through [[groupedCumsum]], so a
+    * hot template's records stay spread across range partitions — EKM
+    * maps routinely route most of a corpus through a handful of
+    * templates, and a `Window.partitionBy(out_template)` would ship all
+    * of those rows into one task (the exact "single final target"
+    * bottleneck `dsort.go:431` has and `globalCumsum` exists to avoid).
+    * Returns (sample_key, size, out_template, shard_id, shard_name);
+    * unmatched/ambiguous records are excluded (strict mode raises
+    * instead, see [[ekmAssignStrict]]). */
   def ekmPack(samplesDf: DataFrame, rules: Seq[(String, String)], maxSize: Long): DataFrame = {
     val routed = ekmAssign(samplesDf, rules)
       .where(col("out_template").isNotNull)
-    val w = Window.partitionBy("out_template").orderBy("sample_key")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    routed
-      .withColumn("_cum", sum("size").over(w))
+    val raw = groupedCumsum(routed, Seq("out_template"), Seq(col("sample_key").asc), col("size"))
       .withColumn("shard_id", ((col("_cum") - col("size")) / maxSize).cast("long"))
+    denseShardIds(raw, Seq("out_template"))
       .withColumn("shard_name", format_string2(col("out_template"), col("shard_id")))
       .select("sample_key", "size", "out_template", "shard_id", "shard_name")
   }

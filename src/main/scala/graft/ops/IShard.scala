@@ -40,8 +40,9 @@ object IShard {
         min("member").as("first_member"))
     // order by first member name = input order proxy (names are walked
     // in order in the reference); distributed prefix-sum cut as in dSort
-    DSort.globalCumsum(keyed, Seq(col("first_member")), col("size"))
+    val raw = DSort.globalCumsum(keyed, Seq(col("first_member")), col("size"))
       .withColumn("shard_id", ((col("_cum") - col("size")) / shardSize).cast("long"))
+    DSort.denseShardIds(raw, Nil)
       .withColumn("shard_name", format_string(nameTemplate, col("shard_id")))
       .drop("_cum")
       .withColumnRenamed("_skey", "sample_key")

@@ -30,8 +30,8 @@ class ApproxSpec extends SparkSpec {
   test("bucketSummaryApprox: size quantiles within 2% rank tolerance") {
     val cat = DerivedCatalog.objects(spark, TestSpark.sf001).cache()
     val row = Summaries.bucketSummaryApprox(cat)
-      .where(col("bucket") === "bck1").select("size_p50_p95_p99").head()
-    val qs = row.getSeq[Long](0)
+      .where(col("bucket") === "bck1").select("size_p50", "size_p95", "size_p99").head()
+    val qs = Seq(row.getLong(0), row.getLong(1), row.getLong(2))
     val sizes = cat.where(col("bucket") === "bck1")
       .select("size").collect().map(_.getLong(0)).sorted
     Seq(0.5, 0.95, 0.99).zip(qs).foreach { case (p, est) =>

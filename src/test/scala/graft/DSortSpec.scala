@@ -102,6 +102,61 @@ class DSortSpec extends SparkSpec {
     assert(packed.find(_._1 == "b4").get._3 == "B-2.tar")
   }
 
+  test("EKM pack: one hot template spans multiple shuffle partitions") {
+    import spark.implicits._
+    // 5000 records all routed through ONE template: the old
+    // Window.partitionBy(out_template) shape would collapse them into a
+    // single task; groupedCumsum must keep them range-spread AND still
+    // produce the exact sequential pack.
+    val df = (0 until 5000).map(i => (f"a$i%06d", 60L)).toDF("sample_key", "size")
+    val packed = DSort.ekmPack(df, Seq("^a.*" -> "hot-%05d.tar"), 100L)
+    // correctness: shard of record i (sorted) = floor(60*i / 100)
+    val got = packed.orderBy("sample_key").select("shard_id")
+      .collect().map(_.getLong(0)).toSeq
+    val want = (0 until 5000).map(i => 60L * i / 100L)
+    assert(got == want)
+    // scale shape: the routed data really does occupy >1 range partition
+    // (i.e. the hot template was NOT funneled into one task)
+    val nParts = df.repartitionByRange(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("sample_key"))
+      .select(spark_partition_id()).distinct().count()
+    assert(nParts > 1, s"fixture too small to exercise the spread: $nParts")
+  }
+
+  test("oversized sample: shard ids stay consecutive (dense renumber)") {
+    import spark.implicits._
+    // sample 'b' is 5× the cap: the raw floor((cum-size)/cap) id would
+    // jump from 0 to 5+; the reference's pt.Next() never skips.
+    val df = Seq(("a", 50L), ("b", 500L), ("c", 50L), ("d", 50L))
+      .toDF("sample_key", "size")
+    val packed = DSort.packShards(
+      df.withColumn("_key", col("sample_key")), Algorithm.Alphanumeric(), 100L)
+      .orderBy("sample_key")
+      .collect().map(r => (r.getAs[String]("sample_key"), r.getAs[Long]("shard_id")))
+    val ids = packed.map(_._2)
+    assert(ids.distinct.sorted.toSeq == (0L to ids.max).toSeq,
+      s"non-consecutive shard ids: ${packed.mkString(",")}")
+  }
+
+  test("`none` algorithm: pack order is (source shard, offset), not key order") {
+    val keyed = DSort.withSortKey(samples, Algorithm.None, Some(members))
+    // _key = first (shard@offset) position; verify keyed order equals the
+    // member table's own input order per sample
+    val want = members.groupBy("sample_key")
+      .agg(min(concat(col("shard"), lit("@"),
+        lpad(col("offset").cast("string"), 12, "0"))).as("pos"))
+      .orderBy("pos", "sample_key").select("sample_key")
+      .limit(100).collect().map(_.getString(0)).toSeq
+    val got = keyed.orderBy("_key", "sample_key").select("sample_key")
+      .limit(100).collect().map(_.getString(0)).toSeq
+    assert(got == want)
+    // and it differs from alphanumeric order (it's genuinely "no sort")
+    val alpha = samples.orderBy("sample_key").select("sample_key")
+      .limit(100).collect().map(_.getString(0)).toSeq
+    assert(got != alpha)
+  }
+
   test("EKM strict raises on ambiguous match") {
     import spark.implicits._
     val two = Seq("s0000001_01").toDF("sample_key").withColumn("size", lit(1L))
