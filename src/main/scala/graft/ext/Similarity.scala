@@ -72,15 +72,23 @@ object Similarity {
 
   /** Sign-LSH bucket id: `bits` pseudo-random hyperplanes derived
     * deterministically from md5(planeIdx, dim) in {-1, +1}; the bucket is
-    * the sign pattern of the projections. */
+    * the sign pattern of the projections.
+    *
+    * Each plane is a LITERAL float array and the projection is one
+    * [[graft.functions.FloatDotProduct]] loop, so the generated code is
+    * `bits` tight loops regardless of `dim` — the earlier formulation
+    * unrolled `bits × dim` scalar terms into the projection, which hits
+    * Janino method-size limits at real embedding dims (768/1024).
+    * Numerically identical: ±1·component products summed left-to-right
+    * in double, exactly as the unrolled sum was. */
   def signLshBucket(vec: Column, bits: Int, dim: Int): Column = {
     val planeBits = (0 until bits).map { p =>
-      // plane p: component d = +1 if md5("p:d") first nibble >= '8'
-      val proj = (0 until dim).map { d =>
-        val sign = if (java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p:$d".getBytes)(0) < 0) -1.0 else 1.0
-        element_at(vec, d + 1).cast("double") * sign
-      }.reduce(_ + _)
+      // plane p: component d sign from md5("p:d") first byte
+      val plane: Seq[Float] = (0 until dim).map { d =>
+        if (java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$d".getBytes)(0) < 0) -1.0f else 1.0f
+      }
+      val proj = floatDot(vec, typedLit(plane))
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(planeBits: _*)
@@ -96,21 +104,49 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // The centroid table is index-small by contract (an IVF index with
+    // more than ~100k cells stops being an index), so it is collected
+    // once — the same rows a broadcast() would ship to every executor —
+    // and folded over per corpus row. The earlier shape crossJoined
+    // corpus × centroids and ranked with a window partitioned by vec_id:
+    // that multiplies the corpus by #cells AND shuffles the blowup to
+    // sort it — at 100 TB × 1k cells, a 1000× shuffle. The fold is one
+    // scan, zero extra rows, zero shuffle, whole-stage codegen'd.
+    val cents = centroids.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        (r.getLong(0), v, math.sqrt(acc)) // same left-to-right double sum as floatDot
+      }.sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK: empty centroid table")
+    val centArr = typedLit(cents.toSeq)
+    // per-row argmin over the centroid array; ties → lowest cell_id
+    // (array is id-sorted and the fold keeps the first strict minimum),
+    // matching the old (dist asc, cell_id asc) ranking exactly
+    def nearestCell(vec: Column): Column =
+      aggregate(centArr,
+        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("id")),
+        (acc, cc) => {
+          val d = -floatDot(vec, cc.getField("_2")) / cc.getField("_3")
+          when(d < acc.getField("d"),
+            struct(d.as("d"), cc.getField("_1").as("id"))).otherwise(acc)
+        }).getField("id")
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+      .withColumn("cell_id", nearestCell(col("_cv")))
+    // query side stays a (tiny) broadcast cross join: it needs top-nprobe
+    // cells per query, and #queries × #cells rows is driver-small
     val cent = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("_centv"),
       sqrt(floatDot(col(vecCol), col(vecCol))).as("_centn"))
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("_cdist").asc, col("cell_id").asc)
-      df.crossJoin(broadcast(cent))
-        // cosine argmin for a fixed row vector: -dot/|centroid| (row norm constant)
-        .withColumn("_cdist", -floatDot(col(vec), col("_centv")) / col("_centn"))
+    val q = {
+      val w = Window.partitionBy("query_id").orderBy(col("_cdist").asc, col("cell_id").asc)
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+        .crossJoin(broadcast(cent))
+        .withColumn("_cdist", -floatDot(col("_qv"), col("_centv")) / col("_centn"))
         .withColumn("_crank", row_number().over(w))
-        .where(col("_crank") <= keep)
+        .where(col("_crank") <= nprobe)
         .drop("_centv", "_centn", "_cdist", "_crank")
     }
-    val c = assign(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv")),
-      "vec_id", "_cv", 1)
-    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
-      "query_id", "_qv", nprobe)
     val scored = c.join(broadcast(q), Seq("cell_id"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 4))

@@ -84,6 +84,41 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("ANN at real embedding dims (768): LSH and IVF codegen + agree with brute force") {
+    // the pre-fold signLshBucket unrolled bits×dim scalar terms and the
+    // pre-fold ivfTopK windowed corpus×centroids — this case guards both
+    // scale paths at a dim that used to break codegen
+    val dim = 768
+    val hi = spark.range(1, 301).select($"id".as("vec_id"),
+      expr(s"transform(sequence(1, $dim), j -> cast(sin(vec_id * j) as float))")
+        .as("embedding")).cache()
+    val queries = hi.where($"vec_id".isin(3L, 77L, 250L))
+    val bf = Similarity.bruteForceTopK(hi, queries, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(hi, queries, k = 5, bits = 8, dim = dim).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c == r.getDouble(2)))
+    }
+    val ivf = Similarity.ivfTopK(hi, queries,
+      centroids = hi.where($"vec_id" % 17 === 0), k = 5, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
+  test("IVF corpus assignment plan has no window over corpus×centroids") {
+    val queries = emb.where($"vec_id".isin(17L))
+    val plan = Similarity.ivfTopK(emb, queries,
+      centroids = emb.where($"vec_id" % 31 === 0), k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    // exactly one Window subtree is allowed for corpus-side work: the
+    // final per-query rank. The query-side nprobe window + rank window
+    // both partition by query_id; nothing may partition by vec_id.
+    assert(!plan.contains("windowspecdefinition(vec_id"), plan.linesIterator.take(20).mkString("\n"))
+  }
+
   test("archive create + appendIfExists merges members, new wins") {
     import graft.ops.Archive
     val out = java.nio.file.Files.createTempDirectory("graft_arch").toString + "/sel.tar"
