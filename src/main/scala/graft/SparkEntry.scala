@@ -406,6 +406,20 @@ object SparkEntry {
       ListObjects.run(DerivedCatalog.objects(s, d),
         CatalogQuery(prefix = "data/", noRecursion = true, pageSize = 400))),
 
+    // P4 LsMissing (lsmsg.go:26, filter at :330): misplaced objects and
+    // copies (status != LocOK) included alongside main replicas
+    "lso_missing" -> ((s, d) =>
+      ListObjects.run(DerivedCatalog.objects(s, d),
+        CatalogQuery(prefix = "data/dir03/", missing = true,
+          props = Seq("name", "size", "status"), pageSize = 300))),
+
+    // P4 LsNoDirs (lsmsg.go:89, gate at xact/xs/nextpage.go:149):
+    // non-recursive listing with the virtual dir entries suppressed
+    "lso_nodirs" -> ((s, d) =>
+      ListObjects.run(DerivedCatalog.objects(s, d),
+        CatalogQuery(prefix = "data/dir03/sub3/", noRecursion = true,
+          noDirs = true, pageSize = 400))),
+
     // ------------------------------------------------------------------
     // Summaries (SURVEY A1, A2)
     // ------------------------------------------------------------------
@@ -1233,46 +1247,59 @@ object SparkEntry {
 
     "lso_page1" -> o(
       """SELECT name, size, checksum, atime_ns, version FROM objects
-        |WHERE name LIKE 'data/dir03/%' ORDER BY name LIMIT 200""".stripMargin,
+        |WHERE name LIKE 'data/dir03/%' AND status = 0 ORDER BY name LIMIT 200""".stripMargin,
       OracleCte.objects),
 
     "lso_page2_token" -> o(
       """SELECT name, size, checksum, atime_ns, version FROM objects
-        |WHERE name LIKE 'data/dir03/%'
+        |WHERE name LIKE 'data/dir03/%' AND status = 0
         |  AND name > (SELECT max(name) FROM (
-        |    SELECT name FROM objects WHERE name LIKE 'data/dir03/%'
+        |    SELECT name FROM objects WHERE name LIKE 'data/dir03/%' AND status = 0
         |    ORDER BY name LIMIT 50))
         |ORDER BY name LIMIT 50""".stripMargin,
       OracleCte.objects),
 
     "lso_name_size" -> o(
       """SELECT name, size FROM objects
-        |WHERE bucket = 'bck1' AND name LIKE 'flat/%' ORDER BY name LIMIT 500""".stripMargin,
+        |WHERE bucket = 'bck1' AND name LIKE 'flat/%' AND status = 0 ORDER BY name LIMIT 500""".stripMargin,
       OracleCte.objects),
 
     "lso_cached" -> o(
       """SELECT name, size, version FROM objects
-        |WHERE name LIKE 'shards/%' AND is_cached ORDER BY name LIMIT 300""".stripMargin,
+        |WHERE name LIKE 'shards/%' AND is_cached AND status = 0 ORDER BY name LIMIT 300""".stripMargin,
       OracleCte.objects),
 
     "lso_startafter" -> o(
       """SELECT name, size FROM objects
-        |WHERE name LIKE 'flat/%' AND name > 'flat/obj-00000600.dat'
+        |WHERE name LIKE 'flat/%' AND name > 'flat/obj-00000600.dat' AND status = 0
         |ORDER BY name LIMIT 100""".stripMargin,
       OracleCte.objects),
 
     "lso_norecurs" -> o(
       """SELECT * FROM (
         |  SELECT name, size, checksum, atime_ns, version, false AS is_dir
-        |  FROM objects WHERE name LIKE 'data/%' AND instr(substr(name, 6), '/') = 0
+        |  FROM objects WHERE name LIKE 'data/%' AND status = 0 AND instr(substr(name, 6), '/') = 0
         |  UNION ALL
         |  SELECT DISTINCT
         |    'data/' || substr(substr(name, 6), 1, instr(substr(name, 6), '/')) AS name,
         |    CAST(0 AS BIGINT) AS size, CAST(NULL AS VARCHAR) AS checksum,
         |    CAST(NULL AS BIGINT) AS atime_ns, CAST(NULL AS VARCHAR) AS version,
         |    true AS is_dir
-        |  FROM objects WHERE name LIKE 'data/%' AND instr(substr(name, 6), '/') > 0
+        |  FROM objects WHERE name LIKE 'data/%' AND status = 0 AND instr(substr(name, 6), '/') > 0
         |) ORDER BY name LIMIT 400""".stripMargin,
+      OracleCte.objects),
+
+    "lso_missing" -> o(
+      """SELECT name, size, status FROM objects
+        |WHERE name LIKE 'data/dir03/%' ORDER BY name LIMIT 300""".stripMargin,
+      OracleCte.objects),
+
+    "lso_nodirs" -> o(
+      """SELECT name, size, checksum, atime_ns, version, false AS is_dir
+        |FROM objects
+        |WHERE name LIKE 'data/dir03/sub3/%' AND status = 0
+        |  AND instr(substr(name, 17), '/') = 0
+        |ORDER BY name LIMIT 400""".stripMargin,
       OracleCte.objects),
 
     "bucket_summary" -> o(
@@ -1395,7 +1422,7 @@ object SparkEntry {
         |  CASE WHEN r.version IS NULL THEN FALSE
         |       ELSE r.version <> p.version END AS ver_changed
         |FROM (SELECT bucket, name, size, checksum, atime_ns, version FROM objects
-        |      WHERE bucket = 'bck1' AND name LIKE 'data/%'
+        |      WHERE bucket = 'bck1' AND name LIKE 'data/%' AND status = 0
         |      ORDER BY name LIMIT 500) p
         |LEFT JOIN remote r ON p.bucket = r.bucket AND p.name = r.name
         |ORDER BY p.name""".stripMargin,
@@ -1404,12 +1431,14 @@ object SparkEntry {
     "lso_archive" -> o(
       """SELECT name, size, in_arch FROM (
         |  SELECT bucket, name, size, FALSE AS in_arch FROM objects
+        |  WHERE status = 0
         |  UNION ALL
         |  SELECT m.bucket, m.shard || '/' || m.member AS name, m.size,
         |    TRUE AS in_arch
         |  FROM members m
         |  WHERE EXISTS (SELECT 1 FROM objects o
-        |                WHERE o.bucket = m.bucket AND o.name = m.shard))
+        |                WHERE o.bucket = m.bucket AND o.name = m.shard
+        |                  AND o.status = 0))
         |WHERE bucket = 'bck1' AND name LIKE 'shards/%'
         |ORDER BY name LIMIT 300""".stripMargin,
       OracleCte.objects, OracleCte.members),
@@ -1953,7 +1982,7 @@ object SparkEntry {
 
     "nbi_snapshot_listing" -> o(
       """SELECT name, size, version FROM objects
-        |WHERE bucket = 'bck1' AND name LIKE 'data/dir07/%'
+        |WHERE bucket = 'bck1' AND name LIKE 'data/dir07/%' AND status = 0
         |ORDER BY name LIMIT 300""".stripMargin,
       OracleCte.objects),
 

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * @param notCachedOnly LsNotCached flag
   * @param noRecursion   POSIX-style non-recursive listing with virtual dir
   *                      entries (`cmn/objlist_utils.go:147`)
+  * @param missing       LsMissing flag (`lsmsg.go:26`): include misplaced
+  *                      objects and copies (status != LocOK) — by default
+  *                      only main replicas in their HRW location are
+  *                      listed (`xact/xs/wi_lso.go:206-212` isOK gate)
+  * @param noDirs        LsNoDirs flag (`lsmsg.go:89`): under no-recursion,
+  *                      suppress the virtual directory entries
+  *                      (`xact/xs/nextpage.go:149`)
   */
 final case class CatalogQuery(
     bucket: String = "",
@@ -28,7 +35,9 @@ final case class CatalogQuery(
     startAfter: String = "",
     cachedOnly: Boolean = false,
     notCachedOnly: Boolean = false,
-    noRecursion: Boolean = false)
+    noRecursion: Boolean = false,
+    missing: Boolean = false,
+    noDirs: Boolean = false)
 
 object CatalogQuery {
   /** Default prop set mirrors `apc.GetPropsDefaultAIS` (name, size,
@@ -75,6 +84,10 @@ object ListObjects {
     if (q.prefix.nonEmpty) df = df.where(col("name").startsWith(q.prefix))
     if (q.cachedOnly) df = df.where(col("is_cached"))
     if (q.notCachedOnly) df = df.where(!col("is_cached"))
+    // LsMissing gate (wi_lso.go:206-212): only LocOK main replicas are
+    // listed unless the flag asks for misplaced/copy entries too
+    if (!q.missing && df.columns.contains("status"))
+      df = df.where(col("status") === 0L)
     val after = Seq(q.token, q.startAfter).max // tokens are names; lexicographic
     if (after.nonEmpty) df = df.where(col("name") > after)
 
@@ -114,7 +127,9 @@ object ListObjects {
     val dirCols = fileCols.columns.foldLeft(dirs) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }.select(fileCols.columns.map(col): _*)
-    val unioned = fileCols.unionByName(dirCols)
+    // LsNoDirs (nextpage.go:149): dir entries only when the flag is unset
+    val unioned =
+      if (q.noDirs) fileCols else fileCols.unionByName(dirCols)
     // the token filter must re-apply AFTER dir derivation: a child name
     // ("a/x/y") can be > token while its derived dir entry ("a/") is not —
     // without this a dir already emitted on the previous page resurfaces
@@ -168,10 +183,14 @@ object ListObjects {
     val obj = objects.withColumn("in_arch", lit(false))
     // only members of shards that exist as objects in this catalog (the
     // member fixture is a superset); the shard-name list is tiny next to
-    // the member table — a broadcast semi-join, no member-side shuffle
+    // the member table — a broadcast join, no member-side shuffle. Members
+    // inherit their shard's status: if the LsMissing gate hides a
+    // misplaced shard, its inlined members disappear with it (the
+    // reference only inlines members under a listed shard entry).
     val owned = members.join(
-      broadcast(objects.select(col("bucket"), col("name").as("shard"))),
-      Seq("bucket", "shard"), "left_semi")
+      broadcast(objects.select(col("bucket"), col("name").as("shard"),
+        col("status").as("_shard_status"))),
+      Seq("bucket", "shard"))
     val mem = owned.select(
       col("bucket"),
       concat(col("shard"), lit("/"), col("member")).as("name"),
@@ -180,7 +199,7 @@ object ListObjects {
       lit(null).cast("long").as("atime_ns"),
       lit(null).cast("string").as("version"),
       lit(true).as("is_cached"),
-      lit(0L).as("status"),
+      col("_shard_status").as("status"),
       lit(1L).as("copies"),
       lit(true).as("in_arch"))
     run(obj.unionByName(mem, allowMissingColumns = true), q)

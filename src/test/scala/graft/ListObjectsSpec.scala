@@ -82,7 +82,9 @@ class ListObjectsSpec extends SparkSpec {
     val q = CatalogQuery(bucket = "bck1", prefix = "data/", pageSize = 300)
     val page = ListObjects.runDiff(
       DerivedCatalog.objects(spark, TestSpark.sf001), q, remote).cache()
-    assert(page.count() == 300)
+    val listable = cat.where(col("bucket") === "bck1" &&
+      col("name").startsWith("data/") && col("status") === 0L).count()
+    assert(page.count() == math.min(listable, 300L))
     // a removed entry is never also changed
     assert(page.where(col("ver_removed") && col("ver_changed")).count() == 0)
     // every ver_removed name is absent from the remote listing
@@ -97,7 +99,36 @@ class ListObjectsSpec extends SparkSpec {
   test("flag filters partition the listing") {
     val cached = ListObjects.run(cat, CatalogQuery(cachedOnly = true, pageSize = 1000000)).count()
     val notCached = ListObjects.run(cat, CatalogQuery(notCachedOnly = true, pageSize = 1000000)).count()
-    assert(cached + notCached == cat.count())
+    // default listing shows only LocOK main replicas (LsMissing unset)
+    assert(cached + notCached == cat.where(col("status") === 0L).count())
+    // with LsMissing, the partition covers the whole catalog
+    val all = ListObjects.run(cat,
+      CatalogQuery(missing = true, pageSize = 1000000)).count()
+    assert(all == cat.count())
+  }
+
+  test("LsMissing includes misplaced/copy rows; default excludes them") {
+    val def_ = ListObjects.run(cat,
+      CatalogQuery(prefix = "data/", props = Seq("name", "status"), pageSize = 1000000))
+    assert(def_.where(col("status") =!= 0L).count() == 0)
+    val miss = ListObjects.run(cat,
+      CatalogQuery(prefix = "data/", props = Seq("name", "status"),
+        missing = true, pageSize = 1000000))
+    assert(miss.where(col("status") =!= 0L).count() > 0)
+    assert(miss.count() ==
+      cat.where(col("name").startsWith("data/")).count())
+  }
+
+  test("LsNoDirs suppresses virtual dir entries under no-recursion") {
+    val withDirs = ListObjects.run(cat,
+      CatalogQuery(prefix = "data/", noRecursion = true, pageSize = 100000))
+    val noDirs = ListObjects.run(cat,
+      CatalogQuery(prefix = "data/", noRecursion = true, noDirs = true, pageSize = 100000))
+    assert(noDirs.where(col("is_dir")).count() == 0)
+    assert(noDirs.count() == withDirs.where(!col("is_dir")).count())
+    // file entries are identical between the two
+    assert(noDirs.select("name").collect().map(_.getString(0)).toSeq ==
+      withDirs.where(!col("is_dir")).select("name").collect().map(_.getString(0)).toSeq)
   }
 
   test("archive listing inlines members directly after their shard entry") {
