@@ -452,6 +452,11 @@ object SparkEntry {
       functions.NameTemplate.parse("shards/shard-{00010..00400..10}.tar")
         .toDF(s).orderBy("name")),
 
+    // F1 alpha brace ranges {a..z} (template.go:94), mixed with numeric
+    "template_expand_alpha" -> ((s, d) =>
+      functions.NameTemplate.parse("logs/{a..e}/part-{X..Z}-{01..03}.json")
+        .toDF(s).orderBy("name")),
+
     "sel_template_join" -> ((s, d) =>
       ops.Selection.apply(s, DerivedCatalog.objects(s, d),
         ops.ObjSelection.Template("shards/shard-{00001..00500}.tar"))
@@ -498,6 +503,17 @@ object SparkEntry {
     // ------------------------------------------------------------------
     // Diff resolver + remote-diff listing (SURVEY J2, P5, S5)
     // ------------------------------------------------------------------
+    // S5 downloader `range` URL job (ext/dload/api.go:126-130): template
+    // -> fetch list, names normalized (basename + query strip,
+    // utils.go:110), diffed against the catalog -> fetch/skip actions
+    "dload_range_diff" -> ((s, d) =>
+      ops.Downloader.resolve(
+        ops.Downloader.urlSelection(s, ops.Downloader.UrlJob.Range(
+          "https://mirror.example.com/src/obj-{00000001..00000600}.dat?auth=tok",
+          subdir = "flat")),
+        DerivedCatalog.objects(s, d), bucket = "bck1")
+        .select("objname", "link", "action").orderBy("objname")),
+
     "diff_resolve" -> ((s, d) =>
       ops.DiffResolver.resolve(
         src = DerivedCatalog.remote(s, d),
@@ -1343,6 +1359,14 @@ object SparkEntry {
       """SELECT printf('shards/shard-%05d.tar', g) AS name
         |FROM generate_series(10, 400, 10) t(g) ORDER BY name""".stripMargin,
 
+    "template_expand_alpha" ->
+      """SELECT 'logs/' || chr(CAST(a AS INT)) || '/part-' || chr(CAST(u AS INT)) || '-'
+        |    || printf('%02d', n) || '.json' AS name
+        |FROM (SELECT unnest(generate_series(97, 101)) AS a),
+        |     (SELECT unnest(generate_series(88, 90)) AS u),
+        |     (SELECT unnest(generate_series(1, 3)) AS n)
+        |ORDER BY name""".stripMargin,
+
     "sel_template_join" -> o(
       """SELECT o.name, o.size FROM objects o
         |JOIN (SELECT printf('shards/shard-%05d.tar', g) AS name
@@ -1404,6 +1428,18 @@ object SparkEntry {
         |FROM remote s FULL OUTER JOIN objects d ON s.name = d.name
         |ORDER BY name""".stripMargin,
       OracleCte.objects, OracleCte.remote),
+
+    "dload_range_diff" -> o(
+      """SELECT s.objname, s.link,
+        |  CASE WHEN o.name IS NULL THEN 'fetch' ELSE 'skip' END AS action
+        |FROM (SELECT 'flat/' || printf('obj-%08d', g) || '.dat' AS objname,
+        |        'https://mirror.example.com/src/' || printf('obj-%08d', g)
+        |          || '.dat?auth=tok' AS link
+        |      FROM generate_series(1, 600) t(g)) s
+        |LEFT JOIN (SELECT DISTINCT name FROM objects WHERE bucket = 'bck1') o
+        |  ON o.name = s.objname
+        |ORDER BY s.objname""".stripMargin,
+      OracleCte.objects),
 
     "lso_diff" -> o(
       """SELECT coalesce(l.name, r.name) AS name, l.size AS size, l.version AS version,

@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
   * at 100 TB scale a template join is a broadcast-able names table, not a
   * driver loop.
   */
-final case class TemplateRange(start: Long, end: Long, step: Long, digitCount: Int, gap: String) {
+/** One brace/at/fmt range. `alpha` ranges (`{a..z}`, `{A..Z}` —
+  * `template.go:94`) carry character codes in start/end and render as the
+  * letter itself rather than a zero-padded number. */
+final case class TemplateRange(start: Long, end: Long, step: Long, digitCount: Int, gap: String,
+                               alpha: Boolean = false) {
   def count: Long = (end - start) / step + 1
+  def render(v: Long): String =
+    if (alpha) v.toChar.toString
+    else if (digitCount > 0) s"%0${digitCount}d".format(v)
+    else v.toString
 }
 
 final case class ParsedTemplate(prefix: String, ranges: Seq[TemplateRange]) {
@@ -37,8 +45,7 @@ final case class ParsedTemplate(prefix: String, ranges: Seq[TemplateRange]) {
           // explicit iteration — NumericRange overflows on the open-ended
           // fmt-style range (0 .. Long.MaxValue-1)
           Iterator.iterate(r.start)(_ + r.step).takeWhile(v => v <= r.end && v >= r.start).map { v =>
-            val num = if (r.digitCount > 0) s"%0${r.digitCount}d".format(v) else v.toString
-            base + num + r.gap
+            base + r.render(v) + r.gap
           }
         }
       }
@@ -54,7 +61,9 @@ final case class ParsedTemplate(prefix: String, ranges: Seq[TemplateRange]) {
     ranges.zipWithIndex.foreach { case (r, i) =>
       val idx = spark.range(r.count).select((lit(r.start) + col("id") * r.step).as(s"_i$i"))
       df = df.crossJoin(idx)
-      pieces += format_string(s"%0${math.max(r.digitCount, 1)}d", col(s"_i$i"))
+      pieces +=
+        (if (r.alpha) expr(s"char(_i$i)")
+         else format_string(s"%0${math.max(r.digitCount, 1)}d", col(s"_i$i")))
       pieces += lit(r.gap)
     }
     df.select(concat(pieces.toSeq: _*).as("name"))
@@ -96,12 +105,24 @@ object NameTemplate {
       val inside = rest.substring(l + 1, r)
       val nums = inside.split("\\.\\.", -1)
       require(nums.length == 2 || nums.length == 3, s"invalid 'bash' template $t")
-      val start = nums(0).toLong; val end = nums(1).toLong
       val step = if (nums.length == 3) nums(2).toLong else 1L
-      validate(start, end, step)
       rest = rest.substring(r + 1)
       val gap = if (rest.contains('{')) rest.take(rest.indexOf('{')) else rest
-      ranges += TemplateRange(start, end, step, math.min(nums(0).length, nums(1).length), gap)
+      // alpha range `{a..z}` / `{A..Z}` (template.go:94): single letters,
+      // matching case, rendered as the character
+      val isAlpha = nums(0).length == 1 && nums(1).length == 1 &&
+        nums(0)(0).isLetter && nums(1)(0).isLetter
+      if (isAlpha) {
+        val (s0, e0) = (nums(0)(0), nums(1)(0))
+        require(s0.isUpper == e0.isUpper, s"invalid 'bash' template $t (mixed-case alpha range)")
+        require(s0 <= e0, "'start' cannot be greater than 'end'")
+        require(step > 0, "'step' is non-positive")
+        ranges += TemplateRange(s0.toLong, e0.toLong, step, 0, gap, alpha = true)
+      } else {
+        val start = nums(0).toLong; val end = nums(1).toLong
+        validate(start, end, step)
+        ranges += TemplateRange(start, end, step, math.min(nums(0).length, nums(1).length), gap)
+      }
     }
     Some(ParsedTemplate(prefix, ranges.toSeq))
   }

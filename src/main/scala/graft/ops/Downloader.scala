@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.NameTemplate
+
+/** S5 — downloader URL job types (reference `ext/dload/api.go:23-30`):
+  * `single`, `range`, `multi` build a (objname, link) fetch list from
+  * user-supplied URLs; `backend` (the fourth type) diffs a remote bucket
+  * listing and lives in [[DiffResolver]].
+  *
+  * Object names derive from links exactly as the reference does:
+  * basename of the URL path (`ext/dload/job.go:331` path.Base), joined
+  * under the optional `subdir`, with any `?query` suffix stripped
+  * (`ext/dload/utils.go:110` NormalizeObjName).
+  *
+  * The analytic piece is [[resolve]]: which names must actually be
+  * fetched, given what the cluster already holds. The catalog side may
+  * be the 100 TB table, so it is probed with a broadcast of the (small,
+  * template-bounded) selection — the catalog streams once, nothing
+  * shuffles (same shape as ListObjects.runDiff).
+  */
+object Downloader {
+
+  sealed trait UrlJob
+  object UrlJob {
+    /** `SingleBody` (`api.go:121-124`): one object, explicit name. */
+    final case class Single(objName: String, link: String) extends UrlJob
+    /** `RangeBody` (`api.go:126-130`): link template + optional subdir. */
+    final case class Range(template: String, subdir: String = "") extends UrlJob
+    /** `MultiBody` map payload (`api.go:434-442`): name → link. */
+    final case class Multi(objects: Seq[(String, String)]) extends UrlJob
+    /** `MultiBody` list payload (`api.go:443-458`): names from basenames. */
+    final case class MultiLinks(links: Seq[String]) extends UrlJob
+  }
+
+  /** objname from a link column: `path.Base` of the URL + query strip
+    * (`utils.go:49-50,110`), under `subdir` when given. */
+  private def objNameFromLink(link: org.apache.spark.sql.Column, subdir: String) = {
+    val base = substring_index(regexp_extract(link, "([^/]+)$", 1), "?", 1)
+    if (subdir.isEmpty) base else concat(lit(subdir.stripSuffix("/") + "/"), base)
+  }
+
+  /** Expand a URL job into its (objname, link) fetch-list table. Range
+    * jobs stay lazy/distributed via the template's `spark.range`
+    * expansion — a 10M-name template never materializes on the driver. */
+  def urlSelection(spark: SparkSession, job: UrlJob): DataFrame = {
+    import spark.implicits._
+    job match {
+      case UrlJob.Single(objName, link) =>
+        // explicit name kept as-is (no path.Base — api.go:321 applies it
+        // only when the name is DERIVED from the link); normalize only
+        Seq((objName, link)).toDF("objname", "link")
+          .select(substring_index(col("objname"), "?", 1).as("objname"), col("link"))
+      case UrlJob.Range(template, subdir) =>
+        NameTemplate.parse(template).toDF(spark)
+          .select(objNameFromLink(col("name"), subdir).as("objname"),
+            col("name").as("link"))
+      case UrlJob.Multi(objects) =>
+        objects.toDF("objname", "link")
+          .select(substring_index(col("objname"), "?", 1).as("objname"), col("link"))
+      case UrlJob.MultiLinks(links) =>
+        links.toDF("link")
+          .select(objNameFromLink(col("link"), "").as("objname"), col("link"))
+    }
+  }
+
+  val ActFetch = "fetch"
+  val ActSkip = "skip"
+
+  /** Diff the fetch list against the cluster catalog: names already
+    * present are `skip`, the rest `fetch` (the downloader's per-task
+    * skip-if-exists check, `ext/dload/job.go` jobs iterate + HEAD).
+    * Presence means the object exists at all — listing-flag gates
+    * (LsMissing etc.) do not apply to downloads. */
+  def resolve(sel: DataFrame, catalog: DataFrame, bucket: String = ""): DataFrame = {
+    var cat = catalog
+    if (bucket.nonEmpty) cat = cat.where(col("bucket") === bucket)
+    // probe the big side with the broadcast selection (inner, build =
+    // selection), then decorate the selection with the tiny matched set
+    val present = cat.select(col("name").as("objname"))
+      .join(broadcast(sel.select("objname")), Seq("objname"))
+      .distinct() // same name in >1 bucket must not duplicate the fetch row
+      .withColumn("_present", lit(true))
+    sel.join(broadcast(present), Seq("objname"), "left_outer")
+      .withColumn("action",
+        when(col("_present").isNotNull, lit(ActSkip)).otherwise(lit(ActFetch)))
+      .drop("_present")
+  }
+}

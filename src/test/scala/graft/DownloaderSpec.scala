@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.DerivedCatalog
+import graft.ops.Downloader
+import graft.ops.Downloader.UrlJob
+
+/** Downloader URL jobs (reference `ext/dload/api.go:23-30`): name
+  * normalization (`utils.go:110`) and fetch/skip resolution. */
+class DownloaderSpec extends SparkSpec {
+
+  test("single: explicit name, query stripped") {
+    val sel = Downloader.urlSelection(spark,
+      UrlJob.Single("dir/img.jpg?sig=abc", "https://h/x/img.jpg?sig=abc"))
+      .collect()
+    assert(sel.length == 1)
+    assert(sel(0).getString(0) == "dir/img.jpg")
+    assert(sel(0).getString(1) == "https://h/x/img.jpg?sig=abc")
+  }
+
+  test("multi links: names are URL basenames (job.go:331 path.Base)") {
+    val sel = Downloader.urlSelection(spark, UrlJob.MultiLinks(Seq(
+      "https://h/a/one.tar", "https://h/b/two.tar?tok=1")))
+      .orderBy("objname").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(sel.toSeq == Seq(
+      ("one.tar", "https://h/a/one.tar"),
+      ("two.tar", "https://h/b/two.tar?tok=1")))
+  }
+
+  test("multi map: explicit name -> link pairs") {
+    val sel = Downloader.urlSelection(spark, UrlJob.Multi(Seq(
+      "renamed/x.bin" -> "https://h/orig.bin")))
+      .collect()
+    assert(sel(0).getString(0) == "renamed/x.bin")
+  }
+
+  test("range: template expansion + subdir join, fetch/skip vs catalog") {
+    val cat = DerivedCatalog.objects(spark, TestSpark.sf001)
+    val sel = Downloader.urlSelection(spark, UrlJob.Range(
+      "https://h/src/obj-{00000001..00000060}.dat", subdir = "flat"))
+    assert(sel.count() == 60)
+    val resolved = Downloader.resolve(sel, cat, bucket = "bck1").cache()
+    assert(resolved.count() == 60)
+    // lockstep with the catalog: skip exactly the names bck1 holds
+    val held = cat.where(col("bucket") === "bck1" && col("name").startsWith("flat/"))
+      .select(col("name")).collect().map(_.getString(0)).toSet
+    val skips = resolved.where(col("action") === "skip")
+      .select("objname").collect().map(_.getString(0)).toSet
+    assert(skips == held.filter(n => n >= "flat/obj-00000001.dat" && n <= "flat/obj-00000060.dat"))
+    assert(resolved.where(col("action") === "fetch").count() == 60 - skips.size)
+  }
+
+  test("resolve streams the catalog: no shuffle of the big side") {
+    val cat = DerivedCatalog.objects(spark, TestSpark.sf001)
+    val sel = Downloader.urlSelection(spark, UrlJob.Range(
+      "https://h/src/obj-{00000001..00000060}.dat", subdir = "flat"))
+    val plan = Downloader.resolve(sel, cat).queryExecution.executedPlan.toString
+    // both joins must be broadcast joins; a sort-merge join would mean
+    // the catalog side got shuffled on the join key
+    assert(!plan.contains("SortMergeJoin"), plan.linesIterator.take(25).mkString("\n"))
+  }
+}

@@ -69,4 +69,22 @@ class NameTemplateSpec extends AnyFunSuite {
     val fromDf = pt.toDF(TestSpark.spark).collect().map(_.getString(0)).sorted.toSeq
     assert(fromDf == pt.iterator.toSeq.sorted)
   }
+
+  test("alpha ranges {a..z} / {A..Z} (template.go:94)") {
+    val pt = NameTemplate.parse("p-{a..c}-q")
+    assert(pt.iterator.toSeq == Seq("p-a-q", "p-b-q", "p-c-q"))
+    val upper = NameTemplate.parse("{X..Z}.bin")
+    assert(upper.iterator.toSeq == Seq("X.bin", "Y.bin", "Z.bin"))
+    // mixed alpha + numeric ranges compose; toDF matches iterator
+    val mixed = NameTemplate.parse("d/{a..b}/f-{01..02}")
+    assert(mixed.iterator.toSeq ==
+      Seq("d/a/f-01", "d/a/f-02", "d/b/f-01", "d/b/f-02"))
+    assert(mixed.toDF(TestSpark.spark).collect().map(_.getString(0)).sorted.toSeq ==
+      mixed.iterator.toSeq.sorted)
+    // alpha step
+    assert(NameTemplate.parse("{a..e..2}").iterator.toSeq == Seq("a", "c", "e"))
+    // invalid: mixed case, reversed
+    intercept[IllegalArgumentException](NameTemplate.parse("{a..Z}"))
+    intercept[IllegalArgumentException](NameTemplate.parse("{z..a}"))
+  }
 }
