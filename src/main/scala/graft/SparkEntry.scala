@@ -741,6 +741,39 @@ object SparkEntry {
           length(col("payload")).cast("long").as("payload_len"))
         .orderBy("shard", "member")),
 
+    // GB4 end-to-end: create + appendIfExists through a REAL tar on disk,
+    // read back via the tarmembers source; new members win collisions
+    // (api/apc/multiobj.go:151-180, xact/xs/archive.go)
+    "arch_append" -> ((s, d) => {
+      val cat = DerivedCatalog.objects(s, d)
+      def sel(n: Int, up: Boolean) = {
+        val s0 = cat.where(col("bucket") === "bck1" && col("name").startsWith("flat/"))
+          .orderBy("name").limit(n)
+        val payload = if (up) upper(col("name")) else col("name")
+        s0.select(col("name"), encode(payload, "UTF-8").as("payload"))
+      }
+      val out = s"${sys.props("java.io.tmpdir")}/graft_arch_append_${math.abs(d.hashCode)}.tar"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(p, false)
+      ops.Archive.create(sel(40, up = false), out)
+      ops.Archive.create(sel(20, up = true), out, appendIfExists = true)
+      s.read.format("tarmembers").load(out)
+        .select(col("member").as("name"), decode(col("payload"), "UTF-8").as("content"))
+        .orderBy("name")
+    }),
+
+    // P8 end-to-end: GET-with-archregx point read — match-mode predicate
+    // composed with payload extraction over real TAR bytes
+    // (ais/tgtobj.go:663 -> cmn/archive/read.go:202 matcher.do)
+    "arch_point_read" -> ((s, d) =>
+      shards.TarFixtures.read(s, d)
+        .where(shards.ArchMatch.predicate(col("member"), shards.ArchMatch.Suffix, ".cls"))
+        .select(col("shard"), col("member"),
+          md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast("long").as("payload_len"))
+        .orderBy("shard", "member")),
+
     "getbatch_ranges" -> ((s, d) => {
       val fix = shards.TarFixtures.membersDf(s, d)
         .withColumn("start", col("psize") % 5 * 7)
@@ -968,11 +1001,18 @@ object SparkEntry {
     // Multimodal sample columns (SURVEY §7.6) — stubbed decode,
     // real plumbing (binary columns through mapPartitions + codegen math)
     // ------------------------------------------------------------------
+    // Real decode path: fixture members become ACTUAL PNG bytes
+    // (javax.imageio encode) whose dimensions derive from psize; the
+    // pipeline then parses the real IHDR headers back out
     "multimodal_meta" -> ((s, d) => {
-      val withPayload = shards.TarFixtures.membersDf(s, d)
+      val src = shards.TarFixtures.membersDf(s, d)
+        .where(col("ext") === "jpg")
+        .orderBy("member").limit(1000)
         .select(col("shard_name").as("shard"), col("member"),
-          col("payload_str").cast("binary").as("payload"))
-      ext.Multimodal.resizePlan(ext.Multimodal.withImageMeta(withPayload), 256)
+          (col("psize") % 64 + 1).cast("int").as("w"),
+          (col("psize") % 48 + 1).cast("int").as("h"))
+      val imgs = ext.Multimodal.encodePngFixture(src)
+      ext.Multimodal.resizePlan(ext.Multimodal.withImageMeta(imgs), 32)
         .select(col("shard"), col("member"),
           col("image_meta.width").as("width"),
           col("image_meta.height").as("height"),
@@ -1718,6 +1758,24 @@ object SparkEntry {
         |FROM tarfix ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
 
+    "arch_append" -> o(
+      """SELECT b.name,
+        |  CASE WHEN u.name IS NOT NULL THEN upper(b.name) ELSE b.name END AS content
+        |FROM arch_base b LEFT JOIN arch_upd u ON b.name = u.name
+        |ORDER BY b.name""".stripMargin,
+      OracleCte.objects,
+      """arch_base AS (SELECT name FROM objects
+        |  WHERE bucket = 'bck1' AND name LIKE 'flat/%'
+        |  ORDER BY name LIMIT 40)""".stripMargin,
+      """arch_upd AS (SELECT name FROM arch_base ORDER BY name LIMIT 20)"""),
+
+    "arch_point_read" -> o(
+      """SELECT shard, member, md5(payload_str) AS payload_md5,
+        |  CAST(length(payload_str) AS BIGINT) AS payload_len
+        |FROM tarfix WHERE member LIKE '%.cls'
+        |ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
     "tar_payload_md5" -> o(
       """SELECT shard, member, md5(payload_str) AS payload_md5,
         |  CAST(length(payload_str) AS BIGINT) AS payload_len
@@ -2002,17 +2060,16 @@ object SparkEntry {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "multimodal_meta" -> o(
-      """SELECT shard, member,
-        |  CAST(psize % 640 + 1 AS INT) AS width,
-        |  CAST((psize * 7 + first_byte) % 480 + 1 AS INT) AS height,
-        |  CAST(ceil((psize % 640 + 1) * scale) AS INT) AS out_width,
-        |  CAST(ceil(((psize * 7 + first_byte) % 480 + 1) * scale) AS INT) AS out_height
-        |FROM (SELECT shard, member, psize, first_byte,
-        |        round(least(256.0 / (psize % 640 + 1),
-        |                    256.0 / ((psize * 7 + first_byte) % 480 + 1), 1.0), 6) AS scale
-        |      FROM (SELECT shard, member, psize,
-        |              CASE WHEN psize = 0 THEN 0 ELSE ascii(substr(payload_str, 1, 1)) END AS first_byte
-        |            FROM tarfix))
+      """SELECT shard, member, width, height,
+        |  CAST(ceil(width * scale) AS INT) AS out_width,
+        |  CAST(ceil(height * scale) AS INT) AS out_height
+        |FROM (SELECT shard, member, width, height,
+        |        round(least(32.0 / width, 32.0 / height, 1.0), 6) AS scale
+        |      FROM (SELECT shard, member,
+        |              CAST(psize % 64 + 1 AS INT) AS width,
+        |              CAST(psize % 48 + 1 AS INT) AS height
+        |            FROM (SELECT shard, member, psize FROM tarfix
+        |                  WHERE ext = 'jpg' ORDER BY member LIMIT 1000)))
         |ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
 

@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * opaque BINARY columns with typed metadata structs; decode/feature
   * steps run as partition-batched functions over the binary column.
   *
-  * The decode itself is STUBBED — deterministic fake decoders stand in
-  * for libjpeg/ffmpeg (not present in this container, and irrelevant to
-  * the engine's job). What is real, and tested: the schema contract, the
-  * partition-batched execution shape (one decoder instance per partition,
-  * not per row — exactly how a Pandas-UDF/mapInPandas pipeline batches),
-  * payload plumbing, and the derived-metadata determinism that lets the
-  * driver oracle-check the pipeline end to end.
+  * Image metadata decode is REAL for JPEG and PNG: [[parseImageHeader]]
+  * reads SOFn frame headers (ITU T.81 §B.2.2) and the IHDR chunk
+  * (PNG spec §11.2.2) from the raw bytes — no codec library needed for
+  * dimensions/channels. Payloads in neither format fall back to a
+  * deterministic synthetic decoder (the stand-in for ffmpeg-class
+  * decoders this container lacks). The execution shape is the real
+  * contract either way: partition-batched mapPartitions over the binary
+  * column (one decoder instance per partition, as a mapInPandas pipeline
+  * batches), constant memory, schema'd metadata struct.
   */
 object Multimodal {
 
@@ -23,13 +25,88 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false)))
 
-  /** STUB image decode: metadata derived deterministically from the
-    * payload bytes (length + first byte). A real deployment swaps
-    * `decodeOne` for an actual codec; everything downstream is unchanged. */
-  private def decodeOne(payload: Array[Byte]): (Int, Int, Int) = {
-    val n = if (payload == null) 0 else payload.length
-    val first = if (n == 0) 0 else payload(0) & 0xff
-    (n % 640 + 1, (n * 7 + first) % 480 + 1, 3)
+  private def be16(p: Array[Byte], i: Int): Int = ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+  private def be32(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) | ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+
+  /** SOFn markers carry frame dimensions; C4/C8/CC are DHT/JPG/DAC, not
+    * frames (T.81 Table B.1). */
+  private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  /** Real header parse: (width, height, channels) from JPEG SOFn or PNG
+    * IHDR bytes; None when the payload is neither. */
+  def parseImageHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p == null || p.length < 26) return scala.None
+    // PNG: 8-byte signature, then the IHDR chunk is mandatory-first:
+    // len(4) "IHDR" width(4 BE) height(4 BE) bitdepth(1) colortype(1)
+    if ((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        (p(4) & 0xff) == 0x0d && (p(5) & 0xff) == 0x0a &&
+        (p(6) & 0xff) == 0x1a && (p(7) & 0xff) == 0x0a &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+      val channels = (p(25) & 0xff) match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette
+        case 4 => 2 // grey+alpha
+        case 6 => 4 // truecolor+alpha
+        case _ => return scala.None
+      }
+      return Some((be32(p, 16), be32(p, 20), channels))
+    }
+    // JPEG: FF D8, then marker segments until a SOFn frame header:
+    // FF Cn len(2) precision(1) height(2 BE) width(2 BE) ncomp(1)
+    if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < p.length) {
+        if ((p(i) & 0xff) != 0xff) return scala.None
+        var j = i + 1
+        while (j < p.length && (p(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= p.length) return scala.None
+        val marker = p(j) & 0xff
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i = j + 1 // standalone
+        else {
+          if (j + 2 >= p.length) return scala.None
+          val len = be16(p, j + 1)
+          if (isSof(marker)) {
+            if (j + 8 >= p.length) return scala.None
+            return Some((be16(p, j + 6), be16(p, j + 4), p(j + 8) & 0xff))
+          }
+          i = j + 1 + len
+        }
+      }
+    }
+    scala.None
+  }
+
+  /** Image decode: real JPEG/PNG header parse, deterministic synthetic
+    * fallback for other payloads (declared stand-in for real codecs). */
+  private def decodeOne(payload: Array[Byte]): (Int, Int, Int) =
+    parseImageHeader(payload).getOrElse {
+      val n = if (payload == null) 0 else payload.length
+      val first = if (n == 0) 0 else payload(0) & 0xff
+      (n % 640 + 1, (n * 7 + first) % 480 + 1, 3)
+    }
+
+  /** Deterministic real-PNG fixture encoder: replaces `payload` with an
+    * actual PNG of (`wCol` × `hCol`) via javax.imageio — real encoded
+    * bytes in, [[parseImageHeader]] out. Partition-batched like the
+    * decode. */
+  def encodePngFixture(df: DataFrame, wCol: String = "w", hCol: String = "h"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField("payload", BinaryType))
+    val (wi, hi) = (df.schema.fieldIndex(wCol), df.schema.fieldIndex(hCol))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val (w, h) = (math.max(r.getInt(wi), 1), math.max(r.getInt(hi), 1))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Attach decoded image metadata. Partition-batched mapPartitions over

@@ -119,6 +119,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(vec_id"), plan.linesIterator.take(20).mkString("\n"))
   }
 
+  test("image header parse: real PNG and JPEG bytes round-trip") {
+    import java.awt.image.BufferedImage
+    def enc(fmt: String, w: Int, h: Int, t: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, t)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt encoder")
+      bos.toByteArray
+    }
+    assert(Multimodal.parseImageHeader(enc("png", 123, 45, BufferedImage.TYPE_INT_RGB))
+      .contains((123, 45, 3)))
+    assert(Multimodal.parseImageHeader(enc("png", 7, 9, BufferedImage.TYPE_BYTE_GRAY))
+      .contains((7, 9, 1)))
+    assert(Multimodal.parseImageHeader(enc("jpg", 320, 200, BufferedImage.TYPE_INT_RGB))
+      .contains((320, 200, 3)))
+    assert(Multimodal.parseImageHeader("definitely not an image".getBytes).isEmpty)
+    assert(Multimodal.parseImageHeader(null).isEmpty)
+    // end-to-end: encode fixture -> partition-batched decode -> meta
+    val src = spark.range(1, 20).selectExpr("CAST(id AS INT) + 10 AS w", "CAST(id AS INT) + 5 AS h")
+    val decoded = Multimodal.withImageMeta(Multimodal.encodePngFixture(src))
+      .selectExpr("w", "h", "image_meta.width", "image_meta.height", "image_meta.channels")
+      .collect()
+    decoded.foreach { r =>
+      assert(r.getInt(2) == r.getInt(0) && r.getInt(3) == r.getInt(1) && r.getInt(4) == 3)
+    }
+  }
+
   test("archive create + appendIfExists merges members, new wins") {
     import graft.ops.Archive
     val out = java.nio.file.Files.createTempDirectory("graft_arch").toString + "/sel.tar"
