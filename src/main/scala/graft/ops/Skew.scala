@@ -43,14 +43,17 @@ object Skew {
     require(salt > 1, s"salt must be > 1: $salt")
     val hot = hotKeys(probe, col(probeKey), hotThreshold)
 
-    // probe: hot rows scatter uniformly; xxhash64 of the full row's
-    // monotonically-unique bits would do, but a per-row uniform via
-    // rand() breaks determinism — hash the row id instead
+    // probe: hot rows scatter uniformly and REPRODUCIBLY — the slot is a
+    // hash of the full row content, so it does not depend on partition
+    // layout (monotonically_increasing_id/rand would). Identical
+    // duplicate rows share a slot; scatter quality degrades only if one
+    // literal row dominates, which salting cannot fix anyway.
+    val probeCols = probe.columns.map(col).toSeq
     val p = probe
       .join(broadcast(hot), col(probeKey) === col("_hot_key"), "left_outer")
       .withColumn("_slot",
         when(col("_hot_key").isNotNull,
-          pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+          pmod(xxhash64(probeCols: _*), lit(salt.toLong)))
           .otherwise(lit(0L)))
       .drop("_hot_key")
 

@@ -56,7 +56,15 @@ object Archives {
       .map { e =>
         val off = if (counting) cin.count else -1L
         Entry(e.getName, off, e.getSize,
-          () => if (readPayloads) tar.readNBytes(e.getSize.toInt) else Array.emptyByteArray)
+          () => {
+            if (readPayloads)
+              // JVM byte arrays cap a single member payload at <2 GiB;
+              // fail loudly instead of silently truncating the Int cast
+              require(e.getSize < Int.MaxValue,
+                s"archive member ${e.getName} is ${e.getSize} bytes; " +
+                  "payload materialization caps at 2 GiB per member")
+            if (readPayloads) tar.readNBytes(e.getSize.toInt) else Array.emptyByteArray
+          })
       }
   }
 

@@ -67,9 +67,16 @@ object TarMemberTable {
       val fs = path.getFileSystem(conf)
       def walk(st: FileStatus): Seq[FileStatus] =
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk) else Seq(st)
-      val matched: Seq[FileStatus] =
-        if (fs.getFileStatus(path).isDirectory) walk(fs.getFileStatus(path))
-        else fs.globStatus(path).toSeq.flatMap(walk)
+      // getFileStatus throws FNFE for a glob pattern, so probe for a
+      // literal path first and fall back to glob expansion
+      val literal =
+        try Some(fs.getFileStatus(path))
+        catch { case _: java.io.FileNotFoundException => scala.None }
+      val matched: Seq[FileStatus] = literal match {
+        case Some(st) => walk(st)
+        case scala.None =>
+          Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+      }
       matched
         .filter(st => Archives.extOf(st.getPath.getName).isDefined)
         .map(st => (st.getPath.toString, st.getLen))
@@ -80,7 +87,10 @@ object TarMemberTable {
 class TarMemberTable(properties: Map[String, String]) extends Table with SupportsRead {
   private val paths: Seq[String] =
     properties.get("paths")
-      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      // DataFrameReader encodes multi-path load() as a JSON string array;
+      // extract quoted elements (commas inside a path must not split it)
+      .map(p => "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(p)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
       .orElse(properties.get("path").map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException("tarmembers: path option required"))
 

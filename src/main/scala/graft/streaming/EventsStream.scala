@@ -47,7 +47,16 @@ object EventsStream {
     * custom-state surface (SURVEY §2.11 → `KeyValueGroupedDataset`).
     * State per user = (last event time, session count); a >30min gap
     * opens a new session. Emits the final per-user snapshot with
-    * availableNow (batch parity with [[sessionize]]). */
+    * availableNow (batch parity with [[sessionize]]).
+    *
+    * ORDERING CONTRACT: events are sorted by time only WITHIN one
+    * micro-batch. If the source splits a user's events across batches
+    * out of event-time order, a gap can be measured against a later
+    * lastTs and inflate the session count. This holds for the
+    * availableNow/file-source shape here (per-user events arrive in
+    * file order); a production out-of-order feed needs an event-time
+    * buffer + watermark timeout before finalizing sessions (the
+    * `GroupStateTimeout.EventTimeTimeout` pattern). */
   def runStatefulSessionize(spark: SparkSession, eventsDir: String,
                             queryName: String = "events_sessions"): DataFrame = {
     import spark.implicits._

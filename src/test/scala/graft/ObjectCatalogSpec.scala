@@ -52,6 +52,26 @@ class ObjectCatalogSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("LsNameOnly fast path: parquet scan reads only requested columns, prefix pushed") {
+    // persist a real parquet catalog so ReadSchema/PushedFilters are the
+    // actual scan contract, then ask for a name+size projection
+    val out = Files.createTempDirectory("graft_cat_prune").toString
+    ObjectCatalog.write(graft.catalog.DerivedCatalog.objects(spark, TestSpark.sf001), out)
+    val loaded = ObjectCatalog.load(spark, out)
+    val plan = ListObjects.run(loaded,
+        CatalogQuery(prefix = "data/", props = Seq("name", "size"), pageSize = 100))
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    // name, size + the status gate column — and nothing else
+    Seq("name", "size", "status").foreach(c =>
+      assert(readSchema.contains(c), s"$c missing from $readSchema"))
+    Seq("checksum", "atime_ns", "version", "copies", "is_cached").foreach(c =>
+      assert(!readSchema.contains(c), s"$c not pruned: $readSchema"))
+    // the prefix filter reaches the scan
+    assert(plan.contains("StringStartsWith(name,data/)"),
+      "PushedFilters: " + "PushedFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("<none>"))
+  }
+
   test("renamePrefix: moved objects overwrite destination collisions") {
     import spark.implicits._
     val cat = Seq(

@@ -33,10 +33,29 @@ class SkewSpec extends SparkSpec {
   }
 
   test("the hot key's rows land on more than one shuffle partition") {
-    val salted = Skew.saltedJoin(probe, build, "pk", "bk",
-      salt = 8, hotThreshold = 1000)
-    val parts = salted.where(col("pk") === 1L)
-      .select(spark_partition_id()).distinct().count()
-    assert(parts > 1, s"hot key still on $parts partition(s)")
+    // force the scale scenario: a shuffle join (no broadcast), no AQE
+    // re-coalescing of this deliberately tiny fixture — the contract
+    // under test is the spread of the shuffle key (pk, _slot)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Skew.saltedJoin(probe, build, "pk", "bk",
+        salt = 8, hotThreshold = 1000)
+      val parts = salted.where(col("pk") === 1L)
+        .select(spark_partition_id()).distinct().count()
+      assert(parts > 1, s"hot key still on $parts partition(s)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("salt slots are reproducible across partition layouts") {
+    def slots(parts: Int) = Skew.saltedJoin(
+        probe.repartition(parts), build, "pk", "bk", salt = 8, hotThreshold = 1000)
+      .where(col("pk") === 1L).select("v", "w").collect()
+      .map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    // same rows out regardless of layout (determinism of the row-hash salt)
+    assert(slots(2) == slots(16))
   }
 }
