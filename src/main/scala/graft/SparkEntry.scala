@@ -686,6 +686,17 @@ object SparkEntry {
         .select(col("sample_key"), round(col("_key"), 4).as("ckey"), col("rn"))
     }),
 
+    // O4 content key typed `string` — lexicographic, NOT numeric order
+    "dsort_content_string_top" -> ((s, d) => {
+      val m = DerivedCatalog.members(s, d)
+      val keyed = DSort.withSortKey(
+        DSort.samples(m), DSort.Algorithm.Content("cls", "string"), Some(m))
+      keyed.orderBy("_key", "sample_key").limit(1000)
+        .withColumn("rn",
+          row_number().over(Window.orderBy("_key", "sample_key")).cast("long"))
+        .select(col("sample_key"), col("_key").as("ckey"), col("rn"))
+    }),
+
     // O4 `none` algorithm (ext/dsort/api.go:18-25): pack in input
     // (source shard, member offset) order, no re-sort
     "dsort_none_pack" -> ((s, d) => {
@@ -1001,6 +1012,17 @@ object SparkEntry {
     // Multimodal sample columns (SURVEY §7.6) — stubbed decode,
     // real plumbing (binary columns through mapPartitions + codegen math)
     // ------------------------------------------------------------------
+    // U7 io:// comm type: payloads piped through an EXTERNAL process
+    // (tr) stdin->stdout, one invocation per object (ext/etl comm model)
+    "etl_pipe" -> ((s, d) => {
+      val withPayload = shards.TarFixtures.membersDf(s, d)
+        .orderBy("member").limit(500)
+        .select(col("member").as("name"), col("payload_str").cast("binary").as("payload"))
+      etl.PipeTransform(withPayload, Seq("tr", "a-z", "A-Z"))
+        .select(col("name"), col("payload").cast("string").as("content"))
+        .orderBy("name")
+    }),
+
     // Real decode path: fixture members become ACTUAL PNG bytes
     // (javax.imageio encode) whose dimensions derive from psize; the
     // pipeline then parses the real IHDR headers back out
@@ -1683,6 +1705,16 @@ object SparkEntry {
         |ORDER BY ckey DESC, s.sample_key LIMIT 1000""".stripMargin,
       OracleCte.members, OracleCte.samples),
 
+    "dsort_content_string_top" -> o(
+      """SELECT s.sample_key, ckey,
+        |  row_number() OVER (ORDER BY ckey, s.sample_key) AS rn
+        |FROM samples s
+        |JOIN (SELECT sample_key, CAST(min(content_key) AS VARCHAR) AS ckey
+        |      FROM members WHERE ext = 'cls' GROUP BY sample_key) c
+        |  USING (sample_key)
+        |ORDER BY ckey, s.sample_key LIMIT 1000""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
     "dsort_none_pack" -> o(
       """SELECT sample_key, size, shard_id,
         |  printf('out-shard-%06d.tar', shard_id) AS shard_name
@@ -2058,6 +2090,12 @@ object SparkEntry {
         |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |            FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "etl_pipe" -> o(
+      """SELECT member AS name, upper(payload_str) AS content
+        |FROM (SELECT member, payload_str FROM tarfix ORDER BY member LIMIT 500)
+        |ORDER BY name""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
 
     "multimodal_meta" -> o(
       """SELECT shard, member, width, height,

@@ -92,6 +92,53 @@ object Transforms {
   }
 }
 
+/** U7 — OUT-OF-PROCESS pipe transform: the reference's `io://` comm
+  * type (`python/aistore/sdk/etl/etl.py` io_comm; `ext/etl/comm.go`),
+  * where the transformer reads the whole object from stdin and writes
+  * the transformed bytes to stdout — the escape hatch for non-JVM
+  * codecs. One process invocation per object (exactly the reference's
+  * per-object container call, minus the HTTP hop), spawned executor-side
+  * inside mapPartitions; the object path and etl_args reach the command
+  * via `GRAFT_OBJ_PATH` / `GRAFT_ETL_ARGS` env vars.
+  *
+  * stdin is fed from a separate thread while stdout drains in the
+  * caller — the classic pipe-deadlock guard for payloads larger than
+  * the OS pipe buffer. Non-zero exit codes raise with the stderr tail.
+  */
+object PipeTransform {
+  def apply(df: DataFrame, command: Seq[String],
+            etlArgs: String = "",
+            payloadCol: String = "payload", pathCol: String = "name"): DataFrame = {
+    require(command.nonEmpty, "pipe transform needs a command")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val pIdx = schema.fieldIndex(payloadCol)
+    val nIdx = schema.fieldIndex(pathCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = Option(r.getAs[Array[Byte]](pIdx)).getOrElse(Array.emptyByteArray)
+        val pb = new ProcessBuilder(command: _*)
+        pb.environment().put("GRAFT_OBJ_PATH", r.getString(nIdx))
+        pb.environment().put("GRAFT_ETL_ARGS", etlArgs)
+        val proc = pb.start()
+        val feeder = new Thread(() => {
+          try { proc.getOutputStream.write(payload); proc.getOutputStream.close() }
+          catch { case _: java.io.IOException => () } // command may not read stdin
+        })
+        feeder.setDaemon(true)
+        feeder.start()
+        val out = proc.getInputStream.readAllBytes()
+        val err = new String(proc.getErrorStream.readAllBytes()).takeRight(512)
+        val rc = proc.waitFor()
+        feeder.join()
+        require(rc == 0, s"pipe transform '${command.head}' rc=$rc: $err")
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(pIdx, out))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
+
 /** U3 escape hatch — opaque bytes→bytes logic via mapPartitions, for
   * transforms a Column expression cannot express (external codecs, native
   * libs). One JVM call per row, batched per partition; at scale this is

@@ -3,7 +3,7 @@ package graft
 import java.io.ByteArrayOutputStream
 import java.util.zip.GZIPOutputStream
 import org.apache.spark.sql.functions._
-import graft.etl.{GzipCodec, Transforms}
+import graft.etl.{GzipCodec, PipeTransform, Transforms}
 
 /** Deterministic-gzip contract: byte-stable output (no mtime), RFC 1952
   * interop both directions, identity round trip including edge payloads. */
@@ -46,5 +46,32 @@ class GzipCodecSpec extends SparkSpec {
       .select(col("name"), col("payload").cast("string").as("s2"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out == Map("a" -> "some text payload", "b" -> "", "c" -> "x" * 5000))
+  }
+
+  test("pipe transform (io:// comm): external process stdin->stdout per object") {
+    import spark.implicits._
+    val df = Seq(("a.txt", "hello pipe"), ("b.txt", ""), ("c.txt", "Z" * 200000))
+      .toDF("name", "s").withColumn("payload", col("s").cast("binary")).drop("s")
+    // identity through /bin/cat — includes a payload larger than the OS
+    // pipe buffer to exercise the feeder-thread deadlock guard
+    val cat = PipeTransform(df, Seq("cat"))
+      .select(col("name"), col("payload").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cat == Map("a.txt" -> "hello pipe", "b.txt" -> "", "c.txt" -> "Z" * 200000))
+    // a real byte transform in an external tool
+    val tr = PipeTransform(df, Seq("tr", "a-z", "A-Z"))
+      .select(col("name"), col("payload").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tr("a.txt") == "HELLO PIPE")
+    // path + args plumbing via env
+    val env = PipeTransform(df.where($"name" === "a.txt"),
+        Seq("sh", "-c", """printf '%s|%s|' "$GRAFT_OBJ_PATH" "$GRAFT_ETL_ARGS"; cat"""),
+        etlArgs = "lvl=3")
+      .select(col("payload").cast("string")).head().getString(0)
+    assert(env == "a.txt|lvl=3|hello pipe")
+    // non-zero exit surfaces as an error
+    intercept[Exception] {
+      PipeTransform(df, Seq("sh", "-c", "exit 3")).collect()
+    }
   }
 }
