@@ -635,7 +635,9 @@ object SparkEntry {
     "dsort_alpha_pack" -> ((s, d) => {
       val ss = DSort.samples(DerivedCatalog.members(s, d))
       val alg = DSort.Algorithm.Alphanumeric()
-      DSort.packShards(DSort.withSortKey(ss, alg), alg, 500000L)
+      // narrow before the double-materializing prefix sum
+      DSort.packShards(DSort.withSortKey(ss, alg).select("sample_key", "size", "_key"),
+        alg, 500000L)
         .select("sample_key", "size", "shard_id", "shard_name")
         .orderBy("sample_key")
     }),
@@ -700,8 +702,10 @@ object SparkEntry {
     // O4 `none` algorithm (ext/dsort/api.go:18-25): pack in input
     // (source shard, member offset) order, no re-sort
     "dsort_none_pack" -> ((s, d) => {
-      val m = DerivedCatalog.members(s, d)
-      val keyed = DSort.withSortKey(DSort.samples(m), DSort.Algorithm.None, Some(m))
+      // fused single-pass form of withSortKey(samples(m), None, Some(m)):
+      // one member-table groupBy instead of two + a join
+      val keyed = DSort.samplesWithInputPos(DerivedCatalog.members(s, d))
+        .select("sample_key", "size", "_key")
       DSort.packShards(keyed, DSort.Algorithm.None, 500000L)
         .select("sample_key", "size", "shard_id", "shard_name")
         .orderBy("sample_key")
@@ -881,6 +885,44 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       ext.Dedup.simhash16(Tables.load(s, d, "documents")).orderBy("doc_id")),
 
+    // Pairs → clusters: connected components by min-label propagation
+    // over the exact-Jaccard pair table (same deterministic slice as
+    // dedup_jaccard so the oracle's recursive CTE sees identical edges).
+    "dedup_components" -> ((s, d) => {
+      val sh = ext.Dedup.shingles(dedupCorpus(s, d).where(col("doc_id") % 10 === 0))
+      val cands = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val pairs = ext.Dedup.verifyJaccard(cands, sh, 0.8).select("doc_a", "doc_b")
+      ext.Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
+
+    // Benchmark contamination: corpus docs vs the 8-gram set of a
+    // deterministic "benchmark" slice (doc_id % 97). Benchmark members
+    // self-hit at ratio 1.0 — the flagging path exercised end-to-end.
+    "contamination_check" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      ext.Dedup.contamination(docs, docs.where(col("doc_id") % 97 === 0),
+        n = 8, threshold = 0.05)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition quality signals — zero-shuffle fold.
+    "repetition_stats" -> ((s, d) =>
+      ext.TextAnalysis.repetitionStats(Tables.load(s, d, "documents"))
+        .select("doc_id", "n_bigrams", "top_bigram_frac", "top_trigram_frac",
+          "dup_trigram_frac")
+        .orderBy("doc_id")),
+
+    // PII scrub over documents with deterministic injected PII (mirrors
+    // OracleCte.piidocs): counts + redacted-text digest.
+    "pii_redact" -> ((s, d) =>
+      ext.TextAnalysis.piiRedact(piiDocs(s, d))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          md5(col("redacted").cast("binary")).as("red_md5"))
+        .orderBy("doc_id")),
+
     // ------------------------------------------------------------------
     // Deterministic sampling (SURVEY §7.6 training-pipeline scope)
     // ------------------------------------------------------------------
@@ -962,6 +1004,22 @@ object SparkEntry {
         emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
         k = 5, bits = 4, dim = 64)
         .orderBy("query_id", "rank")
+    }),
+
+    // k-means/IVF "update" step: per-label mean vectors in flat
+    // (cluster, pos, centroid) form — oracle-checkable, no wide rows.
+    "embed_centroids" -> ((s, d) =>
+      ext.Similarity.centroids(Tables.load(s, d, "embeddings"))
+        .orderBy("cluster", "pos")),
+
+    // k-means/IVF "assignment" step: nearest-centroid cell per vector via
+    // the zero-shuffle broadcast-argmin fold (centroids = deterministic
+    // corpus sample, so the oracle can rebuild them).
+    "embed_cell_assign" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      ext.Similarity.assignCells(emb, emb.where(col("vec_id") % 100 === 0))
+        .select("vec_id", "cell_id")
+        .orderBy("vec_id")
     }),
 
     // ------------------------------------------------------------------
@@ -1105,6 +1163,22 @@ object SparkEntry {
       docs.where(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
   }
+
+  /** Documents with deterministic injected PII — mirrors
+    * [[OracleCte.piidocs]]. */
+  private def piiDocs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 200 + 1).cast("string"))).otherwise(lit(""))).as("text"))
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1918,6 +1992,109 @@ object SparkEntry {
         |  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) nb ON nb.doc_id = i.doc_b)
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
       OracleCte.corpus, OracleCte.shingles),
+
+    "dedup_components" -> OracleCte.sqlRecursive(
+      "SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id ORDER BY doc_id",
+      OracleCte.corpus, OracleCte.shingles,
+      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0)",
+      """pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT i.doc_a, i.doc_b,
+        |      round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 4) AS jaccard
+        |    FROM (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |          FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |                FROM shf a JOIN shf b
+        |                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id) c
+        |          JOIN shf sa ON sa.doc_id = c.doc_a
+        |          JOIN shf sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |          GROUP BY 1, 2) i
+        |    JOIN (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id) na
+        |      ON na.doc_id = i.doc_a
+        |    JOIN (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id) nb
+        |      ON nb.doc_id = i.doc_b)
+        |  WHERE jaccard >= 0.8)""".stripMargin,
+      """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs)""".stripMargin,
+      "nodes AS (SELECT DISTINCT src AS id FROM edges)",
+      """reach(id, label) AS (SELECT id, id FROM nodes
+        |  UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin),
+
+    "contamination_check" ->
+      """WITH g8 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |              FROM documents)
+        |        WHERE len(w) >= 8)),
+        |bg AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 97 = 0)
+        |SELECT g8.doc_id, count(*) AS n_grams,
+        |  CAST(count(bg.gram) AS BIGINT) AS n_hits,
+        |  round(CAST(count(bg.gram) AS DOUBLE) / count(*), 4) AS contam_ratio,
+        |  round(CAST(count(bg.gram) AS DOUBLE) / count(*), 4) >= 0.05 AS contaminated
+        |FROM g8 LEFT JOIN bg ON g8.gram = bg.gram
+        |GROUP BY g8.doc_id ORDER BY doc_id""".stripMargin,
+
+    "repetition_stats" ->
+      """WITH wq AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |            FROM documents),
+        |big AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |              FROM wq WHERE len(w) >= 2)),
+        |tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |              FROM wq WHERE len(w) >= 3)),
+        |bs AS (SELECT doc_id, max(c) AS top, sum(c) AS tot
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |ts AS (SELECT doc_id, max(c) AS top, sum(c) AS tot, sum(c) - count(*) AS dup
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(bs.tot, 0) AS BIGINT) AS n_bigrams,
+        |  round(CAST(bs.top AS DOUBLE) / bs.tot, 4) AS top_bigram_frac,
+        |  round(CAST(ts.top AS DOUBLE) / ts.tot, 4) AS top_trigram_frac,
+        |  round(CAST(ts.dup AS DOUBLE) / ts.tot, 4) AS dup_trigram_frac
+        |FROM documents d
+        |  LEFT JOIN bs ON bs.doc_id = d.doc_id
+        |  LEFT JOIN ts ON ts.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "pii_redact" -> o(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS red_md5
+        |FROM piidocs ORDER BY doc_id""".stripMargin,
+      OracleCte.piidocs),
+
+    "embed_centroids" ->
+      """SELECT label AS cluster, CAST(i - 1 AS BIGINT) AS pos,
+        |  round(avg(embedding[i]), 6) AS centroid, count(*) AS n_vecs
+        |FROM (SELECT label, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "embed_cell_assign" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |d AS (SELECT e.vec_id, c.cell_id,
+        |        -list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) /
+        |          sqrt(list_dot_product(c.cv, c.cv)) AS dist
+        |      FROM embeddings e CROSS JOIN cents c)
+        |SELECT vec_id, cell_id FROM (
+        |  SELECT vec_id, cell_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        |  FROM d)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "dedup_simhash" -> {
       val bitSums = (0 until 16)

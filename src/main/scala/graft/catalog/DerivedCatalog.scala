@@ -260,7 +260,28 @@ object OracleCte {
       |        WHERE len(w) >= 3)
       |)""".stripMargin
 
+  /** Documents with deterministic injected PII — mirrors
+    * `SparkEntry.piiDocs`. */
+  val piidocs: String =
+    """piidocs AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      |           '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |           '.' || CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
   /** Compose a WITH clause from the given CTE bodies + a query. */
   def sql(query: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + query
+
+  /** Same, but RECURSIVE (DuckDB requires the keyword on the WITH clause
+    * when any CTE in the list self-references). */
+  def sqlRecursive(query: String, ctes: String*): String =
+    "WITH RECURSIVE " + ctes.mkString(",\n") + "\n" + query
 }

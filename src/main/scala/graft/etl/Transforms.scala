@@ -139,6 +139,77 @@ object PipeTransform {
   }
 }
 
+/** U7 scale path — ONE LONG-LIVED external process PER PARTITION, the
+  * Spark analog of the reference's persistent transformer container
+  * (`hpush://` comm, `ext/etl/comm.go`: one container per target serving
+  * many objects), where [[PipeTransform]]'s per-object spawn mirrors the
+  * one-shot `io://` call. At 100 TB the spawn amortization is the whole
+  * game: a partition of 100k objects costs one fork, not 100k.
+  *
+  * Framed stdio protocol (the HTTP request/response pair flattened onto
+  * a pipe), strictly synchronous per object:
+  *   request:  [4B BE path len][path bytes][4B BE payload len][payload]
+  *   response: [4B BE out len][out bytes]
+  * The server must fully read each request before writing its response
+  * (request/response alternation is what makes the unbuffered pipe
+  * deadlock-free). EOF on stdin = shutdown; non-zero exit raises with
+  * the stderr tail. `GRAFT_ETL_ARGS` is per-process env (args are an
+  * init-time property in the reference too — `ext/etl/api.go`).
+  */
+object PipeServerTransform {
+  def apply(df: DataFrame, command: Seq[String],
+            etlArgs: String = "",
+            payloadCol: String = "payload", pathCol: String = "name"): DataFrame = {
+    require(command.nonEmpty, "pipe server transform needs a command")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val pIdx = schema.fieldIndex(payloadCol)
+    val nIdx = schema.fieldIndex(pathCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      if (it.isEmpty) it else {
+        val pb = new ProcessBuilder(command: _*)
+        pb.environment().put("GRAFT_ETL_ARGS", etlArgs)
+        val proc = pb.start()
+        val toSrv = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(proc.getOutputStream))
+        val fromSrv = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(proc.getInputStream))
+        def shutdown(): Unit = {
+          try toSrv.close() catch { case _: java.io.IOException => () }
+          val rc = proc.waitFor()
+          if (rc != 0) {
+            val err = new String(proc.getErrorStream.readAllBytes()).takeRight(512)
+            throw new IllegalStateException(
+              s"pipe server '${command.head}' rc=$rc: $err")
+          }
+        }
+        // kill the server even when the task dies mid-iterator
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (proc.isAlive) proc.destroy()))
+        new Iterator[org.apache.spark.sql.Row] {
+          def hasNext: Boolean = {
+            val more = it.hasNext
+            if (!more && proc.isAlive) shutdown()
+            more
+          }
+          def next(): org.apache.spark.sql.Row = {
+            val r = it.next()
+            val payload = Option(r.getAs[Array[Byte]](pIdx)).getOrElse(Array.emptyByteArray)
+            val path = r.getString(nIdx).getBytes("UTF-8")
+            toSrv.writeInt(path.length); toSrv.write(path)
+            toSrv.writeInt(payload.length); toSrv.write(payload)
+            toSrv.flush()
+            val out = new Array[Byte](fromSrv.readInt())
+            fromSrv.readFully(out)
+            org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(pIdx, out))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
+
 /** U3 escape hatch — opaque bytes→bytes logic via mapPartitions, for
   * transforms a Column expression cannot express (external codecs, native
   * libs). One JVM call per row, batched per partition; at scale this is

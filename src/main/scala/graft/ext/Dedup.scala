@@ -102,6 +102,82 @@ object Dedup {
     verifyJaccard(candidatePairs(lshBands(minhash(sh, numHashes), rowsPerBand)), sh, threshold)
   }
 
+  /** Distinct word n-gram set per document — the generalized form of
+    * [[shingles]] (n=3). Used for benchmark-contamination checks (n=8 is
+    * the usual "13-gram-ish" public-eval overlap window scaled to the
+    * fixture's 10–99-word docs). */
+  def ngramSet(docs: DataFrame, n: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+          .as("gram"))
+      .distinct()
+
+  /** Benchmark-contamination check: for every corpus document, the
+    * fraction of its distinct word n-grams that also appear in the
+    * benchmark set. The benchmark gram table is distinct'd and the join is
+    * a left-semi on the gram string — at 100 TB this shuffles grams (or,
+    * for a small benchmark, broadcasts it), never documents, and each
+    * side is a standard partial-aggregated groupBy. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    threshold: Double = 0.05,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = ngramSet(corpus, n, idCol, textCol)
+    val bench = ngramSet(benchmark, n, idCol, textCol).select("gram").distinct()
+    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(bench, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contam_ratio",
+        round(col("n_hits").cast("double") / col("n_grams"), 4))
+      .withColumn("contaminated", col("contam_ratio") >= threshold)
+  }
+
+  /** Connected components over a near-dup pair table (the step that turns
+    * candidate PAIRS into dedup CLUSTERS with one surviving representative
+    * each): iterative min-label propagation — every node repeatedly takes
+    * the minimum component label among itself and its neighbors until a
+    * fixpoint. Each iteration is one join + one groupBy on the edge list
+    * (both shuffle on node id, partial-aggregated), with a
+    * `localCheckpoint` to truncate the growing lineage; iterations needed
+    * = graph diameter, and near-dup clusters are short chains (a hub
+    * original plus its variants), so 3–5 rounds close real corpora. For
+    * adversarially long chains the same loop body admits the
+    * large-star/small-star optimization; not needed for dedup graphs.
+    * Output: (doc_id, component) with component = min doc_id reachable. */
+  def connectedComponents(pairs: DataFrame, idA: String = "doc_a",
+                          idB: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("_nc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("_nc").as("_nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("_old"),
+          least(col("component"), coalesce(col("_nbr"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next.where(col("component") =!= col("_old")).count()
+      labels = next.drop("_old")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** 16-bit SimHash over whitespace tokens: bit b is set iff the sum of
     * (+1 / -1) votes from each distinct token's md5 nibble b is positive.
     * Entirely string-arithmetic → portable and deterministic; 16 bits is

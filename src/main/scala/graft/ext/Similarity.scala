@@ -101,17 +101,21 @@ object Similarity {
     * (e.g. every K-th vector) keeps results reproducible. At 100 TB the
     * assignment is a single scan + broadcast argmin, and queries touch
     * `nprobe/numCells` of the corpus. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              k: Int, nprobe: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // The centroid table is index-small by contract (an IVF index with
-    // more than ~100k cells stops being an index), so it is collected
-    // once — the same rows a broadcast() would ship to every executor —
-    // and folded over per corpus row. The earlier shape crossJoined
-    // corpus × centroids and ranked with a window partitioned by vec_id:
-    // that multiplies the corpus by #cells AND shuffles the blowup to
-    // sort it — at 100 TB × 1k cells, a 1000× shuffle. The fold is one
-    // scan, zero extra rows, zero shuffle, whole-stage codegen'd.
+  /** Assign each corpus vector to its nearest centroid by (negative)
+    * normalized dot product — the IVF index-build / k-means "assignment"
+    * step, shared by [[ivfTopK]] and [[kmeansStep]].
+    *
+    * The centroid table is index-small by contract (an IVF index with
+    * more than ~100k cells stops being an index), so it is collected
+    * once — the same rows a broadcast() would ship to every executor —
+    * and folded over per corpus row. The naive shape crossJoins
+    * corpus × centroids and ranks with a window partitioned by vec_id:
+    * that multiplies the corpus by #cells AND shuffles the blowup to
+    * sort it — at 100 TB × 1k cells, a 1000× shuffle. The fold is one
+    * scan, zero extra rows, zero shuffle, whole-stage codegen'd.
+    * Output: (vec_id, _cv = the vector, cell_id). */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = centroids.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map { r =>
         val v = r.getSeq[Float](1)
@@ -119,11 +123,11 @@ object Similarity {
         while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
         (r.getLong(0), v, math.sqrt(acc)) // same left-to-right double sum as floatDot
       }.sortBy(_._1)
-    require(cents.nonEmpty, "ivfTopK: empty centroid table")
+    require(cents.nonEmpty, "assignCells: empty centroid table")
     val centArr = typedLit(cents.toSeq)
     // per-row argmin over the centroid array; ties → lowest cell_id
     // (array is id-sorted and the fold keeps the first strict minimum),
-    // matching the old (dist asc, cell_id asc) ranking exactly
+    // matching a (dist asc, cell_id asc) ranking exactly
     def nearestCell(vec: Column): Column =
       aggregate(centArr,
         struct(lit(Double.MaxValue).as("d"), lit(-1L).as("id")),
@@ -132,8 +136,34 @@ object Similarity {
           when(d < acc.getField("d"),
             struct(d.as("d"), cc.getField("_1").as("id"))).otherwise(acc)
         }).getField("id")
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
       .withColumn("cell_id", nearestCell(col("_cv")))
+  }
+
+  /** Per-group mean vector in FLAT (cluster, pos, centroid, n_vecs) form —
+    * the k-means/IVF "update" step. Flat output keeps the op one
+    * posexplode + one partial-aggregated groupBy on (cluster, pos): no
+    * driver-side arrays, no wide rows, oracle-checkable, and arbitrarily
+    * high dim costs only dim× rows in the shuffle (values are 8-byte
+    * doubles — at 100 TB of vectors this is the same volume a vector
+    * re-shuffle would pay, with full map-side combine). */
+  def centroids(embs: DataFrame, groupCol: String = "label",
+                vecCol: String = "embedding"): DataFrame =
+    embs.select(col(groupCol).as("cluster"), posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .groupBy(col("cluster"), col("pos").cast("long").as("pos"))
+      .agg(round(avg("_v"), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+
+  /** One Lloyd iteration: assign to nearest centroid, re-compute the
+    * per-cell means (flat form). */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.centroids(
+      assignCells(corpus, centroids, idCol, vecCol), "cell_id", "_cv")
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = assignCells(corpus, centroids, idCol, vecCol)
     // query side stays a (tiny) broadcast cross join: it needs top-nprobe
     // cells per query, and #queries × #cells rows is driver-small
     val cent = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("_centv"),

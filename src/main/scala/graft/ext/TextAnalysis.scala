@@ -66,6 +66,77 @@ object TextAnalysis {
     withVotes.withColumn("pred_lang", when(best._1 > 0, best._2).otherwise(lit("unknown")))
   }
 
+  /** Word n-gram array in document order (duplicates kept — frequency
+    * matters here, unlike [[Dedup.ngramSet]]). Empty array when the doc
+    * has fewer than n words (Spark's `sequence(1, 0)` would count DOWN,
+    * so the guard is required, not defensive). */
+  private def ngramArray(text: Column, n: Int): Column = {
+    val w = whitespaceTokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Longest run of equal adjacent elements after sorting = the count of
+    * the most frequent element — computed as a single `aggregate` fold
+    * over the sorted array: zero shuffle, zero explode, whole-stage
+    * codegen'd. The explode + groupBy(doc, gram) + max formulation gives
+    * the same number at the cost of two shuffles. */
+  private def topCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals (the quality rules that catch
+    * boilerplate and template spam): fraction of all word bigrams /
+    * trigrams taken by the single most frequent one, and the fraction of
+    * trigram occurrences that are duplicates. Per-row Column math only —
+    * a 100 TB corpus pays one scan and no shuffle. */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val bi = ngramArray(col(textCol), 2)
+    val tri = ngramArray(col(textCol), 3)
+    df.withColumn("n_bigrams", size(bi).cast("long"))
+      .withColumn("top_bigram_frac",
+        when(size(bi) > 0, round(topCount(bi).cast("double") / size(bi), 4)))
+      .withColumn("top_trigram_frac",
+        when(size(tri) > 0, round(topCount(tri).cast("double") / size(tri), 4)))
+      .withColumn("dup_trigram_frac",
+        when(size(tri) > 0,
+          round((size(tri) - size(array_distinct(tri))).cast("double") / size(tri), 4)))
+  }
+
+  /** PII patterns chosen to mean the same thing in Java regex and RE2:
+    * no lookaround, no backrefs. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub: count and redact emails / NANP-style phone numbers /
+    * IPv4 literals. Counts come from the original text; redaction
+    * replaces in a fixed order (emails first — the other patterns cannot
+    * match inside a redaction token). One scan, no shuffle. */
+  def piiRedact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(PhonePattern), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "<EMAIL>"),
+            PhonePattern, "<PHONE>"),
+          Ipv4Pattern, "<IP>"))
+  }
+
   /** Document fingerprint: minimum md5 over word 3-gram shingles (a
     * 1-permutation MinHash — stable under small edits) plus the distinct
     * shingle count. */

@@ -16,6 +16,102 @@ class ExtensionsSpec extends SparkSpec {
       .withColumn("doc_id", $"doc_id" + 1000000L))
   }
 
+  test("connected components: injected dup pairs form 2-node clusters labeled by the original") {
+    val pairs = docs.where($"doc_id" % 10 === 0)
+      .select($"doc_id".as("doc_a"), ($"doc_id" + 1000000L).as("doc_b"))
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty)
+    comp.foreach { case (id, c) =>
+      assert(c == (if (id >= 1000000L) id - 1000000L else id))
+    }
+  }
+
+  test("connected components: a chain collapses to one component in few iterations") {
+    // 0-1-2-...-9 chain: diameter 9, must converge to component 0
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+    assert(comp.length == 10 && comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("contamination: benchmark members self-hit at ratio 1.0, others stay below") {
+    val bench = docs.where($"doc_id" % 97 === 0)
+    val out = Dedup.contamination(docs, bench, n = 8, threshold = 0.05)
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, ratio, flag) = (r.getLong(0), r.getDouble(3), r.getBoolean(4))
+      if (benchIds.contains(id)) assert(ratio == 1.0 && flag)
+      else assert(flag == (ratio >= 0.05))
+    }
+  }
+
+  test("repetition stats: fold matches explode+groupBy formulation") {
+    import graft.ext.TextAnalysis
+    val out = TextAnalysis.repetitionStats(docs).select("doc_id", "top_bigram_frac")
+    // reference: explode bigrams, count max frequency per doc
+    val big = docs.select($"doc_id", explode(expr(
+      "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1)," +
+        " i -> concat_ws(' ', split(trim(text), '\\\\s+')[i-1], split(trim(text), '\\\\s+')[i]))")).as("g"))
+    val ref = big.groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(round(max($"count").cast("double") / sum($"count"), 4).as("ref_frac"))
+    val joined = out.join(ref, "doc_id").where($"top_bigram_frac" =!= $"ref_frac")
+    assert(joined.count() == 0)
+  }
+
+  test("pii redact: counts and tokens for crafted strings") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "mail me at a.b+c@exa-mple.org or 555-123-4567, host 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.co and 1.2.3.4")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(df)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1 && out(0).getLong(3) == 1)
+    assert(out(0).getString(4) == "mail me at <EMAIL> or <PHONE>, host <IP>")
+    assert(out(1).getLong(1) == 0 && out(1).getString(4) == "no pii here at all")
+    assert(out(2).getLong(1) == 2 && out(2).getLong(3) == 1)
+  }
+
+  test("centroids: flat per-label means match driver-side computation") {
+    val out = Similarity.centroids(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val rows = emb.select($"label", $"embedding").collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    byLabel.foreach { case (label, rs) =>
+      val vecs = rs.map(_.getSeq[Float](1))
+      val dim = vecs.head.length
+      (0 until dim).foreach { p =>
+        val mean = vecs.map(_(p).toDouble).sum / vecs.length
+        val (got, n) = out((label, p.toLong))
+        assert(n == vecs.length)
+        assert(math.abs(got - BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      }
+    }
+  }
+
+  test("kmeans step: assignment is the true argmin and update means match") {
+    val cents = emb.where($"vec_id" % 100 === 0)
+    val assigned = Similarity.assignCells(emb, cents).select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cvs = cents.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def dist(v: scala.collection.Seq[Float], c: scala.collection.Seq[Float]): Double = {
+      var dot = 0.0; var nc = 0.0; var i = 0
+      while (i < v.length) { dot += v(i).toDouble * c(i).toDouble; nc += c(i).toDouble * c(i).toDouble; i += 1 }
+      -dot / math.sqrt(nc)
+    }
+    emb.select($"vec_id", $"embedding").collect().foreach { r =>
+      val best = cvs.map { case (id, c) => (dist(r.getSeq[Float](1), c), id) }.min._2
+      assert(assigned(r.getLong(0)) == best)
+    }
+    // one Lloyd iteration emits k * dim flat rows
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    assert(Similarity.kmeansStep(emb, cents).count() == cvs.length.toLong * dim)
+  }
+
   test("exact dedup finds exactly the injected duplicates") {
     val groups = Dedup.exact(corpusWithDups)
     val dupGroups = groups.where($"n_copies" > 1).collect()

@@ -74,4 +74,39 @@ class GzipCodecSpec extends SparkSpec {
       PipeTransform(df, Seq("sh", "-c", "exit 3")).collect()
     }
   }
+
+  test("pipe server transform (hpush:// analog): one process serves the whole partition") {
+    assume(new java.io.File("/usr/bin/python3").exists()
+      || sys.env.get("PATH").exists(_.split(':').exists(p => new java.io.File(p, "python3").exists())))
+    import spark.implicits._
+    import graft.etl.PipeServerTransform
+    // framing server: upper-cases payload, prepends path, appends args —
+    // exercises all three channels through the framed protocol
+    val server =
+      """import sys, os, struct
+        |r, w = sys.stdin.buffer, sys.stdout.buffer
+        |args = os.environ.get("GRAFT_ETL_ARGS", "").encode()
+        |while True:
+        |    h = r.read(4)
+        |    if len(h) < 4: break
+        |    path = r.read(struct.unpack(">i", h)[0])
+        |    data = r.read(struct.unpack(">i", r.read(4))[0])
+        |    out = path + b":" + data.upper() + args
+        |    w.write(struct.pack(">i", len(out))); w.write(out); w.flush()
+        |""".stripMargin
+    val df = Seq(("a.txt", "hello pipe"), ("b.txt", ""), ("c.txt", "z" * 200000))
+      .toDF("name", "s").withColumn("payload", col("s").cast("binary")).drop("s")
+      .repartition(2)
+    val out = PipeServerTransform(df, Seq("python3", "-c", server), etlArgs = "!a")
+      .select(col("name"), col("payload").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "a.txt" -> "a.txt:HELLO PIPE!a",
+      "b.txt" -> "b.txt:!a",
+      "c.txt" -> ("c.txt:" + "Z" * 200000 + "!a")))
+    // server crash surfaces as an error
+    intercept[Exception] {
+      PipeServerTransform(df, Seq("python3", "-c", "import sys; sys.exit(3)")).collect()
+    }
+  }
 }
