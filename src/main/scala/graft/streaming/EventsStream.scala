@@ -96,6 +96,69 @@ object EventsStream {
         org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"))
   }
 
+  /** Out-of-order-robust stateful sessionize — the production upgrade of
+    * [[runStatefulSessionize]] for feeds where a user's events cross
+    * micro-batches out of event-time order. Each user's events are
+    * BUFFERED in state and folded into finalized (lastTs, sessions,
+    * count) only once older than the watermark — by then every earlier
+    * event has either arrived or is late-beyond-watermark (dropped, the
+    * standard watermark contract; here: new events below the finalized
+    * horizon are discarded). Younger events are folded optimistically
+    * into the emitted snapshot but stay buffered, so a late-but-in-
+    * watermark earlier event can still merge two provisional sessions.
+    * State per user = the O(watermark-horizon) pending buffer + 3
+    * scalars — bounded, like the windowed-agg state.
+    *
+    * Emits Update-mode snapshots; the returned table keeps each user's
+    * latest (max (n_events, seq)) snapshot. */
+  def runBufferedSessionize(spark: SparkSession, eventsDir: String,
+                            queryName: String = "events_sessions_buf",
+                            gapSec: Double = 1800d, delay: String = "30 minutes",
+                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // the watermarked `ts` attribute must survive projection all the way
+    // into the stateful operator, else getCurrentWatermarkMs is refused
+    val stream = reader.parquet(eventsDir)
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("ts").cast("double").as("tsec"))
+      .as[(Long, java.sql.Timestamp, Double)]
+
+    // state: (pending, lastTs, sessions, count)
+    def fold(start: (Double, Long, Long), ts: Seq[Double]): (Double, Long, Long) =
+      ts.foldLeft(start) { case ((last, sess, cnt), t) =>
+        (t, if (last == Double.MinValue || t - last > gapSec) sess + 1 else sess, cnt + 1)
+      }
+    def update(userId: Long, events: Iterator[(Long, java.sql.Timestamp, Double)],
+               state: GroupState[(Seq[Double], Double, Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+      val (pending0, last0, sess0, cnt0) =
+        state.getOption.getOrElse((Seq.empty[Double], Double.MinValue, 0L, 0L))
+      val wmSec = state.getCurrentWatermarkMs() / 1000.0
+      // events below the finalized horizon are late-beyond-watermark
+      val fresh = events.map(_._3).filter(t => last0 == Double.MinValue || t >= last0)
+      val all = (pending0 ++ fresh).sorted
+      val (ripe, pending) = all.partition(_ <= wmSec)
+      val finalized = fold((last0, sess0, cnt0), ripe)
+      state.update((pending, finalized._1, finalized._2, finalized._3))
+      val (_, sessAll, cntAll) = fold(finalized, pending)
+      Iterator.single((userId, cntAll, sessAll, state.getCurrentProcessingTimeMs()))
+    }
+    val out = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "n_events", "n_sessions", "_seq")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("_seq"), col("n_sessions"))).as("_m"))
+      .select(col("user_id"), col("_m.n_events").as("n_events"),
+        col("_m.n_sessions").as("n_sessions"))
+  }
+
   /** Streaming exact dedup — the continuous face of
     * [[graft.ext.Dedup]].exact: `dropDuplicatesWithinWatermark` on the
     * content key. The watermark bounds the dedup state to the lateness

@@ -52,6 +52,42 @@ class StreamingSpec extends SparkSpec {
       .where(col("count") > 1).count() == 0)
   }
 
+  test("buffered sessionizer: out-of-order cross-batch events still match batch semantics") {
+    import spark.implicits._
+    // user 1's third event (t=2000) arrives in a LATER micro-batch than
+    // t=5000: the unbuffered sessionizer measures 2000 against lastTs=5000
+    // and inflates the count to 3; buffering + watermark finalization
+    // merges the provisional split back to the true 2 sessions.
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_buf").toFile
+    val base = 1700000000L
+    def writeBatch(name: String, mtime: Long, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_buf_part")
+      rows.map { case (u, off) => (u, new java.sql.Timestamp((base + off) * 1000L)) }
+        .toDF("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeBatch("b1.parquet", now - 60000, Seq((1L, 1000L), (1L, 5000L)))
+    writeBatch("b2.parquet", now, Seq((1L, 2000L)))
+    val out = EventsStream.runBufferedSessionize(spark, dir.toString,
+        queryName = "buf_ooo", maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 2L)))
+  }
+
+  test("buffered sessionizer == batch sessionize on the events table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_buf2").toString
+    Tables.events(spark, TestSpark.sf001).write.mode("overwrite").parquet(tmp)
+    val streamed = EventsStream.runBufferedSessionize(spark, tmp, queryName = "buf_par")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventsStream.sessionize(Tables.events(spark, TestSpark.sf001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("sessionize: session count bounded by event count, deterministic") {
     val s1 = EventsStream.sessionize(Tables.events(spark, TestSpark.sf001))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
