@@ -127,13 +127,17 @@ object Dedup {
   def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                     threshold: Double = 0.05,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // single pass over the corpus gram table: a left join against the
+    // benchmark set marks hits, one groupBy counts totals and hits
+    // together (the totals + semi-join two-branch shape scans and
+    // shuffles the big gram table twice for the same numbers)
     val grams = ngramSet(corpus, n, idCol, textCol)
-    val bench = ngramSet(benchmark, n, idCol, textCol).select("gram").distinct()
-    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = grams.join(bench, Seq("gram"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+    val bench = ngramSet(benchmark, n, idCol, textCol)
+      .select("gram").distinct().withColumn("_hit", lit(1L))
+    grams.join(bench, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).cast("long").as("n_hits"))
       .withColumn("contam_ratio",
         round(col("n_hits").cast("double") / col("n_grams"), 4))
       .withColumn("contaminated", col("contam_ratio") >= threshold)
@@ -153,8 +157,14 @@ object Dedup {
     * Output: (doc_id, component) with component = min doc_id reachable. */
   def connectedComponents(pairs: DataFrame, idA: String = "doc_a",
                           idB: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // both directions in ONE scan of the pair plan (a union of two
+    // selects would execute the upstream pair generation — typically the
+    // expensive LSH/Jaccard pipeline — twice)
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
