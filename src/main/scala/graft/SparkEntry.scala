@@ -958,6 +958,41 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "bin_id", "bin_offset")
         .orderBy("doc_id")),
 
+    // The FULL training-data pipeline end-to-end, every stage the
+    // already-oracle'd operator: near-dup-injected corpus → language +
+    // quality gate → exact dedup → MinHash-LSH near-dup clustering
+    // (connected components, keep the min-id representative) → benchmark
+    // contamination filter → token-budget sequence packing. The injected
+    // docs (every 10th, +' near dup tail') survive exact dedup but are
+    // caught by LSH at jaccard ≥ 0.8 wherever the doc is long enough for
+    // the tail to cost < 20% of shingles — exercised, not vacuous.
+    "corpus_prepare" -> ((s, d) => {
+      val docs0 = Tables.load(s, d, "documents").select("doc_id", "text")
+      val corpus = docs0.unionByName(
+        docs0.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" near dup tail")).as("text")))
+      val scored = ext.TextAnalysis.qualityFeatures(ext.TextAnalysis.langId(corpus))
+        .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+        .orderBy(col("doc_id").asc)
+      val clean = scored.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select("doc_id", "text")
+      val pairs = ext.Dedup.nearDupMinhashLsh(clean, threshold = 0.8)
+        .select("doc_a", "doc_b")
+      val nonRep = ext.Dedup.connectedComponents(pairs)
+        .where(col("component") =!= col("doc_id")).select("doc_id")
+      val reps = clean.join(nonRep, Seq("doc_id"), "left_anti")
+      val contaminated = ext.Dedup.contamination(reps,
+          docs0.where(col("doc_id") % 97 === 0), n = 8, threshold = 0.05)
+        .where(col("contaminated")).select("doc_id")
+      val survivors = reps.join(contaminated, Seq("doc_id"), "left_anti")
+      ext.SeqPack.pack(survivors, col("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")), budget = 2048L)
+        .select("doc_id", "n_tokens", "bin_id", "bin_offset")
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------------------------------
     // Similarity search (SURVEY §7.6)
     // ------------------------------------------------------------------
@@ -2225,6 +2260,105 @@ object SparkEntry {
         |  (c - n_tokens) // 2048 AS bin_id,
         |  (c - n_tokens) - ((c - n_tokens) // 2048) * 2048 AS bin_offset
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "corpus_prepare" -> OracleCte.sqlRecursive(
+      """SELECT doc_id, n_tokens,
+        |  (c - n_tokens) // 2048 AS bin_id,
+        |  (c - n_tokens) - ((c - n_tokens) // 2048) * 2048 AS bin_offset
+        |FROM cum ORDER BY doc_id""".stripMargin,
+      """prep AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup tail' AS text
+        |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin,
+      """scored2 AS (
+        |  SELECT doc_id, text,
+        |    round(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 0.4
+        |      + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) AS quality_score,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS votes_de,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS votes_en,
+        |    len(regexp_extract_all(text, '\b(el|la|los|y|es|un)\b')) AS votes_es,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et|est|un)\b')) AS votes_fr
+        |  FROM prep)""".stripMargin,
+      """filt2 AS (
+        |  SELECT doc_id, text FROM scored2
+        |  WHERE quality_score >= 0.5
+        |    AND greatest(votes_de, votes_en, votes_es, votes_fr) > 0
+        |    AND NOT (votes_de >= votes_en AND votes_de >= votes_es AND votes_de >= votes_fr)
+        |    AND (votes_en >= votes_es AND votes_en >= votes_fr))""".stripMargin,
+      "keep2 AS (SELECT min(doc_id) AS doc_id FROM filt2 GROUP BY md5(text))",
+      """clean AS (SELECT p.doc_id, p.text FROM prep p
+        |  JOIN keep2 k ON p.doc_id = k.doc_id)""".stripMargin,
+      """shc AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |              FROM clean)
+        |        WHERE len(w) >= 3))""".stripMargin,
+      """pairs2 AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT i.doc_a, i.doc_b,
+        |      round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 4) AS jaccard
+        |    FROM (
+        |      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |      FROM (
+        |        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |        FROM (SELECT doc_id, seed // 3 AS band, md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
+        |              FROM (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+        |                    FROM shc CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+        |                    GROUP BY doc_id, seed)
+        |              GROUP BY doc_id, seed // 3) a
+        |        JOIN (SELECT doc_id, seed // 3 AS band, md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
+        |              FROM (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+        |                    FROM shc CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+        |                    GROUP BY doc_id, seed)
+        |              GROUP BY doc_id, seed // 3) b
+        |          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id) c
+        |      JOIN shc sa ON sa.doc_id = c.doc_a
+        |      JOIN shc sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |      GROUP BY c.doc_a, c.doc_b) i
+        |    JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id) na ON na.doc_id = i.doc_a
+        |    JOIN (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id) nb ON nb.doc_id = i.doc_b)
+        |  WHERE jaccard >= 0.8)""".stripMargin,
+      """edges2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs2
+        |  UNION SELECT doc_b, doc_a FROM pairs2)""".stripMargin,
+      "nodes2 AS (SELECT DISTINCT src AS id FROM edges2)",
+      """reach2(id, label) AS (SELECT id, id FROM nodes2
+        |  UNION SELECT e.dst, r.label FROM reach2 r JOIN edges2 e ON e.src = r.id)""".stripMargin,
+      """nonrep AS (SELECT id FROM (SELECT id, min(label) AS component FROM reach2 GROUP BY id)
+        |  WHERE component <> id)""".stripMargin,
+      """reps AS (SELECT c.doc_id, c.text FROM clean c
+        |  LEFT JOIN nonrep nr ON c.doc_id = nr.id WHERE nr.id IS NULL)""".stripMargin,
+      """g8r AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |              FROM reps)
+        |        WHERE len(w) >= 8))""".stripMargin,
+      """bgr AS (
+        |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 7)) AS i
+        |        FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+        |              FROM documents WHERE doc_id % 97 = 0)
+        |        WHERE len(w) >= 8))""".stripMargin,
+      """contam AS (
+        |  SELECT g8r.doc_id FROM g8r LEFT JOIN bgr ON g8r.gram = bgr.gram
+        |  GROUP BY g8r.doc_id
+        |  HAVING round(CAST(count(bgr.gram) AS DOUBLE) / count(*), 4) >= 0.05)""".stripMargin,
+      """survivors AS (SELECT r.doc_id, r.text FROM reps r
+        |  LEFT JOIN contam c ON r.doc_id = c.doc_id WHERE c.doc_id IS NULL)""".stripMargin,
+      """toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM survivors)""".stripMargin,
+      """cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM toks)""".stripMargin),
 
     "token_count_bpe" ->
       """SELECT doc_id,
