@@ -1057,6 +1057,11 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // int8 symmetric quantization — the 4x memory-scale path for ANN
+    "embed_quantize" -> ((s, d) =>
+      ext.Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))
+        .orderBy("vec_id", "pos")),
+
     // ------------------------------------------------------------------
     // Text analysis (SURVEY §7.6)
     // ------------------------------------------------------------------
@@ -2116,6 +2121,19 @@ object SparkEntry {
         |        unnest(generate_series(1, len(embedding))) AS i
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "embed_quantize" ->
+      """SELECT vec_id,
+        |  round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 8) AS scale,
+        |  CAST(i - 1 AS BIGINT) AS pos,
+        |  CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 0
+        |    ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) /
+        |      (list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0) + 0.5) AS INT)
+        |  END AS qval
+        |FROM (SELECT vec_id, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |      FROM embeddings)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "embed_cell_assign" ->
       """WITH cents AS (

@@ -153,6 +153,29 @@ object Similarity {
       .groupBy(col("cluster"), col("pos").cast("long").as("pos"))
       .agg(round(avg("_v"), 6).as("centroid"), count(lit(1)).as("n_vecs"))
 
+  /** Symmetric int8 quantization — the 4× memory-scale path for ANN
+    * (quantized corpus in RAM, rerank survivors against full-precision
+    * vectors). Per vector: scale = max|v| / 127, q_i = ⌊v_i/scale + ½⌋.
+    * FLAT (vec_id, scale, pos, qval) output: oracle-checkable, no array
+    * cells, and the quantized table is a normal columnar shuffle
+    * citizen. Zero-division guard: an all-zero vector quantizes to 0s
+    * with scale 0. Reconstruction error per element ≤ scale/2 by
+    * construction (asserted in spec). */
+  def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val absMax = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    embs
+      .select(col(idCol).as("vec_id"), (absMax / 127.0d).as("_s"),
+        posexplode(col(vecCol)).as(Seq("pos", "_x")))
+      .select(col("vec_id"),
+        round(col("_s"), 8).as("scale"),
+        col("pos").cast("long").as("pos"),
+        when(col("_s") === 0d, lit(0))
+          .otherwise(floor(col("_x").cast("double") / col("_s") + 0.5d).cast("int"))
+          .as("qval"))
+  }
+
   /** One Lloyd iteration: assign to nearest centroid, re-compute the
     * per-cell means (flat form). */
   def kmeansStep(corpus: DataFrame, centroids: DataFrame,

@@ -112,6 +112,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(Similarity.kmeansStep(emb, cents).count() == cvs.length.toLong * dim)
   }
 
+  test("int8 quantization: |q| <= 127 and reconstruction error <= scale/2") {
+    val q = Similarity.quantizeInt8(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getDouble(1), r.getInt(3))).toMap
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+    assert(vecs.nonEmpty)
+    vecs.foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      val absMax = v.map(x => math.abs(x.toDouble)).max
+      v.zipWithIndex.foreach { case (x, p) =>
+        val (scale, qv) = q((id, p.toLong))
+        assert(math.abs(qv) <= 127)
+        assert(math.abs(scale - BigDecimal(absMax / 127.0)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+        if (absMax > 0)
+          assert(math.abs(qv * (absMax / 127.0) - x.toDouble) <= absMax / 127.0 / 2 + 1e-12)
+      }
+    }
+  }
+
   test("exact dedup finds exactly the injected duplicates") {
     val groups = Dedup.exact(corpusWithDups)
     val dupGroups = groups.where($"n_copies" > 1).collect()
