@@ -976,6 +976,10 @@ object SparkEntry {
         .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
       val w = Window.partitionBy(md5(col("text").cast("binary")))
         .orderBy(col("doc_id").asc)
+      // clean is referenced by the LSH pipeline, the representative join
+      // and the contamination stage — all inside one physical plan, where
+      // ReuseExchange dedupes the identical window shuffle; an explicit
+      // checkpoint measured neutral-to-slower at sf0.1
       val clean = scored.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
         .select("doc_id", "text")
       val pairs = ext.Dedup.nearDupMinhashLsh(clean, threshold = 0.8)

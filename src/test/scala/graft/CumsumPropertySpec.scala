@@ -1,0 +1,53 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.ops.DSort
+
+/** Randomized invariants for the distributed prefix sum — the machinery
+  * every packing operator (dsort/ishard/ekm/seq_pack) rides. Each trial
+  * draws random groups, sizes, and key distributions (including hot
+  * groups that span many range partitions) and checks the distributed
+  * result against a driver-side sequential fold. Seeded Random keeps
+  * failures reproducible.
+  */
+class CumsumPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupedCumsum == sequential per-group running sum on random inputs") {
+    val rnd = new Random(4242)
+    (1 to 5).foreach { trial =>
+      val nGroups = 1 + rnd.nextInt(4)
+      val hot = rnd.nextInt(nGroups) // one group gets most of the mass
+      val rows = (0 until 500 + rnd.nextInt(3000)).map { i =>
+        val g = if (rnd.nextDouble() < 0.7) hot else rnd.nextInt(nGroups)
+        (f"g$g", f"k$i%06d-${rnd.nextInt(1000)}%04d", 1L + rnd.nextInt(5000))
+      }
+      val df = rows.toDF("grp", "key", "size")
+      val got = DSort.groupedCumsum(df, Seq("grp"), Seq(col("key").asc), col("size"))
+        .select("grp", "key", "_cum")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        var acc = 0L
+        rs.sortBy(_._2).map { case (_, k, s) => acc += s; (g, k) -> acc }
+      }
+      assert(got == expected, s"trial $trial: distributed cumsum diverged")
+    }
+  }
+
+  test("globalCumsum == sequential running sum and is partition-count invariant") {
+    val rnd = new Random(7)
+    val rows = (0 until 2000).map(i => (f"k${rnd.nextInt(1000000)}%07d-$i", 1L + rnd.nextInt(100)))
+    val expected = {
+      var acc = 0L
+      rows.sortBy(_._1).map { case (k, s) => acc += s; k -> acc }.toMap
+    }
+    Seq(1, 7, 32).foreach { parts =>
+      val df = rows.toDF("key", "size").repartition(parts)
+      val got = DSort.globalCumsum(df, Seq(col("key").asc), col("size"))
+        .select("key", "_cum")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"input partitions=$parts")
+    }
+  }
+}

@@ -112,6 +112,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(Similarity.kmeansStep(emb, cents).count() == cvs.length.toLong * dim)
   }
 
+  test("repetition/pii plans are single-scan: only the final sort exchanges") {
+    Seq("repetition_stats", "pii_redact").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, TestSpark.sf001)
+        .queryExecution.executedPlan.toString
+      assert(plan.split("Exchange").length - 1 <= 1, s"$q shuffles mid-plan:\n$plan")
+    }
+  }
+
   test("int8 quantization: |q| <= 127 and reconstruction error <= scale/2") {
     val q = Similarity.quantizeInt8(emb).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> (r.getDouble(1), r.getInt(3))).toMap
