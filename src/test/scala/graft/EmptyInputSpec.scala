@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DSort
+import graft.ext.{Dedup, SeqPack, TextAnalysis}
+
+/** Empty-selection robustness: every packing / clustering / scoring
+  * operator must return an empty result (same schema), not throw, when
+  * the input selection matches nothing — users hit empty prefixes and
+  * empty diff sets constantly. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noMembers = Seq.empty[(String, String, String, String, Long, Long)]
+    .toDF("shard", "member", "sample_key", "ext", "offset", "size")
+
+  private lazy val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("packShards on an empty sample table is empty, not an error") {
+    val ss = DSort.withSortKey(DSort.samples(noMembers), DSort.Algorithm.Alphanumeric())
+    val out = DSort.packShards(ss, DSort.Algorithm.Alphanumeric(), 1000L)
+    assert(out.count() == 0)
+    assert(out.columns.contains("shard_name"))
+  }
+
+  test("ekmPack with no matching records is empty") {
+    val out = DSort.ekmPack(DSort.samples(noMembers), Seq("^x.*" -> "x-%d.tar"), 1000L)
+    assert(out.count() == 0)
+  }
+
+  test("samplesWithInputPos on empty members is empty") {
+    assert(DSort.samplesWithInputPos(noMembers).count() == 0)
+  }
+
+  test("connectedComponents on an empty pair table is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("contamination with an empty benchmark flags nothing") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = Dedup.contamination(docs, noDocs, n = 8).collect()
+    assert(out.length == 1 && out(0).getLong(2) == 0 && !out(0).getBoolean(4))
+  }
+
+  test("nearDupMinhashLsh on empty docs is empty") {
+    assert(Dedup.nearDupMinhashLsh(noDocs).count() == 0)
+  }
+
+  test("seq_pack on empty docs is empty") {
+    val out = SeqPack.pack(noDocs, col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), budget = 100L)
+    assert(out.count() == 0)
+  }
+
+  test("repetition stats on sub-n-gram docs emit nulls, not errors") {
+    val out = TextAnalysis.repetitionStats(
+        Seq((1L, "single"), (2L, "two words"), (3L, "")).toDF("doc_id", "text"))
+      .select("doc_id", "n_bigrams", "top_bigram_frac", "top_trigram_frac")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 0 && out(0).isNullAt(2) && out(0).isNullAt(3))
+    assert(out(1).getLong(1) == 1 && out(1).getDouble(2) == 1.0 && out(1).isNullAt(3))
+  }
+}
