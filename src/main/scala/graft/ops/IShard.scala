@@ -43,7 +43,7 @@ object IShard {
     val raw = DSort.globalCumsum(keyed, Seq(col("first_member")), col("size"))
       .withColumn("shard_id", ((col("_cum") - col("size")) / shardSize).cast("long"))
     DSort.denseShardIds(raw, Nil)
-      .withColumn("shard_name", format_string(nameTemplate, col("shard_id")))
+      .withColumn("shard_name", DSort.shardName(nameTemplate, col("shard_id")))
       .drop("_cum")
       .withColumnRenamed("_skey", "sample_key")
   }
