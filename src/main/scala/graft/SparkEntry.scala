@@ -1171,6 +1171,26 @@ object SparkEntry {
         .select("sample_key", "size", "n_members", "shard_id", "shard_name")
         .orderBy("sample_key")),
 
+    // `ais ml lhotse-get-batch` (cmd/cli/cli/lhotse.go): cut manifest →
+    // MossIn request table (URI/archpath resolution, sample-rate byte
+    // ranges) — the from_json parse is hash-checked against
+    // arithmetically re-derived values
+    "lhotse_cuts" -> ((s, d) =>
+      ops.Lhotse.toRequests(ops.Lhotse.parseCuts(lhotseManifest(s, d)),
+        sampleRate = Some(16000L))
+        .orderBy("cut_id")),
+
+    // manifest-order batching with pt.Next() template naming; batch
+    // numbering rides the distributed prefix sum
+    "lhotse_batches" -> ((s, d) =>
+      ops.Lhotse.batches(
+        ops.Lhotse.toRequests(ops.Lhotse.parseCuts(lhotseManifest(s, d)),
+          sampleRate = Some(16000L)),
+        order = Seq(col("cut_id").asc), batchSize = 100,
+        outputTemplate = "cuts-{0001..9999}.tar")
+        .select("cut_id", "bucket", "objname", "batch_id", "shard_name")
+        .orderBy("cut_id")),
+
     // A5 extension: corpus vocabulary stats (exact distincts per source)
     "vocab_stats" -> ((s, d) =>
       Tables.load(s, d, "documents")
@@ -1206,6 +1226,33 @@ object SparkEntry {
     docs.unionByName(
       docs.where(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  /** Deterministic Lhotse cut manifest (JSONL, modern sources[] layout)
+    * derived from `orders` — three URI families: archive members
+    * (k%10=9, exercises archpath split), s3:// scheme (k%7=0, provider
+    * normalization), bare bucket/obj (default ais provider). Values are
+    * re-derived arithmetically in the oracle, so the Spark side's real
+    * `from_json` parse is hash-checked end-to-end. */
+  private def lhotseManifest(s: SparkSession, d: String): DataFrame = {
+    val okey = col("o_orderkey")
+    def pad(c: org.apache.spark.sql.Column, w: Int) = {
+      val s0 = c.cast("string")
+      when(length(s0) > w, s0).otherwise(lpad(s0, w, "0"))
+    }
+    val bck = concat(lit("bck"), (okey % 3).cast("string"))
+    val uri = when(okey % 10 === 9,
+        concat(lit("ais://"), bck, lit("/shards/shard-"), pad(okey, 5),
+          lit(".tar/s"), pad(okey % 1000, 7), lit("_01.jpg")))
+      .when(okey % 7 === 0,
+        concat(lit("s3://"), bck, lit("/flat/obj-"), pad(okey, 8), lit(".dat")))
+      .otherwise(concat(bck, lit("/flat/obj-"), pad(okey, 8), lit(".dat")))
+    Tables.load(s, d, "orders").select(
+      concat(lit("{\"id\":\"cut-"), pad(okey, 8),
+        lit("\",\"start\":"), ((okey % 30) * 0.5).cast("string"),
+        lit(",\"duration\":"), (lit(1.0) + (okey % 10).cast("double")).cast("string"),
+        lit(",\"recording\":{\"sources\":[{\"source\":\""), uri,
+        lit("\"}]}}")).as("value"))
   }
 
   /** Documents with deterministic injected PII — mirrors
@@ -2443,6 +2490,34 @@ object SparkEntry {
         |                  WHERE ext = 'jpg' ORDER BY member LIMIT 1000)))
         |ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
+
+    "lhotse_cuts" ->
+      """SELECT 'cut-' || printf('%08d', k) AS cut_id,
+        |  (k % 30) * 0.5 AS start_sec,
+        |  1.0 + (k % 10) AS duration_sec,
+        |  CASE WHEN k % 10 = 9 THEN 'ais'
+        |       WHEN k % 7 = 0 THEN 'aws' ELSE 'ais' END AS provider,
+        |  'bck' || CAST(k % 3 AS VARCHAR) AS bucket,
+        |  CASE WHEN k % 10 = 9 THEN 'shards/shard-' || printf('%05d', k) || '.tar'
+        |       ELSE 'flat/obj-' || printf('%08d', k) || '.dat' END AS objname,
+        |  CASE WHEN k % 10 = 9 THEN 's' || printf('%07d', k % 1000) || '_01.jpg'
+        |       ELSE '' END AS archpath,
+        |  CAST(floor((k % 30) * 0.5) AS BIGINT) * 16000 AS start,
+        |  CAST(1 + (k % 10) AS BIGINT) * 16000 AS length
+        |FROM (SELECT o_orderkey AS k FROM orders) ORDER BY cut_id""".stripMargin,
+
+    "lhotse_batches" ->
+      """WITH r AS (
+        |  SELECT 'cut-' || printf('%08d', k) AS cut_id,
+        |    'bck' || CAST(k % 3 AS VARCHAR) AS bucket,
+        |    CASE WHEN k % 10 = 9 THEN 'shards/shard-' || printf('%05d', k) || '.tar'
+        |         ELSE 'flat/obj-' || printf('%08d', k) || '.dat' END AS objname
+        |  FROM (SELECT o_orderkey AS k FROM orders)),
+        |n AS (SELECT r.*, row_number() OVER (ORDER BY cut_id) AS rn FROM r)
+        |SELECT cut_id, bucket, objname,
+        |  (rn - 1) // 100 AS batch_id,
+        |  'cuts-' || printf('%04d', (rn - 1) // 100 + 1) || '.tar' AS shard_name
+        |FROM n ORDER BY cut_id""".stripMargin,
 
     "nbi_snapshot_listing" -> o(
       """SELECT name, size, version FROM objects

@@ -50,9 +50,28 @@ final case class ParsedTemplate(prefix: String, ranges: Seq[TemplateRange]) {
         }
       }
 
+  /** Distributed expansion with the odometer sequence number — `idx` is
+    * exactly the `pt.Next()` call index of `template.go:226-258`
+    * (mixed-radix over the ranges, last range fastest), computed
+    * arithmetically so it is deterministic regardless of how the
+    * cross-join enumerates. Columns: (idx, name). */
+  def toIndexedDF(spark: SparkSession, cap: Long = NameTemplate.MaxExpansion): DataFrame = {
+    require(count <= cap, s"template too large to expand ($count vs $cap max)")
+    if (ranges.isEmpty)
+      return spark.range(1).select(col("id").as("idx"), lit(prefix).as("name"))
+    val named = toDF(spark, cap, keepIndexCols = true)
+    val weights = ranges.indices.map(i => ranges.drop(i + 1).foldLeft(1L)(_ * _.count))
+    val idx = ranges.zipWithIndex.map { case (r, i) =>
+      ((col(s"_i$i") - r.start) / r.step).cast("long") * weights(i)
+    }.reduce(_ + _)
+    named.select(idx.as("idx"), col("name"))
+      .select(col("idx"), col("name"))
+  }
+
   /** Distributed expansion: one `name` column. Cross-join of per-range
     * `spark.range` keeps it lazy; names never hit the driver. */
-  def toDF(spark: SparkSession, cap: Long = NameTemplate.MaxExpansion): DataFrame = {
+  def toDF(spark: SparkSession, cap: Long = NameTemplate.MaxExpansion,
+           keepIndexCols: Boolean = false): DataFrame = {
     require(count <= cap, s"template too large to expand ($count vs $cap max)")
     if (ranges.isEmpty)
       return spark.range(1).select(lit(prefix).as("name"))
@@ -73,7 +92,10 @@ final case class ParsedTemplate(prefix: String, ranges: Seq[TemplateRange]) {
          } else format_string(s"%0${w}d", col(s"_i$i")))
       pieces += lit(r.gap)
     }
-    df.select(concat(pieces.toSeq: _*).as("name"))
+    if (keepIndexCols)
+      df.select(concat(pieces.toSeq: _*).as("name") +:
+        ranges.indices.map(i => col(s"_i$i")): _*)
+    else df.select(concat(pieces.toSeq: _*).as("name"))
   }
 }
 

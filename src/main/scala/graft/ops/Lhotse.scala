@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.NameTemplate
+
+/** `ais ml lhotse-get-batch` — Lhotse cut manifests as a GetBatch
+  * request source (reference `cmd/cli/cli/lhotse.go`, `cmd/cli/cli/ml.go`;
+  * request shape `api/apc/ml.go` MossIn).
+  *
+  * A Lhotse manifest is JSONL: one cut object per line with the audio
+  * source in one of three layouts (modern `recording.sources[].source`,
+  * alt `recording.path`, legacy top-level `audio_source` —
+  * `lhotse.go:38-56,209-222`). The reference walks the file sequentially,
+  * converts each cut to a MossIn (URI → bucket/objname + optional
+  * archpath split; optional byte range from `int64(start) * sample_rate`
+  * — note the reference truncates SECONDS to int64 BEFORE multiplying,
+  * `lhotse.go:186-188`), groups every `batch_size` consecutive cuts, and
+  * names each batch from the output template's `pt.Next()` sequence
+  * (`lhotse.go:233-312`).
+  *
+  * Spark-first: the manifest is a text source (`.jsonl` or `.jsonl.gz` —
+  * Hadoop codecs decompress transparently), parsing is one codegen'd
+  * `from_json` projection, and batch numbering rides the distributed
+  * prefix sum ([[DSort.globalCumsum]] of 1s = row number in manifest
+  * order) instead of a single-task window — a 100M-cut manifest batches
+  * with one range shuffle. Batch names come from
+  * [[NameTemplate]]'s indexed expansion (the `pt.Next()` odometer),
+  * broadcast-joined on batch id; running off the template's end raises,
+  * exactly like `lhotse.go:271-273`.
+  */
+object Lhotse {
+
+  /** Cut schema — the three source layouts of `lhotse.go:38-56`. */
+  val cutSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("start", DoubleType),
+    StructField("duration", DoubleType),
+    StructField("recording", StructType(Seq(
+      StructField("sources", ArrayType(StructType(Seq(
+        StructField("source", StringType))))),
+      StructField("path", StringType)))),
+    StructField("audio_source", StringType)))
+
+  /** scheme → provider normalization (`cmn.ParseBckObjectURI`; ais is the
+    * CLI default — `lhotse.go:35`). */
+  private val providerOf: Column => Column = scheme =>
+    when(scheme === "" || scheme === "ais", "ais")
+      .when(scheme === "s3", "aws")
+      .when(scheme === "gs", "gcp")
+      .when(scheme === "az", "azure")
+      .otherwise(scheme)
+
+  private val ArchExt = "\\.(?:tar\\.gz|tar\\.lz4|tar|tgz|zip)"
+
+  /** Parse manifest lines (one JSON cut per row in `jsonCol`) into
+    * (cut_id, start_sec, duration_sec, uri). A cut with no source field
+    * in any layout raises, mirroring `lhotse.go:219-221`. */
+  def parseCuts(manifest: DataFrame, jsonCol: String = "value"): DataFrame =
+    manifest
+      .withColumn("_c", from_json(col(jsonCol), cutSchema))
+      .select(
+        col("_c.id").as("cut_id"),
+        col("_c.start").as("start_sec"),
+        col("_c.duration").as("duration_sec"),
+        coalesce(
+          element_at(col("_c.recording.sources"), 1).getField("source"),
+          col("_c.recording.path"),
+          col("_c.audio_source")).as("uri"))
+      .withColumn("uri",
+        when(col("uri").isNull, raise_error(
+          concat(lit("cut '"), coalesce(col("cut_id"), lit("?")),
+            lit("': no audio source field found"))))
+          .otherwise(col("uri")))
+
+  /** Cuts → GetBatch request rows (MossIn): URI → (provider, bucket,
+    * objname [, archpath]); with a sample rate, byte range
+    * start/length = truncated-seconds × rate (`lhotse.go:182-189`;
+    * valid range [1000, 384000] Hz, `lhotse.go:198-206`). */
+  def toRequests(cuts: DataFrame, sampleRate: Option[Long] = None): DataFrame = {
+    sampleRate.foreach(r => require(r >= 1000 && r <= 384000,
+      s"sample rate $r Hz is outside reasonable range [1000, 384000]"))
+    val scheme = regexp_extract(col("uri"), "^([a-z0-9]+)://", 1)
+    val rest = regexp_replace(col("uri"), "^[a-z0-9]+://", "")
+    val full = regexp_replace(rest, "^[^/]*/", "")
+    val base = cuts
+      .withColumn("provider", providerOf(scheme))
+      .withColumn("bucket", substring_index(rest, "/", 1))
+      // objname.tar/inner → (objname.tar, inner) — splitArchivePath
+      .withColumn("objname", when(full.rlike(s"^.*$ArchExt/.+$$"),
+        regexp_extract(full, s"^(.*$ArchExt)/.+$$", 1)).otherwise(full))
+      .withColumn("archpath",
+        regexp_extract(full, s"^.*$ArchExt/(.+)$$", 1))
+      .select("cut_id", "start_sec", "duration_sec", "provider", "bucket",
+        "objname", "archpath")
+    sampleRate match {
+      case Some(r) => base
+        .withColumn("start", floor(col("start_sec")).cast("long") * r)
+        .withColumn("length", floor(col("duration_sec")).cast("long") * r)
+      case None => base
+    }
+  }
+
+  /** Group consecutive requests (in `order`) into batches of
+    * `batchSize`, naming each batch from the output template's odometer
+    * sequence. Raises when the manifest produces more batches than the
+    * template can name (`lhotse.go:271-273` "template exhausted"). */
+  def batches(requests: DataFrame, order: Seq[Column], batchSize: Int,
+              outputTemplate: String): DataFrame = {
+    require(batchSize > 0, "batch size must be positive")
+    val names = NameTemplate.parse(outputTemplate)
+      .toIndexedDF(requests.sparkSession)
+      .select(col("idx").as("batch_id"), col("name").as("shard_name"))
+    val numbered = DSort.globalCumsum(requests, order, lit(1L))
+      .withColumn("batch_id", ((col("_cum") - 1) / batchSize).cast("long"))
+      .drop("_cum")
+    numbered.join(broadcast(names), Seq("batch_id"), "left")
+      .withColumn("shard_name",
+        when(col("shard_name").isNull,
+          raise_error(concat(lit("output template exhausted at batch "),
+            col("batch_id").cast("string"))))
+          .otherwise(col("shard_name")))
+  }
+}

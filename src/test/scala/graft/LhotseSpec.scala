@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Lhotse
+
+/** Lhotse manifest → GetBatch request semantics (reference
+  * `cmd/cli/cli/lhotse.go`): the three source layouts, archpath split,
+  * sample-rate truncation quirk, manifest-order batching with template
+  * naming, template exhaustion, and gz-compressed manifests. */
+class LhotseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def manifest(lines: String*) = lines.toDF("value")
+
+  test("all three source layouts resolve; missing source raises") {
+    val cuts = Lhotse.parseCuts(manifest(
+      """{"id":"a","start":1.0,"duration":2.0,"recording":{"sources":[{"source":"ais://b1/x.wav"}]}}""",
+      """{"id":"b","start":0.0,"duration":1.0,"recording":{"path":"b2/y.wav"}}""",
+      """{"id":"c","start":0.5,"duration":3.5,"audio_source":"s3://b3/z.wav"}"""))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(cuts == Map("a" -> "ais://b1/x.wav", "b" -> "b2/y.wav", "c" -> "s3://b3/z.wav"))
+    intercept[Exception] {
+      Lhotse.parseCuts(manifest("""{"id":"d","start":1.0,"duration":2.0}""")).collect()
+    }
+  }
+
+  test("uri resolution: provider normalization, default ais, archpath split") {
+    val reqs = Lhotse.toRequests(Lhotse.parseCuts(manifest(
+      """{"id":"a","start":0.0,"duration":1.0,"recording":{"sources":[{"source":"s3://bkt/dir/f.wav"}]}}""",
+      """{"id":"b","start":0.0,"duration":1.0,"recording":{"sources":[{"source":"bkt2/shards/s1.tar.gz/inner/f.wav"}]}}""",
+      """{"id":"c","start":0.0,"duration":1.0,"recording":{"sources":[{"source":"gs://bkt3/f.flac"}]}}""")))
+      .collect().map(r => (r.getString(0), r.getString(3), r.getString(4), r.getString(5), r.getString(6))).toList
+    assert(reqs.contains(("a", "aws", "bkt", "dir/f.wav", "")))
+    assert(reqs.contains(("b", "ais", "bkt2", "shards/s1.tar.gz", "inner/f.wav")))
+    assert(reqs.contains(("c", "gcp", "bkt3", "f.flac", "")))
+  }
+
+  test("byte range truncates seconds BEFORE multiplying by the rate (reference quirk)") {
+    val r = Lhotse.toRequests(Lhotse.parseCuts(manifest(
+      """{"id":"a","start":2.7,"duration":3.9,"recording":{"path":"b/f.wav"}}""")),
+      sampleRate = Some(16000L)).head()
+    assert(r.getAs[Long]("start") == 2L * 16000)   // NOT 2.7*16000
+    assert(r.getAs[Long]("length") == 3L * 16000)  // NOT 3.9*16000
+    intercept[IllegalArgumentException] {
+      Lhotse.toRequests(Lhotse.parseCuts(manifest(
+        """{"id":"a","start":0.0,"duration":1.0,"recording":{"path":"b/f.wav"}}""")),
+        sampleRate = Some(999L)).collect()
+    }
+  }
+
+  test("batching: consecutive cuts, remainder batch, pt.Next() template names") {
+    val lines = (1 to 7).map(i =>
+      s"""{"id":"cut-$i","start":0.0,"duration":1.0,"recording":{"path":"b/f$i.wav"}}""")
+    val out = Lhotse.batches(
+        Lhotse.toRequests(Lhotse.parseCuts(manifest(lines: _*))),
+        order = Seq(col("cut_id").asc), batchSize = 3,
+        outputTemplate = "out-{001..100}.tar")
+      .select("cut_id", "batch_id", "shard_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // cut ids sort as cut-1 < cut-2 < ... < cut-7 (single digit)
+    assert(out.map(_._2).toSeq == Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L))
+    assert(out.map(_._3).distinct.toSeq == Seq("out-001.tar", "out-002.tar", "out-003.tar"))
+  }
+
+  test("template exhaustion raises, mirroring the reference") {
+    val lines = (1 to 7).map(i =>
+      s"""{"id":"cut-$i","start":0.0,"duration":1.0,"recording":{"path":"b/f$i.wav"}}""")
+    intercept[Exception] {
+      Lhotse.batches(
+        Lhotse.toRequests(Lhotse.parseCuts(manifest(lines: _*))),
+        order = Seq(col("cut_id").asc), batchSize = 3,
+        outputTemplate = "out-{1..2}.tar").collect()
+    }
+  }
+
+  test("gz-compressed jsonl manifests read transparently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lhotse").toFile
+    val f = new java.io.File(dir, "cuts.jsonl.gz")
+    val os = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+    os.write(
+      """{"id":"a","start":1.0,"duration":2.0,"recording":{"path":"b/f.wav"}}
+        |{"id":"b","start":3.0,"duration":4.0,"recording":{"path":"b/g.wav"}}
+        |""".stripMargin.getBytes("UTF-8"))
+    os.close()
+    val cuts = Lhotse.parseCuts(spark.read.text(f.getAbsolutePath))
+      .collect().map(_.getString(0)).sorted
+    assert(cuts.toSeq == Seq("a", "b"))
+  }
+
+  test("indexed template expansion follows pt.Next() odometer order") {
+    val df = graft.functions.NameTemplate.parse("s-{1..3}-{01..02}.tar")
+      .toIndexedDF(spark).orderBy("idx")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(df.toSeq == Seq(
+      0L -> "s-1-01.tar", 1L -> "s-1-02.tar",
+      2L -> "s-2-01.tar", 3L -> "s-2-02.tar",
+      4L -> "s-3-01.tar", 5L -> "s-3-02.tar"))
+  }
+}
