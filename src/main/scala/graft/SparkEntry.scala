@@ -1236,10 +1236,7 @@ object SparkEntry {
     * `from_json` parse is hash-checked end-to-end. */
   private def lhotseManifest(s: SparkSession, d: String): DataFrame = {
     val okey = col("o_orderkey")
-    def pad(c: org.apache.spark.sql.Column, w: Int) = {
-      val s0 = c.cast("string")
-      when(length(s0) > w, s0).otherwise(lpad(s0, w, "0"))
-    }
+    def pad(c: org.apache.spark.sql.Column, w: Int) = functions.Fmt.pad0(c, w)
     val bck = concat(lit("bck"), (okey % 3).cast("string"))
     val uri = when(okey % 10 === 9,
         concat(lit("ais://"), bck, lit("/shards/shard-"), pad(okey, 5),

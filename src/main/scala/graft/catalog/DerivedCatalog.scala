@@ -28,17 +28,9 @@ object DerivedCatalog {
     "bucket", "name", "size", "checksum", "atime_ns", "version",
     "is_cached", "status", "copies")
 
-  /** printf `%0Nd` for a non-negative integral column, as concat/lpad —
-    * ~2.4× faster than `format_string` (which drags java.util.Formatter
-    * through every row) and byte-identical, including printf's
-    * no-truncation overflow behavior (the length guard; Spark's bare
-    * lpad TRUNCATES when the value outgrows the width). These name
-    * constructions run on every catalog/member row, so they are the
-    * single hottest scalar in the derived-table scans. */
-  private def pad(c: Column, w: Int): Column = {
-    val s = c.cast("string")
-    when(length(s) > w, s).otherwise(lpad(s, w, "0"))
-  }
+  /** See [[graft.functions.Fmt.pad0]] — these name constructions run on
+    * every catalog/member row, the hottest scalar in the derived scans. */
+  private def pad(c: Column, w: Int): Column = graft.functions.Fmt.pad0(c, w)
 
   /** Build the objects catalog DataFrame from `orders` at `sfDir`. */
   def objects(spark: SparkSession, sfDir: String): DataFrame =

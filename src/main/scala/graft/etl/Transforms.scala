@@ -106,6 +106,32 @@ object Transforms {
   * the OS pipe buffer. Non-zero exit codes raise with the stderr tail.
   */
 object PipeTransform {
+
+  /** Drain a process's stderr on a daemon thread, keeping the tail — a
+    * child that logs more than the OS pipe buffer (~64 KiB) to stderr
+    * would otherwise block in its write while we block reading stdout:
+    * the classic three-pipe deadlock. */
+  private[etl] def stderrDrainer(proc: Process): (Thread, () => String) = {
+    val tail = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val t = new Thread(() => {
+      try {
+        val in = proc.getErrorStream
+        val buf = new Array[Byte](8192)
+        val sb = new StringBuilder
+        var n = in.read(buf)
+        while (n >= 0) {
+          sb.append(new String(buf, 0, n))
+          if (sb.length > 1024) sb.delete(0, sb.length - 1024)
+          n = in.read(buf)
+        }
+        tail.set(sb.toString.takeRight(512))
+      } catch { case _: java.io.IOException => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    (t, () => { t.join(2000); tail.get })
+  }
+
   def apply(df: DataFrame, command: Seq[String],
             etlArgs: String = "",
             payloadCol: String = "payload", pathCol: String = "name"): DataFrame = {
@@ -127,11 +153,11 @@ object PipeTransform {
         })
         feeder.setDaemon(true)
         feeder.start()
+        val (_, errTail) = stderrDrainer(proc)
         val out = proc.getInputStream.readAllBytes()
-        val err = new String(proc.getErrorStream.readAllBytes()).takeRight(512)
         val rc = proc.waitFor()
         feeder.join()
-        require(rc == 0, s"pipe transform '${command.head}' rc=$rc: $err")
+        require(rc == 0, s"pipe transform '${command.head}' rc=$rc: ${errTail()}")
         org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(pIdx, out))
       }
     }
@@ -174,13 +200,15 @@ object PipeServerTransform {
           new java.io.BufferedOutputStream(proc.getOutputStream))
         val fromSrv = new java.io.DataInputStream(
           new java.io.BufferedInputStream(proc.getInputStream))
+        // a server that logs per object would otherwise fill the stderr
+        // pipe and deadlock the whole partition
+        val (_, errTail) = PipeTransform.stderrDrainer(proc)
         def shutdown(): Unit = {
           try toSrv.close() catch { case _: java.io.IOException => () }
           val rc = proc.waitFor()
           if (rc != 0) {
-            val err = new String(proc.getErrorStream.readAllBytes()).takeRight(512)
             throw new IllegalStateException(
-              s"pipe server '${command.head}' rc=$rc: $err")
+              s"pipe server '${command.head}' rc=$rc: ${errTail()}")
           }
         }
         // kill the server even when the task dies mid-iterator

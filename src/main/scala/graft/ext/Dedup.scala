@@ -190,6 +190,11 @@ object Dedup {
       labels = next.drop("_old")
       iter += 1
     }
+    // a silent early exit would report one true cluster as several (its
+    // duplicates would survive dedup) — fail loudly instead
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter iterations " +
+        s"($changed labels still changing); raise maxIter for graphs with diameter > $maxIter")
     labels.select(col("id").as("doc_id"), col("component"))
   }
 

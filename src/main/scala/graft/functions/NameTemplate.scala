@@ -65,7 +65,6 @@ final case class ParsedTemplate(prefix: String, ranges: Seq[TemplateRange]) {
       ((col(s"_i$i") - r.start) / r.step).cast("long") * weights(i)
     }.reduce(_ + _)
     named.select(idx.as("idx"), col("name"))
-      .select(col("idx"), col("name"))
   }
 
   /** Distributed expansion: one `name` column. Cross-join of per-range
@@ -86,10 +85,8 @@ final case class ParsedTemplate(prefix: String, ranges: Seq[TemplateRange]) {
          // concat/lpad ≡ printf %0Nd for non-negative values and is
          // ~2.4× cheaper per row — it matters at the 10M expansion cap;
          // negative starts keep printf (lpad can't place the sign)
-         else if (r.start >= 0) {
-           val s = col(s"_i$i").cast("string")
-           if (w <= 1) s else when(length(s) > w, s).otherwise(lpad(s, w, "0"))
-         } else format_string(s"%0${w}d", col(s"_i$i")))
+         else if (r.start >= 0) Fmt.pad0(col(s"_i$i"), w)
+         else format_string(s"%0${w}d", col(s"_i$i")))
       pieces += lit(r.gap)
     }
     if (keepIndexCols)

@@ -281,13 +281,11 @@ object DSort {
   private[ops] def shardName(template: String, id: Column): Column = {
     val Re = "([^%]*)%(0?)(\\d*)d([^%]*)".r
     template match {
-      case Re(pre, zero, width, suf) =>
-        val s = id.cast("string")
+      // a width WITHOUT the 0 flag means printf SPACE-pads — that family
+      // (and anything else unrecognized) keeps java.util.Formatter
+      case Re(pre, zero, width, suf) if width.isEmpty || zero == "0" =>
         val w = if (width.isEmpty) 1 else width.toInt
-        val padded =
-          if (zero.isEmpty || w <= 1) s
-          else when(length(s) > w, s).otherwise(lpad(s, w, "0"))
-        concat(lit(pre), padded, lit(suf))
+        concat(lit(pre), graft.functions.Fmt.pad0(id, w), lit(suf))
       case _ => format_string(template, id)
     }
   }

@@ -86,6 +86,14 @@ object Lhotse {
     val full = regexp_replace(rest, "^[^/]*/", "")
     val base = cuts
       .withColumn("provider", providerOf(scheme))
+      // "s3://bucket" with no object path is an invalid request — fail at
+      // parse time like the reference's URI validation, instead of
+      // emitting objname == bucket
+      .withColumn("uri",
+        when(!rest.rlike("/"), raise_error(concat(
+          lit("cut '"), coalesce(col("cut_id"), lit("?")),
+          lit("': missing object name in URI '"), col("uri"), lit("'"))))
+          .otherwise(col("uri")))
       .withColumn("bucket", substring_index(rest, "/", 1))
       // objname.tar/inner → (objname.tar, inner) — splitArchivePath
       .withColumn("objname", when(full.rlike(s"^.*$ArchExt/.+$$"),
@@ -109,7 +117,20 @@ object Lhotse {
   def batches(requests: DataFrame, order: Seq[Column], batchSize: Int,
               outputTemplate: String): DataFrame = {
     require(batchSize > 0, "batch size must be positive")
-    val names = NameTemplate.parse(outputTemplate)
+    // the reference consumes the template lazily (pt.Next() per batch),
+    // so an open-ended fmt template ("cuts-%06d.tar" → 0..Long.MaxValue)
+    // is legal — expand only as many names as the manifest can need.
+    // Costs one count() job; the alternative (expanding the template's
+    // full cardinality) rejects the most conventional template family.
+    val needed = math.max(1L,
+      (requests.count() + batchSize - 1) / batchSize)
+    val pt = NameTemplate.parse(outputTemplate)
+    val capped =
+      if (pt.count > needed && pt.ranges.lengthCompare(1) == 0) {
+        val r = pt.ranges.head
+        pt.copy(ranges = Seq(r.copy(end = math.min(r.end, r.start + r.step * (needed - 1)))))
+      } else pt
+    val names = capped
       .toIndexedDF(requests.sparkSession)
       .select(col("idx").as("batch_id"), col("name").as("shard_name"))
     val numbered = DSort.globalCumsum(requests, order, lit(1L))

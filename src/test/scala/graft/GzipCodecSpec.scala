@@ -108,5 +108,22 @@ class GzipCodecSpec extends SparkSpec {
     intercept[Exception] {
       PipeServerTransform(df, Seq("python3", "-c", "import sys; sys.exit(3)")).collect()
     }
+    // a stderr-chatty server must not deadlock the partition: this one
+    // writes ~1 MiB of stderr (far past the OS pipe buffer) per object
+    val noisy =
+      """import sys, os, struct
+        |r, w = sys.stdin.buffer, sys.stdout.buffer
+        |while True:
+        |    h = r.read(4)
+        |    if len(h) < 4: break
+        |    path = r.read(struct.unpack(">i", h)[0])
+        |    data = r.read(struct.unpack(">i", r.read(4))[0])
+        |    sys.stderr.write("x" * 1048576); sys.stderr.flush()
+        |    w.write(struct.pack(">i", len(data))); w.write(data); w.flush()
+        |""".stripMargin
+    val loud = PipeServerTransform(df, Seq("python3", "-c", noisy))
+      .select(col("name"), col("payload").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(loud("a.txt") == "hello pipe")
   }
 }

@@ -62,6 +62,25 @@ class LhotseSpec extends SparkSpec {
     assert(out.map(_._3).distinct.toSeq == Seq("out-001.tar", "out-002.tar", "out-003.tar"))
   }
 
+  test("fmt-style output templates work (lazy pt.Next contract, not full expansion)") {
+    val lines = (1 to 7).map(i =>
+      s"""{"id":"cut-$i","start":0.0,"duration":1.0,"recording":{"path":"b/f$i.wav"}}""")
+    val out = Lhotse.batches(
+        Lhotse.toRequests(Lhotse.parseCuts(manifest(lines: _*))),
+        order = Seq(col("cut_id").asc), batchSize = 3,
+        outputTemplate = "cuts-%06d.tar")
+      .select("shard_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("cuts-000000.tar", "cuts-000001.tar", "cuts-000002.tar"))
+  }
+
+  test("URI with no object path raises instead of emitting objname == bucket") {
+    intercept[Exception] {
+      Lhotse.toRequests(Lhotse.parseCuts(manifest(
+        """{"id":"a","start":0.0,"duration":1.0,"recording":{"path":"s3://onlybucket"}}"""))).collect()
+    }
+  }
+
   test("template exhaustion raises, mirroring the reference") {
     val lines = (1 to 7).map(i =>
       s"""{"id":"cut-$i","start":0.0,"duration":1.0,"recording":{"path":"b/f$i.wav"}}""")
