@@ -117,13 +117,17 @@ object Lhotse {
   def batches(requests: DataFrame, order: Seq[Column], batchSize: Int,
               outputTemplate: String): DataFrame = {
     require(batchSize > 0, "batch size must be positive")
+    val numbered = DSort.globalCumsum(requests, order, lit(1L))
+      .withColumn("batch_id", ((col("_cum") - 1) / batchSize).cast("long"))
+      .drop("_cum")
     // the reference consumes the template lazily (pt.Next() per batch),
     // so an open-ended fmt template ("cuts-%06d.tar" → 0..Long.MaxValue)
-    // is legal — expand only as many names as the manifest can need.
-    // Costs one count() job; the alternative (expanding the template's
-    // full cardinality) rejects the most conventional template family.
-    val needed = math.max(1L,
-      (requests.count() + batchSize - 1) / batchSize)
+    // is legal — expand only as many names as the manifest needs. The
+    // batch count comes from the cumsum's already-materialized
+    // partitions (globalCumsum checkpoints its input), so this action
+    // does NOT re-run the manifest parse.
+    val needed = 1L + numbered
+      .agg(coalesce(max("batch_id"), lit(0L))).head().getLong(0)
     val pt = NameTemplate.parse(outputTemplate)
     val capped =
       if (pt.count > needed && pt.ranges.lengthCompare(1) == 0) {
@@ -133,9 +137,6 @@ object Lhotse {
     val names = capped
       .toIndexedDF(requests.sparkSession)
       .select(col("idx").as("batch_id"), col("name").as("shard_name"))
-    val numbered = DSort.globalCumsum(requests, order, lit(1L))
-      .withColumn("batch_id", ((col("_cum") - 1) / batchSize).cast("long"))
-      .drop("_cum")
     numbered.join(broadcast(names), Seq("batch_id"), "left")
       .withColumn("shard_name",
         when(col("shard_name").isNull,
