@@ -106,6 +106,32 @@ class LhotseSpec extends SparkSpec {
     assert(cuts.toSeq == Seq("a", "b"))
   }
 
+  test("batching invariants hold for random manifest sizes and batch sizes") {
+    val rnd = new scala.util.Random(91)
+    (1 to 4).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val bs = 1 + rnd.nextInt(7)
+      val lines = (1 to n).map(i =>
+        f"""{"id":"cut-$i%04d","start":0.0,"duration":1.0,"recording":{"path":"b/f$i.wav"}}""")
+      val out = Lhotse.batches(
+          Lhotse.toRequests(Lhotse.parseCuts(manifest(lines: _*))),
+          order = Seq(col("cut_id").asc), batchSize = bs,
+          outputTemplate = "b-%04d.tar")
+        .select("cut_id", "batch_id", "shard_name")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+      // every batch full except possibly the last; ids contiguous from 0
+      val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+      val ids = sizes.keys.toSeq.sorted
+      assert(ids == (0L until ((n + bs - 1) / bs).toLong))
+      ids.dropRight(1).foreach(id => assert(sizes(id) == bs))
+      assert(sizes(ids.last) == (if (n % bs == 0) bs else n % bs))
+      // batch assignment follows manifest (cut_id) order
+      assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted)
+      // names are the odometer prefix: fmt %04d from 0
+      assert(out.map(_._3).distinct.toSeq == ids.map(i => f"b-$i%04d.tar"))
+    }
+  }
+
   test("indexed template expansion follows pt.Next() odometer order") {
     val df = graft.functions.NameTemplate.parse("s-{1..3}-{01..02}.tar")
       .toIndexedDF(spark).orderBy("idx")
