@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fmt
+
+/** Fmt.pad0 must be byte-identical to printf %0Nd for non-negative
+  * values — INCLUDING overflow, where printf prints the full number but
+  * Spark's bare lpad would truncate. The sf0.1 catalog actually hits
+  * this (6-digit orderkeys vs %05d shard names). */
+class FmtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pad0 == printf %0Nd for widths 1..8 incl. overflow values") {
+    val values = Seq(0L, 7L, 99L, 100L, 12345L, 99999L, 100000L, 987654321L)
+    val df = values.toDF("v")
+    (1 to 8).foreach { w =>
+      val got = df.select(Fmt.pad0(col("v"), w)).collect().map(_.getString(0))
+      val expected = values.map(v => s"%0${w}d".format(v))
+      assert(got.toSeq == expected, s"width $w")
+    }
+  }
+}
