@@ -30,13 +30,14 @@ object Bench {
     }
     val p1 = pass(); val p2 = pass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times and a single marker-prefixed line: the driver parses
+    // its captured log tail, which truncates from the front — at 115+
+    // queries the line must stay small enough to fit in that window
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // marker-prefixed duplicate: survives log-tail truncation / [info]
-    // prefixing so the driver can grep one unambiguous line to parse
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(s"BENCH_JSON $json")
     spark.stop()
   }

@@ -205,7 +205,15 @@ object PipeServerTransform {
         val (_, errTail) = PipeTransform.stderrDrainer(proc)
         def shutdown(): Unit = {
           try toSrv.close() catch { case _: java.io.IOException => () }
-          val rc = proc.waitFor()
+          // bounded wait: a server that ignores stdin EOF must not hang
+          // the task forever — escalate to destroyForcibly and report
+          if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) {
+            proc.destroyForcibly()
+            throw new IllegalStateException(
+              s"pipe server '${command.head}' ignored shutdown (stdin EOF) " +
+                s"for 30s, killed: ${errTail()}")
+          }
+          val rc = proc.exitValue()
           if (rc != 0) {
             throw new IllegalStateException(
               s"pipe server '${command.head}' rc=$rc: ${errTail()}")
@@ -224,12 +232,22 @@ object PipeServerTransform {
             val r = it.next()
             val payload = Option(r.getAs[Array[Byte]](pIdx)).getOrElse(Array.emptyByteArray)
             val path = r.getString(nIdx).getBytes("UTF-8")
-            toSrv.writeInt(path.length); toSrv.write(path)
-            toSrv.writeInt(payload.length); toSrv.write(payload)
-            toSrv.flush()
-            val out = new Array[Byte](fromSrv.readInt())
-            fromSrv.readFully(out)
-            org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(pIdx, out))
+            // a server that crashes mid-object surfaces from the framed
+            // read as a bare EOFException — rethrow with rc + stderr tail
+            // so the task failure says WHY, like the rc!=0 path does
+            try {
+              toSrv.writeInt(path.length); toSrv.write(path)
+              toSrv.writeInt(payload.length); toSrv.write(payload)
+              toSrv.flush()
+              val out = new Array[Byte](fromSrv.readInt())
+              fromSrv.readFully(out)
+              org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(pIdx, out))
+            } catch {
+              case e: java.io.IOException if !proc.isAlive =>
+                throw new IllegalStateException(
+                  s"pipe server '${command.head}' died mid-object " +
+                    s"(rc=${proc.exitValue()}): ${errTail()}", e)
+            }
           }
         }
       }

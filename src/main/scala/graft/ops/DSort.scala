@@ -148,7 +148,17 @@ object DSort {
     * range partitioning keeps each group in a contiguous run of
     * partitions, the offset table has ≤ #partitions + #groups rows —
     * driver-tiny at any scale. */
-  def groupedCumsum(df: DataFrame, groups: Seq[String], order: Seq[Column], value: Column): DataFrame = {
+  def groupedCumsum(df: DataFrame, groups: Seq[String], order: Seq[Column], value: Column): DataFrame =
+    cumsumAndOffsets(df, groups, order, value)._1
+
+  /** [[groupedCumsum]] plus its per-(partition, group) offsets table —
+    * `(_pid, groups*, _ptot, _offset)`, ≤ #partitions + #groups rows.
+    * Callers that need only an aggregate of the cumsum (total size, max
+    * batch id) can agg the tiny offsets frame — one partial-agg scan of
+    * the checkpointed partitions — instead of re-running the full
+    * window+join result. */
+  private[graft] def cumsumAndOffsets(df: DataFrame, groups: Seq[String],
+      order: Seq[Column], value: Column): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val fullOrder = groups.map(col(_).asc) ++ order
@@ -172,22 +182,24 @@ object DSort {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("_lcum", sum(value).over(w))
     // per-(partition, group) totals → running offset within each group
-    // across partitions; the offset table is tiny, so its window is
-    // harmless wherever it lands
+    // across partitions. The totals come straight off `parted` (partial
+    // agg, no window shuffle): sum(value) per (pid, group) ≡ the local
+    // cumsum's final value. The offset table is tiny, so its own window
+    // is harmless wherever it lands.
     val offW =
       if (groups.isEmpty) Window.orderBy("_pid")
       else Window.partitionBy(groups.map(col): _*).orderBy("_pid")
-    val offsets = local
-      .groupBy(localKeys.map(col): _*).agg(max("_lcum").as("_ptot"))
+    val offsets = parted
+      .groupBy(localKeys.map(col): _*).agg(sum(value).as("_ptot"))
       .withColumn("_offset",
         coalesce(
           sum("_ptot").over(offW.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select((localKeys :+ "_offset").map(col): _*)
-    local
-      .join(broadcast(offsets), localKeys)
+    val cum = local
+      .join(broadcast(offsets.select((localKeys :+ "_offset").map(col): _*)), localKeys)
       .withColumn("_cum", col("_lcum") + col("_offset"))
       .drop("_pid", "_lcum", "_offset")
+    (cum, offsets)
   }
 
   /** O5 — size-capped shard assignment. The reference walks sorted

@@ -64,10 +64,13 @@ object Lhotse {
         col("_c.id").as("cut_id"),
         col("_c.start").as("start_sec"),
         col("_c.duration").as("duration_sec"),
+        // nullif: the reference skips an EMPTY sources[0].source (not
+        // just a missing one) and falls through to the next layout
+        // (`lhotse.go:209-222`) — coalesce alone would stop at ""
         coalesce(
-          element_at(col("_c.recording.sources"), 1).getField("source"),
-          col("_c.recording.path"),
-          col("_c.audio_source")).as("uri"))
+          nullif(element_at(col("_c.recording.sources"), 1).getField("source"), lit("")),
+          nullif(col("_c.recording.path"), lit("")),
+          nullif(col("_c.audio_source"), lit(""))).as("uri"))
       .withColumn("uri",
         when(col("uri").isNull, raise_error(
           concat(lit("cut '"), coalesce(col("cut_id"), lit("?")),
@@ -86,11 +89,12 @@ object Lhotse {
     val full = regexp_replace(rest, "^[^/]*/", "")
     val base = cuts
       .withColumn("provider", providerOf(scheme))
-      // "s3://bucket" with no object path is an invalid request — fail at
-      // parse time like the reference's URI validation, instead of
-      // emitting objname == bucket
+      // "s3://bucket" (no object path) and "s3://bucket/" (trailing
+      // slash, empty objname) are invalid requests — fail at parse time
+      // like the reference's URI validation, instead of emitting
+      // objname == bucket or objname == ""
       .withColumn("uri",
-        when(!rest.rlike("/"), raise_error(concat(
+        when(!rest.rlike("/."), raise_error(concat(
           lit("cut '"), coalesce(col("cut_id"), lit("?")),
           lit("': missing object name in URI '"), col("uri"), lit("'"))))
           .otherwise(col("uri")))
@@ -117,25 +121,39 @@ object Lhotse {
   def batches(requests: DataFrame, order: Seq[Column], batchSize: Int,
               outputTemplate: String): DataFrame = {
     require(batchSize > 0, "batch size must be positive")
-    val numbered = DSort.globalCumsum(requests, order, lit(1L))
+    val (cum, offsets) = DSort.cumsumAndOffsets(requests, Nil, order, lit(1L))
+    val numbered = cum
       .withColumn("batch_id", ((col("_cum") - 1) / batchSize).cast("long"))
       .drop("_cum")
     // the reference consumes the template lazily (pt.Next() per batch),
     // so an open-ended fmt template ("cuts-%06d.tar" → 0..Long.MaxValue)
     // is legal — expand only as many names as the manifest needs. The
-    // batch count comes from the cumsum's already-materialized
-    // partitions (globalCumsum checkpoints its input), so this action
-    // does NOT re-run the manifest parse.
-    val needed = 1L + numbered
-      .agg(coalesce(max("batch_id"), lit(0L))).head().getLong(0)
+    // batch count comes from the cumsum's tiny offsets table (one
+    // partial-agg scan of its already-checkpointed partitions, ≤
+    // #partitions rows) — NOT from re-running the window+join over the
+    // full frame, and NOT from re-parsing the manifest.
+    val total = offsets.agg(coalesce(sum("_ptot"), lit(0L))).head().getLong(0)
+    val needed = if (total <= 0) 1L else 1L + (total - 1) / batchSize
     val pt = NameTemplate.parse(outputTemplate)
+    // Trim the slowest-varying range so expansion covers only the needed
+    // prefix of the odometer sequence: toIndexedDF's idx is mixed-radix
+    // with the LAST range fastest, so cutting the first range keeps
+    // idx 0..needed-1 intact. The reference streams pt.Next() lazily and
+    // unbounded (`lhotse.go:271`), so a manifest needing more names than
+    // the 10M default expansion cap is legal — the cap here is derived
+    // from `needed`, not a fixed ceiling.
     val capped =
-      if (pt.count > needed && pt.ranges.lengthCompare(1) == 0) {
+      if (pt.count <= needed || pt.ranges.isEmpty) pt
+      else {
+        val restCount = pt.ranges.tail.foldLeft(1L)((n, r) => n * r.count)
+        val firstNeeded = (needed + restCount - 1) / restCount
         val r = pt.ranges.head
-        pt.copy(ranges = Seq(r.copy(end = math.min(r.end, r.start + r.step * (needed - 1)))))
-      } else pt
+        pt.copy(ranges =
+          r.copy(end = math.min(r.end, r.start + r.step * (firstNeeded - 1))) +: pt.ranges.tail)
+      }
     val names = capped
-      .toIndexedDF(requests.sparkSession)
+      .toIndexedDF(requests.sparkSession, cap = math.max(needed, capped.count))
+      .where(col("idx") < needed) // lazy expansion: broadcast ≤ needed rows
       .select(col("idx").as("batch_id"), col("name").as("shard_name"))
     numbered.join(broadcast(names), Seq("batch_id"), "left")
       .withColumn("shard_name",

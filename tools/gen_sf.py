@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Generate local scale-step testdata matching TESTDATA.md's driver tables.
+
+The driver ships sf{0.001,0.01,0.1} read-only under /root/testdata; this
+script produces the same schemas/distributions at larger sf (default sf=1)
+so the oracle gate and bench can be exercised at a 10x scale step locally
+(VERDICT r2 next-round item #1). Distributions were measured from the
+driver's sf0.1 parquet (see PERF.md "sf1 scale step"): uniform TPC-H-ish
+columns, Poisson(4) lineitems/order, exponential(50) event values,
+31-word vocab documents with injected near-duplicates, unit-norm
+10-cluster embeddings (dim 64).
+
+Usage: python3 tools/gen_sf.py [sf] [outdir]
+  defaults: sf=1  outdir=testdata_local/sf1
+"""
+import sys, os, json
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+OUT = sys.argv[2] if len(sys.argv) > 2 else f"testdata_local/sf{SF:g}"
+os.makedirs(OUT, exist_ok=True)
+rng = np.random.default_rng(42)
+
+def write(name, **cols):
+    t = pa.table(cols)
+    pq.write_table(t, f"{OUT}/{name}.parquet")
+    print(f"{name}: {t.num_rows} rows")
+
+# --- region / nation (fixed) ---
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+write("region",
+      r_regionkey=pa.array(range(5), pa.int32()),
+      r_name=REGIONS)
+write("nation",
+      n_nationkey=pa.array(range(25), pa.int32()),
+      n_name=[f"NATION_{i}" for i in range(25)],
+      n_regionkey=pa.array([i % 5 for i in range(25)], pa.int32()))
+
+# --- customer ---
+NCUST = int(150_000 * SF)
+write("customer",
+      c_custkey=pa.array(range(NCUST), pa.int64()),
+      c_name=[f"Customer#{i:09d}" for i in range(NCUST)],
+      c_nationkey=pa.array(rng.integers(0, 25, NCUST), pa.int32()),
+      c_acctbal=np.round(rng.uniform(-1000, 10000, NCUST), 2),
+      c_mktsegment=np.array(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                             "HOUSEHOLD", "MACHINERY"])[rng.integers(0, 5, NCUST)])
+
+# --- supplier ---
+NSUPP = int(10_000 * SF)
+write("supplier",
+      s_suppkey=pa.array(range(NSUPP), pa.int64()),
+      s_name=[f"Supplier#{i:09d}" for i in range(NSUPP)],
+      s_nationkey=pa.array(rng.integers(0, 25, NSUPP), pa.int32()),
+      s_acctbal=np.round(rng.uniform(-1000, 10000, NSUPP), 2))
+
+# --- part ---
+NPART = int(200_000 * SF)
+ADJ = ["large", "hot", "blue", "old", "cold", "red", "small", "new", "dark", "light"]
+NOUN = ["ring", "bolt", "plate", "tube", "cap", "disk", "rod", "pin", "gear", "nut"]
+write("part",
+      p_partkey=pa.array(range(NPART), pa.int64()),
+      p_name=[f"{ADJ[int(a)]} {NOUN[int(b)]}" for a, b in
+              zip(rng.integers(0, 10, NPART), rng.integers(0, 10, NPART))],
+      p_brand=[f"Brand#{i}" for i in rng.integers(1, 26, NPART)],
+      p_type=np.array(["ECONOMY", "LARGE", "MEDIUM", "PROMO",
+                       "SMALL", "STANDARD"])[rng.integers(0, 6, NPART)],
+      p_size=pa.array(rng.integers(1, 51, NPART), pa.int32()),
+      p_retailprice=np.round(900.0 + (np.arange(NPART) % 1000) / 10.0, 2))
+
+# --- orders ---
+NORD = int(1_500_000 * SF)
+d0 = np.datetime64("1995-01-01")
+odate_days = rng.integers(0, 2405, NORD)  # ..2001-08-01
+write("orders",
+      o_orderkey=pa.array(range(NORD), pa.int64()),
+      o_custkey=pa.array(rng.integers(0, NCUST, NORD), pa.int64()),
+      o_orderstatus=np.array(["O", "P", "F"])[rng.integers(0, 3, NORD)],
+      o_totalprice=np.round(rng.uniform(1000, 500000, NORD), 2),
+      o_orderdate=pa.array((d0 + odate_days).astype("datetime64[us]"),
+                           pa.timestamp("us")),
+      o_orderpriority=np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                "4-NOT SPECIFIED", "5-LOW"])[rng.integers(0, 5, NORD)])
+
+# --- lineitem: Poisson(4) lines per order, orders with 0 absent ---
+per_order = rng.poisson(4.0, NORD)
+l_orderkey = np.repeat(np.arange(NORD, dtype=np.int64), per_order)
+NLI = len(l_orderkey)
+s0 = np.datetime64("1995-01-02")
+write("lineitem",
+      l_orderkey=pa.array(l_orderkey, pa.int64()),
+      l_partkey=pa.array(rng.integers(0, NPART, NLI), pa.int64()),
+      l_suppkey=pa.array(rng.integers(0, NSUPP, NLI), pa.int64()),
+      l_linenumber=pa.array(rng.integers(1, 8, NLI), pa.int32()),
+      l_quantity=rng.integers(1, 51, NLI).astype(np.float64),
+      l_extendedprice=np.round(rng.uniform(900, 105000, NLI), 2),
+      l_discount=np.round(rng.integers(0, 11, NLI) / 100.0, 2),
+      l_tax=np.round(rng.integers(0, 9, NLI) / 100.0, 2),
+      l_returnflag=np.array(["A", "N", "R"])[rng.integers(0, 3, NLI)],
+      l_linestatus=np.array(["F", "O"])[rng.integers(0, 2, NLI)],
+      l_shipdate=pa.array((s0 + rng.integers(0, 2499, NLI)).astype("datetime64[us]"),
+                          pa.timestamp("us")))
+
+# --- events: 30 days, sorted ts, exponential(50) value ---
+NEV = int(1_000_000 * SF)
+NUSERS = max(15, int(15_000 * SF))
+t0 = np.datetime64("2024-01-01T00:00:00.000000")
+offs = np.sort(rng.uniform(0, 30 * 86400 * 1e6, NEV)).astype(np.int64)
+write("events",
+      event_id=pa.array(range(NEV), pa.int64()),
+      ts=pa.array((t0 + offs.astype("timedelta64[us]")), pa.timestamp("us")),
+      user_id=pa.array(rng.integers(0, NUSERS, NEV), pa.int64()),
+      event_type=np.array(["click", "error", "purchase", "signup",
+                           "view"])[rng.integers(0, 5, NEV)],
+      value=np.round(rng.exponential(50.0, NEV), 2),
+      props=[f'{{"k": {k}}}' for k in rng.integers(0, 100, NEV)])
+
+# --- documents: 31-word vocab, 10..100 words, ~3% near-dups + a few exact ---
+NDOC = max(500, int(50_000 * SF))
+VOCAB = np.array(["a", "agg", "batch", "big", "column", "customer", "data",
+                  "dup", "fast", "filter", "group", "hash", "join", "key",
+                  "line", "merge", "order", "part", "query", "row", "scan",
+                  "slow", "small", "sort", "spark", "stream", "table", "the",
+                  "value", "vector", "window"])
+LANGS = np.array(["en", "en", "en", "en", "de", "es", "fr", "zh"])
+nwords = rng.integers(10, 101, NDOC)
+texts = [" ".join(VOCAB[rng.integers(0, len(VOCAB), n)]) for n in nwords]
+# near-dups: last 3% of docs copy an earlier doc with ~2 word substitutions
+ndup = NDOC * 3 // 100
+for i in range(NDOC - ndup, NDOC):
+    src = int(rng.integers(0, NDOC - ndup))
+    w = texts[src].split(" ")
+    for _ in range(2 if len(w) > 4 else 0):
+        w[int(rng.integers(0, len(w)))] = str(VOCAB[int(rng.integers(0, len(VOCAB)))])
+    texts[i] = " ".join(w)
+# a handful of exact dups
+for i in range(8):
+    texts[NDOC - ndup - 1 - i] = texts[int(rng.integers(0, NDOC // 2))]
+write("documents",
+      doc_id=pa.array(range(NDOC), pa.int64()),
+      text=texts,
+      lang=LANGS[rng.integers(0, len(LANGS), NDOC)],
+      source=[f"src{i % 20}" for i in range(NDOC)],
+      n_chars=pa.array([len(t) for t in texts], pa.int64()))
+
+# --- embeddings: dim 64, 10 unit-norm clusters ---
+NEMB = 500 if SF < 0.05 else int(20_000 * SF)
+DIM, K = 64, 10
+cent = rng.normal(0, 1, (K, DIM))
+cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+labels = rng.integers(0, K, NEMB)
+vecs = cent[labels] + rng.normal(0, 0.25, (NEMB, DIM))
+vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+write("embeddings",
+      vec_id=pa.array(range(NEMB), pa.int64()),
+      embedding=pa.array([v for v in vecs.astype(np.float32)],
+                         pa.list_(pa.float32())),
+      label=pa.array(labels, pa.int32()))
+
+print(json.dumps({"sf": SF, "out": OUT}))

@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Run a graft main class against the compiled classes without sbt (so sbt
+# stays free for compile/test while long verify/bench runs proceed).
+# Usage: tools/run_local.sh graft.Verify <sfdir> <outdir>
+#        SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=... tools/run_local.sh graft.Bench
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OPENS=(java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+  java.util java.util.concurrent java.util.concurrent.atomic)
+FLAGS=()
+for p in "${OPENS[@]}"; do FLAGS+=(--add-opens "java.base/$p=ALL-UNNAMED"); done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  FLAGS+=(--add-opens "java.base/$p=ALL-UNNAMED"); done
+exec java "${FLAGS[@]}" \
+  -Xmx"${SPARK_DRIVER_MEM:-48g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
