@@ -556,6 +556,14 @@ object SparkEntry {
         DerivedCatalog.objects(s, d).where(col("size") > 40000000L), 4194304L)
         .orderBy("name", "chunk_id")),
 
+    // Prefetch blob-threshold routing (api/apc/multiobj.go:83-92,
+    // xact/xs/prefetch.go:214-218): per-object decision table — blob
+    // (chunked) at/above the threshold, single cold GET below it
+    "prefetch_blob_route" -> ((s, d) =>
+      ops.Prefetch.routePlan(DerivedCatalog.objects(s, d),
+        blobThreshold = 8388608L, chunkSize = 4194304L)
+        .orderBy("name")),
+
     // ------------------------------------------------------------------
     // Rechunk: monolithic ↔ chunked format transform (SURVEY GB9)
     // ------------------------------------------------------------------
@@ -631,6 +639,13 @@ object SparkEntry {
 
     "dsort_dup_records" -> ((s, d) =>
       DSort.duplicates(DerivedCatalog.members(s, d)).orderBy("sample_key")),
+
+    // DuplicatedRecords reaction knob (request_spec.go:196-198), warn
+    // mode: full sample table + per-sample dup flag (sum(dup) = the
+    // Metrics.Warnings count); abort mode covered by DSortSpec
+    "dsort_dup_policy" -> ((s, d) =>
+      DSort.samplesChecked(DerivedCatalog.members(s, d), "warn")
+        .orderBy("sample_key")),
 
     "dsort_alpha_pack" -> ((s, d) => {
       val ss = DSort.samples(DerivedCatalog.members(s, d))
@@ -725,6 +740,23 @@ object SparkEntry {
         "^s000[5-9].*" -> "mid-%03d.tar"))
         .select("sample_key", "n_matches", "out_template")
         .orderBy("sample_key")),
+
+    // EKM from FILE (ext/dsort/dsort.go:646 parseEKMFile): the same
+    // assignment, but the rules come from real on-disk fixtures — a JSON
+    // EKM and a TAB-separated ordering file that must parse to the same
+    // rule set (cross-checked at plan time; error paths in EkmFileSpec)
+    "ekm_file_assign" -> ((s, d) => {
+      val (jsonF, orderF) = ekmFixtureFiles()
+      val fromJson = ops.EkmFile.parse(
+        java.nio.file.Files.readString(jsonF), jsonF.toString).rules
+      val fromLines = ops.EkmFile.parse(
+        java.nio.file.Files.readString(orderF), orderF.toString).rules
+      require(fromJson.sorted == fromLines.sorted,
+        s"EKM fixture formats disagree: $fromJson vs $fromLines")
+      DSort.ekmAssign(DSort.samples(DerivedCatalog.members(s, d)), fromJson)
+        .select("sample_key", "n_matches", "out_template")
+        .orderBy("sample_key")
+    }),
 
     // ------------------------------------------------------------------
     // Archive member match modes (SURVEY P8)
@@ -976,12 +1008,16 @@ object SparkEntry {
         .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
       val w = Window.partitionBy(md5(col("text").cast("binary")))
         .orderBy(col("doc_id").asc)
-      // clean is referenced by the LSH pipeline, the representative join
-      // and the contamination stage — all inside one physical plan, where
-      // ReuseExchange dedupes the identical window shuffle; an explicit
-      // checkpoint measured neutral-to-slower at sf0.1
+      // clean is consumed by FOUR separate executions, not four branches
+      // of one plan: the CC edge build (its own eager localCheckpoint),
+      // the representative anti-join, the contamination grams, and the
+      // packer's own prefix-sum checkpoint. Materializing it once means
+      // the regex-heavy langId/quality subtree and the dedup window run
+      // exactly once; unmaterialized, they re-execute inside each
+      // consumer (ReuseExchange only dedupes branches within ONE plan).
       val clean = scored.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
         .select("doc_id", "text")
+        .localCheckpoint()
       val pairs = ext.Dedup.nearDupMinhashLsh(clean, threshold = 0.8)
         .select("doc_a", "doc_b")
       val nonRep = ext.Dedup.connectedComponents(pairs)
@@ -1181,13 +1217,26 @@ object SparkEntry {
         .orderBy("cut_id")),
 
     // manifest-order batching with pt.Next() template naming; batch
-    // numbering rides the distributed prefix sum
+    // numbering rides the distributed prefix sum. 6-digit odometer: the
+    // template must outlast every scale step (sf1 = 1.5M cuts = 15k
+    // batches already exhausts a {0001..9999} odometer)
     "lhotse_batches" -> ((s, d) =>
       ops.Lhotse.batches(
         ops.Lhotse.toRequests(ops.Lhotse.parseCuts(lhotseManifest(s, d)),
           sampleRate = Some(16000L)),
         order = Seq(col("cut_id").asc), batchSize = 100,
-        outputTemplate = "cuts-{0001..9999}.tar")
+        outputTemplate = "cuts-{000001..999999}.tar")
+        .select("cut_id", "bucket", "objname", "batch_id", "shard_name")
+        .orderBy("cut_id")),
+
+    // GB12 × §2.11: a GROWING manifest directory ingested availableNow,
+    // batch numbering contiguous across epochs (partial batches complete
+    // across the boundary, odometer never restarts). Rows-only entry;
+    // stream/batch parity + the contiguity property in LhotseStreamSpec.
+    "lhotse_stream" -> ((s, d) =>
+      graft.streaming.LhotseStream.runBatches(s, lhotseEpochDir(s, d),
+        batchSize = 100, outputTemplate = "cuts-{000001..999999}.tar",
+        sampleRate = Some(16000L))
         .select("cut_id", "bucket", "objname", "batch_id", "shard_name")
         .orderBy("cut_id")),
 
@@ -1251,6 +1300,68 @@ object SparkEntry {
         lit(",\"recording\":{\"sources\":[{\"source\":\""), uri,
         lit("\"}]}}")).as("value"))
   }
+
+  /** Materialize [[lhotseManifest]] as a 3-epoch manifest DIRECTORY for
+    * the streaming ingest: epoch e holds the cuts with key % 3 == e,
+    * line-sorted, one JSONL file per epoch with ascending mtimes (the
+    * file source's arrival order). Idempotent per sfDir; staging dirs
+    * live outside the watched directory so the stream never sees them. */
+  private def lhotseEpochDir(s: SparkSession, d: String): String = {
+    val dir = "/tmp/graft_lhotse_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val marker = new java.io.File(dir, "_GRAFT_DONE")
+    this.synchronized {
+      if (!marker.exists()) {
+        new java.io.File(dir).mkdirs()
+        val m = lhotseManifest(s, d).withColumn("_k",
+          regexp_extract(col("value"), "cut-(\\d+)", 1).cast("long"))
+        (0 until 3).foreach { e =>
+          val stage = dir + s"_stage$e"
+          m.where(col("_k") % 3 === e).sort("_k").select("value")
+            .coalesce(1).write.mode("overwrite").text(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          val dst = new java.io.File(dir, f"epoch-$e%02d.jsonl")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1000000000L + e * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+        }
+        marker.createNewFile()
+      }
+    }
+    dir
+  }
+
+  /** The EKM rule set used by `ekm_file_assign` — routes samples by the
+    * line-number suffix of the sample key (scale-independent: every sf
+    * has linenumbers 1..7), with a deliberate overlap at _05 so the
+    * 0/1/2-match paths are all exercised. */
+  private val ekmFileRules = Seq(
+    "^s\\d+_0[1-2]$" -> "ln12-%03d.tar",
+    "^s\\d+_0[3-5]$" -> "ln345-%03d.tar",
+    "^s\\d+_0[5-7]$" -> "ln567-%03d.tar")
+
+  /** On-disk EKM fixtures — the SAME rule set written in both reference
+    * file formats (`dsort.go:646` parseEKMFile): a JSON template →
+    * key-regex map and a TAB-separated ordering file. Deterministic
+    * content, rewritten idempotently. */
+  private def ekmFixtureFiles(): (java.nio.file.Path, java.nio.file.Path) =
+    this.synchronized {
+      import java.nio.file.{Files, Paths}
+      val dir = Paths.get("/tmp/graft_ekm")
+      Files.createDirectories(dir)
+      def jq(s: String): String = "\"" + s.replace("\\", "\\\\") + "\""
+      val grouped = ekmFileRules.groupBy(_._2).toSeq.sortBy(_._1)
+      val jsonF = dir.resolve("ekm.json")
+      Files.writeString(jsonF, grouped.map { case (tmpl, ks) =>
+        jq(tmpl) + ": [" + ks.map(k => jq(k._1)).mkString(", ") + "]"
+      }.mkString("{", ", ", "}"))
+      val orderF = dir.resolve("ekm_order.txt")
+      Files.writeString(orderF,
+        ekmFileRules.map { case (k, t) => s"$k\t$t" }.mkString("", "\n", "\n"))
+      (jsonF, orderF)
+    }
 
   /** Documents with deterministic injected PII — mirrors
     * [[OracleCte.piidocs]]. */
@@ -1732,6 +1843,14 @@ object SparkEntry {
         |ORDER BY name, chunk_id""".stripMargin,
       OracleCte.objects),
 
+    "prefetch_blob_route" -> o(
+      """SELECT name, size,
+        |  CASE WHEN size >= 8388608 THEN 'blob' ELSE 'get' END AS route,
+        |  CAST(CASE WHEN size >= 8388608 THEN (size + 4194303) // 4194304
+        |            ELSE 1 END AS BIGINT) AS n_chunks
+        |FROM objects ORDER BY name""".stripMargin,
+      OracleCte.objects),
+
     "rechunk_chunks" -> o(
       """SELECT bucket, name, size, action, CAST(n_chunks AS BIGINT) AS n_chunks,
         |  CAST(c AS BIGINT) AS chunk_id,
@@ -1824,6 +1943,12 @@ object SparkEntry {
         |FROM samples WHERE n_shards > 1 ORDER BY sample_key""".stripMargin,
       OracleCte.members, OracleCte.samples),
 
+    "dsort_dup_policy" -> o(
+      """SELECT sample_key, n_members, size, n_shards, first_member,
+        |  n_shards > 1 AS dup
+        |FROM samples ORDER BY sample_key""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
     "dsort_alpha_pack" -> o(
       """SELECT sample_key, size, shard_id,
         |  printf('out-shard-%06d.tar', shard_id) AS shard_name
@@ -1905,6 +2030,22 @@ object SparkEntry {
         |               ELSE 'mid-%03d.tar' END)
         |  END AS out_template
         |FROM samples ORDER BY sample_key""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "ekm_file_assign" -> o(
+      """SELECT sample_key,
+        |  CAST(m1 + m2 + m3 AS BIGINT) AS n_matches,
+        |  CASE WHEN m1 + m2 + m3 = 1 THEN
+        |    CASE WHEN m1 = 1 THEN 'ln12-%03d.tar'
+        |         WHEN m2 = 1 THEN 'ln345-%03d.tar'
+        |         ELSE 'ln567-%03d.tar' END
+        |  END AS out_template
+        |FROM (SELECT sample_key,
+        |        CASE WHEN regexp_matches(sample_key, '^s\d+_0[1-2]$') THEN 1 ELSE 0 END AS m1,
+        |        CASE WHEN regexp_matches(sample_key, '^s\d+_0[3-5]$') THEN 1 ELSE 0 END AS m2,
+        |        CASE WHEN regexp_matches(sample_key, '^s\d+_0[5-7]$') THEN 1 ELSE 0 END AS m3
+        |      FROM samples)
+        |ORDER BY sample_key""".stripMargin,
       OracleCte.members, OracleCte.samples),
 
     "ekm_pack" -> o(
@@ -2513,7 +2654,7 @@ object SparkEntry {
         |n AS (SELECT r.*, row_number() OVER (ORDER BY cut_id) AS rn FROM r)
         |SELECT cut_id, bucket, objname,
         |  (rn - 1) // 100 AS batch_id,
-        |  'cuts-' || printf('%04d', (rn - 1) // 100 + 1) || '.tar' AS shard_name
+        |  'cuts-' || printf('%06d', (rn - 1) // 100 + 1) || '.tar' AS shard_name
         |FROM n ORDER BY cut_id""".stripMargin,
 
     "nbi_snapshot_listing" -> o(

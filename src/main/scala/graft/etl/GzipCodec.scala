@@ -1,7 +1,7 @@
 package graft.etl
 
 import java.io.ByteArrayOutputStream
-import java.util.zip.{Deflater, DeflaterOutputStream, GZIPInputStream}
+import java.util.zip.{CRC32, Deflater, DeflaterOutputStream, Inflater}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
@@ -13,20 +13,38 @@ import org.apache.spark.sql.functions.udf
   * making compressed output (and any checksum of it) run-dependent.
   * Fixed BEST_SPEED level: ETL compression at corpus scale is
   * CPU-bound; level is a codec constant, not a tuning knob per call.
+  *
+  * Hot-path shape (this codec runs once per payload row — millions of
+  * calls per ETL pass): the Deflater/Inflater native handles are
+  * THREAD-LOCAL and reset per call instead of allocated per call
+  * (Deflater.init is a native malloc — the sf1 scale step showed
+  * executor threads spending their time in it), and decompression is a
+  * hand-rolled single-member inflate — `GZIPInputStream` probes for a
+  * concatenated second member at every stream end by internally
+  * throwing/catching EOFException, a fillInStackTrace per ROW.
+  * Trailer CRC32 and ISIZE are verified exactly as GZIPInputStream
+  * would. Multi-member (concatenated) gzip is out of contract — this
+  * codec never produces it; decompress raises if trailing bytes remain.
   */
 object GzipCodec {
 
   private val GzipHeader =
     Array[Byte](0x1f, 0x8b.toByte, Deflater.DEFLATED.toByte, 0, 0, 0, 0, 0, 0, 0)
 
+  private val deflaters: ThreadLocal[Deflater] =
+    ThreadLocal.withInitial(() => new Deflater(Deflater.BEST_SPEED, /*nowrap=*/ true))
+  private val inflaters: ThreadLocal[Inflater] =
+    ThreadLocal.withInitial(() => new Inflater(/*nowrap=*/ true))
+
   def compress(in: Array[Byte]): Array[Byte] = {
     if (in == null) return null
     val bos = new ByteArrayOutputStream(in.length / 2 + 32)
     bos.write(GzipHeader)
-    val deflater = new Deflater(Deflater.BEST_SPEED, /*nowrap=*/ true)
+    val deflater = deflaters.get()
+    deflater.reset()
     val dos = new DeflaterOutputStream(bos, deflater, 8192)
-    dos.write(in); dos.finish(); deflater.end()
-    val crc = new java.util.zip.CRC32()
+    dos.write(in); dos.finish()
+    val crc = new CRC32()
     crc.update(in)
     def le32(v: Long): Unit = {
       bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
@@ -36,14 +54,55 @@ object GzipCodec {
     bos.toByteArray
   }
 
+  private def le32At(in: Array[Byte], off: Int): Long =
+    (in(off) & 0xffL) | ((in(off + 1) & 0xffL) << 8) |
+      ((in(off + 2) & 0xffL) << 16) | ((in(off + 3) & 0xffL) << 24)
+
   def decompress(in: Array[Byte]): Array[Byte] = {
     if (in == null) return null
-    val gis = new GZIPInputStream(new java.io.ByteArrayInputStream(in), 8192)
-    val bos = new ByteArrayOutputStream(in.length * 3 + 32)
+    require(in.length >= 18 && in(0) == 0x1f && in(1) == 0x8b.toByte,
+      "not a gzip stream")
+    // RFC 1952 header: fixed 10 bytes + optional FEXTRA/FNAME/FCOMMENT/FHCRC
+    val flg = in(3)
+    var off = 10
+    if ((flg & 4) != 0) { // FEXTRA
+      val xlen = (in(off) & 0xff) | ((in(off + 1) & 0xff) << 8)
+      off += 2 + xlen
+    }
+    if ((flg & 8) != 0) { while (in(off) != 0) off += 1; off += 1 } // FNAME
+    if ((flg & 16) != 0) { while (in(off) != 0) off += 1; off += 1 } // FCOMMENT
+    if ((flg & 2) != 0) off += 2 // FHCRC
+    val inf = inflaters.get()
+    inf.reset()
+    inf.setInput(in, off, in.length - off - 8)
+    val bos = new ByteArrayOutputStream(math.max(32, in.length * 3))
     val buf = new Array[Byte](8192)
-    var n = gis.read(buf)
-    while (n >= 0) { bos.write(buf, 0, n); n = gis.read(buf) }
-    bos.toByteArray
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) bos.write(buf, 0, n)
+        // n == 0 with finished() is the normal last step (the final block
+        // yielded no output); only a 0 that STILL wants input is truncation
+        else if (!inf.finished() && (inf.needsInput() || inf.needsDictionary()))
+          throw new java.util.zip.ZipException("truncated gzip deflate stream")
+      }
+    } catch { // normalize like GZIPInputStream: corrupt deflate → ZipException
+      case e: java.util.zip.DataFormatException =>
+        throw new java.util.zip.ZipException(s"corrupt deflate stream: ${e.getMessage}")
+    }
+    val out = bos.toByteArray
+    // trailer checks, same as GZIPInputStream.readTrailer
+    val trailerAt = off + (in.length - off - 8 - inf.getRemaining)
+    val crc = new CRC32()
+    crc.update(out)
+    if (le32At(in, trailerAt) != crc.getValue)
+      throw new java.util.zip.ZipException("corrupt gzip stream (CRC32 mismatch)")
+    if (le32At(in, trailerAt + 4) != (out.length.toLong & 0xffffffffL))
+      throw new java.util.zip.ZipException("corrupt gzip stream (ISIZE mismatch)")
+    if (trailerAt + 8 != in.length)
+      throw new java.util.zip.ZipException(
+        "trailing bytes after gzip member (multi-member streams are out of contract)")
+    out
   }
 
   val compressUdf: Column => Column = udf(compress _).apply(_)

@@ -58,10 +58,19 @@ object Similarity {
   }
 
   /** All pairs (a < b) with cosine >= threshold — embedding near-dup.
-    * Exact (quadratic): use for modest corpora or post-LSH candidates. */
+    * Exact (quadratic): use for modest corpora or post-LSH candidates.
+    *
+    * The probe side is explicitly round-robin repartitioned: the input is
+    * small by contract (this op is O(n²)), so it often arrives as ONE
+    * scan partition (a single small parquet file), and a broadcast
+    * nested-loop join inherits that — n²·dim work in one task. Measured
+    * at the sf1 scale step: 20k×20k pairs ran single-threaded for
+    * minutes; the repartition spreads the quadratic compute across the
+    * cluster for the cost of shuffling the (small) corpus once. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = withNorm(corpus, "vec_a", "_va", "_na", idCol, vecCol)
+    val n = corpus.sparkSession.sparkContext.defaultParallelism
+    val a = withNorm(corpus, "vec_a", "_va", "_na", idCol, vecCol).repartition(n)
     val b = withNorm(corpus, "vec_b", "_vb", "_nb", idCol, vecCol)
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos", round(

@@ -87,6 +87,34 @@ object DSort {
   def duplicates(members: DataFrame): DataFrame =
     samples(members).where(col("n_shards") > 1)
 
+  /** [[samples]] with the `DuplicatedRecords` reaction knob applied
+    * (`request_spec.go:196-198`; react semantics `manager.go:702-717`):
+    *  - `abort`: any duplicated sample raises mid-pipeline, naming the
+    *    offending sample key (the job aborts and returns the error);
+    *  - `warn`: pass-through + a `dup` flag per sample — the per-sample
+    *    warning record; `sum(dup)` is the Metrics.Warnings count a
+    *    [[graft.jobs.JobTracker]] caller would report;
+    *  - `ignore`: pass-through, dups silently merged (current behavior).
+    * Same single member-table groupBy in all three modes — the check is
+    * a column over the aggregate already being computed, zero extra
+    * scans or shuffles. */
+  def samplesChecked(members: DataFrame, onDuplicates: String): DataFrame = {
+    val s = samples(members)
+    onDuplicates match {
+      case "abort" =>
+        s.withColumn("n_shards",
+          when(col("n_shards") > 1,
+            raise_error(concat(lit("dsort: duplicated records: sample '"),
+              col("sample_key"), lit("' appears in "),
+              col("n_shards").cast("string"), lit(" source shards"))))
+            .otherwise(col("n_shards")))
+      case "warn" => s.withColumn("dup", col("n_shards") > 1)
+      case "ignore" => s
+      case other => throw new IllegalArgumentException(
+        s"unknown DuplicatedRecords reaction '$other' (abort|warn|ignore)")
+    }
+  }
+
   /** O4 — attach the sort key for an algorithm. Content keys join the
     * key-extension members (broadcast-free: both sides partition on
     * sample_key). Returns df + `_key` column (+ `_key_num` for typed

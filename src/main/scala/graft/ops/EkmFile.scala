@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** EKM file formats (reference `ext/dsort/dsort.go:646-728` parseEKMFile):
+  * a dSort request may supply its external key map as a FILE instead of
+  * programmatic rules — either a JSON object mapping each output-shard
+  * template to the list of record-key regexes routed to it, or a plain
+  * "ordering" text file with one `<key-regex><sep><template>` line per
+  * rule (separator configurable, default TAB — `request_spec.go:141-143`).
+  *
+  * This is a driver-side parse (the file is rule metadata, KBs not TBs);
+  * the output `Seq[(regex, template)]` feeds [[DSort.ekmAssign]] /
+  * [[DSort.ekmPack]] unchanged. Reference error semantics preserved:
+  *   - content that fails JSON parsing while the file extension is
+  *     `.json` is an error (`dsort.go:682-684`) — no silent fallthrough
+  *     to the line format;
+  *   - a duplicate key regex is an error ("duplicated regex keys",
+  *     `shard/key.go:159-161`), including across JSON templates;
+  *   - a key that does not compile as a regex is an error
+  *     (`shard/key.go:162-165`);
+  *   - a line that does not split into exactly 2 parts reacts per the
+  *     `EKMMalformedLine` policy (`dsort.go:714-720`): abort raises,
+  *     warn records the line and keeps going (first two parts when ≥ 2;
+  *     the reference would index out of range on a 1-part line in warn
+  *     mode — we skip it instead), ignore continues silently.
+  */
+object EkmFile {
+
+  /** Parse result in warn/ignore mode: rules + any warnings collected. */
+  final case class Parsed(rules: Seq[(String, String)], warnings: Seq[String])
+
+  /** Parse EKM file content. `fileName` is used only for the `.json`
+    * extension check; `onMalformed` ∈ {abort, warn, ignore}
+    * (`cmn.AbortReaction`/`WarnReaction`/`IgnoreReaction`,
+    * `manager.go:702-717`). */
+  def parse(content: String, fileName: String, sep: String = "\t",
+            onMalformed: String = "abort"): Parsed = {
+    require(Set("abort", "warn", "ignore")(onMalformed),
+      s"unknown malformed-line reaction '$onMalformed'")
+    parseJson(content) match {
+      case Right(pairs) => Parsed(validated(pairs), Nil)
+      case Left(jsonErr) =>
+        if (fileName.toLowerCase.endsWith(".json"))
+          throw new IllegalArgumentException(
+            "EKM file parsing as JSON fails, but the file extension is " +
+              s".json which is not allowed ($jsonErr)")
+        parseLines(content, sep, onMalformed)
+    }
+  }
+
+  /** JSON layout: `{ "<template>": ["<key-regex>", ...], ... }` —
+    * template → record keys, flattened to (key, template) pairs in
+    * document order (the reference's Go-map iteration order is
+    * unspecified; [[DSort.ekmAssign]] semantics are order-independent). */
+  private def parseJson(content: String): Either[String, Seq[(String, String)]] =
+    try {
+      JsonMethods.parse(content) match {
+        case JObject(fields) =>
+          fields.foldLeft[Either[String, Vector[(String, String)]]](Right(Vector.empty)) {
+            case (acc @ Left(_), _) => acc
+            case (Right(acc), (template, JArray(keys))) =>
+              keys.foldLeft[Either[String, Vector[(String, String)]]](Right(acc)) {
+                case (a @ Left(_), _) => a
+                case (Right(a), JString(k)) => Right(a :+ (k -> template))
+                case (Right(_), other) => Left(s"non-string record key: $other")
+              }
+            case (Right(_), (template, other)) =>
+              Left(s"template '$template' maps to non-array: $other")
+          }
+        case other => Left(s"not a JSON object: ${other.getClass.getSimpleName}")
+      }
+    } catch { case e: Exception => Left(e.getMessage) }
+
+  /** Ordering-file layout: one `<key><sep><template>` per line. */
+  private def parseLines(content: String, sep: String,
+                         onMalformed: String): Parsed = {
+    val warnings = Seq.newBuilder[String]
+    val pairs = content.linesIterator.zipWithIndex.flatMap { case (raw, idx) =>
+      val line = raw.trim
+      if (line.isEmpty) None
+      else {
+        // literal separator split (the reference strings.Split), not regex
+        val parts = line.split(java.util.regex.Pattern.quote(sep), -1)
+        if (parts.length != 2) {
+          val msg = s"malformed line ($idx) in external key map: $line"
+          onMalformed match {
+            case "abort" => throw new IllegalArgumentException(msg)
+            case "warn" => warnings += msg
+            case _ => ()
+          }
+          // warn/ignore continue with the first two parts when present
+          if (parts.length > 2) Some(parts(0) -> parts(1)) else None
+        } else Some(parts(0) -> parts(1))
+      }
+    }.toSeq
+    Parsed(validated(pairs), warnings.result())
+  }
+
+  /** `ekm.Add` checks (`shard/key.go:159-175`): no duplicate keys, every
+    * key compiles as a regex. */
+  private def validated(pairs: Seq[(String, String)]): Seq[(String, String)] = {
+    val seen = collection.mutable.Set.empty[String]
+    pairs.foreach { case (key, _) =>
+      if (!seen.add(key))
+        throw new IllegalArgumentException(s"duplicated regex keys: '$key'")
+      try java.util.regex.Pattern.compile(key)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"bad EKM key regex '$key': ${e.getMessage}")
+      }
+    }
+    pairs
+  }
+}

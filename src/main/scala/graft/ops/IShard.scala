@@ -58,4 +58,35 @@ object Prefetch {
     val (_, snap) = tracker.run("prefetch") { cached.count() }
     snap
   }
+
+  /** The 1 MiB floor on a positive prefetch blob threshold
+    * (`xact/xs/blob_download.go:51` minBlobDlPrefetch,
+    * `prefetch.go:94-97`: a smaller positive value is clamped UP with a
+    * warning, not rejected). */
+  val MinBlobThreshold: Long = 1L << 20
+
+  /** Blob-threshold routing (`api/apc/multiobj.go:83-92` PrefetchMsg,
+    * `xact/xs/prefetch.go:214-218`): with a positive threshold, objects
+    * at/above it are fetched via the chunked blob downloader
+    * ([[BlobChunks]] semantics — n_chunks = ⌈size / chunkSize⌉, each
+    * chunk a ranged read), smaller ones as ONE single-stream cold GET.
+    * threshold == 0 selects the server default: everything cold-GETs
+    * (the reference merely logs for > 1 GiB objects, `prefetch.go:217`).
+    *
+    * Output is the per-object decision table (name, size, route,
+    * n_chunks) — a single narrow projection over the selection scan, no
+    * shuffle; composing the "blob" slice with [[BlobChunks.plan]] yields
+    * the chunk-level plan. */
+  def routePlan(objects: DataFrame, blobThreshold: Long, chunkSize: Long): DataFrame = {
+    require(blobThreshold >= 0, s"negative blob threshold: $blobThreshold")
+    require(chunkSize > 0, s"chunk size must be positive: $chunkSize")
+    val eff = if (blobThreshold > 0) math.max(blobThreshold, MinBlobThreshold) else 0L
+    val blob = lit(eff) > 0 && col("size") >= eff
+    objects.select(
+      col("name"), col("size"),
+      when(blob, "blob").otherwise("get").as("route"),
+      // ceil-div in long math; a cold GET is one stream regardless of size
+      when(blob, floor((col("size") + lit(chunkSize - 1)) / lit(chunkSize)).cast("long"))
+        .otherwise(1L).as("n_chunks"))
+  }
 }

@@ -117,13 +117,20 @@ object Lhotse {
   /** Group consecutive requests (in `order`) into batches of
     * `batchSize`, naming each batch from the output template's odometer
     * sequence. Raises when the manifest produces more batches than the
-    * template can name (`lhotse.go:271-273` "template exhausted"). */
+    * template can name (`lhotse.go:271-273` "template exhausted").
+    *
+    * `startAt` = number of cuts already consumed in previous epochs
+    * (see [[graft.streaming.LhotseStream]]): numbering continues from
+    * the global cut index, so a partial batch at an epoch boundary is
+    * COMPLETED by the next epoch's first cuts and the odometer never
+    * restarts — the contiguity invariant a growing manifest needs. */
   def batches(requests: DataFrame, order: Seq[Column], batchSize: Int,
-              outputTemplate: String): DataFrame = {
+              outputTemplate: String, startAt: Long = 0L): DataFrame = {
     require(batchSize > 0, "batch size must be positive")
+    require(startAt >= 0, s"negative cut offset: $startAt")
     val (cum, offsets) = DSort.cumsumAndOffsets(requests, Nil, order, lit(1L))
     val numbered = cum
-      .withColumn("batch_id", ((col("_cum") - 1) / batchSize).cast("long"))
+      .withColumn("batch_id", ((col("_cum") + (startAt - 1)) / batchSize).cast("long"))
       .drop("_cum")
     // the reference consumes the template lazily (pt.Next() per batch),
     // so an open-ended fmt template ("cuts-%06d.tar" → 0..Long.MaxValue)
@@ -132,7 +139,8 @@ object Lhotse {
     // partial-agg scan of its already-checkpointed partitions, ≤
     // #partitions rows) — NOT from re-running the window+join over the
     // full frame, and NOT from re-parsing the manifest.
-    val total = offsets.agg(coalesce(sum("_ptot"), lit(0L))).head().getLong(0)
+    val total = startAt +
+      offsets.agg(coalesce(sum("_ptot"), lit(0L))).head().getLong(0)
     val needed = if (total <= 0) 1L else 1L + (total - 1) / batchSize
     val pt = NameTemplate.parse(outputTemplate)
     // Trim the slowest-varying range so expansion covers only the needed

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.Lhotse
+
+/** Continuous-ingest composition of GB12 (`ais ml lhotse-get-batch`,
+  * `cmd/cli/cli/lhotse.go`) with the streaming extension (SURVEY §2.11):
+  * a cut-manifest DIRECTORY that grows over time — each new JSONL file is
+  * an epoch of fresh cuts — ingested as a Structured Streaming file
+  * source and batched with GLOBALLY CONTIGUOUS numbering.
+  *
+  * The invariant that makes this more than "run the batch op per file":
+  * the reference names batches from one lazily-consumed template odometer
+  * (`pt.Next()`, `lhotse.go:271`), so across epochs batch ids must stay
+  * the consecutive 0..N sequence, a partial batch at an epoch boundary
+  * must be completed by the next epoch's first cuts, and the shard-name
+  * odometer must never restart. That is carried as ONE long of driver
+  * state (cuts consumed so far) threaded into [[Lhotse.batches]]'s
+  * `startAt` — the per-epoch work stays the same distributed prefix-sum
+  * batching, and the stream's only cross-epoch dependency is scalar.
+  *
+  * Parity: over the same files, the streamed union equals the one-shot
+  * batch run (LhotseStreamSpec, incl. a random-split property test).
+  */
+object LhotseStream {
+
+  /** Drive the manifest directory to exhaustion with availableNow
+    * (epoch per file via maxFilesPerTrigger=1, arrival order = file
+    * order) and return the unioned batch-request table. `sampleRate`
+    * as in [[Lhotse.toRequests]]. */
+  def runBatches(spark: SparkSession, manifestDir: String, batchSize: Int,
+                 outputTemplate: String,
+                 sampleRate: Option[Long] = None): DataFrame = {
+    var cutsSoFar = 0L
+    var acc: Option[DataFrame] = None
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(manifestDir)
+      .writeStream
+      .queryName("lhotse_ingest")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (epoch: DataFrame, _: Long) =>
+        // manifest order within the epoch = line order; cut ids in the
+        // fixture manifests are line-ordered, so ordering by cut_id
+        // keeps stream == batch parity checkable
+        val reqs = Lhotse.toRequests(Lhotse.parseCuts(epoch), sampleRate)
+        val out = Lhotse.batches(reqs, Seq(col("cut_id").asc), batchSize,
+          outputTemplate, startAt = cutsSoFar).localCheckpoint()
+        cutsSoFar += out.count()
+        acc = Some(acc.fold(out)(_.unionByName(out).localCheckpoint()))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    acc.getOrElse(spark.emptyDataFrame)
+  }
+}

@@ -157,6 +157,51 @@ class DSortSpec extends SparkSpec {
     assert(got != alpha)
   }
 
+  test("DuplicatedRecords policy: abort raises naming the sample, warn flags, ignore passes") {
+    import spark.implicits._
+    // sample 'dup' arrives from two source shards; 'solo' from one
+    val m = Seq(
+      ("sh-a.tar", "dup.jpg", "dup", 10L),
+      ("sh-b.tar", "dup.cls", "dup", 20L),
+      ("sh-a.tar", "solo.jpg", "solo", 30L))
+      .toDF("shard", "member", "sample_key", "size")
+    val e = intercept[Exception] {
+      DSort.samplesChecked(m, "abort").collect()
+    }
+    assert(e.getMessage.contains("duplicated records") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicated records")))
+    val warned = DSort.samplesChecked(m, "warn")
+      .collect().map(r => r.getAs[String]("sample_key") -> r.getAs[Boolean]("dup")).toMap
+    assert(warned == Map("dup" -> true, "solo" -> false))
+    // warn's warning count == the dup-sample count the reference appends
+    // to Metrics.Warnings
+    assert(DSort.samplesChecked(m, "warn")
+      .agg(sum(col("dup").cast("long"))).head().getLong(0) == 1L)
+    assert(DSort.samplesChecked(m, "ignore").count() == 2L)
+    intercept[IllegalArgumentException] {
+      DSort.samplesChecked(m, "explode")
+    }
+  }
+
+  test("plan guards: file-parsed EKM assign stays join-free; dup policy adds no extra shuffle") {
+    // EKM rules unroll to literal rlike predicates — rules from a file
+    // must produce the same join-free single-scan shape as programmatic
+    // rules (a join against a rules table would shuffle the sample set)
+    val fileRules = graft.ops.EkmFile.parse(
+      "^a.*\tA-%d.tar\n^b.*\tB-%d.tar", "order.txt").rules
+    val assignPlan = DSort.ekmAssign(samples, fileRules)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Join"), assignPlan.linesIterator.take(12).mkString("\n"))
+    // samplesChecked = samples + a column: exactly the one groupBy
+    // exchange samples itself has, in every mode
+    def nExchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.split("Exchange").length - 1
+    val base = nExchanges(DSort.samples(members))
+    Seq("abort", "warn", "ignore").foreach { mode =>
+      assert(nExchanges(DSort.samplesChecked(members, mode)) == base, mode)
+    }
+  }
+
   test("EKM strict raises on ambiguous match") {
     import spark.implicits._
     val two = Seq("s0000001_01").toDF("sample_key").withColumn("size", lit(1L))

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.EkmFile
+
+/** EKM file-format parsing (reference `ext/dsort/dsort.go:646-728`
+  * parseEKMFile + `shard/key.go:159-175` ekm.Add): JSON and ordering-file
+  * layouts, and every reference error path. Pure driver-side — no Spark
+  * session needed. */
+class EkmFileSpec extends AnyFunSuite {
+
+  private val jsonContent =
+    """{"low-%03d.tar": ["^a.*", "^b.*"], "hi-%d.tar": ["^c.*"]}"""
+
+  test("JSON layout: template -> keys flattens to (key, template) pairs") {
+    val p = EkmFile.parse(jsonContent, "ekm.json")
+    assert(p.rules == Seq(
+      "^a.*" -> "low-%03d.tar", "^b.*" -> "low-%03d.tar", "^c.*" -> "hi-%d.tar"))
+    assert(p.warnings.isEmpty)
+  }
+
+  test("ordering-file layout: key<TAB>template lines, blanks skipped") {
+    val content = "^a.*\tlow-%03d.tar\n\n  ^c.*\thi-%d.tar  \n"
+    val p = EkmFile.parse(content, "order.txt")
+    assert(p.rules == Seq("^a.*" -> "low-%03d.tar", "^c.*" -> "hi-%d.tar"))
+  }
+
+  test("custom separator (EKMFileSep, request_spec.go:141-143)") {
+    val p = EkmFile.parse("^a.*|low-%d.tar", "order.txt", sep = "|")
+    assert(p.rules == Seq("^a.*" -> "low-%d.tar"))
+  }
+
+  test("invalid JSON with .json extension is an error, not a fallthrough") {
+    val e = intercept[IllegalArgumentException] {
+      EkmFile.parse("^a.*\tlow-%d.tar", "rules.json")
+    }
+    assert(e.getMessage.contains(".json"))
+  }
+
+  test("JSON template mapping to a non-array falls through or errors consistently") {
+    // {"t": "notanarray"} IS valid JSON but not a valid EKM shape —
+    // parseJson rejects it; the extension then decides error vs line-parse
+    intercept[IllegalArgumentException] {
+      EkmFile.parse("""{"t-%d.tar": "notanarray"}""", "e.json")
+    }
+  }
+
+  test("duplicated regex keys error — within and across templates") {
+    intercept[IllegalArgumentException] {
+      EkmFile.parse("""{"a-%d.tar": ["^x.*", "^x.*"]}""", "e.json")
+    }
+    intercept[IllegalArgumentException] {
+      EkmFile.parse("""{"a-%d.tar": ["^x.*"], "b-%d.tar": ["^x.*"]}""", "e.json")
+    }
+    intercept[IllegalArgumentException] {
+      EkmFile.parse("^x.*\ta-%d.tar\n^x.*\tb-%d.tar", "order.txt")
+    }
+  }
+
+  test("non-compiling key regex errors in both layouts") {
+    intercept[IllegalArgumentException] {
+      EkmFile.parse("""{"a-%d.tar": ["[unclosed"]}""", "e.json")
+    }
+    intercept[IllegalArgumentException] {
+      EkmFile.parse("[unclosed\ta-%d.tar", "order.txt")
+    }
+  }
+
+  test("malformed line reacts per policy: abort raises, warn records, ignore is silent") {
+    val content = "^a.*\tlow-%d.tar\nnotab-line\n^b.*\thi-%d.tar"
+    val e = intercept[IllegalArgumentException] {
+      EkmFile.parse(content, "order.txt", onMalformed = "abort")
+    }
+    assert(e.getMessage.contains("malformed line (1)"))
+    val warned = EkmFile.parse(content, "order.txt", onMalformed = "warn")
+    assert(warned.rules == Seq("^a.*" -> "low-%d.tar", "^b.*" -> "hi-%d.tar"))
+    assert(warned.warnings.size == 1 && warned.warnings.head.contains("notab-line"))
+    val ignored = EkmFile.parse(content, "order.txt", onMalformed = "ignore")
+    assert(ignored.rules == warned.rules && ignored.warnings.isEmpty)
+  }
+
+  test("warn mode keeps the first two parts of a >2-part line (the reference's indexing)") {
+    val p = EkmFile.parse("^a.*\tlow-%d.tar\textra", "order.txt", onMalformed = "warn")
+    assert(p.rules == Seq("^a.*" -> "low-%d.tar"))
+    assert(p.warnings.size == 1)
+  }
+
+  test("unknown reaction is rejected") {
+    intercept[IllegalArgumentException] {
+      EkmFile.parse("x\ty", "order.txt", onMalformed = "detonate")
+    }
+  }
+}

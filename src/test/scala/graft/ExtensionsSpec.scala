@@ -232,6 +232,43 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("sign-LSH at dim=768 bits=16: codegen compiles, buckets well-formed, probe returns candidates") {
+    // 16 hyperplanes × 768 components = the shape the r1 fix claims is
+    // `bits` loops, not bits×dim unrolled terms — this would be a Janino
+    // method-size failure under the old formulation
+    val dim = 768
+    // one tight cluster: base vector + 0.1% perturbation, so all rows
+    // share a sign pattern and the 2^16-bucket probe still finds pairs
+    val hi = spark.range(1, 201).select($"id".as("vec_id"),
+      expr(s"transform(sequence(1, $dim), j -> cast(sin(j) + 0.001 * sin(vec_id * j) as float))")
+        .as("embedding")).cache()
+    val buckets = hi.select(
+      graft.ext.Similarity.signLshBucket($"embedding", bits = 16, dim = dim).as("b"))
+      .collect().map(_.getString(0))
+    assert(buckets.forall(b => b.length == 16 && b.forall(c => c == '0' || c == '1')))
+    assert(buckets.distinct.length < buckets.length) // clustered: buckets shared
+    val queries = hi.where($"vec_id".isin(5L, 100L))
+    val lsh = Similarity.lshTopK(hi, queries, k = 3, bits = 16, dim = dim).collect()
+    assert(lsh.nonEmpty)
+    // cosines from the 16-bit path must match exact brute force
+    val bf = Similarity.bruteForceTopK(hi, queries, k = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c == r.getDouble(2)))
+    }
+    hi.unpersist()
+  }
+
+  test("plan guard: quadratic pair scan spreads over round-robin partitions, not one task") {
+    // sf1 scale step finding: a single-file corpus arrives as ONE scan
+    // partition and a broadcast nested-loop join inherits it — n²·dim
+    // work in one task. nearDupPairs must round-robin the probe side.
+    val plan = Similarity.nearDupPairs(emb, 0.35)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RoundRobinPartitioning"),
+      plan.linesIterator.take(15).mkString("\n"))
+  }
+
   test("IVF corpus assignment plan has no window over corpus×centroids") {
     val queries = emb.where($"vec_id".isin(17L))
     val plan = Similarity.ivfTopK(emb, queries,

@@ -32,6 +32,28 @@ class GzipCodecSpec extends SparkSpec {
     assert(GzipCodec.decompress(bos.toByteArray).toSeq == in.toSeq)
   }
 
+  test("interop: FNAME-bearing header parses; corruption and multi-member raise") {
+    // GZIPOutputStream never writes FNAME; hand-build a stream with it
+    val in = "named payload".getBytes("UTF-8")
+    val plain = GzipCodec.compress(in)
+    val withName = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 8 /*FNAME*/, 0, 0, 0, 0, 0, 0))
+      bos.write("f.txt".getBytes("UTF-8")); bos.write(0)
+      bos.write(plain, 10, plain.length - 10) // deflate body + trailer
+      bos.toByteArray
+    }
+    assert(GzipCodec.decompress(withName).toSeq == in.toSeq)
+    // flipped payload byte → CRC mismatch
+    val corrupt = plain.clone()
+    corrupt(12) = (corrupt(12) ^ 0x5a).toByte
+    intercept[java.util.zip.ZipException] { GzipCodec.decompress(corrupt) }
+    // concatenated members are out of this codec's contract → raise
+    intercept[java.util.zip.ZipException] {
+      GzipCodec.decompress(plain ++ plain)
+    }
+  }
+
   test("repetitive payloads actually shrink") {
     val in = Array.fill(100000)(7.toByte)
     assert(GzipCodec.compress(in).length < in.length / 10)

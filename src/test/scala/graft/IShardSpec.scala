@@ -30,6 +30,37 @@ class IShardSpec extends SparkSpec {
     sizes.dropRight(1).foreach(s => assert(s >= 100000L - maxSample && s <= 100000L + maxSample))
   }
 
+  test("prefetch blob-threshold routing: clamp, routes, ceil chunks") {
+    val objs = Seq(
+      ("small", 1000L), ("at-floor", 1L << 20), ("big", 10L << 20),
+      ("odd", (10L << 20) + 1), ("zero", 0L))
+      .toDF("name", "size")
+    // a positive threshold below 1 MiB clamps UP to minBlobDlPrefetch
+    // (prefetch.go:94-97): at-floor must route blob, small must not
+    val clamped = Prefetch.routePlan(objs, blobThreshold = 100L, chunkSize = 4L << 20)
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(clamped("at-floor") == ("blob", 1L))
+    assert(clamped("small") == ("get", 1L))
+    assert(clamped("big") == ("blob", 3L))       // 10 MiB / 4 MiB → ⌈2.5⌉
+    assert(clamped("odd") == ("blob", 3L))       // one byte past a boundary
+    assert(clamped("zero") == ("get", 1L))
+    // threshold 0 = server default: everything single cold GET
+    val off = Prefetch.routePlan(objs, blobThreshold = 0L, chunkSize = 4L << 20)
+      .collect().map(_.getString(2)).toSet
+    assert(off == Set("get"))
+    intercept[IllegalArgumentException] {
+      Prefetch.routePlan(objs, blobThreshold = -1L, chunkSize = 1L)
+    }
+  }
+
+  test("plan guard: blob routing is a pure scan projection (no mid-plan exchange, no join)") {
+    val plan = Prefetch.routePlan(
+      DerivedCatalog.objects(spark, TestSpark.sf001), 8388608L, 4194304L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(12).mkString("\n"))
+    assert(!plan.contains("Join"), plan.linesIterator.take(12).mkString("\n"))
+  }
+
   test("prefetch materializes and reports a snap") {
     val snap = Prefetch.run(
       Tables.load(spark, TestSpark.sf001, "lineitem"), new JobTracker(spark))

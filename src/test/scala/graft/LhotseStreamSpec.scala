@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Lhotse
+import graft.streaming.LhotseStream
+
+/** Streaming Lhotse ingest (GB12 × §2.11): over the same manifest files,
+  * the epoch-by-epoch stream must equal the one-shot batch run — batch
+  * ids globally contiguous, partial batches completed ACROSS epoch
+  * boundaries, odometer names never restarting. */
+class LhotseStreamSpec extends SparkSpec {
+
+  private def cutLine(i: Int): String =
+    f"""{"id":"cut-$i%05d","start":0.0,"duration":1.0,"recording":{"path":"b/f$i.wav"}}"""
+
+  private def writeEpochs(epochs: Seq[Seq[String]]): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lhotse_stream").toFile
+    epochs.zipWithIndex.foreach { case (lines, e) =>
+      val f = new java.io.File(dir, f"epoch-$e%02d.jsonl")
+      java.nio.file.Files.writeString(f.toPath, lines.mkString("", "\n", "\n"))
+      // arrival order = ascending mtime (the file source's ordering)
+      f.setLastModified(1000000000L + e * 60000L)
+    }
+    dir
+  }
+
+  private def run(dir: java.io.File, bs: Int, tmpl: String) =
+    LhotseStream.runBatches(spark, dir.getAbsolutePath, bs, tmpl)
+      .select("cut_id", "batch_id", "shard_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+
+  test("stream == one-shot batch; partial batches complete across epoch boundaries") {
+    // epochs of 7/5/8 cuts with batchSize 4: no epoch boundary aligns
+    // with a batch boundary, so batches 1, 2 and 4 each span two epochs
+    val dir = writeEpochs(Seq(1 to 7, 8 to 12, 13 to 20).map(_.map(cutLine)))
+    val streamed = run(dir, 4, "b-{0001..9999}.tar")
+    val oneShot = Lhotse.batches(
+        Lhotse.toRequests(Lhotse.parseCuts(spark.read.text(dir.getAbsolutePath))),
+        Seq(col("cut_id").asc), 4, "b-{0001..9999}.tar")
+      .select("cut_id", "batch_id", "shard_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(streamed.toSeq == oneShot.toSeq)
+    // the boundary-spanning batch really mixes epochs: cut 8 (epoch 1)
+    // completes batch 1 started by cuts 5..7 (epoch 0)
+    val byBatch = streamed.groupBy(_._2)
+    assert(byBatch(1L).map(_._1).sorted.toSeq ==
+      Seq("cut-00005", "cut-00006", "cut-00007", "cut-00008"))
+  }
+
+  test("property: random epoch splits keep ids contiguous and the odometer monotone") {
+    val rnd = new scala.util.Random(17)
+    (1 to 3).foreach { _ =>
+      val n = 10 + rnd.nextInt(31)
+      val bs = 1 + rnd.nextInt(6)
+      // random 1..4-way split of 1..n into consecutive epochs
+      val cutsPts = (Seq(0, n) ++ Seq.fill(rnd.nextInt(3))(1 + rnd.nextInt(n - 1)))
+        .distinct.sorted
+      val epochs = cutsPts.sliding(2).map { case Seq(a, b) =>
+        ((a + 1) to b).map(cutLine)
+      }.toSeq
+      val dir = writeEpochs(epochs)
+      val out = run(dir, bs, "b-%05d.tar")
+      assert(out.length == n)
+      val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+      val ids = sizes.keys.toSeq.sorted
+      // contiguous 0..⌈n/bs⌉-1, all full except possibly the last
+      assert(ids == (0L until ((n + bs - 1) / bs).toLong),
+        s"n=$n bs=$bs epochs=${epochs.map(_.length)} ids=$ids")
+      ids.dropRight(1).foreach(id => assert(sizes(id) == bs))
+      // odometer prefix in batch order, no restart per epoch
+      assert(out.map(_._3).distinct.sorted.toSeq == ids.map(i => f"b-$i%05d.tar"))
+      // batch order follows global manifest order
+      assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted)
+    }
+  }
+
+  test("empty manifest directory yields an empty frame, no query failure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lhotse_empty").toFile
+    val out = LhotseStream.runBatches(spark, dir.getAbsolutePath, 4, "b-%03d.tar")
+    assert(out.isEmpty)
+  }
+}

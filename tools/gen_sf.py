@@ -79,8 +79,8 @@ write("orders",
       o_custkey=pa.array(rng.integers(0, NCUST, NORD), pa.int64()),
       o_orderstatus=np.array(["O", "P", "F"])[rng.integers(0, 3, NORD)],
       o_totalprice=np.round(rng.uniform(1000, 500000, NORD), 2),
-      o_orderdate=pa.array((d0 + odate_days).astype("datetime64[us]"),
-                           pa.timestamp("us")),
+      o_orderdate=pa.array((d0 + odate_days).astype("datetime64[ms]"),
+                           pa.timestamp("ms")),
       o_orderpriority=np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
                                 "4-NOT SPECIFIED", "5-LOW"])[rng.integers(0, 5, NORD)])
 
@@ -100,8 +100,8 @@ write("lineitem",
       l_tax=np.round(rng.integers(0, 9, NLI) / 100.0, 2),
       l_returnflag=np.array(["A", "N", "R"])[rng.integers(0, 3, NLI)],
       l_linestatus=np.array(["F", "O"])[rng.integers(0, 2, NLI)],
-      l_shipdate=pa.array((s0 + rng.integers(0, 2499, NLI)).astype("datetime64[us]"),
-                          pa.timestamp("us")))
+      l_shipdate=pa.array((s0 + rng.integers(0, 2499, NLI)).astype("datetime64[ms]"),
+                          pa.timestamp("ms")))
 
 # --- events: 30 days, sorted ts, exponential(50) value ---
 NEV = int(1_000_000 * SF)
@@ -110,7 +110,8 @@ t0 = np.datetime64("2024-01-01T00:00:00.000000")
 offs = np.sort(rng.uniform(0, 30 * 86400 * 1e6, NEV)).astype(np.int64)
 write("events",
       event_id=pa.array(range(NEV), pa.int64()),
-      ts=pa.array((t0 + offs.astype("timedelta64[us]")), pa.timestamp("us")),
+      ts=pa.array((t0 + offs.astype("timedelta64[us]")).astype("datetime64[ns]"),
+                  pa.timestamp("ns")),
       user_id=pa.array(rng.integers(0, NUSERS, NEV), pa.int64()),
       event_type=np.array(["click", "error", "purchase", "signup",
                            "view"])[rng.integers(0, 5, NEV)],
