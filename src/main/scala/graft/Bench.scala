@@ -21,9 +21,14 @@ object Bench {
     try shards.TarFixtures.ensure(spark, sfDir) catch { case _: Throwable => }
     try SparkEntry.queries.get("nbi_snapshot_listing").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
+    // optional comma-separated name filter for local single-query
+    // iteration (unset in the driver's full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (k, _) => f(k) })
     // two timed passes, min per query: steady-state time, not
     // first-touch noise (page cache, codegen of this exact plan)
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

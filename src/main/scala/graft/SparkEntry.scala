@@ -173,7 +173,12 @@ object SparkEntry {
         .join(o.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
         .withColumn("o_year", year(col("o_orderdate")).cast("long"))
         .groupBy("nation", "o_year")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("profit"))
+        // decimal accumulation: per-row double products are identical in
+        // both engines, but a double SUM over millions of rows per group
+        // diverges in the last cent with partition order (observed at the
+        // sf1 scale step); the exact decimal sum is associative
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2).as("profit"))
         .orderBy(col("nation").asc, col("o_year").desc)
     }),
 
@@ -1474,7 +1479,7 @@ object SparkEntry {
 
     "q9_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS profit
         |FROM lineitem, part, supplier, nation, orders
         |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
         |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey

@@ -232,18 +232,21 @@ object OracleCte {
       |)""".stripMargin
 
   /** TAR-fixture derivation — mirrors `graft.shards.TarFixtures.membersDf`.
-    * Must follow `members` in the CTE list. */
+    * Must follow `members` in the CTE list. `onum` is the FULL digit run
+    * of the source shard (identical to the old 5-char substr at ≤ sf0.1,
+    * where keys fit %05d; un-truncated at sf1+ where pad0 overflows). */
   val tarfix: String =
     """tarfix AS (
-      |  SELECT printf('tshard-%03d.tar', CAST(substr(shard, 14, 5) AS INT) % 256) AS shard,
-      |    substr(shard, 14, 5) || '/' || member AS member,
-      |    substr(shard, 14, 5) || '/' || sample_key AS sample_key,
+      |  SELECT printf('tshard-%03d.tar', CAST(onum AS INT) % 256) AS shard,
+      |    onum || '/' || member AS member,
+      |    onum || '/' || sample_key AS sample_key,
       |    ext,
       |    CAST(size % 499 AS BIGINT) AS psize,
-      |    substr(repeat(substr(shard, 14, 5) || '/' || sample_key || '|',
-      |             CAST(size % 499 AS INT) // (length(sample_key) + 7) + 1),
+      |    substr(repeat(onum || '/' || sample_key || '|',
+      |             CAST(size % 499 AS INT) // (length(onum) + length(sample_key) + 2) + 1),
       |           1, CAST(size % 499 AS INT)) AS payload_str
-      |  FROM members WHERE bucket = 'bck0'
+      |  FROM (SELECT regexp_extract(shard, 'shard-(\d+)\.tar', 1) AS onum, *
+      |        FROM members WHERE bucket = 'bck0')
       |)""".stripMargin
 
   /** Dedup test corpus: documents plus injected duplicates (every 10th

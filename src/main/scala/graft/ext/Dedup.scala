@@ -137,8 +137,11 @@ object Dedup {
     // together (the totals + semi-join two-branch shape scans and
     // shuffles the big gram table twice for the same numbers)
     val grams = ngramSet(corpus, n, idCol, textCol)
-    val bench = ngramSet(benchmark, n, idCol, textCol)
-      .select("gram").distinct().withColumn("_hit", lit(1L))
+    // benchmark sets are small by definition (public eval suites) —
+    // broadcast explicitly so the corpus gram table never shuffles for
+    // the join, at 100 TB as at sf0.1
+    val bench = broadcast(ngramSet(benchmark, n, idCol, textCol)
+      .select("gram").distinct().withColumn("_hit", lit(1L)))
     grams.join(bench, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -172,8 +175,15 @@ object Dedup {
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // initial labels already fold in the direct neighborhood —
+    // component₀(id) = min(id, min neighbor) — which is exactly what the
+    // first loop iteration would compute from identity labels; starting
+    // there saves one full join+groupBy round (the same single groupBy
+    // the identity init needed anyway, since every node appears as src
+    // of some bidirectional edge)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("_n"))
+      .select(col("id"), least(col("id"), col("_n")).as("component"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0

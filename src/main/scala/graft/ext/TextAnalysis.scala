@@ -31,39 +31,76 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(stopwordRegex(Stopwords(lang))), lit(0))).cast("long")
 
   /** Quality features + composite score (length / stopword-ratio /
-    * repetition), deterministic and rounded for cross-engine equality. */
+    * repetition), deterministic and rounded for cross-engine equality.
+    *
+    * Execution shape (values unchanged): the text is tokenized ONCE into
+    * a temp array column instead of re-splitting per feature, and when
+    * the input already carries [[langId]]'s `votes_en` column the
+    * English stopword count is reused instead of a second regex scan —
+    * the langId ∘ quality composition (every corpus-cleaning query) then
+    * pays ONE stopword pass total. Regex over text is the dominant
+    * per-row cost of the cleaning stage; measured 2.1 → ~1 s at sf0.1. */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_chars2", length(t).cast("long"))
-      .withColumn("n_tokens", tokenCount(t))
-      .withColumn("n_uniq_tokens", size(array_distinct(whitespaceTokens(t))).cast("long"))
+    val sw: Column =
+      if (df.columns.contains("votes_en")) col("votes_en") else stopwordCount(t)
+    df.withColumn("_w", whitespaceTokens(t))
+      .withColumn("n_chars2", length(t).cast("long"))
+      .withColumn("n_tokens", size(col("_w")).cast("long"))
+      .withColumn("n_uniq_tokens", size(array_distinct(col("_w"))).cast("long"))
       .withColumn("stopword_ratio",
-        round(stopwordCount(t).cast("double") / tokenCount(t), 4))
+        round(sw.cast("double") / col("n_tokens"), 4))
       .withColumn("uniq_ratio",
         round(col("n_uniq_tokens").cast("double") / col("n_tokens"), 4))
       .withColumn("avg_token_len",
-        round((length(t) - (tokenCount(t) - 1)).cast("double") / tokenCount(t), 4))
+        round((col("n_chars2") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4))
       .withColumn("quality_score",
         round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
           + col("uniq_ratio") * 0.4
           + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.2, 4))
+      .drop("_w")
   }
 
   /** n-gram/stopword voting language-ID: count stopword hits per
     * language, pick the argmax (ties broken by language code order).
-    * A heuristic — scored for determinism, not against ground truth. */
+    * A heuristic — scored for determinism, not against ground truth.
+    *
+    * One UNION-alternation regex scan extracts every stopword hit of any
+    * language; per-language votes are membership counts over the matched
+    * tokens. Counts are identical to a per-language regex pass — the
+    * `\b(..|..)\b` alternation matches exact whole tokens regardless of
+    * alternation order (a prefix alternative that fails the trailing \b
+    * backtracks), and a token shared by two languages (fr/es "la")
+    * counts toward both, exactly as two separate regexes would — but the
+    * text is scanned once instead of once per language. */
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val votes = Stopwords.keys.toSeq.sorted.map(l =>
-      stopwordCount(t, l).as(s"votes_$l"))
-    val withVotes = df.select(col("*") +: votes: _*)
     val langs = Stopwords.keys.toSeq.sorted
-    val best = langs.tail.foldLeft((col(s"votes_${langs.head}"), lit(langs.head))) {
-      case ((bestV, bestL), l) =>
-        (when(col(s"votes_$l") > bestV, col(s"votes_$l")).otherwise(bestV),
-          when(col(s"votes_$l") > bestV, lit(l)).otherwise(bestL))
+    val allWords = Stopwords.values.flatten.toSeq.distinct.sorted
+    val unionRe = "\\b(" + allWords.mkString("|") + ")\\b"
+    val withHits = df.withColumn("_swhits",
+      regexp_extract_all(col(textCol), lit(unionRe), lit(1)))
+    val votes = langs.map { l =>
+      val ws = Stopwords(l)
+      size(filter(col("_swhits"), h => h.isInCollection(ws))).cast("long").as(s"votes_$l")
     }
-    withVotes.withColumn("pred_lang", when(best._1 > 0, best._2).otherwise(lit("unknown")))
+    val withVotes = withHits.select(col("*") +: votes: _*)
+    // argmax as ONE `greatest` over (votes, reverse-rank) structs — ties
+    // pick the larger rank = the earlier language code, exactly the
+    // previous when-chain's first-wins semantics. The chain nested each
+    // vote inside every later comparison, so after Catalyst project
+    // collapsing the regex/vote tree re-evaluated exponentially many
+    // times per row (the dominant cost of the corpus-cleaning stage at
+    // sf0.1); `greatest` references each vote column exactly once.
+    val ranked = langs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"votes_$l").as("v"), lit(langs.length - 1 - i).as("r"))
+    }
+    val best = greatest(ranked: _*)
+    withVotes
+      .withColumn("pred_lang",
+        when(best.getField("v") > 0,
+          element_at(typedLit(langs.reverse), (best.getField("r") + 1).cast("int")))
+          .otherwise(lit("unknown")))
+      .drop("_swhits")
   }
 
   /** Word n-gram array in document order (duplicates kept — frequency

@@ -28,7 +28,11 @@ object TarFixtures {
   def membersDf(spark: SparkSession, sfDir: String): DataFrame =
     DerivedCatalog.members(spark, sfDir)
       .where(col("bucket") === "bck0")
-      .withColumn("_onum", substring(col("shard"), 14, 5))
+      // FULL digit run, not a fixed-width substring: pad0 overflows to
+      // 6-7 digits at sf1+, and a 5-char prefix would collide distinct
+      // orders into the same member path (duplicate names in one tar,
+      // ambiguous sort ties vs the closed-form oracle offsets)
+      .withColumn("_onum", regexp_extract(col("shard"), "shard-(\\d+)\\.tar", 1))
       .select(
         format_string("tshard-%03d.tar", col("_onum").cast("int") % 256).as("shard_name"),
         concat(col("_onum"), lit("/"), col("member")).as("member"),
