@@ -910,13 +910,13 @@ object SparkEntry {
     // generation by shingle join is quadratic in shared-shingle counts;
     // nearDupMinhashLsh is the scale path. The slice keeps every
     // injected duplicate pair (dup id = original + 10^6 ≡ same mod 10).
+    // Candidates via exact prefix filtering (zero recall loss, see
+    // Dedup.prefixCandidates): same pair set as the oracle's full token
+    // self-join, without the quadratic hot-shingle blowup — the raw
+    // self-join scaled ×21 at the sf0.1→sf1 step.
     "dedup_jaccard" -> ((s, d) => {
       val sh = ext.Dedup.shingles(dedupCorpus(s, d).where(col("doc_id") % 10 === 0))
-      val cands = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      ext.Dedup.verifyJaccard(cands, sh, 0.8).orderBy("doc_a", "doc_b")
+      ext.Dedup.jaccardSelfJoin(sh, 0.8).orderBy("doc_a", "doc_b")
     }),
 
     "dedup_simhash" -> ((s, d) =>
@@ -927,11 +927,7 @@ object SparkEntry {
     // dedup_jaccard so the oracle's recursive CTE sees identical edges).
     "dedup_components" -> ((s, d) => {
       val sh = ext.Dedup.shingles(dedupCorpus(s, d).where(col("doc_id") % 10 === 0))
-      val cands = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val pairs = ext.Dedup.verifyJaccard(cands, sh, 0.8).select("doc_a", "doc_b")
+      val pairs = ext.Dedup.jaccardSelfJoin(sh, 0.8).select("doc_a", "doc_b")
       ext.Dedup.connectedComponents(pairs).orderBy("doc_id")
     }),
 
@@ -1066,12 +1062,19 @@ object SparkEntry {
     }),
 
     // IVF-bucketed ANN — scale path; rows-only check, agreement with
-    // brute force covered in ExtensionsSpec.
+    // brute force covered in ExtensionsSpec. The cell count is an INDEX
+    // PARAMETER (~128 cells), not a data-derived quantity: a fixed `% 31`
+    // stride made #cells grow with the corpus, so the broadcast-argmin
+    // assignment was O(n²/31) — measured ×14.4 at the sf0.1→sf1 scale
+    // step. The adaptive stride caps cells and keeps assignment one
+    // linear scan at any corpus size (at 100 TB you'd raise the cap to
+    // ~64k cells, still corpus-independent).
     "embed_knn_ivf" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
+      val stride = math.max(31L, emb.count() / 128L)
       ext.Similarity.ivfTopK(emb,
         emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
-        centroids = emb.where(col("vec_id") % 31 === 0),
+        centroids = emb.where(col("vec_id") % stride === 0),
         k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
@@ -1094,10 +1097,15 @@ object SparkEntry {
 
     // k-means/IVF "assignment" step: nearest-centroid cell per vector via
     // the zero-shuffle broadcast-argmin fold (centroids = deterministic
-    // corpus sample, so the oracle can rebuild them).
+    // corpus sample, so the oracle can rebuild them). Stride grows with
+    // the corpus so #cells stays a capped index parameter (~128) —
+    // assignment cost n × cells stays LINEAR in n (a fixed stride made
+    // it O(n²/100)); the oracle recomputes the identical stride from
+    // count(*) with the same integer arithmetic.
     "embed_cell_assign" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
-      ext.Similarity.assignCells(emb, emb.where(col("vec_id") % 100 === 0))
+      val stride = math.max(100L, emb.count() / 128L)
+      ext.Similarity.assignCells(emb, emb.where(col("vec_id") % stride === 0))
         .select("vec_id", "cell_id")
         .orderBy("vec_id")
     }),
@@ -2330,9 +2338,11 @@ object SparkEntry {
         |ORDER BY vec_id, pos""".stripMargin,
 
     "embed_cell_assign" ->
-      """WITH cents AS (
+      """WITH stride AS (
+        |  SELECT GREATEST(100, COUNT(*) // 128) AS s FROM embeddings),
+        |cents AS (
         |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |  FROM embeddings WHERE vec_id % (SELECT s FROM stride) = 0),
         |d AS (SELECT e.vec_id, c.cell_id,
         |        -list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) /
         |          sqrt(list_dot_product(c.cv, c.cv)) AS dist

@@ -76,6 +76,52 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Exact set-similarity candidate generation via PREFIX FILTERING
+    * (AllPairs — Bayardo et al., WWW'07; PPJoin — Xiao et al., WWW'08):
+    * under any global token order, two sets with Jaccard >= t must share
+    * a token within their first `n - ceil(t*n) + 1` tokens, so joining
+    * on prefix tokens only is EXACT — zero recall loss vs the full
+    * token self-join — while the quadratic blowup concentrates in the
+    * pruned suffixes. Ordering tokens by ascending document frequency
+    * puts the rarest (smallest join groups) in the prefixes: the hot
+    * shingles shared by everybody land in suffixes and never generate a
+    * candidate. A length filter (t*max(|a|,|b|) <= min(|a|,|b|), another
+    * J >= t necessary condition) prunes cross-size pairs in the join.
+    *
+    * The ceil() guards subtract 1e-6 before ceiling: double rounding of
+    * t*n can land epsilon ABOVE the exact rational value and ceil one
+    * too high (a too-short prefix loses pairs); the subtraction can only
+    * lengthen a prefix — conservative, never lossy.
+    *
+    * Scale: two shuffles (frequency groupBy, prefix self-join) on
+    * shingle + one doc-partitioned window — no global sort, no
+    * all-pairs. This is the exact-ground-truth analog of [[lshBands]]:
+    * use LSH when approximate recall is acceptable, this when the exact
+    * pair set is required (e.g. oracle-checkable dedup clustering). */
+  def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val pref = sh.join(freq, Seq("shingle"))
+      .withColumn("_pos", row_number().over(byDoc.orderBy(col("_df").asc, col("shingle").asc)))
+      .withColumn("_n", count(lit(1)).over(byDoc))
+      .where(col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n") - 1e-6) + 1)
+      .select(col("doc_id"), col("shingle"), col("_n"))
+    pref.select(col("doc_id").as("doc_a"), col("shingle"), col("_n").as("_na"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"), col("_n").as("_nb")),
+        Seq("shingle"))
+      .where(col("doc_a") < col("doc_b") &&
+        least(col("_na"), col("_nb")).cast("double") >=
+          lit(threshold) * greatest(col("_na"), col("_nb")) - 1e-6)
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard self-join: prefix-filtered candidates + exact
+    * verification — identical output to the full quadratic token
+    * self-join at the same threshold. */
+  def jaccardSelfJoin(sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(prefixCandidates(sh, threshold), sh, threshold)
+
   /** Exact Jaccard verification of candidate pairs against the shingle
     * sets; keeps pairs with jaccard >= threshold. */
   def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {

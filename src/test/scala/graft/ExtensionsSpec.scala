@@ -162,6 +162,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact.forall(_.getDouble(2) == 1.0))
   }
 
+  test("prefix-filtered jaccard self-join is EXACT vs the full token self-join") {
+    // adversarial mix: hot shared shingles, near-threshold pairs, varied
+    // sizes — plus the sf0.001 corpus with injected exact+near dups
+    val crafted = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),   // 8/12-ish jaccard vs 1
+      (3L, "a b c d e f g h i j"),   // exact dup of 1
+      (4L, "a b c x y z q r s t"),   // partial overlap
+      (5L, "z z z z z z z z z z"),   // degenerate single-shingle doc
+      (6L, "m n o p q r s t u v w x y z a b c d e f"),
+      (7L, "completely different words here nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    for ((corpus, t) <- Seq((crafted, 0.5), (crafted, 0.8),
+                            (corpusWithDups, 0.8), (corpusWithDups, 0.3))) {
+      val sh = Dedup.shingles(corpus)
+      val brute = {
+        val cands = sh.select($"doc_id".as("doc_a"), $"shingle")
+          .join(sh.select($"doc_id".as("doc_b"), $"shingle"), Seq("shingle"))
+          .where($"doc_a" < $"doc_b").select("doc_a", "doc_b").distinct()
+        Dedup.verifyJaccard(cands, sh, t)
+      }.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fast = Dedup.jaccardSelfJoin(sh, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == brute, s"threshold $t: prefix filter lost or invented pairs")
+    }
+  }
+
   test("simhash: identical texts collide, signature is 16 bits") {
     val sigs = Dedup.simhash16(corpusWithDups).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
