@@ -189,6 +189,16 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("prefix-candidate plan: equi-join on the token, no all-pairs fallback") {
+    val plan = Dedup.prefixCandidates(Dedup.shingles(corpusWithDups), 0.8)
+      .queryExecution.executedPlan.toString
+    // the whole point is an equi-join on the (rare) prefix tokens — a
+    // planner fallback to a nested-loop/cartesian would silently restore
+    // the quadratic behavior this operator removes
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(20).mkString("\n"))
+  }
+
   test("simhash: identical texts collide, signature is 16 bits") {
     val sigs = Dedup.simhash16(corpusWithDups).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
