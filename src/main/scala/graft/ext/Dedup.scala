@@ -27,17 +27,22 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word 3-gram shingles, distinct per document. */
+  /** Word 3-gram shingles, distinct per document.
+    *
+    * The dedup is per (doc_id, shingle), i.e. WITHIN each document — so
+    * it is done map-side with `array_distinct` (hash-set, linear in doc
+    * length) instead of a global `.distinct()`, which shuffled the
+    * entire exploded shingle table just to dedup rows that never leave
+    * their document. Zero-shuffle; identical output. */
   def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
         split(trim(col(textCol)), "\\s+").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")))
           .as("shingle"))
-      .distinct()
 
   /** MinHash signature: for seeds 0..n-1, the minimum of
     * `md5(seed || ':' || shingle)` — a valid uniform min-hash family over
@@ -142,11 +147,14 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline. The shingle table is referenced
-    * four times downstream (minhash + the three verification joins), but
-    * NOT materialized here: all references land in one physical plan
-    * where Catalyst's ReuseExchange deduplicates the identical
-    * shingle-distinct shuffle, so an explicit checkpoint only adds
-    * materialization cost (measured: ~13% slower at sf0.1). */
+    * four times downstream (minhash + the three verification joins) and
+    * NOT materialized: shingle expansion is now a zero-shuffle map-side
+    * projection (array_distinct), so each consumer recomputes it off the
+    * scan — cheaper than materializing (checkpoint measured ~13% slower
+    * at sf0.1 back when a distinct-shuffle was reused via ReuseExchange;
+    * dropping that shuffle measured neutral locally but removes the full
+    * exploded-table shuffle that preceded every downstream partial agg —
+    * the dominant shuffle volume at real scale). */
   def nearDupMinhashLsh(docs: DataFrame, threshold: Double = 0.5,
                         numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
     val sh = shingles(docs)
@@ -164,10 +172,9 @@ object Dedup {
         split(trim(col(textCol)), "\\s+").as("w"))
       .where(size(col("w")) >= n)
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+        explode(array_distinct(expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")))
           .as("gram"))
-      .distinct()
 
   /** Benchmark-contamination check: for every corpus document, the
     * fraction of its distinct word n-grams that also appear in the
@@ -261,8 +268,8 @@ object Dedup {
     * Output: (doc_id, simhash) with simhash a 16-char '0'/'1' string. */
   def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tokens = docs
-      .select(col(idCol).as("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .distinct()
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
     val bitCols = (0 until 16).map { b =>
       sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"_b$b")
