@@ -2216,13 +2216,13 @@ object SparkEntry {
         |    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
         |    FROM (
         |      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |      FROM (SELECT doc_id, seed // 3 AS band, md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
-        |            FROM (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+        |      FROM (SELECT doc_id, seed // 3 AS band, md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+        |            FROM (SELECT doc_id, seed, min(CAST(('0x' || substr(md5((seed // 4) || ':' || shingle), 1 + 8*(seed % 4), 8)) AS BIGINT)) AS h
         |                  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
         |                  GROUP BY doc_id, seed)
         |            GROUP BY doc_id, seed // 3) a
-        |      JOIN (SELECT doc_id, seed // 3 AS band, md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
-        |            FROM (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+        |      JOIN (SELECT doc_id, seed // 3 AS band, md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+        |            FROM (SELECT doc_id, seed, min(CAST(('0x' || substr(md5((seed // 4) || ':' || shingle), 1 + 8*(seed % 4), 8)) AS BIGINT)) AS h
         |                  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
         |                  GROUP BY doc_id, seed)
         |            GROUP BY doc_id, seed // 3) b
@@ -2528,13 +2528,13 @@ object SparkEntry {
         |      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
         |      FROM (
         |        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |        FROM (SELECT doc_id, seed // 3 AS band, md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
-        |              FROM (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+        |        FROM (SELECT doc_id, seed // 3 AS band, md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+        |              FROM (SELECT doc_id, seed, min(CAST(('0x' || substr(md5((seed // 4) || ':' || shingle), 1 + 8*(seed % 4), 8)) AS BIGINT)) AS h
         |                    FROM shc CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
         |                    GROUP BY doc_id, seed)
         |              GROUP BY doc_id, seed // 3) a
-        |        JOIN (SELECT doc_id, seed // 3 AS band, md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
-        |              FROM (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+        |        JOIN (SELECT doc_id, seed // 3 AS band, md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+        |              FROM (SELECT doc_id, seed, min(CAST(('0x' || substr(md5((seed // 4) || ':' || shingle), 1 + 8*(seed % 4), 8)) AS BIGINT)) AS h
         |                    FROM shc CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
         |                    GROUP BY doc_id, seed)
         |              GROUP BY doc_id, seed // 3) b

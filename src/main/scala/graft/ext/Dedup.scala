@@ -27,34 +27,66 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word 3-gram shingles, distinct per document.
+  /** Word 3-gram shingles, distinct per document:
+    * (doc_id, shingle, n) with n = the document's distinct-shingle count.
     *
     * The dedup is per (doc_id, shingle), i.e. WITHIN each document — so
     * it is done map-side with `array_distinct` (hash-set, linear in doc
     * length) instead of a global `.distinct()`, which shuffled the
     * entire exploded shingle table just to dedup rows that never leave
-    * their document. Zero-shuffle; identical output. */
+    * their document. Zero-shuffle; identical rows.
+    *
+    * `n` rides along from `size()` of the same array — consumers that
+    * need per-document set sizes (Jaccard verification, prefix filtering)
+    * read it off the row instead of re-aggregating the whole table with
+    * a groupBy or window, which re-ran the expansion once more per use. */
   def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"),
-        split(trim(col(textCol)), "\\s+").as("w"))
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")))
-          .as("shingle"))
+        array_distinct(expr(
+          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+          .as("sh"))
+      // explode_OUTER, deliberately: plain explode triggers
+      // InferFiltersFromGenerate, whose size(sh)>0 filter gets pushed
+      // through the projection with `sh` substituted by its definition —
+      // the whole split+transform+array_distinct tree re-evaluated
+      // (interpreted!) in the filter AND the scan's DataFilters; measured
+      // 73 s vs 3.7 s at sf1. Outer generate is exempt, and the
+      // size(w)>=3 guard means the array is never empty, so the outputs
+      // are identical.
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"),
+        size(col("sh")).cast("long").as("n"))
 
-  /** MinHash signature: for seeds 0..n-1, the minimum of
-    * `md5(seed || ':' || shingle)` — a valid uniform min-hash family over
-    * the md5 string order, deterministic across engines.
+  /** MinHash signature: hash s is the s%4-th 32-bit lane of
+    * `md5(s/4 || ':' || shingle)` — ⌈n/4⌉ md5 evaluations per shingle
+    * row instead of n, with every lane a genuinely independent hash
+    * (disjoint bits of independent digests). The n-md5 family this
+    * replaces was the hottest compute in the whole bench at sf1 (~18 s
+    * of dedup_minhash_lsh's 21 s); minima also compare longs now, not
+    * 32-char hex strings. The oracle mirrors a lane exactly as
+    * `CAST('0x' || substr(md5(seed//4 || ':' || shingle), 1+8*(seed%4), 8) AS BIGINT)`.
     *
-    * Computed WIDE: all n minima in one groupBy pass (n min-aggregates)
-    * instead of exploding shingles ×n and re-shuffling — same values,
-    * one shuffle, no row blowup. Output: (doc_id, h0..h{n-1}). */
+    * NOT the Kirsch–Mitzenmacher `h1 + s·h2` trick: linear combinations
+    * are fine for Bloom filters but are a broken MINHASH family — the
+    * argmin is sticky across adjacent seeds (a shingle with small h1 and
+    * small h2 wins every seed), so 3-seed bands collide en masse.
+    * Measured at sf1: 1.40 M candidate pairs vs 8.1 k for the same 6.3 k
+    * true pairs — the verify stage ate the 170× blowup.
+    *
+    * Computed WIDE: all n minima in one groupBy pass (n min-aggregates
+    * over pre-projected lane columns — aggregate expressions don't share
+    * subexpressions, so the md5s must be plain columns BEFORE the
+    * groupBy) — one shuffle of map-side-combined partials, no row
+    * blowup. Output: (doc_id, h0..h{n-1}) as longs. */
   def minhash(sh: DataFrame, numHashes: Int = 12): DataFrame = {
-    val mins = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"h$s"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val lanes = sh.select(col("doc_id") +: (0 until numHashes).map { s =>
+      val digest = md5(concat(lit((s / 4).toString), lit(":"), col("shingle")))
+      conv(substring(digest, 1 + 8 * (s % 4), 8), 16, 10).cast("long").as(s"_l$s")
+    }: _*)
+    val mins = (0 until numHashes).map(s => min(col(s"_l$s")).as(s"h$s"))
+    lanes.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over the wide signature: band b's hash is md5 of the
@@ -109,11 +141,10 @@ object Dedup {
     val byDoc = Window.partitionBy("doc_id")
     val pref = sh.join(freq, Seq("shingle"))
       .withColumn("_pos", row_number().over(byDoc.orderBy(col("_df").asc, col("shingle").asc)))
-      .withColumn("_n", count(lit(1)).over(byDoc))
-      .where(col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n") - 1e-6) + 1)
-      .select(col("doc_id"), col("shingle"), col("_n"))
-    pref.select(col("doc_id").as("doc_a"), col("shingle"), col("_n").as("_na"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"), col("_n").as("_nb")),
+      .where(col("_pos") <= col("n") - ceil(lit(threshold) * col("n") - 1e-6) + 1)
+      .select(col("doc_id"), col("shingle"), col("n"))
+    pref.select(col("doc_id").as("doc_a"), col("shingle"), col("n").as("_na"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"), col("n").as("_nb")),
         Seq("shingle"))
       .where(col("doc_a") < col("doc_b") &&
         least(col("_na"), col("_nb")).cast("double") >=
@@ -128,23 +159,23 @@ object Dedup {
     verifyJaccard(prefixCandidates(sh, threshold), sh, threshold)
 
   /** Exact Jaccard verification of candidate pairs against the shingle
-    * sets; keeps pairs with jaccard >= threshold. */
-  def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+    * sets; keeps pairs with jaccard >= threshold. Set sizes come off the
+    * shingle rows themselves ([[shingles]]'s `n` column) — the old
+    * separate `sizes` groupBy was a THIRD full evaluation of the shingle
+    * expansion plus two extra joins. */
+  def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle"), col("n").as("n_b")),
+        Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_inter"), min("n_a").as("n_a"), min("n_b").as("n_b"))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 4))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** Full MinHash-LSH near-dup pipeline. The shingle table is referenced
     * four times downstream (minhash + the three verification joins) and

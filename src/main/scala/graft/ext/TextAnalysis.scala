@@ -182,5 +182,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(
         min(md5(col("shingle").cast("binary"))).as("fingerprint"),
-        countDistinct("shingle").as("n_shingles"))
+        // shingles are already distinct per doc and carry their count —
+        // min(n) avoids the Expand a countDistinct-plus-agg plan needs
+        min(col("n")).as("n_shingles"))
 }
