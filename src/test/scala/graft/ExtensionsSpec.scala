@@ -189,6 +189,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("shingle expansion is evaluated once per row (InferFiltersFromGenerate guard)") {
+    // plain explode of a projected array alias gets an inferred
+    // size()>0 filter pushed through the projection with the whole
+    // split+transform+array_distinct tree substituted in — evaluated
+    // interpreted per row in the filter and the scan's DataFilters
+    // (measured 73 s vs 3.7 s at sf1). shingles() uses explode_outer to
+    // stay exempt; this guard fails if the single evaluation regresses.
+    val plan = Dedup.shingles(docs).queryExecution.executedPlan.toString
+    assert("array_distinct\\(".r.findAllIn(plan).length == 1,
+      plan.linesIterator.take(12).mkString("\n"))
+    assert("transform\\(".r.findAllIn(plan).length == 1,
+      plan.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("LSH candidate volume stays within a sane multiple of true pairs") {
+    // a bad minhash family (e.g. the rejected h1+s*h2 linear
+    // combination) makes per-seed argmins sticky across adjacent seeds:
+    // bands collide en masse and candidates exploded 170× at sf1 while
+    // verified pairs stayed fixed. Bound the ratio so a family
+    // regression fails here, not in a scale run.
+    val sh = Dedup.shingles(corpusWithDups)
+    val cands = Dedup.candidatePairs(Dedup.lshBands(Dedup.minhash(sh, 12), 3)).count()
+    val verified = Dedup.nearDupMinhashLsh(corpusWithDups, 0.5).count()
+    assert(verified > 0)
+    assert(cands <= 20 * verified,
+      s"candidate blowup: $cands candidates for $verified verified pairs")
+  }
+
   test("prefix-candidate plan: equi-join on the token, no all-pairs fallback") {
     val plan = Dedup.prefixCandidates(Dedup.shingles(corpusWithDups), 0.8)
       .queryExecution.executedPlan.toString
