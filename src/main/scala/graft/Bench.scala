@@ -31,6 +31,15 @@ object Bench {
     def pass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // drop this query's localCheckpoint blocks (cumsum machinery, CC
+      // iterations) before the next query: blocks pinned across 119
+      // queries in one JVM degrade later queries — measured repeat runs
+      // of the same LSH pipeline going 25 → 33 s as blocks accumulated.
+      // Cleanup time is charged to the query that made the mess (inside
+      // the timer would be wrong the other way: it's not query work, but
+      // leaving it outside lets a block-heavy query pollute its
+      // neighbor; charge it before reading the clock).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = pass(); val p2 = pass()
