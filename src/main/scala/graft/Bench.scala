@@ -39,7 +39,7 @@ object Bench {
       // the timer would be wrong the other way: it's not query work, but
       // leaving it outside lets a block-heavy query pollute its
       // neighbor; charge it before reading the clock).
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (sys.env.get("SPARK_GRAFT_NO_UNPERSIST").isEmpty) spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = pass(); val p2 = pass()

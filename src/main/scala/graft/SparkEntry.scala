@@ -922,6 +922,24 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       ext.Dedup.simhash16(Tables.load(s, d, "documents")).orderBy("doc_id")),
 
+    // Line-level exact dedup (C4-style boilerplate strip): synthesize
+    // multi-line "pages" (4 docs each, framed by a shared header and a
+    // 3-variant footer — the repeated-across-pages boilerplate this op
+    // exists to remove), keep only the globally first occurrence of
+    // every exact line. Header/footer lines dedup across pages; body
+    // lines survive.
+    "dedup_lines" -> ((s, d) => {
+      val pages = Tables.load(s, d, "documents")
+        .groupBy(expr("doc_id div 4").as("page_id"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(doc_id, text))), x -> x.text)"),
+          "\n").as("body"))
+        .select(col("page_id"),
+          concat(lit("HEADER boilerplate\n"), col("body"),
+            lit("\nFOOTER "), (col("page_id") % 3).cast("string")).as("text"))
+      ext.Dedup.lineDedup(pages).orderBy("page_id", "line_idx")
+    }),
+
     // Pairs → clusters: connected components by min-label propagation
     // over the exact-Jaccard pair table (same deterministic slice as
     // dedup_jaccard so the oracle's recursive CTE sees identical edges).
@@ -1190,6 +1208,57 @@ object SparkEntry {
           col("image_meta.width").as("width"),
           col("image_meta.height").as("height"),
           col("out_width"), col("out_height"))
+        .orderBy("shard", "member")
+    }),
+
+    // Audio leg of §7.6: fixture members become ACTUAL 16-bit PCM WAV
+    // bytes whose format derives from psize; the pipeline walks the real
+    // RIFF chunk list back out and derives duration column-side.
+    "multimodal_audio" -> ((s, d) => {
+      val src = shards.TarFixtures.membersDf(s, d)
+        .where(col("ext") === "cls")
+        .orderBy("member").limit(1000)
+        .select(col("shard_name").as("shard"), col("member"),
+          element_at(
+            array(lit(8000), lit(16000), lit(44100)),
+            (col("psize") % 3).cast("int") + 1).as("sr"),
+          (col("psize") % 2 + 1).cast("int").as("ch"),
+          (col("psize") % 100 + 1).cast("int").as("frames"))
+      val wavs = ext.Multimodal.encodeWavFixture(src)
+      ext.Multimodal.withAudioMeta(wavs)
+        .select(col("shard"), col("member"),
+          col("audio_meta.channels").as("channels"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.bits_per_sample").as("bits_per_sample"),
+          col("audio_meta.n_frames").as("n_frames"),
+          expr("audio_meta.n_frames * 1000 div audio_meta.sample_rate").as("duration_ms"))
+        .orderBy("shard", "member")
+    }),
+
+    // Video leg of §7.6: fixture members become ACTUAL ISO BMFF (MP4)
+    // box structures; the pipeline walks the box tree back out (ftyp
+    // brand, mvhd timescale/duration, trak count, stsz sample count)
+    // and derives wall-clock duration column-side.
+    "multimodal_video" -> ((s, d) => {
+      val src = shards.TarFixtures.membersDf(s, d)
+        .where(col("ext") === "cls")
+        .orderBy("member").limit(1000)
+        .select(col("shard_name").as("shard"), col("member"),
+          element_at(
+            array(lit(600), lit(1000), lit(90000)),
+            (col("psize") % 3).cast("int") + 1).as("timescale"),
+          ((col("psize") % 5000 + 1) * 100).cast("long").as("duration"),
+          (col("psize") % 2 + 1).cast("int").as("n_tracks"),
+          (col("psize") % 240 + 1).cast("long").as("frames"))
+      val mp4s = ext.Multimodal.encodeMp4Fixture(src)
+      ext.Multimodal.withVideoMeta(mp4s)
+        .select(col("shard"), col("member"),
+          col("video_meta.major_brand").as("major_brand"),
+          col("video_meta.timescale").as("timescale"),
+          col("video_meta.duration").as("duration"),
+          col("video_meta.n_tracks").as("n_tracks"),
+          col("video_meta.n_frames").as("n_frames"),
+          expr("video_meta.duration * 1000 div video_meta.timescale").as("duration_ms"))
         .orderBy("shard", "member")
     }),
 
@@ -2643,6 +2712,45 @@ object SparkEntry {
         |                  WHERE ext = 'jpg' ORDER BY member LIMIT 1000)))
         |ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
+
+    "multimodal_audio" -> o(
+      """SELECT shard, member,
+        |  CAST(psize % 2 + 1 AS INT) AS channels,
+        |  ([8000, 16000, 44100])[CAST(psize % 3 AS INT) + 1] AS sample_rate,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(psize % 100 + 1 AS BIGINT) AS n_frames,
+        |  CAST((psize % 100 + 1) * 1000 // (([8000, 16000, 44100])[CAST(psize % 3 AS INT) + 1]) AS BIGINT) AS duration_ms
+        |FROM (SELECT shard, member, psize FROM tarfix
+        |      WHERE ext = 'cls' ORDER BY member LIMIT 1000)
+        |ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    "multimodal_video" -> o(
+      """SELECT shard, member,
+        |  'isom' AS major_brand,
+        |  ([600, 1000, 90000])[CAST(psize % 3 AS INT) + 1] AS timescale,
+        |  CAST((psize % 5000 + 1) * 100 AS BIGINT) AS duration,
+        |  CAST(psize % 2 + 1 AS INT) AS n_tracks,
+        |  CAST(psize % 240 + 1 AS BIGINT) AS n_frames,
+        |  CAST((psize % 5000 + 1) * 100 * 1000 // (([600, 1000, 90000])[CAST(psize % 3 AS INT) + 1]) AS BIGINT) AS duration_ms
+        |FROM (SELECT shard, member, psize FROM tarfix
+        |      WHERE ext = 'cls' ORDER BY member LIMIT 1000)
+        |ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    "dedup_lines" -> o(
+      """SELECT page_id, CAST(line_idx AS BIGINT) AS line_idx,
+        |  row_number() OVER (PARTITION BY md5(line) ORDER BY page_id, line_idx) = 1 AS keep
+        |FROM (SELECT page_id, generate_subscripts(parts, 1) AS line_idx, unnest(parts) AS line
+        |      FROM (SELECT page_id, string_split(text, chr(10)) AS parts FROM pages))
+        |ORDER BY page_id, line_idx""".stripMargin,
+      """pages AS (
+        |  SELECT doc_id // 4 AS page_id,
+        |    'HEADER boilerplate' || chr(10) ||
+        |      string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+        |      'FOOTER ' || CAST((doc_id // 4) % 3 AS VARCHAR) AS text
+        |  FROM documents GROUP BY doc_id // 4
+        |)""".stripMargin),
 
     "lhotse_cuts" ->
       """SELECT 'cut-' || printf('%08d', k) AS cut_id,

@@ -312,4 +312,42 @@ object Dedup {
         concat((0 until 16).map(b =>
           when(col(s"_b$b") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
+
+  /** Line/paragraph-level exact dedup (C4 §2.2, RefinedWeb/FineWeb
+    * line-dedup): split each document into lines on `delim`, keep only
+    * the globally FIRST occurrence of each exact line — the op that
+    * strips repeated boilerplate (headers, footers, nav text, cookie
+    * banners) that survives document-level dedup because every page
+    * embeds it in otherwise-unique content.
+    *
+    * Output: one row per line instance, `(id, line_idx, keep)` with
+    * `keep` true iff this instance is the minimum `(id, line_idx)` for
+    * its line text. Consumers reassemble kept text by joining back on
+    * `(id, line_idx)`; emitting flags instead of text keeps BOTH
+    * shuffles here 16-byte-hash-narrow — the line text itself is
+    * consumed map-side by md5 and never leaves its partition, which at
+    * 100 TB is the difference between shuffling digests and shuffling
+    * the corpus.
+    *
+    * First-occurrence choice matches the sequential semantics of the
+    * single-node reference pipelines (earlier page wins), made
+    * deterministic here by the total order (id, line_idx). */
+  def lineDedup(pages: DataFrame, idCol: String = "page_id",
+                textCol: String = "text", delim: String = "\n"): DataFrame = {
+    val lines = pages
+      .select(col(idCol).as("id"), split(col(textCol), java.util.regex.Pattern.quote(delim)).as("ls"))
+      // posexplode_outer for the same InferFiltersFromGenerate reason as
+      // shingles(): plain posexplode gets an inferred size(ls)>0 filter
+      // with the split tree substituted in; split() never returns an
+      // empty array, so outer is identical.
+      .select(col("id"), posexplode_outer(col("ls")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("line_idx"),
+        md5(col("col").cast("binary")).as("line_hash"))
+    val first = lines
+      .groupBy("line_hash")
+      .agg(min(struct(col("id"), col("line_idx"))).as("_first"))
+    lines.join(first, "line_hash")
+      .select(col("id").as(idCol), col("line_idx"),
+        (struct(col("id"), col("line_idx")) === col("_first")).as("keep"))
+  }
 }

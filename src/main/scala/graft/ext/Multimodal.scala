@@ -126,14 +126,23 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** STUB frame sampling plan for "video" payloads: every `stride`-th
-    * frame index of a fake frame count derived from payload length.
-    * Real decoders replace the count; the lazy explode shape stays. */
+  /** Frame sampling plan for "video" payloads: every `stride`-th frame
+    * index. Real [[parseMp4Header]] metadata when the payload is MP4
+    * (frames = duration/timescale × fps from the media track);
+    * deterministic synthetic fallback otherwise (declared stand-in for
+    * ffmpeg-class demuxers this container lacks). The lazy explode shape
+    * is the contract either way: one row per sampled frame, no frame
+    * bytes materialized until a real decoder consumes them. */
   def frameSamplePlan(df: DataFrame, stride: Int,
-                      payloadCol: String = "payload"): DataFrame =
-    df.withColumn("n_frames", (length(col(payloadCol)) % 30 + 1).cast("int"))
+                      payloadCol: String = "payload"): DataFrame = {
+    val withMeta = withVideoMeta(df, payloadCol)
+    withMeta
+      .withColumn("n_frames",
+        when(col("video_meta").isNotNull, col("video_meta.n_frames").cast("int"))
+          .otherwise((length(col(payloadCol)) % 30 + 1).cast("int")))
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+  }
 
   /** Resize plan (pure metadata op): target box with aspect preserved,
     * computed from decoded meta — the kind of column math that stays in
@@ -146,4 +155,223 @@ object Multimodal {
         lit(1.0)), 6))
       .withColumn("out_width", ceil(col("image_meta.width") * col("scale")).cast("int"))
       .withColumn("out_height", ceil(col("image_meta.height") * col("scale")).cast("int"))
+
+  // ------------------------------------------------------------------
+  // Audio: real RIFF/WAVE header parse (the audio leg of §7.6)
+  // ------------------------------------------------------------------
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  private def le16(p: Array[Byte], i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+  private def le32(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) | ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+
+  private def tag(p: Array[Byte], i: Int, s: String): Boolean =
+    p(i) == s(0) && p(i + 1) == s(1) && p(i + 2) == s(2) && p(i + 3) == s(3)
+
+  /** Real header parse: (channels, sampleRate, bitsPerSample, nFrames)
+    * from a RIFF/WAVE payload by walking the chunk list (RIFF spec:
+    * 'RIFF' size 'WAVE', then tagged chunks; 'fmt ' carries the PCM
+    * format block, 'data' carries size = frames × blockAlign; chunks
+    * are word-aligned so odd sizes pad one byte). None when the payload
+    * is not WAV or lacks either chunk. */
+  def parseWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (p == null || p.length < 44 || !tag(p, 0, "RIFF") || !tag(p, 8, "WAVE"))
+      return scala.None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = scala.None
+    var dataSize = -1L
+    while (i + 8 <= p.length && (fmt.isEmpty || dataSize < 0)) {
+      val size = le32(p, i + 4)
+      if (tag(p, i, "fmt ")) {
+        if (i + 24 > p.length) return scala.None
+        fmt = Some((le16(p, i + 10), le32(p, i + 12).toInt, le16(p, i + 22)))
+      } else if (tag(p, i, "data")) dataSize = size
+      i += 8 + size.toInt + (size.toInt & 1) // word alignment
+    }
+    fmt match {
+      case Some((ch, sr, bits)) if dataSize >= 0 && ch > 0 && bits > 0 =>
+        Some((ch, sr, bits, dataSize / (ch.toLong * (bits / 8))))
+      case _ => scala.None
+    }
+  }
+
+  /** Deterministic real-WAV fixture encoder: replaces `payload` with an
+    * actual PCM WAV (header + silence frames) built from the row's
+    * (sample_rate, channels, frames) — real encoded bytes in,
+    * [[parseWavHeader]] out. 16-bit PCM. */
+  def encodeWavFixture(df: DataFrame, srCol: String = "sr",
+                       chCol: String = "ch", framesCol: String = "frames"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField("payload", BinaryType))
+    val (si, ci, fi) = (df.schema.fieldIndex(srCol), df.schema.fieldIndex(chCol),
+      df.schema.fieldIndex(framesCol))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val (sr, ch, fr) = (r.getInt(si), r.getInt(ci), r.getInt(fi))
+        val dataLen = fr * ch * 2
+        val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(ch.toShort).putInt(sr)
+          .putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16)
+        b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        Row.fromSeq(r.toSeq :+ b.array())
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Attach decoded audio metadata — same partition-batched contract as
+    * [[withImageMeta]]; non-WAV payloads yield a null struct. */
+  def withAudioMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField("audio_meta", audioMetaSchema))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val meta = parseWavHeader(r.getAs[Array[Byte]](pIdx))
+          .map { case (ch, sr, bits, n) => Row(ch, sr, bits, n) }.orNull
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ------------------------------------------------------------------
+  // Video: real ISO BMFF (MP4) box walk (the video leg of §7.6)
+  // ------------------------------------------------------------------
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("major_brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  private def be64(p: Array[Byte], i: Int): Long =
+    ((be32(p, i) & 0xffffffffL) << 32) | (be32(p, i + 4) & 0xffffffffL)
+
+  /** Real ISO BMFF parse (ISO/IEC 14496-12): walk the box list —
+    * size(4 BE) type(4), size==1 → 64-bit largesize, size==0 → to end —
+    * recursing into container boxes. Returns (major_brand from `ftyp`,
+    * timescale + duration from `moov/mvhd` v0 or v1, `trak` count,
+    * sample count of the first `stbl/stsz`). None when the payload is
+    * not BMFF (ftyp must lead, per §4.3 "should be placed as early as
+    * possible") or lacks moov/mvhd, or any box overruns its parent. */
+  def parseMp4Header(p: Array[Byte]): Option[(String, Int, Long, Int, Long)] = {
+    if (p == null || p.length < 16 || !tag(p, 4, "ftyp")) return scala.None
+    var brand: Option[String] = scala.None
+    var mvhd: Option[(Int, Long)] = scala.None
+    var tracks = 0
+    var frames = 0L
+    var sawStsz = false
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(start: Long, end: Long): Boolean = {
+      var i = start
+      while (i + 8 <= end) {
+        var size = be32(p, i.toInt) & 0xffffffffL
+        var hdr = 8L
+        if (size == 1) {
+          if (i + 16 > end) return false
+          size = be64(p, i.toInt + 8); hdr = 16L
+        } else if (size == 0) size = end - i
+        if (size < hdr || i + size > end) return false
+        val t = new String(p, i.toInt + 4, 4, "US-ASCII")
+        t match {
+          case "ftyp" if size >= hdr + 4 =>
+            brand = Some(new String(p, (i + hdr).toInt, 4, "US-ASCII"))
+          case "mvhd" if size >= hdr + 4 =>
+            val b = (i + hdr).toInt
+            p(b) & 0xff match { // FullBox version selects field widths
+              case 1 if size >= hdr + 32 =>
+                mvhd = Some((be32(p, b + 20), be64(p, b + 24)))
+              case 0 if size >= hdr + 20 =>
+                mvhd = Some((be32(p, b + 12), be32(p, b + 16) & 0xffffffffL))
+              case _ =>
+            }
+          case "trak" =>
+            tracks += 1
+            if (!walk(i + hdr, i + size)) return false
+          case "stsz" if size >= hdr + 12 =>
+            if (!sawStsz) { // first video track's sample count
+              frames = be32(p, (i + hdr).toInt + 8) & 0xffffffffL
+              sawStsz = true
+            }
+          case c if containers(c) =>
+            if (!walk(i + hdr, i + size)) return false
+          case _ => // mdat, free, udta, ... — skip
+        }
+        i += size
+      }
+      true
+    }
+    if (!walk(0L, p.length.toLong)) return scala.None
+    for (b <- brand; (ts, dur) <- mvhd) yield (b, ts, dur, tracks, frames)
+  }
+
+  /** Deterministic real-MP4 fixture encoder: replaces `payload` with an
+    * actual BMFF file — ftyp(isom) + moov(mvhd v0 + n_tracks ×
+    * trak/mdia/minf/stbl/stsz) + a token mdat — built from the row's
+    * (timescale, duration, n_tracks, frames). Constant-sample-size stsz
+    * (no per-sample table), full 100-byte mvhd v0 payload. Real encoded
+    * bytes in, [[parseMp4Header]] out. */
+  def encodeMp4Fixture(df: DataFrame, tsCol: String = "timescale",
+                       durCol: String = "duration", trkCol: String = "n_tracks",
+                       framesCol: String = "frames"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField("payload", BinaryType))
+    val (ti, di, ki, fi) = (df.schema.fieldIndex(tsCol), df.schema.fieldIndex(durCol),
+      df.schema.fieldIndex(trkCol), df.schema.fieldIndex(framesCol))
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val (ts, dur, trk, fr) = (r.getInt(ti), r.getLong(di), r.getInt(ki), r.getLong(fi))
+        val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(16)
+          .put("isom".getBytes("US-ASCII")).putInt(512)
+          .put("isom".getBytes("US-ASCII")).put("mp42".getBytes("US-ASCII")).array())
+        val mvhd = {
+          val b = java.nio.ByteBuffer.allocate(100) // full v0 payload
+          b.putInt(0)            // version 0 + flags
+            .putInt(0).putInt(0) // ctime, mtime
+            .putInt(ts).putInt(dur.toInt)
+          b.position(96); b.putInt(trk + 1) // next_track_ID
+          box("mvhd", b.array())
+        }
+        val stsz = box("stsz", java.nio.ByteBuffer.allocate(12)
+          .putInt(0).putInt(1024).putInt(fr.toInt).array()) // const sample size
+        val trak = box("trak", box("mdia", box("minf", box("stbl", stsz))))
+        val moov = box("moov", mvhd ++ Array.fill(trk)(trak).flatten)
+        val mdat = box("mdat", Array[Byte](0, 0, 0, 0))
+        Row.fromSeq(r.toSeq :+ (ftyp ++ moov ++ mdat))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Attach decoded video metadata — same partition-batched contract as
+    * [[withImageMeta]]; non-BMFF payloads yield a null struct. */
+  def withVideoMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField("video_meta", videoMetaSchema))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val meta = parseMp4Header(r.getAs[Array[Byte]](pIdx))
+          .map { case (b, ts, dur, trk, fr) => Row(b, ts, dur, trk, fr) }.orNull
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

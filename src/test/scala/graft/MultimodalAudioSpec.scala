@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal}
+
+/** WAV header parse + line-level dedup — the two §7.6 legs added in
+  * round 3. */
+class MultimodalAudioSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseWavHeader round-trips encodeWavFixture bytes, walks extra chunks, rejects non-WAV") {
+    val src = Seq((44100, 2, 100), (8000, 1, 1), (16000, 2, 9999))
+      .toDF("sr", "ch", "frames")
+    val parsed = Multimodal.withAudioMeta(Multimodal.encodeWavFixture(src))
+      .select("sr", "ch", "frames", "audio_meta.*")
+      .collect()
+    parsed.foreach { r =>
+      assert(r.getAs[Int]("channels") === r.getAs[Int]("ch"))
+      assert(r.getAs[Int]("sample_rate") === r.getAs[Int]("sr"))
+      assert(r.getAs[Int]("bits_per_sample") === 16)
+      assert(r.getAs[Long]("n_frames") === r.getAs[Int]("frames").toLong)
+    }
+
+    // chunk-walk: a LIST chunk (odd size → word-aligned pad) before fmt/data
+    val b = java.nio.ByteBuffer.allocate(44 + 5 + 8 + 1 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 5 + 8 + 1 + 4)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")).putInt(5).put(Array[Byte](1, 2, 3, 4, 5, 0))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(4).put(Array[Byte](0, 0, 0, 0))
+    assert(Multimodal.parseWavHeader(b.array()) === Some((1, 8000, 16, 2L)))
+
+    assert(Multimodal.parseWavHeader("not a wav at all, nope, really not one".getBytes) === None)
+    assert(Multimodal.parseWavHeader(null) === None)
+    // RIFF signature but no fmt/data chunks
+    val junk = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("RIFF".getBytes("US-ASCII")).putInt(36).put("WAVE".getBytes("US-ASCII"))
+    junk.put("JUNK".getBytes("US-ASCII")).putInt(24)
+    assert(Multimodal.parseWavHeader(junk.array()) === None)
+  }
+
+  test("lineDedup keeps the first global occurrence of each exact line") {
+    val pages = Seq(
+      (1L, "HEADER\nalpha\nbeta\nFOOTER"),
+      (2L, "HEADER\ngamma\nalpha\nFOOTER"),
+      (3L, "HEADER\nbeta\nbeta\nFOOTER")).toDF("page_id", "text")
+    val out = Dedup.lineDedup(pages).orderBy("page_id", "line_idx")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (1L, 1L, true), (1L, 2L, true), (1L, 3L, true), (1L, 4L, true),
+      (2L, 1L, false), (2L, 2L, true), (2L, 3L, false), (2L, 4L, false),
+      (3L, 1L, false), (3L, 2L, false), (3L, 3L, false), (3L, 4L, false)))
+  }
+
+  test("lineDedup: single-line docs, empty strings, and custom delimiter") {
+    // empty lines dedup like any other line; "" text is one empty line
+    val pages = Seq((10L, ""), (11L, ""), (12L, "a||b"), (13L, "b|a")).toDF("page_id", "text")
+    val out = Dedup.lineDedup(pages, delim = "|").orderBy("page_id", "line_idx")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (10L, 1L, true),                                   // first ""
+      (11L, 1L, false),                                  // dup of ""
+      (12L, 1L, true), (12L, 2L, false), (12L, 3L, true), // a, "", b
+      (13L, 1L, false), (13L, 2L, false)))               // b, a both dups
+  }
+
+  test("lineDedup shuffles hashes, not line text") {
+    // the exchanges must carry (id, line_idx, line_hash)-shaped rows;
+    // the raw line string is consumed map-side by md5 and must not
+    // appear in any exchange output — the property that keeps the
+    // shuffle 16-byte-narrow at corpus scale
+    // force the join off the broadcast path so both sides show their
+    // named hashpartitioning keys (a broadcast exchange prints unnamed
+    // input[...] slots and would hide what's being moved)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pages = Seq((1L, "x\ny")).toDF("page_id", "text")
+      val plan = Dedup.lineDedup(pages).queryExecution.executedPlan.toString
+      val exchanges = "(?s)Exchange hashpartitioning[^\\n]*".r.findAllIn(plan).toList
+      assert(exchanges.nonEmpty)
+      exchanges.foreach(e => assert(e.contains("line_hash")))
+      assert(!plan.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}

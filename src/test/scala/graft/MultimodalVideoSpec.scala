@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+
+/** ISO BMFF (MP4) box walk — the video leg of §7.6. */
+class MultimodalVideoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseMp4Header round-trips encodeMp4Fixture bytes") {
+    val src = Seq((600, 3000L, 1, 90L), (90000, 90000L, 2, 1L), (1000, 1L, 2, 240L))
+      .toDF("timescale", "duration", "n_tracks", "frames")
+    val parsed = Multimodal.withVideoMeta(Multimodal.encodeMp4Fixture(src))
+      .select("timescale", "duration", "n_tracks", "frames", "video_meta.*")
+      .collect()
+    assert(parsed.length === 3)
+    parsed.foreach { r =>
+      assert(r.getAs[String]("major_brand") === "isom")
+      assert(r.getAs[Int](4 + 1) === r.getAs[Int]("timescale")) // meta.timescale
+      assert(r.getAs[Long](4 + 2) === r.getAs[Long]("duration"))
+      assert(r.getAs[Int](4 + 3) === r.getAs[Int]("n_tracks"))
+      assert(r.getAs[Long](4 + 4) === r.getAs[Long]("frames"))
+    }
+  }
+
+  test("parseMp4Header: largesize boxes, size-0 tail box, mvhd v1, rejection") {
+    def bb(n: Int) = java.nio.ByteBuffer.allocate(n)
+    // ftyp with 64-bit largesize (size==1 → largesize follows the type)
+    val ftyp = bb(16 + 8).putInt(1).put("ftyp".getBytes("US-ASCII"))
+      .putLong(24).put("avc1".getBytes("US-ASCII")).putInt(0).array()
+    // moov with mvhd VERSION 1 (64-bit times/duration), declared size 0 → runs to EOF
+    val mvhdV1 = {
+      val b = bb(8 + 112)
+      b.putInt(8 + 112).put("mvhd".getBytes("US-ASCII"))
+      b.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+      b.putLong(0).putLong(0)                   // ctime, mtime (64-bit)
+      b.putInt(48000).putLong(1234567890123L)   // timescale, duration (64-bit)
+      b.array()
+    }
+    val moov = bb(8 + mvhdV1.length).putInt(0).put("moov".getBytes("US-ASCII"))
+      .put(mvhdV1).array()
+    assert(Multimodal.parseMp4Header(ftyp ++ moov) ===
+      Some(("avc1", 48000, 1234567890123L, 0, 0L)))
+
+    // box overrunning its parent → malformed → None
+    val bad = bb(16).putInt(9999).put("moov".getBytes("US-ASCII")).putLong(0).array()
+    assert(Multimodal.parseMp4Header(ftyp ++ bad) === None)
+    // not BMFF at all (no leading ftyp)
+    assert(Multimodal.parseMp4Header("RIFFxxxxWAVE and then some".getBytes) === None)
+    assert(Multimodal.parseMp4Header(null) === None)
+    // ftyp but no moov/mvhd → None
+    val lone = bb(16).putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0).array()
+    assert(Multimodal.parseMp4Header(lone) === None)
+  }
+
+  test("frameSamplePlan uses real stsz frame counts for MP4 payloads, fallback otherwise") {
+    val mp4 = Multimodal.encodeMp4Fixture(
+      Seq((1000, 5000L, 1, 7L)).toDF("timescale", "duration", "n_tracks", "frames"))
+      .select(lit("v.mp4").as("member"), col("payload"))
+    val other = Seq(("t.txt", "x" * 65)).toDF("member", "p")
+      .select(col("member"), col("p").cast("binary").as("payload"))
+    val out = Multimodal.frameSamplePlan(mp4.union(other), stride = 2)
+      .groupBy("member").agg(count(lit(1)).as("n"), max("frame_idx").as("maxf"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out("v.mp4") === ((4L, 6)))  // 7 real frames → idx 0,2,4,6
+    assert(out("t.txt") === ((3L, 4)))  // synthetic fallback: 65%30+1=6 → 0,2,4
+  }
+}
