@@ -922,6 +922,30 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       ext.Dedup.simhash16(Tables.load(s, d, "documents")).orderBy("doc_id")),
 
+    // URL canonicalization + crawl dedup: messy synthesized variants
+    // (scheme/host case, www., default :80, trailing slash, tracking
+    // params in shuffled order, fragments) must all collapse to the
+    // same canonical key; the oracle recomputes the canonical string
+    // ARITHMETICALLY from doc_id — fully independent of the regex
+    // pipeline it checks.
+    "url_dedup" -> ((s, d) => {
+      val two = (c: String, a: String, b: String) =>
+        element_at(array(lit(a), lit(b)), (col(c) % 2).cast("int") + 1)
+      val url = concat(
+        two("doc_id", "http", "HTTP"), lit("://"),
+        element_at(array(lit("www.Example"), lit("EXAMPLE"), lit("example")),
+          (col("doc_id") % 3).cast("int") + 1),
+        (col("doc_id") % 5).cast("string"), lit(".com"),
+        two("doc_id", ":80", ""),
+        lit("/Dir/p"), (col("doc_id") % 7).cast("string"),
+        two("doc_id", "/", ""),
+        two("doc_id", "?b=2&utm_source=x&a=1", "?a=1&b=2&fbclid=y"),
+        lit("#s"), (col("doc_id") % 4).cast("string"))
+      ext.Dedup.urlDedup(
+        Tables.load(s, d, "documents").select(col("doc_id")).withColumn("url", url))
+        .orderBy("doc_id")
+    }),
+
     // Line-level exact dedup (C4-style boilerplate strip): synthesize
     // multi-line "pages" (4 docs each, framed by a shared header and a
     // 3-variant footer — the repeated-across-pages boilerplate this op
@@ -2437,6 +2461,15 @@ object SparkEntry {
          |      GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the oracle recomputes the canonical string from doc_id arithmetic —
+    // it shares NO regex with the Spark-side canonicalizer it checks
+    "url_dedup" ->
+      """SELECT doc_id,
+        |  'http://example' || CAST(doc_id % 5 AS VARCHAR) || '.com/Dir/p' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+        |  doc_id = min(doc_id) OVER (PARTITION BY doc_id % 5, doc_id % 7) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "embed_near_dup" ->
       """SELECT vec_a, vec_b, cos FROM (

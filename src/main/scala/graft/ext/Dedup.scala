@@ -332,6 +332,48 @@ object Dedup {
     * First-occurrence choice matches the sequential semantics of the
     * single-node reference pipelines (earlier page wins), made
     * deterministic here by the total order (id, line_idx). */
+  /** URL canonicalization (CC/CCNet-style crawl dedup key): lowercase
+    * scheme+host, strip `www.`, drop the scheme's default port (http:80,
+    * https:443) but keep explicit non-default ports, normalize the empty
+    * path to `/` and strip a trailing slash elsewhere, drop the
+    * fragment, drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`)
+    * and sort the survivors. Pure Column composition — regexp/array ops
+    * only, stays in whole-stage codegen, no shuffle. */
+  def urlCanonicalize(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(rest, "^([^/?#]+)", 1)
+    val host = regexp_replace(lower(regexp_replace(hostport, ":\\d+$", "")), "^www\\.", "")
+    val port = regexp_extract(hostport, ":(\\d+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(rest, "^[^/?#]*([^?#]*)", 1)
+    // empty → "/", otherwise strip ONE trailing slash (but never the root's)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+    val qstr = array_join(kept, "&")
+    df.withColumn("canonical_url", concat(scheme, lit("://"), host, portPart, path,
+      when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr))))
+  }
+
+  /** URL dedup: canonicalize, then keep the first (minimum-id) document
+    * per canonical URL. Same narrow-shuffle contract as [[exact]] — the
+    * groupBy key is the canonical string (bounded, typically < 100 B),
+    * document payloads never move. */
+  def urlDedup(df: DataFrame, idCol: String = "doc_id",
+               urlCol: String = "url"): DataFrame = {
+    val canon = urlCanonicalize(df, urlCol).select(col(idCol), col("canonical_url"))
+    val first = canon.groupBy("canonical_url").agg(min(col(idCol)).as("_keep"))
+    canon.join(first, "canonical_url")
+      .select(col(idCol), col("canonical_url"), (col(idCol) === col("_keep")).as("keep"))
+  }
+
   def lineDedup(pages: DataFrame, idCol: String = "page_id",
                 textCol: String = "text", delim: String = "\n"): DataFrame = {
     val lines = pages

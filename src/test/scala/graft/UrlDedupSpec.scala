@@ -1,0 +1,53 @@
+package graft
+
+import graft.ext.Dedup
+
+/** URL canonicalization edge cases + crawl dedup semantics. */
+class UrlDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    Dedup.urlCanonicalize(urls.toDF("url"))
+      .select("canonical_url").as[String].collect().toSeq
+
+  test("urlCanonicalize: case, www, default ports, slash, params, fragments") {
+    assert(canon(
+      "HTTP://WWW.Example.COM:80/A/b/?b=2&utm_source=x&a=1#frag",
+      "http://example.com/A/b?a=1&b=2&fbclid=zzz",
+      "https://Example.com:443/A/b?b=2&a=1&gclid=1&ref=hn") === Seq(
+      "http://example.com/A/b?a=1&b=2",
+      "http://example.com/A/b?a=1&b=2",
+      "https://example.com/A/b?a=1&b=2"))
+  }
+
+  test("urlCanonicalize: non-default port kept, root path, empty query survives as no query") {
+    assert(canon(
+      "http://example.com:8080/x",   // explicit non-default port stays
+      "https://example.com:80/x",    // :80 is NOT https's default → stays
+      "http://example.com",          // empty path → "/"
+      "http://example.com/",         // root slash NOT stripped
+      "http://example.com/x?utm_campaign=only&utm_medium=a", // all-tracking → no '?'
+      "http://example.com/x?#f") === Seq(
+      "http://example.com:8080/x",
+      "https://example.com:80/x",
+      "http://example.com/",
+      "http://example.com/",
+      "http://example.com/x",
+      "http://example.com/x"))
+  }
+
+  test("urlDedup keeps the minimum doc_id per canonical URL") {
+    val docs = Seq(
+      (1L, "http://www.A.com/p/"),
+      (2L, "HTTP://a.com:80/p?utm_source=x"),
+      (3L, "http://a.com/q"),
+      (4L, "http://a.com/p")).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(docs).orderBy("doc_id")
+      .as[(Long, String, Boolean)].collect()
+    assert(out === Array(
+      (1L, "http://a.com/p", true),
+      (2L, "http://a.com/p", false),
+      (3L, "http://a.com/q", true),
+      (4L, "http://a.com/p", false)))
+  }
+}
