@@ -1012,6 +1012,16 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Deterministic 80/10/10 train/val/test assignment — seeded hash
+    // buckets, stable under corpus growth; per-split counts checked in
+    // SamplingSpec, per-row labels checked here against the oracle's
+    // independent threshold arithmetic.
+    "split_assign" -> ((s, d) =>
+      ext.Sampling.splitAssign(Tables.load(s, d, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s1")
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
     // The composed training-data flagship: language filter → quality
     // threshold → exact dedup, each stage the already-oracle'd operator.
     // Dedup as row_number over the content hash keeps it ONE scan of the
@@ -2513,6 +2523,18 @@ object SparkEntry {
     "sample_bernoulli" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 1288490188
+        |ORDER BY doc_id""".stripMargin,
+
+    // thresholds are floor(0.8 * 2^32) and floor(0.9 * 2^32), matching
+    // splitAssign's cumulative-weight toLong truncation
+    "split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 3435973836 THEN 'train'
+        |       WHEN u < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->

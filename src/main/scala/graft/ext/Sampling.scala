@@ -49,4 +49,27 @@ object Sampling {
     val threshold = (frac * 4294967296d).toLong
     df.where(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") < threshold)
   }
+
+  /** Deterministic train/val/test split assignment: hash the (seeded)
+    * key into [0, 2^32) and bucket by cumulative weight thresholds.
+    * Every row gets exactly one label; the same (seed, key) maps to the
+    * same split on any cluster layout, across re-runs, and after corpus
+    * growth (old rows never migrate when new rows arrive — the property
+    * that keeps eval sets stable as a 100 TB corpus is re-crawled).
+    * Zero-shuffle: one codegen'd hash + case per row. */
+  def splitAssign(df: DataFrame, key: Column,
+                  weights: Seq[(String, Double)], seed: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), s"bad weights: $weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1: $weights")
+    val u = conv(substring(
+      md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 8), 16, 10).cast("long")
+    val thresholds = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(c => (c * 4294967296d).toLong)
+    // last bucket is the otherwise-arm: no FP-edge row can fall through
+    val split = weights.init.zip(thresholds).foldRight(lit(weights.last._1)) {
+      case (((name, _), t), acc) => when(u < t, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
 }

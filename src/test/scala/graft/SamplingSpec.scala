@@ -35,4 +35,34 @@ class SamplingSpec extends SparkSpec {
     val dense = (0L until 1000L).toDF("k")
     assert(Sampling.systematic(dense, col("k"), 10).count() == 100)
   }
+
+  test("splitAssign: full cover, near-weight proportions, zero shuffle") {
+    import spark.implicits._
+    val keys = (0L until 10000L).toDF("k")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(keys, col("k"), w, seed = "s1")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L) // every row exactly one label
+    w.foreach { case (name, frac) =>
+      val got = counts(name).toDouble / 10000
+      assert(math.abs(got - frac) < 0.02, s"$name: $got vs $frac")
+    }
+  }
+
+  test("splitAssign: stable under corpus growth, seed-sensitive, validated") {
+    import spark.implicits._
+    val w = Seq("train" -> 0.9, "test" -> 0.1)
+    def assign(n: Long, seed: String) =
+      Sampling.splitAssign((0L until n).toDF("k"), col("k"), w, seed)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val small = assign(500, "a"); val grown = assign(1000, "a")
+    assert(small.forall { case (k, s) => grown(k) == s }) // no migration
+    val reseeded = assign(500, "b")
+    assert(small.exists { case (k, s) => reseeded(k) != s })
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign((0L until 5L).toDF("k"), col("k"), Seq("x" -> 0.5))
+    }
+  }
 }
