@@ -1100,6 +1100,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // int8 coarse scan + exact re-rank: the coarse score is an exact
+    // integer dot × scale product, so the candidate set is bit-
+    // deterministic and the whole two-stage pipeline hash-checks
+    // against DuckDB (unlike the recall-bounded LSH/IVF paths).
+    "embed_knn_quantized" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      ext.Similarity.quantizedTopK(emb,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // The SparkSessionExtensions SQL surface: pure SQL text over the
     // injected native expression (GraftExtensions.float_dot)
     "embed_sql_cosine" -> ((s, d) => {
@@ -2500,6 +2511,29 @@ object SparkEntry {
         |        round(list_dot_product(qv, cv)
         |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
         |      FROM c JOIN q ON vec_id <> query_id)
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors quantizedTopK stage by stage: same unrounded scale, same
+    // floor(x/s + 0.5) codes, same (int_dot * qs) * cs multiply order,
+    // same vec_id tiebreaks — the coarse candidate set is bit-identical
+    "embed_knn_quantized" ->
+      """WITH z AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS s
+        |           FROM embeddings),
+        |z2 AS (SELECT vec_id, v, s,
+        |         list_transform(v, x -> CASE WHEN s = 0 THEN 0.0 ELSE floor(x / s + 0.5) END) AS q
+        |       FROM z),
+        |cand AS (SELECT query_id, vec_id, cosx,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, vec_id) AS crank
+        |         FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |                 (list_dot_product(q.q, c.q) * q.s) * c.s AS coarse,
+        |                 list_dot_product(q.v, c.v)
+        |                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosx
+        |               FROM z2 c JOIN z2 q ON c.vec_id <> q.vec_id
+        |               WHERE q.vec_id IN (17, 42, 99, 123, 256)))
+        |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+        |FROM cand WHERE crank <= 20
         |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "embed_sql_cosine" ->

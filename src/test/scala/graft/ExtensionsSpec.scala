@@ -297,6 +297,29 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("quantizedTopK: int8 coarse + exact re-rank recovers the exact top-k") {
+    val dim = 64
+    val corpus = spark.range(1, 501).select($"id".as("vec_id"),
+      expr(s"transform(sequence(1, $dim), j -> cast(sin(vec_id * j) as float))")
+        .as("embedding")).cache()
+    val queries = corpus.where($"vec_id".isin(5L, 111L, 400L))
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val quant = Similarity.quantizedTopK(corpus, queries, k = 5, rerankFactor = 8)
+      .collect()
+    assert(quant.length === 15)
+    // with an 8× re-rank margin at this scale the exact top-5 must be
+    // inside the coarse candidates → identical final ranking
+    quant.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(3))) === r.getLong(1),
+        s"query ${r.getLong(0)} rank ${r.getLong(3)}")
+    }
+    // zero vector quantizes to all-zero codes without dividing by zero
+    val withZero = corpus.union(spark.range(900, 901).select($"id".as("vec_id"),
+      expr(s"transform(sequence(1, $dim), j -> cast(0.0 as float))").as("embedding")))
+    assert(Similarity.quantizedTopK(withZero, queries, k = 5).count() === 15)
+  }
+
   test("sign-LSH at dim=768 bits=16: codegen compiles, buckets well-formed, probe returns candidates") {
     // 16 hyperplanes × 768 components = the shape the r1 fix claims is
     // `bits` loops, not bits×dim unrolled terms — this would be a Janino
