@@ -964,6 +964,14 @@ object SparkEntry {
       ext.Dedup.lineDedup(pages).orderBy("page_id", "line_idx")
     }),
 
+    // Duplicated-substring spans (n-gram-granular substring dedup):
+    // positions whose 5-gram repeats anywhere in the corpus, merged
+    // into maximal per-doc spans. The oracle counts gram TEXT while the
+    // operator counts md5(gram) — independent paths to the same spans.
+    "dedup_spans" -> ((s, d) =>
+      ext.Dedup.duplicatedSpans(Tables.load(s, d, "documents"), w = 5)
+        .orderBy("doc_id", "span_start")),
+
     // Pairs → clusters: connected components by min-label propagation
     // over the exact-Jaccard pair table (same deterministic slice as
     // dedup_jaccard so the oracle's recursive CTE sees identical edges).
@@ -2482,6 +2490,27 @@ object SparkEntry {
          |      GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |              FROM documents),
+        |grams AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |            array_to_string(list_slice(ts, i, i + 4), ' ') AS g
+        |          FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
+        |                FROM toks WHERE len(ts) >= 5)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |flags AS (SELECT doc_id, p,
+        |            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 5
+        |                 THEN 1 ELSE 0 END AS f
+        |          FROM (SELECT doc_id, p FROM grams JOIN dup USING (g))),
+        |isl AS (SELECT doc_id, p,
+        |          sum(f) OVER (PARTITION BY doc_id ORDER BY p
+        |                       ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM flags)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 4 AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_positions
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // the oracle recomputes the canonical string from doc_id arithmetic —
     // it shares NO regex with the Spark-side canonicalizer it checks

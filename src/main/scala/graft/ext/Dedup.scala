@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (SURVEY §7.6,
@@ -332,6 +333,55 @@ object Dedup {
     * First-occurrence choice matches the sequential semantics of the
     * single-node reference pipelines (earlier page wins), made
     * deterministic here by the total order (id, line_idx). */
+  /** Duplicated-substring span detection (the n-gram-granular form of
+    * suffix-array substring dedup, Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22): a token position is
+    * duplicated when its `w`-gram occurs at least `minCount` times
+    * across the corpus (within-doc repeats count, as in the reference
+    * method); per document, duplicated positions merge into maximal
+    * contiguous spans — the ranges a substring-dedup pass would excise.
+    *
+    * Output: (doc_id, span_start, span_end, n_positions) with 1-based
+    * inclusive TOKEN indices, span_end covering the last gram's tail
+    * (`+ w - 1`).
+    *
+    * 100 TB shape: gram occurrence counting is a partial-aggregated
+    * groupBy on a 16-byte md5 (gram text never shuffles); the
+    * duplicated-position join ships (id, pos, hash) triples; the
+    * island merge is a per-document window (documents are bounded, the
+    * corpus is not). No stage is quadratic — the suffix-array build
+    * this approximates is the part that doesn't distribute. */
+  def duplicatedSpans(docs: DataFrame, w: Int = 5, minCount: Long = 2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 1 && minCount >= 2, s"bad params: w=$w minCount=$minCount")
+    val positions = docs
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("ts"))
+      .where(size(col("ts")) >= w)
+      .select(col("id"), expr(
+        s"transform(sequence(1, size(ts) - ${w - 1}), i -> concat_ws(' ', slice(ts, i, $w)))")
+        .as("gs"))
+      // explode_outer for the InferFiltersFromGenerate reason at shingles()
+      .select(col("id"), posexplode_outer(col("gs")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("p"),
+        md5(col("col").cast("binary")).as("h"))
+    val dupGrams = positions.groupBy("h").agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= minCount).select("h")
+    val dupPos = positions.join(dupGrams, "h").select("id", "p")
+    // gaps-and-islands: a new span starts when this position's gram
+    // window [p, p+w-1] can't touch the previous one's (first row:
+    // lag is null → otherwise-arm 0, islands number from 0)
+    val byDoc = Window.partitionBy("id").orderBy("p")
+    dupPos
+      .withColumn("_new", when(
+        col("p") - lag(col("p"), 1).over(byDoc) > w, 1).otherwise(0))
+      .withColumn("_island", sum(col("_new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id").as(idCol), col("_island"))
+      .agg(min("p").as("span_start"), (max("p") + w - 1).as("span_end"),
+        count(lit(1)).as("n_positions"))
+      .drop("_island")
+  }
+
   /** URL canonicalization (CC/CCNet-style crawl dedup key): lowercase
     * scheme+host, strip `www.`, drop the scheme's default port (http:80,
     * https:443) but keep explicit non-default ports, normalize the empty

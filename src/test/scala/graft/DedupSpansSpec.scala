@@ -1,0 +1,53 @@
+package graft
+
+import graft.ext.Dedup
+
+/** Duplicated-substring span detection (n-gram-granular substring dedup). */
+class DedupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicatedSpans: cross-doc shares, within-doc repeats, island merging") {
+    val docs = Seq(
+      (1L, "a b c d e X Y Z"),                      // shares "a b c d e"
+      (2L, "p q a b c d e r s"),                    // ... at position 3
+      (3L, "m n o p q m n o p q"),                  // within-doc repeat, gap == w → ONE span
+      (4L, "a b c d e 1 2 3 4 5 6 7 a b c d e"),    // gap > w → TWO spans
+      (5L, "x y")                                   // shorter than w → no grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, w = 5).orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, 1L, 5L, 1L),
+      (2L, 3L, 7L, 1L),
+      (3L, 1L, 10L, 2L),
+      (4L, 1L, 5L, 1L), (4L, 13L, 17L, 1L)))
+  }
+
+  test("duplicatedSpans: no duplicates → empty; higher minCount raises the bar") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(docs, w = 5).count() === 0)
+
+    // the same 5-gram in three docs survives minCount=3; a two-doc share doesn't
+    val tri = Seq(
+      (1L, "c o m m o n t a i l A"),
+      (2L, "c o m m o n t a i l B"),
+      (3L, "c o m m o n t a i l C"),
+      (4L, "p a i r o n l y x Q"),
+      (5L, "p a i r o n l y x R")).toDF("doc_id", "text")
+    val spans3 = Dedup.duplicatedSpans(tri, w = 5, minCount = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(spans3 === Set(1L, 2L, 3L))
+  }
+
+  test("duplicatedSpans shuffles hashes and (id, pos) pairs, never gram text") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e h i")).toDF("doc_id", "text")
+    val plan = Dedup.duplicatedSpans(docs, w = 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the gram string is consumed map-side by md5; no exchange carries it
+    val exchanges = "(?s)Exchange hashpartitioning[^\\n]*".r.findAllIn(plan).toList
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(e.contains("h#") || e.contains("id#"), e))
+  }
+}
