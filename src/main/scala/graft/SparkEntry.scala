@@ -1230,6 +1230,21 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionize(Tables.load(s, d, "events"))
         .orderBy("user_id")),
 
+    // As-of (point-in-time) join: each click gets the user's latest
+    // error value at-or-before its timestamp. The union+window operator
+    // is checked against DuckDB's NATIVE ASOF LEFT JOIN — an
+    // independent engine implementation of the same semantics.
+    "events_asof" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errs = ev.where(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts").as("err_ts"))
+        .agg(round(max("value"), 2).as("err_value"))
+      ops.AsOf.join(clicks, errs, "user_id", "ts", "err_ts")
+        .orderBy("event_id")
+    }),
+
     // ------------------------------------------------------------------
     // Multimodal sample columns (SURVEY §7.6) — stubbed decode,
     // real plumbing (binary columns through mapPartitions + codegen math)
@@ -2798,6 +2813,16 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_asof" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.err_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, round(max(value), 2) AS err_value
+        |                FROM events WHERE event_type = 'error'
+        |                GROUP BY user_id, ts) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
+        |ORDER BY event_id""".stripMargin,
 
     "events_sessionize" ->
       """SELECT user_id, count(*) AS n_events,

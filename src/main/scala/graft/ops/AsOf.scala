@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Point-in-time (as-of) join — for each left row, the latest right row
+  * with the same key and `rightTs <= leftTs`. The operation every
+  * training-data pipeline with slowly-changing metadata needs (label
+  * versions, model-config history, feature snapshots) and Spark has no
+  * native operator for.
+  *
+  * Spark-first shape: the naive formulations are a range join (Catalyst
+  * falls back to broadcast-nested-loop or explodes a
+  * `l.key = r.key AND r.ts <= l.ts` inequality join into per-key row
+  * products — quadratic in hot keys) or a per-left-row correlated
+  * subquery. This implementation is the UNION trick: tag both sides,
+  * hash-shuffle ONCE on the key, sort each partition by `(ts, side)`
+  * (right sorts before left at equal ts, so an exactly-simultaneous
+  * right row is visible, matching pandas merge_asof / DuckDB ASOF), and
+  * carry the latest right payload forward with a running
+  * `last(ignoreNulls)` window. Linear work, one exchange, no row
+  * amplification — survives a hot key with millions of rows on both
+  * sides.
+  *
+  * `right` must be unique per `(key, rightTs)` (pre-aggregate
+  * otherwise); ties would make "the" latest row ambiguous on any
+  * engine. Right payload column names must not collide with left's —
+  * rename before joining.
+  */
+object AsOf {
+
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String,
+           toleranceSec: Option[Long] = None): DataFrame = {
+    val payloadCols = right.columns.filter(c => c != key && c != rightTs)
+    require(payloadCols.nonEmpty, "right side has no payload columns")
+    val collisions = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"right payload collides with left: $collisions")
+
+    val lpayT = StructType(left.schema.fields)
+    val rpayT = StructType(right.schema.fields.filter(f => payloadCols.contains(f.name)))
+    val l = left.select(col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
+      struct(left.columns.map(col).toSeq: _*).as("_lpay"),
+      lit(null).cast(rpayT).as("_rpay"), lit(null).cast("timestamp").as("_rts"))
+    val r = right.select(col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
+      lit(null).cast(lpayT).as("_lpay"),
+      struct(payloadCols.map(col).toSeq: _*).as("_rpay"),
+      col(rightTs).cast("timestamp").as("_rts"))
+
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("_r", last(col("_rpay"), ignoreNulls = true).over(w))
+      .withColumn("_rt", last(col("_rts"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+    val withinTol = toleranceSec match {
+      case Some(t) => carried.withColumn("_r",
+        when(col("_ts").cast("timestamp").cast("double") - col("_rt").cast("double") <= t,
+          col("_r")))
+      case None => carried
+    }
+    val out = left.columns.map(c => col("_lpay").getField(c).as(c)) ++
+      payloadCols.map(c => col("_r").getField(c).as(c))
+    withinTol.select(out.toSeq: _*)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.AsOf
+
+/** Point-in-time join: union+window implementation semantics. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("asof: latest at-or-before match per key, null when none precedes") {
+    val left = Seq(
+      (1L, "u1", ts(100)), (2L, "u1", ts(200)), (3L, "u1", ts(250)),
+      (4L, "u2", ts(100)),                       // u2 has no right rows at all
+      (5L, "u3", ts(50))                         // u3's right row is later
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("u1", ts(150), "a"), ("u1", ts(200), "b"), // equal-ts row IS visible
+      ("u3", ts(60), "c")
+    ).toDF("k", "rts", "v")
+    val out = AsOf.join(left, right, "k", "ts", "rts").orderBy("event_id")
+      .select("event_id", "v").as[(Long, Option[String])].collect()
+    assert(out === Array(
+      1L -> None,        // first right row for u1 is at 150 > 100
+      2L -> Some("b"),   // equal timestamp: right sorts first, visible
+      3L -> Some("b"),
+      4L -> None,
+      5L -> None))
+  }
+
+  test("asof: tolerance drops stale matches; payload collision rejected") {
+    val left = Seq((1L, "u", ts(1000)), (2L, "u", ts(5000))).toDF("event_id", "k", "ts")
+    val right = Seq(("u", ts(900), 7.0)).toDF("k", "rts", "v")
+    val out = AsOf.join(left, right, "k", "ts", "rts", toleranceSec = Some(600L))
+      .orderBy("event_id").select("event_id", "v")
+      .as[(Long, Option[Double])].collect()
+    assert(out === Array(1L -> Some(7.0), 2L -> None)) // 4100 s stale > 600 s
+
+    intercept[IllegalArgumentException] {
+      AsOf.join(left, right.withColumnRenamed("v", "ts"), "k", "ts", "rts")
+    }
+  }
+
+  test("asof plan: one hash exchange pair, no range-join row explosion") {
+    val left = Seq((1L, "u", ts(10))).toDF("event_id", "k", "ts")
+    val right = Seq(("u", ts(5), 1.0)).toDF("k", "rts", "v")
+    val plan = AsOf.join(left, right, "k", "ts", "rts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the union means NO join operator at all — just window over one
+    // key-partitioned sort
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("Window"))
+  }
+}
