@@ -1020,6 +1020,24 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Domain quota: at most 10 docs per source, hash-order-chosen (an
+    // unbiased per-domain sample, not the head of each domain)
+    "sample_domain_cap" -> ((s, d) =>
+      ext.Sampling.capPerGroup(Tables.load(s, d, "documents"),
+        col("source"), col("doc_id"), maxPerGroup = 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Data mixing: per-language Bernoulli rates toward a target
+    // composition (en-heavy corpus thinned, rare langs kept)
+    "sample_mixture" -> ((s, d) =>
+      ext.Sampling.mixtureSample(Tables.load(s, d, "documents"),
+        col("lang"), col("doc_id"),
+        Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25), defaultFrac = 0.1,
+        seed = "mix1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // Deterministic 80/10/10 train/val/test assignment — seeded hash
     // buckets, stable under corpus growth; per-split counts checked in
     // SamplingSpec, per-row labels checked here against the oracle's
@@ -2601,6 +2619,25 @@ object SparkEntry {
     "sample_bernoulli" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 1288490188
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
+
+    // thresholds: floor(rate * 2^32) per language, floor(0.1 * 2^32) default
+    "sample_mixture" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < CASE lang WHEN 'en' THEN 3865470566
+        |              WHEN 'de' THEN 2147483648
+        |              WHEN 'fr' THEN 1073741824
+        |              ELSE 429496729 END
         |ORDER BY doc_id""".stripMargin,
 
     // thresholds are floor(0.8 * 2^32) and floor(0.9 * 2^32), matching

@@ -50,6 +50,41 @@ object Sampling {
     df.where(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") < threshold)
   }
 
+  /** Per-group document cap (C4/CC-style domain quota): keep at most
+    * `maxPerGroup` rows per group, chosen by the same deterministic
+    * hash-order "shuffle" as [[stratifiedExact]] — an unbiased sample
+    * of each group, not its head. One shuffle on the group column; a
+    * pathologically hot group sorts within its partitions (bounded by
+    * the cap semantics: only the first `maxPerGroup` of the hash order
+    * survive). */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(group).orderBy(md5(key.cast("string")), key.cast("string"))))
+      .where(col("_rn") <= maxPerGroup)
+      .drop("_rn")
+  }
+
+  /** Mixture resampling toward a target composition (the "data mixing"
+    * step of corpus assembly): each group is Bernoulli-sampled at its
+    * own rate, so e.g. a web-heavy crawl can be thinned to a target
+    * lang/source distribution in one pass. Zero-shuffle like
+    * [[bernoulliHash]] — the per-row keep decision is a seeded hash
+    * against the group's threshold; groups absent from `fracs` keep at
+    * `defaultFrac`. */
+  def mixtureSample(df: DataFrame, group: Column, key: Column,
+                    fracs: Map[String, Double], defaultFrac: Double = 0.0,
+                    seed: String = ""): DataFrame = {
+    require((defaultFrac +: fracs.values.toSeq).forall(f => f >= 0 && f <= 1),
+      s"fractions out of range: $fracs default=$defaultFrac")
+    val thr = fracs.toSeq.sortBy(_._1).foldLeft(lit((defaultFrac * 4294967296d).toLong)) {
+      case (acc, (g, f)) => when(group === g, lit((f * 4294967296d).toLong)).otherwise(acc)
+    }
+    val u = conv(substring(
+      md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 8), 16, 10).cast("long")
+    df.where(u < thr)
+  }
+
   /** Deterministic train/val/test split assignment: hash the (seeded)
     * key into [0, 2^32) and bucket by cumulative weight thresholds.
     * Every row gets exactly one label; the same (seed, key) maps to the

@@ -36,6 +36,35 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.systematic(dense, col("k"), 10).count() == 100)
   }
 
+  test("capPerGroup: hot groups capped exactly, small groups untouched, unbiased pick") {
+    import spark.implicits._
+    val df = ((0 until 100).map(i => (i.toLong, "hot")) ++
+      Seq((1000L, "cold"), (1001L, "cold"))).toDF("k", "g")
+    val out = Sampling.capPerGroup(df, col("g"), col("k"), 10)
+    val counts = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("hot" -> 10L, "cold" -> 2L))
+    // hash order, not head-of-group: the kept set must not be 0..9
+    val kept = out.where($"g" === "hot").select("k").as[Long].collect().sorted
+    assert(kept.toSeq != (0L until 10L).toSeq)
+    // deterministic across partitioning
+    val again = Sampling.capPerGroup(df.repartition(7), col("g"), col("k"), 10)
+      .where($"g" === "hot").select("k").as[Long].collect().sorted
+    assert(again.toSeq === kept.toSeq)
+  }
+
+  test("mixtureSample: per-group rates within tolerance, default applies, zero shuffle") {
+    import spark.implicits._
+    val df = (0 until 12000).map(i => (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("k", "g")
+    val out = Sampling.mixtureSample(df, col("g"), col("k"),
+      Map("a" -> 0.8, "b" -> 0.2), defaultFrac = 0.05, seed = "t")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rates = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 4000.0).toMap
+    assert(math.abs(rates("a") - 0.8) < 0.03, s"a=${rates("a")}")
+    assert(math.abs(rates("b") - 0.2) < 0.03, s"b=${rates("b")}")
+    assert(math.abs(rates.getOrElse("c", 0.0) - 0.05) < 0.03, s"c=${rates.get("c")}")
+  }
+
   test("splitAssign: full cover, near-weight proportions, zero shuffle") {
     import spark.implicits._
     val keys = (0L until 10000L).toDF("k")
