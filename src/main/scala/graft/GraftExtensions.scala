@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FloatDotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{FloatDotProduct, Md5Lanes}
 
 /** SparkSessionExtensions entry point — makes the library's native
   * Catalyst expressions first-class SQL functions, so a pure-SQL user
@@ -23,6 +25,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"float_dot takes 2 arguments, got ${children.length}")
         FloatDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_lanes"),
+      new ExpressionInfo(classOf[Md5Lanes].getName, "md5_lanes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"md5_lanes takes 2 arguments, got ${children.length}")
+        val prefix = children.head match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"md5_lanes prefix must be a string literal, got $other")
+        }
+        Md5Lanes(prefix, children(1))
       }))
   }
 }

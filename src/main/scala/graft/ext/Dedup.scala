@@ -82,9 +82,18 @@ object Dedup {
     * groupBy) — one shuffle of map-side-combined partials, no row
     * blowup. Output: (doc_id, h0..h{n-1}) as longs. */
   def minhash(sh: DataFrame, numHashes: Int = 12): DataFrame = {
-    val lanes = sh.select(col("doc_id") +: (0 until numHashes).map { s =>
-      val digest = md5(concat(lit((s / 4).toString), lit(":"), col("shingle")))
-      conv(substring(digest, 1 + 8 * (s % 4), 8), 16, 10).cast("long").as(s"_l$s")
+    // native digest→lanes expression (functions.Md5Lanes): one md5 over
+    // raw bytes per 4 lanes, no hex-string round trip; bit-identical to
+    // the conv(substring(md5(...)))  formulation the oracle mirrors.
+    // Two selects on purpose: CollapseProject declines to inline the
+    // (non-cheap, multiply-referenced) lane arrays, so each group's
+    // digest is computed once, not once per element_at.
+    val nGroups = (numHashes + 3) / 4
+    val groups = sh.select(col("doc_id") +: (0 until nGroups).map { g =>
+      graft.functions.HashFunctions.md5Lanes(g.toString, col("shingle")).as(s"_g$g")
+    }: _*)
+    val lanes = groups.select(col("doc_id") +: (0 until numHashes).map { s =>
+      element_at(col(s"_g${s / 4}"), s % 4 + 1).as(s"_l$s")
     }: _*)
     val mins = (0 until numHashes).map(s => min(col(s"_l$s")).as(s"h$s"))
     lanes.groupBy("doc_id").agg(mins.head, mins.tail: _*)

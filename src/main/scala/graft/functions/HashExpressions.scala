@@ -1,0 +1,79 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the minhash hot path (SURVEY §7.6
+  * dedup).
+  *
+  * The Column formulation of one lane group —
+  * `conv(substring(md5(concat(lit(g), lit(":"), s)), 1+8i, 8), 16, 10)`
+  * × 4 — round-trips every digest through a 32-char hex STRING and
+  * re-parses 8-char substrings back to longs: five string allocations
+  * per shingle row per group, and it repeats the md5 once per lane
+  * unless CSE catches it. This expression digests the raw bytes once
+  * and emits the four unsigned big-endian 32-bit lanes directly as
+  * `array<bigint>` — bit-identical to the hex path (hex chars 8i..8i+7
+  * ARE digest bytes 4i..4i+3), so the DuckDB oracle mirror
+  * `CAST('0x' || substr(md5(g || ':' || s), 1+8*i, 8) AS BIGINT)` is
+  * unchanged. Per-thread digest instance, zero per-row object churn
+  * beyond the result array.
+  */
+case class Md5Lanes(prefix: String, child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_lanes expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Lanes.lanes(prefix, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val pref = ctx.addReferenceObj("prefix", prefix, "java.lang.String")
+      s"${ev.value} = graft.functions.Md5Lanes$$.MODULE$$.lanes($pref, $c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Lanes {
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Four unsigned big-endian 32-bit lanes of md5(prefix ':' s). */
+  def lanes(prefix: String, s: UTF8String): GenericArrayData = {
+    val md = digests.get()
+    md.reset()
+    md.update(prefix.getBytes("UTF-8"))
+    md.update(':'.toByte)
+    md.update(s.getBytes)
+    val d = md.digest()
+    val out = new Array[Long](4)
+    var i = 0
+    while (i < 4) {
+      out(i) = ((d(4 * i) & 0xffL) << 24) | ((d(4 * i + 1) & 0xffL) << 16) |
+        ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object HashFunctions {
+  /** array<bigint> of the 4 unsigned 32-bit md5 lanes of `prefix:s`. */
+  def md5Lanes(prefix: String, s: Column): Column =
+    GraftShim.column(Md5Lanes(prefix, GraftShim.expression(s)))
+}

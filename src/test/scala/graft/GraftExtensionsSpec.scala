@@ -34,4 +34,30 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("float_dot"))
   }
+
+  test("md5_lanes is bit-identical to the hex-string Column formulation") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+      .limit(200).select($"doc_id", $"text".as("s"))
+    val both = (0 until 2).foldLeft(docs) { (df, g) =>
+      df.withColumn(s"native_$g",
+          functions.HashFunctions.md5Lanes(g.toString, col("s")))
+        .withColumn(s"hex_$g", array((0 until 4).map(i =>
+          conv(substring(md5(concat(lit(g.toString), lit(":"), col("s"))),
+            1 + 8 * i, 8), 16, 10).cast("long")): _*))
+    }
+    val bad = both.where((0 until 2)
+      .map(g => col(s"native_$g") =!= col(s"hex_$g")).reduce(_ || _)).count()
+    assert(bad === 0)
+    // SQL surface + null propagation + empty string
+    val r = spark.sql(
+      "SELECT md5_lanes('7', ''), md5_lanes('0', CAST(NULL AS STRING))").head()
+    assert(r.getSeq[Long](0).length === 4)
+    assert(r.isNullAt(1))
+    // non-literal prefix rejected
+    val e = intercept[Exception] {
+      spark.sql("SELECT md5_lanes(CAST(rand() AS STRING), 'x')").head()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.contains("md5_lanes"))
+  }
 }
