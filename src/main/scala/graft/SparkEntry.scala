@@ -1248,6 +1248,29 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionize(Tables.load(s, d, "events"))
         .orderBy("user_id")),
 
+    // Streaming face of events_asof: SAME oracle (DuckDB native ASOF) —
+    // the stream-static interval recast must reproduce the batch
+    // operator's answer exactly, driven to completion with availableNow.
+    "events_asof_stream" -> ((s, d) => {
+      val errs = Tables.load(s, d, "events").where(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts").as("err_ts"))
+        .agg(round(max("value"), 2).as("err_value"))
+      // FileStreamSource needs a DIRECTORY; the testdata table is a
+      // single file — stage a symlink dir (no copy)
+      val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
+      val dir = java.nio.file.Paths.get(
+        s"/tmp/graft_asof_stream_${math.abs(d.hashCode)}")
+      java.nio.file.Files.createDirectories(dir)
+      val link = dir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+      graft.streaming.EventsStream.runAsOfStream(s, dir.toString, errs,
+        "user_id", "ts", "err_ts",
+        prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+        .where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "err_value")
+        .orderBy("event_id")
+    }),
+
     // As-of (point-in-time) join: each click gets the user's latest
     // error value at-or-before its timestamp. The union+window operator
     // is checked against DuckDB's NATIVE ASOF LEFT JOIN — an
@@ -2850,6 +2873,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical to events_asof: the streaming recast must match the
+    // batch operator bit-for-bit
+    "events_asof_stream" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.err_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, round(max(value), 2) AS err_value
+        |                FROM events WHERE event_type = 'error'
+        |                GROUP BY user_id, ts) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
+        |ORDER BY event_id""".stripMargin,
 
     "events_asof" ->
       """SELECT l.event_id, l.user_id, l.ts, r.err_value

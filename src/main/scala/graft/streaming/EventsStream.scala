@@ -257,4 +257,41 @@ object EventsStream {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Streaming as-of enrichment — the continuous face of
+    * [[graft.ops.AsOf]].join for the stream-static case (an event
+    * stream enriched against slowly-changing reference data, the
+    * standard feature-lookup shape).
+    *
+    * Spark-first formulation: Structured Streaming has no stateful
+    * as-of operator, but a STATIC right side can be recast as SCD-2
+    * validity intervals — `lead(ts)` per key gives each version its
+    * [ts, next_ts) window — turning "latest right ≤ event time" into a
+    * plain stream-static range join that every micro-batch plans like
+    * any batch join (broadcastable dim, no streaming state at all).
+    * Right must be unique per (key, ts), same contract as AsOf.join.
+    * Driven with availableNow for batch parity (AsOfSpec). */
+  def runAsOfStream(spark: SparkSession, eventsDir: String, right: DataFrame,
+                    key: String, leftTs: String, rightTs: String,
+                    queryName: String = "events_asof_stream",
+                    prepare: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payloadCols = right.columns.filter(c => c != key && c != rightTs)
+    val intervals = right
+      .withColumn("_next", lead(col(rightTs), 1)
+        .over(Window.partitionBy(key).orderBy(rightTs)))
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = prepare(spark.readStream.schema(schema).parquet(eventsDir))
+    val joined = stream.join(intervals,
+      stream(key) === intervals(key) &&
+        stream(leftTs) >= intervals(rightTs) &&
+        (intervals("_next").isNull || stream(leftTs) < intervals("_next")),
+      "left_outer")
+    val out = joined.select(
+      stream.columns.map(stream(_)) ++ payloadCols.map(intervals(_)): _*)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

@@ -42,6 +42,25 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of (interval recast) matches the batch operator exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream").toFile
+    val left = Seq(
+      (1L, "u1", ts(100)), (2L, "u1", ts(150)), (3L, "u1", ts(200)),
+      (4L, "u2", ts(500)), (5L, "u3", ts(10))).toDF("event_id", "k", "ts")
+    left.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val right = Seq(
+      ("u1", ts(150), "a"), ("u1", ts(180), "b"), ("u2", ts(400), "c"))
+      .toDF("k", "rts", "v")
+    val batch = ops.AsOf.join(left, right, "k", "ts", "rts")
+      .orderBy("event_id").collect().toSeq
+    val stream = graft.streaming.EventsStream
+      .runAsOfStream(spark, dir.getAbsolutePath, right, "k", "ts", "rts",
+        queryName = "asof_parity_spec")
+      .select("event_id", "k", "ts", "v")
+      .orderBy("event_id").collect().toSeq
+    assert(stream === batch)
+  }
+
   test("asof plan: one hash exchange pair, no range-join row explosion") {
     val left = Seq((1L, "u", ts(10))).toDF("event_id", "k", "ts")
     val right = Seq(("u", ts(5), 1.0)).toDF("k", "rts", "v")
