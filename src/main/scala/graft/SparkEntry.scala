@@ -1020,6 +1020,15 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Curriculum tiers: decile assignment by counting (ties share a
+    // bucket; integer-exact on any engine — no interpolated thresholds)
+    "quality_buckets" -> ((s, d) =>
+      ext.TextAnalysis.quantileBuckets(
+        Tables.load(s, d, "documents").select("doc_id", "n_chars"),
+        "n_chars", nBuckets = 10)
+        .select("doc_id", "n_chars", "bucket")
+        .orderBy("doc_id")),
+
     // Domain quota: at most 10 docs per source, hash-order-chosen (an
     // unbiased per-domain sample, not the head of each domain)
     "sample_domain_cap" -> ((s, d) =>
@@ -2643,6 +2652,16 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 1288490188
         |ORDER BY doc_id""".stripMargin,
+
+    // same counting formulation, independent path: window over raw rows
+    // rather than the distinct-score table
+    "quality_buckets" ->
+      """SELECT doc_id, n_chars,
+        |  CAST((count(*) OVER (ORDER BY n_chars
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - count(*) OVER (PARTITION BY n_chars)) * 10
+        |       // (SELECT count(*) FROM documents) AS INT) AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sample_domain_cap" ->
       """SELECT doc_id, source FROM (

@@ -185,4 +185,35 @@ object TextAnalysis {
         // shingles are already distinct per doc and carry their count —
         // min(n) avoids the Expand a countDistinct-plus-agg plan needs
         min(col("n")).as("n_shingles"))
+
+  /** Deterministic quantile bucketing (curriculum / quality-tier
+    * assignment): `bucket = floor(nBuckets × |{score' < score}| / n)` —
+    * percent-rank by COUNTING, so ties land in one bucket and the
+    * result is integer-exact on any engine (no interpolated thresholds,
+    * no float boundary flips — the property that makes tier assignment
+    * reproducible across engines and re-runs).
+    *
+    * Scale shape: one groupBy collapses the corpus to its DISTINCT
+    * score values; the exclusive running count is a window over that
+    * index-small table (scores are bounded — lengths, token counts,
+    * clipped quality scores — while the corpus is not; the global
+    * orderBy is over thousands of rows, documented pattern); a
+    * broadcast-size join maps buckets back. No global row sort, no
+    * interpolation. `approx_percentile` bucketing is the alternative
+    * when even the distinct-score table is huge — it trades exactly the
+    * determinism this keeps. */
+  def quantileBuckets(df: DataFrame, scoreCol: String, nBuckets: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(scoreCol).as("_s")).agg(count(lit(1)).as("_c"))
+    val n = counts.agg(sum("_c")).head().getLong(0)
+    val below = counts.withColumn("_below",
+      coalesce(sum(col("_c")).over(
+        Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    df.join(broadcast(below), col(scoreCol) === col("_s"))
+      // integer division end to end — no FP anywhere in the assignment
+      .withColumn("bucket", expr(s"_below * $nBuckets div ${n}L").cast("int"))
+      .drop("_s", "_c", "_below")
+  }
 }

@@ -297,6 +297,30 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("quantileBuckets: counting deciles — ties share, sizes near-equal, degenerate cases") {
+    val df = spark.range(0, 1000).select($"id".as("doc_id"), ($"id" % 100).as("score"))
+    val b = graft.ext.TextAnalysis.quantileBuckets(df, "score", 10)
+    val sizes = b.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes === (0 until 10).map(_ -> 100L).toMap) // 100 scores → 10 even deciles
+    // every tie group maps to exactly one bucket
+    val split = b.groupBy("score").agg(countDistinct("bucket").as("k"))
+      .where($"k" > 1).count()
+    assert(split === 0)
+    // all-equal scores: everything lands in bucket 0
+    val flat = graft.ext.TextAnalysis.quantileBuckets(
+      spark.range(0, 50).select($"id".as("doc_id"), lit(7).as("score")), "score", 10)
+    assert(flat.select("bucket").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+    // a dominant tie group swallows its span: 90% zeros → zeros in bucket 0, rest high
+    val skewed = graft.ext.TextAnalysis.quantileBuckets(
+      spark.range(0, 100).select($"id".as("doc_id"),
+        when($"id" < 90, 0).otherwise($"id").as("score")), "score", 10)
+    val zeroBuckets = skewed.where($"score" === 0)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    assert(zeroBuckets === Seq(0))
+    assert(skewed.where($"score" > 0).select(min("bucket")).head().getInt(0) === 9)
+  }
+
   test("quantizedTopK: int8 coarse + exact re-rank recovers the exact top-k") {
     val dim = 64
     val corpus = spark.range(1, 501).select($"id".as("vec_id"),
