@@ -1274,8 +1274,10 @@ object SparkEntry {
       if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
       graft.streaming.EventsStream.runAsOfStream(s, dir.toString, errs,
         "user_id", "ts", "err_ts",
-        prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-        .where(col("event_type") === "click")
+        // filter INSIDE the stream: the enrichment join and the memory
+        // sink see clicks only, not the whole event feed
+        prepare = df => df.where(col("event_type") === "click")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
         .select("event_id", "user_id", "ts", "err_value")
         .orderBy("event_id")
     }),
