@@ -1264,23 +1264,28 @@ object SparkEntry {
       val errs = Tables.load(s, d, "events").where(col("event_type") === "error")
         .groupBy(col("user_id"), col("ts").as("err_ts"))
         .agg(round(max("value"), 2).as("err_value"))
-      // FileStreamSource needs a DIRECTORY; the testdata table is a
-      // single file — stage a symlink dir (no copy)
-      val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
-      val dir = java.nio.file.Paths.get(
-        s"/tmp/graft_asof_stream_${math.abs(d.hashCode)}")
-      java.nio.file.Files.createDirectories(dir)
-      val link = dir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
-      graft.streaming.EventsStream.runAsOfStream(s, dir.toString, errs,
+      graft.streaming.EventsStream.runAsOfStream(s, eventsStreamDir(s, d), errs,
         "user_id", "ts", "err_ts",
         // filter INSIDE the stream: the enrichment join and the memory
         // sink see clicks only, not the whole event feed
-        prepare = df => df.where(col("event_type") === "click")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+        prepare = df => eventsStreamTs(df).where(col("event_type") === "click"))
         .select("event_id", "user_id", "ts", "err_value")
         .orderBy("event_id")
     }),
+
+    // Streaming faces of events_window / events_funnel — SAME oracles as
+    // the batch entries: watermarked tumbling windows (complete mode)
+    // and the bounded-state stream-stream interval join must reproduce
+    // the batch answers exactly under availableNow.
+    "events_window_stream" -> ((s, d) =>
+      graft.streaming.EventsStream.runWindowedStream(s, eventsStreamDir(s, d),
+        queryName = "gate_events_window_stream", prepare = eventsStreamTs)
+        .orderBy("window_start", "event_type")),
+
+    "events_funnel_stream" -> ((s, d) =>
+      graft.streaming.EventsStream.runFunnelStream(s, eventsStreamDir(s, d),
+        queryName = "gate_events_funnel_stream", prepare = eventsStreamTs)
+        .orderBy("view_id", "purchase_id")),
 
     // As-of (point-in-time) join: each click gets the user's latest
     // error value at-or-before its timestamp. The union+window operator
@@ -1508,6 +1513,27 @@ object SparkEntry {
     * line-sorted, one JSONL file per epoch with ascending mtimes (the
     * file source's arrival order). Idempotent per sfDir; staging dirs
     * live outside the watched directory so the stream never sees them. */
+  /** FileStreamSource needs a DIRECTORY; the testdata events table is a
+    * single parquet file — stage a symlink dir (no copy). Also arms the
+    * nanos-as-long conf the raw schema read needs. */
+  private def eventsStreamDir(s: SparkSession, d: String): String = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft_events_stream_" + d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    this.synchronized {
+      java.nio.file.Files.createDirectories(dir)
+      val link = dir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, src)
+    }
+    dir.toString
+  }
+
+  /** ns→µs conversion for raw event streams (see Tables.events). */
+  private val eventsStreamTs: DataFrame => DataFrame =
+    df => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   private def lhotseEpochDir(s: SparkSession, d: String): String = {
     val dir = "/tmp/graft_lhotse_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
     val marker = new java.io.File(dir, "_GRAFT_DONE")
@@ -2894,6 +2920,22 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical to events_window / events_funnel: the streaming runners
+    // must reproduce the batch answers exactly
+    "events_window_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_funnel_stream" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.ts AS view_ts, p.ts AS purchase_ts, round(p.value, 2) AS value
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     // identical to events_asof: the streaming recast must match the
     // batch operator bit-for-bit

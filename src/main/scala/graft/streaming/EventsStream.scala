@@ -189,9 +189,10 @@ object EventsStream {
     * (SURVEY §2.11 stream-stream join). availableNow drives it to batch
     * parity, asserted in StreamingSpec. */
   def runFunnelStream(spark: SparkSession, eventsDir: String,
-                      queryName: String = "events_funnel"): DataFrame = {
+                      queryName: String = "events_funnel",
+                      prepare: DataFrame => DataFrame = identity): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
-    def src = spark.readStream.schema(schema).parquet(eventsDir)
+    def src = prepare(spark.readStream.schema(schema).parquet(eventsDir))
     val v = src.where(col("event_type") === "view")
       .withWatermark("ts", "2 hours")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
@@ -237,9 +238,10 @@ object EventsStream {
     * with availableNow (batch parity on a static directory). Returns the
     * materialized result. */
   def runWindowedStream(spark: SparkSession, eventsDir: String,
-                        queryName: String = "events_windowed"): DataFrame = {
+                        queryName: String = "events_windowed",
+                        prepare: DataFrame => DataFrame = identity): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val stream = prepare(spark.readStream.schema(schema).parquet(eventsDir))
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
