@@ -207,7 +207,10 @@ object TextAnalysis {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(scoreCol).as("_s")).agg(count(lit(1)).as("_c"))
-    val n = counts.agg(sum("_c")).head().getLong(0)
+    // sum over an empty frame is NULL — an empty corpus buckets to an
+    // empty result, not a getLong NPE / division by zero
+    val n = Option(counts.agg(sum("_c")).head().getAs[java.lang.Long](0))
+      .map(_.longValue).getOrElse(1L)
     val below = counts.withColumn("_below",
       coalesce(sum(col("_c")).over(
         Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -37,6 +37,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs).count() == 0)
   }
 
+  test("round-3 operators on empty inputs: empty results, not errors") {
+    val noPages = Seq.empty[(Long, String)].toDF("page_id", "text")
+    assert(Dedup.lineDedup(noPages).count() == 0)
+    assert(Dedup.duplicatedSpans(noDocs).count() == 0)
+    val noUrls = Seq.empty[(Long, String)].toDF("doc_id", "url")
+    assert(Dedup.urlDedup(noUrls).count() == 0)
+    val noKeys = Seq.empty[(Long, String)].toDF("k", "g")
+    assert(graft.ext.Sampling.splitAssign(noKeys, col("k"),
+      Seq("a" -> 0.5, "b" -> 0.5)).count() == 0)
+    assert(graft.ext.Sampling.capPerGroup(noKeys, col("g"), col("k"), 3).count() == 0)
+    assert(graft.ext.Sampling.mixtureSample(noKeys, col("g"), col("k"),
+      Map("x" -> 0.5)).count() == 0)
+    assert(TextAnalysis.quantileBuckets(
+      Seq.empty[(Long, Long)].toDF("doc_id", "score"), "score", 10).count() == 0)
+    val noLeft = Seq.empty[(Long, String, java.sql.Timestamp)].toDF("event_id", "k", "ts")
+    val right = Seq(("u", new java.sql.Timestamp(1000L), 1.0)).toDF("k", "rts", "v")
+    assert(graft.ops.AsOf.join(noLeft, right, "k", "ts", "rts").count() == 0)
+    val noRight = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("k", "rts", "v")
+    val left = Seq((1L, "u", new java.sql.Timestamp(1000L))).toDF("event_id", "k", "ts")
+    val enriched = graft.ops.AsOf.join(left, noRight, "k", "ts", "rts").collect()
+    assert(enriched.length == 1 && enriched(0).isNullAt(3)) // null payload survives
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ext.Similarity.quantizedTopK(noVecs, noVecs, 5).count() == 0)
+  }
+
   test("contamination with an empty benchmark flags nothing") {
     val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val out = Dedup.contamination(docs, noDocs, n = 8).collect()
