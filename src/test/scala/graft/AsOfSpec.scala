@@ -61,6 +61,31 @@ class AsOfSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("asof property: random tables match a brute-force correlated-subquery reference") {
+    val rnd = new scala.util.Random(42)
+    val keys = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 3) {
+      val left = (1 to 200).map(i =>
+        (i.toLong, keys(rnd.nextInt(4)), ts(rnd.nextInt(1000)))).toDF("event_id", "k", "ts")
+      val right = (1 to 80).map(i =>
+          (keys(rnd.nextInt(4)), ts(rnd.nextInt(1000)), i.toDouble))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique per (k, rts)
+        .toDF("k", "rts", "v")
+      left.createOrReplaceTempView("asof_prop_l")
+      right.createOrReplaceTempView("asof_prop_r")
+      val ref = spark.sql(
+        """SELECT l.event_id,
+          |  (SELECT max_by(r.v, r.rts) FROM asof_prop_r r
+          |   WHERE r.k = l.k AND r.rts <= l.ts) AS v
+          |FROM asof_prop_l l ORDER BY event_id""".stripMargin)
+        .as[(Long, Option[Double])].collect().toSeq
+      val got = AsOf.join(left, right, "k", "ts", "rts")
+        .select("event_id", "v").orderBy("event_id")
+        .as[(Long, Option[Double])].collect().toSeq
+      assert(got === ref, s"trial $trial")
+    }
+  }
+
   test("asof plan: one hash exchange pair, no range-join row explosion") {
     val left = Seq((1L, "u", ts(10))).toDF("event_id", "k", "ts")
     val right = Seq(("u", ts(5), 1.0)).toDF("k", "rts", "v")
