@@ -1308,9 +1308,15 @@ object SparkEntry {
     // ------------------------------------------------------------------
     // U7 io:// comm type: payloads piped through an EXTERNAL process
     // (tr) stdin->stdout, one invocation per object (ext/etl comm model)
+    // the LIMIT subsets below order by (member, psize), not member alone:
+    // duplicate member names exist in the corpus (testdata lineitem lacks
+    // the TPC-H PK), and a same-name pair with different psize straddling
+    // the LIMIT boundary would let Spark and DuckDB pick different rows;
+    // same-name-same-psize rows are byte-identical so the pair is a
+    // sufficient deterministic key
     "etl_pipe" -> ((s, d) => {
       val withPayload = shards.TarFixtures.membersDf(s, d)
-        .orderBy("member").limit(500)
+        .orderBy("member", "psize").limit(500)
         .select(col("member").as("name"), col("payload_str").cast("binary").as("payload"))
       etl.PipeTransform(withPayload, Seq("tr", "a-z", "A-Z"))
         .select(col("name"), col("payload").cast("string").as("content"))
@@ -1323,7 +1329,7 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) => {
       val src = shards.TarFixtures.membersDf(s, d)
         .where(col("ext") === "jpg")
-        .orderBy("member").limit(1000)
+        .orderBy("member", "psize").limit(1000)
         .select(col("shard_name").as("shard"), col("member"),
           (col("psize") % 64 + 1).cast("int").as("w"),
           (col("psize") % 48 + 1).cast("int").as("h"))
@@ -1342,7 +1348,7 @@ object SparkEntry {
     "multimodal_audio" -> ((s, d) => {
       val src = shards.TarFixtures.membersDf(s, d)
         .where(col("ext") === "cls")
-        .orderBy("member").limit(1000)
+        .orderBy("member", "psize").limit(1000)
         .select(col("shard_name").as("shard"), col("member"),
           element_at(
             array(lit(8000), lit(16000), lit(44100)),
@@ -1367,7 +1373,7 @@ object SparkEntry {
     "multimodal_video" -> ((s, d) => {
       val src = shards.TarFixtures.membersDf(s, d)
         .where(col("ext") === "cls")
-        .orderBy("member").limit(1000)
+        .orderBy("member", "psize").limit(1000)
         .select(col("shard_name").as("shard"), col("member"),
           element_at(
             array(lit(600), lit(1000), lit(90000)),
@@ -2311,11 +2317,14 @@ object SparkEntry {
         |FROM members ORDER BY shard, member""".stripMargin,
       OracleCte.members),
 
+    // windows order by (member, psize): duplicate member names exist in
+    // the corpus (testdata lineitem lacks the TPC-H PK) and TarWriter's
+    // canonical layout breaks the tie by payload size
     "tar_scan" -> o(
       """SELECT shard, member, sample_key, ext,
-        |  CAST(512 * row_number() OVER (PARTITION BY shard ORDER BY member)
+        |  CAST(512 * row_number() OVER (PARTITION BY shard ORDER BY member, psize)
         |     + 512 * coalesce(sum((psize + 511) // 512) OVER (
-        |         PARTITION BY shard ORDER BY member
+        |         PARTITION BY shard ORDER BY member, psize
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
         |  psize AS size
         |FROM tarfix ORDER BY shard, member""".stripMargin,
@@ -2973,7 +2982,7 @@ object SparkEntry {
 
     "etl_pipe" -> o(
       """SELECT member AS name, upper(payload_str) AS content
-        |FROM (SELECT member, payload_str FROM tarfix ORDER BY member LIMIT 500)
+        |FROM (SELECT member, payload_str, psize FROM tarfix ORDER BY member, psize LIMIT 500)
         |ORDER BY name""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
 
@@ -2987,7 +2996,7 @@ object SparkEntry {
         |              CAST(psize % 64 + 1 AS INT) AS width,
         |              CAST(psize % 48 + 1 AS INT) AS height
         |            FROM (SELECT shard, member, psize FROM tarfix
-        |                  WHERE ext = 'jpg' ORDER BY member LIMIT 1000)))
+        |                  WHERE ext = 'jpg' ORDER BY member, psize LIMIT 1000)))
         |ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
 
@@ -2999,7 +3008,7 @@ object SparkEntry {
         |  CAST(psize % 100 + 1 AS BIGINT) AS n_frames,
         |  CAST((psize % 100 + 1) * 1000 // (([8000, 16000, 44100])[CAST(psize % 3 AS INT) + 1]) AS BIGINT) AS duration_ms
         |FROM (SELECT shard, member, psize FROM tarfix
-        |      WHERE ext = 'cls' ORDER BY member LIMIT 1000)
+        |      WHERE ext = 'cls' ORDER BY member, psize LIMIT 1000)
         |ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
 
@@ -3012,7 +3021,7 @@ object SparkEntry {
         |  CAST(psize % 240 + 1 AS BIGINT) AS n_frames,
         |  CAST((psize % 5000 + 1) * 100 * 1000 // (([600, 1000, 90000])[CAST(psize % 3 AS INT) + 1]) AS BIGINT) AS duration_ms
         |FROM (SELECT shard, member, psize FROM tarfix
-        |      WHERE ext = 'cls' ORDER BY member LIMIT 1000)
+        |      WHERE ext = 'cls' ORDER BY member, psize LIMIT 1000)
         |ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
 

@@ -49,7 +49,13 @@ object TarWriter {
     val plan = df
       .select(col("shard_name"), col("member"), col("payload"))
       .repartition(col("shard_name"))
-      .sortWithinPartitions("shard_name", "member")
+      // name then SIZE: duplicate member names are legal in TAR (and the
+      // synthetic corpus contains them — the testdata lineitem does not
+      // enforce the TPC-H (orderkey, linenumber) PK), so the canonical
+      // layout needs a deterministic tie-break the offset oracle can
+      // mirror; same-name-same-size members are byte-identical payloads
+      // here, so no further key is needed
+      .sortWithinPartitions(col("shard_name"), col("member"), length(col("payload")))
     plan.foreachPartition { (rows: Iterator[Row]) =>
       val conf = new Configuration()
       var curShard: String = null
