@@ -1057,6 +1057,17 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // Deterministic global corpus shuffle: every doc's epoch-0 training
+    // position + fixed-size output shard, ranked by md5(seed:doc_id) via
+    // the distributed prefix sum (one range shuffle — NOT a single-task
+    // global window; the oracle's row_number() is the semantic spec, the
+    // prefix sum is the 100 TB implementation of it).
+    "corpus_shuffle" -> ((s, d) =>
+      ext.Sampling.corpusShuffle(Tables.load(s, d, "documents"),
+        col("doc_id"), seed = "ep0", docsPerShard = 100L)
+        .select(col("_k").as("doc_id"), col("pos"), col("shard_id"))
+        .orderBy("pos")),
+
     // The composed training-data flagship: language filter → quality
     // threshold → exact dedup, each stage the already-oracle'd operator.
     // Dedup as row_number over the content hash keeps it ONE scan of the
@@ -1212,6 +1223,18 @@ object SparkEntry {
     "embed_quantize" -> ((s, d) =>
       ext.Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))
         .orderBy("vec_id", "pos")),
+
+    // SemDeDup-style semantic dedup: centroid cells bound the pairwise
+    // comparison (Σ|cell|² not n²); same adaptive stride as
+    // embed_cell_assign so the oracle can rebuild the identical cells,
+    // keep = no lower-id same-cell neighbor at cos >= 0.3
+    "embed_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val stride = math.max(100L, emb.count() / 128L)
+      ext.Similarity.semanticDedup(emb,
+        emb.where(col("vec_id") % stride === 0), threshold = 0.3)
+        .orderBy("vec_id")
+    }),
 
     // ------------------------------------------------------------------
     // Text analysis (SURVEY §7.6)
@@ -2577,6 +2600,33 @@ object SparkEntry {
         |  FROM d)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    // same cell rebuild as embed_cell_assign, then the SemDeDup keep
+    // rule: dropped iff a lower-id same-cell vector is within cos >= 0.3
+    "embed_semantic_dedup" ->
+      """WITH stride AS (
+        |  SELECT GREATEST(100, COUNT(*) // 128) AS s FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id % (SELECT s FROM stride) = 0),
+        |dd AS (SELECT e.vec_id, c.cell_id,
+        |        -list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) /
+        |          sqrt(list_dot_product(c.cv, c.cv)) AS dist
+        |      FROM embeddings e CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, cell_id FROM (
+        |  SELECT vec_id, cell_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        |  FROM dd) WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 4) >= 0.3)
+        |SELECT a.vec_id, a.cell_id, d.vec_id IS NULL AS keep
+        |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
     "dedup_simhash" -> {
       val bitSums = (0 until 16)
         .map(b => s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$b")
@@ -2730,6 +2780,16 @@ object SparkEntry {
         |        CAST(('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // the oracle's single global row_number() is the semantic spec the
+    // distributed prefix sum must reproduce exactly
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
+        |  CAST((row_number() OVER (
+        |    ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) // 100 AS BIGINT) AS shard_id
+        |FROM documents ORDER BY pos""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

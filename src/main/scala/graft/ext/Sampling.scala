@@ -107,4 +107,31 @@ object Sampling {
     }
     df.withColumn("split", split)
   }
+
+  /** Deterministic global corpus shuffle — the "shuffle the training set
+    * before sharding" step. Each row's position in the permutation is its
+    * rank under `md5(seed:key)` (key as tiebreak), and rows are cut into
+    * fixed-size output shards in that order: (key, pos, shard_id).
+    *
+    * The permutation is a pure function of (seed, key) — same order on
+    * any cluster layout and across re-runs, and a different seed is a
+    * fresh independent permutation (new training epoch order).
+    *
+    * Scale: the rank comes from [[graft.ops.DSort.globalCumsum]]'s
+    * distributed prefix sum — one range-partition shuffle on the hash,
+    * per-partition local ranks, a ≤ #partitions offsets table — NOT a
+    * global `Window.orderBy`, which would sort the whole corpus in one
+    * task. This is the same machinery dSort's shard packing rides; a
+    * 100 TB corpus shuffles once and numbers itself in parallel. */
+  def corpusShuffle(df: DataFrame, key: Column, seed: String,
+                    docsPerShard: Long): DataFrame = {
+    require(docsPerShard > 0, s"docsPerShard must be positive: $docsPerShard")
+    val hkey = md5(concat_ws(":", lit(seed), key.cast("string")))
+    graft.ops.DSort.globalCumsum(
+        df.select(key.as("_k"), hkey.as("_h")),
+        Seq(col("_h").asc, col("_k").asc), lit(1L))
+      .select(col("_k"),
+        (col("_cum") - 1).as("pos"),
+        ((col("_cum") - 1) / docsPerShard).cast("long").as("shard_id"))
+  }
 }

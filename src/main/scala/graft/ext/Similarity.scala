@@ -149,6 +149,45 @@ object Similarity {
       .withColumn("cell_id", nearestCell(col("_cv")))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540): cluster the corpus into centroid cells, then
+    * within each cell drop every vector that has a lower-id neighbor
+    * with cosine ≥ `threshold`. The cells make the otherwise-quadratic
+    * embedding dedup tractable: pair comparison happens only inside a
+    * cell, so the cost is Σ |cell|² instead of n² — at 100 TB you raise
+    * the cell count (an index parameter, like IVF's) so per-cell
+    * populations stay bounded, and the whole op is one broadcast-argmin
+    * assignment scan plus one hash shuffle on cell_id.
+    *
+    * Keep rule: a vector is kept iff no same-cell vector with a SMALLER
+    * id is within the threshold — the deterministic analog of
+    * SemDeDup's "keep one random point per duplicate group" (min-id
+    * instead of random; ids are the priority order). Cross-cell
+    * near-dups are out of scope by construction — that recall loss is
+    * the documented price of the cell bound (same contract as IVF's
+    * nprobe).
+    *
+    * Output: (vec_id, cell_id, keep). */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignCells(corpus, centroids, idCol, vecCol)
+      .withColumn("_n", sqrt(floatDot(col("_cv"), col("_cv"))))
+    val a = assigned.select(col("vec_id").as("_ida"), col("cell_id"),
+      col("_cv").as("_va"), col("_n").as("_na"))
+    val b = assigned.select(col("vec_id").as("_idb"), col("cell_id"),
+      col("_cv").as("_vb"), col("_n").as("_nb"))
+    // one hash shuffle of each side on cell_id; the id inequality and the
+    // cosine threshold run inside the per-cell join partition
+    val dropped = a.join(b, Seq("cell_id"))
+      .where(col("_ida") < col("_idb") &&
+        round(cosineWithNorms(col("_va"), col("_vb"), col("_na"), col("_nb")), 4)
+          >= threshold)
+      .select(col("_idb").as("vec_id")).distinct()
+    assigned.select("vec_id", "cell_id")
+      .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), coalesce(!col("_drop"), lit(true)).as("keep"))
+  }
+
   /** Per-group mean vector in FLAT (cluster, pos, centroid, n_vecs) form —
     * the k-means/IVF "update" step. Flat output keeps the op one
     * posexplode + one partial-aggregated groupBy on (cluster, pos): no

@@ -297,6 +297,41 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: min-id survives per near-dup group, singletons kept, cross-cell pairs exempt") {
+    // two clear cells on the axes; 1≈2 within cell 10, 3 alone in cell 20;
+    // 4 and 5 are near-dups of each other but land in DIFFERENT cells
+    // (either side of the diagonal) — the documented recall boundary
+    val cents = Seq(
+      (10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.01f)), (2L, Array(0.99f, 0.02f)),
+      (3L, Array(0.01f, 1.0f)),
+      (4L, Array(0.71f, 0.69f)), (5L, Array(0.69f, 0.71f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, cents, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (10L, true) && out(2L) == (10L, false), s"$out")
+    assert(out(3L) == (20L, true))
+    assert(out(4L) == (10L, true) && out(5L) == (20L, true), s"cross-cell pair must survive: $out")
+  }
+
+  test("semanticDedup: agrees with per-cell brute force on real embeddings and is deterministic") {
+    val cents = emb.where($"vec_id" % 100 === 0)
+    val got = Similarity.semanticDedup(emb, cents, threshold = 0.3)
+    // reference: brute-force pairs, keep = no lower-id neighbor in SAME cell
+    val asg = Similarity.assignCells(emb, cents).select("vec_id", "cell_id")
+    val cellOf = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dropped = Similarity.nearDupPairs(emb, 0.3).collect()
+      .filter(r => cellOf(r.getLong(0)) == cellOf(r.getLong(1)))
+      .map(_.getLong(1)).toSet
+    got.collect().foreach { r =>
+      assert(r.getBoolean(2) == !dropped(r.getLong(0)),
+        s"vec ${r.getLong(0)}: keep=${r.getBoolean(2)} but brute-force dropped=${dropped(r.getLong(0))}")
+    }
+    val again = Similarity.semanticDedup(emb.repartition(7), cents, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(again.toSeq == got.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq)
+  }
+
   test("quantileBuckets: counting deciles — ties share, sizes near-equal, degenerate cases") {
     val df = spark.range(0, 1000).select($"id".as("doc_id"), ($"id" % 100).as("score"))
     val b = graft.ext.TextAnalysis.quantileBuckets(df, "score", 10)

@@ -94,4 +94,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitAssign((0L until 5L).toDF("k"), col("k"), Seq("x" -> 0.5))
     }
   }
+
+  test("corpusShuffle: exact permutation, fixed shard sizes, layout-independent") {
+    import spark.implicits._
+    val n = 1234L
+    val out = Sampling.corpusShuffle((0L until n).toDF("k"), col("k"), "ep0", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positions are a bijection onto 0..n-1
+    assert(out.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // shard = pos / docsPerShard: full shards of 100, last shard 34
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.filter(_._1 < 12).values.forall(_ == 100), s"$sizes")
+    assert(sizes(12L) == 34)
+    // same permutation regardless of input partitioning
+    val again = Sampling.corpusShuffle((0L until n).toDF("k").repartition(13),
+      col("k"), "ep0", 100L).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again.toSeq == out.map(r => (r._1, r._2)).sorted.toSeq)
+  }
+
+  test("corpusShuffle: a new seed is a fresh permutation and the order is hash-random") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    def posOf(seed: String) = Sampling.corpusShuffle(keys, col("k"), seed, 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ep0 = posOf("ep0"); val ep1 = posOf("ep1")
+    assert(ep0.count { case (k, p) => ep1(k) != p } > 1900,
+      "different seeds must yield an essentially disjoint order")
+    // not the identity / key order: the hash actually permutes
+    assert(ep0.count { case (k, p) => k == p } < 20)
+  }
 }
