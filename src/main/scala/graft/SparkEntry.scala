@@ -31,13 +31,21 @@ object SparkEntry {
     // ------------------------------------------------------------------
     // Relational spine (exercises scan → agg → join machinery; bench heads)
     // ------------------------------------------------------------------
+    // Money sums across the TPC-H heads accumulate in DECIMAL(30,8), not
+    // double: per-row products are identical in both engines, but a
+    // double SUM over millions of rows per group drifts with partition
+    // order, and the 2-dp round turns a last-ulp difference into a
+    // 1-cent hash mismatch (first observed on q9, then q10, at the sf1
+    // scale step). The decimal sum is exact and associative; ratios
+    // (q8/q14) stay double — their rounding headroom is ~1e6 ulps.
     "q1_pricing_summary" -> ((s, d) => {
       li(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double"), 2).as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -49,7 +57,8 @@ object SparkEntry {
         .join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     }),
@@ -88,7 +97,8 @@ object SparkEntry {
         .where(col("supp_nation") =!= col("cust_nation"))
         .withColumn("l_year", year(col("l_shipdate")).cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
@@ -104,14 +114,16 @@ object SparkEntry {
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .where(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
     "q6_forecast_revenue" -> ((s, d) =>
       li(s, d)
         .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(30,8)")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n"))),
 
     "q10_returned_items" -> ((s, d) => {
@@ -122,7 +134,10 @@ object SparkEntry {
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .where(col("l_returnflag") === "R")
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // decimal accumulation like q9: a double SUM over a hot customer's
+        // rows drifts in the last cent with partition order at sf1
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),
@@ -155,7 +170,7 @@ object SparkEntry {
         salt = 8, hotThreshold = 5)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("price_sum"))
+          round(sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double"), 2).as("price_sum"))
         .orderBy("l_returnflag")),
 
     "q9_product_profit" -> ((s, d) => {
@@ -284,7 +299,7 @@ object SparkEntry {
           .select("p_partkey")), col("l_partkey") === col("p_partkey"))
         .join(avgQty, col("l_partkey") === col("a_partkey"))
         .where(col("l_quantity") < col("avg_qty") * 0.2)
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double") / 7.0, 2).as("avg_yearly"))
     }),
 
     "q22_dormant_customers" -> ((s, d) => {
@@ -301,7 +316,7 @@ object SparkEntry {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"))
         .agg(count(lit(1)).as("numcust"),
-          round(sum("c_acctbal"), 2).as("totacctbal"))
+          round(sum(col("c_acctbal").cast("decimal(30,8)")).cast("double"), 2).as("totacctbal"))
         .orderBy("nation")
     }),
 
@@ -328,7 +343,8 @@ object SparkEntry {
         .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1996-04-01")))
         .groupBy("l_suppkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2)
           .as("total_revenue"))
       rev.withColumn("_mx", max("total_revenue").over(w))
         .where(col("total_revenue") === col("_mx"))
@@ -368,7 +384,8 @@ object SparkEntry {
             col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(1, 35) &&
             col("l_quantity").between(20, 30)))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double"), 2)
           .as("revenue"),
           count(lit(1)).as("n"))
     }),
@@ -1640,15 +1657,15 @@ object SparkEntry {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT o_orderkey, o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -1663,7 +1680,7 @@ object SparkEntry {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q7_volume_shipping" ->
-      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      """SELECT supp_nation, cust_nation, l_year, round(CAST(sum(CAST(volume AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
         |FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -1682,7 +1699,7 @@ object SparkEntry {
 
     "q5_local_supplier_volume" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
         |FROM customer
         |  JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -1693,14 +1710,14 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
         |FROM customer
         |  JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -1725,7 +1742,7 @@ object SparkEntry {
 
     "skew_salted_join" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS price_sum
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS price_sum
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1795,7 +1812,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "q17_small_qty_revenue" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0, 2) AS avg_yearly
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#2'
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
@@ -1803,7 +1820,7 @@ object SparkEntry {
 
     "q22_dormant_customers" ->
       """SELECT n_name AS nation, count(*) AS numcust,
-        |  round(sum(c_acctbal), 2) AS totacctbal
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE), 2) AS totacctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
         |                   WHERE c_acctbal > 0.0)
@@ -1822,7 +1839,7 @@ object SparkEntry {
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -1843,7 +1860,7 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
 
     "q19_discounted_revenue" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15

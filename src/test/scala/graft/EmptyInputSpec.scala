@@ -60,6 +60,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(enriched.length == 1 && enriched(0).isNullAt(3)) // null payload survives
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(graft.ext.Similarity.quantizedTopK(noVecs, noVecs, 5).count() == 0)
+    // semanticDedup: empty corpus against a real centroid table is empty
+    // (an empty CENTROID table raises by assignCells contract)
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(graft.ext.Similarity.semanticDedup(noVecs, cents, 0.5).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.ext.Similarity.semanticDedup(cents, noVecs, 0.5)
+    }
+    assert(graft.ext.Sampling.corpusShuffle(
+      noKeys.select("k"), col("k"), "s", 10L).count() == 0)
   }
 
   test("contamination with an empty benchmark flags nothing") {
