@@ -314,6 +314,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(4L) == (10L, true) && out(5L) == (20L, true), s"cross-cell pair must survive: $out")
   }
 
+  test("semanticDedup plan guard: pair join keyed on cell_id, no all-pairs fallback") {
+    val cents = emb.where($"vec_id" % 100 === 0)
+    val plan = Similarity.semanticDedup(emb, cents, threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semanticDedup degraded to an unkeyed corpus-squared join:\n$plan")
+  }
+
   test("semanticDedup: agrees with per-cell brute force on real embeddings and is deterministic") {
     val cents = emb.where($"vec_id" % 100 === 0)
     val got = Similarity.semanticDedup(emb, cents, threshold = 0.3)

@@ -112,6 +112,17 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSeq == out.map(r => (r._1, r._2)).sorted.toSeq)
   }
 
+  test("corpusShuffle plan guard: the corpus rank window is _pid-partitioned, never global") {
+    import spark.implicits._
+    val plan = Sampling.corpusShuffle((0L until 100L).toDF("k"), col("k"), "s", 10L)
+      .queryExecution.executedPlan.toString
+    // the only Window over the full input must partition by the physical
+    // partition id (the distributed prefix sum); the unpartitioned window
+    // in the plan is the <= #partitions offsets table, which is fine
+    assert(plan.contains("windowspecdefinition(_pid"),
+      s"corpus rank window lost its _pid partitioning:\n$plan")
+  }
+
   test("corpusShuffle: a new seed is a fresh permutation and the order is hash-random") {
     import spark.implicits._
     val keys = (0L until 2000L).toDF("k")
