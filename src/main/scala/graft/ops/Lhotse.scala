@@ -128,6 +128,11 @@ object Lhotse {
               outputTemplate: String, startAt: Long = 0L): DataFrame = {
     require(batchSize > 0, "batch size must be positive")
     require(startAt >= 0, s"negative cut offset: $startAt")
+    // the input checkpoint is load-bearing even though the upstream
+    // parse is sub-second: skipping it was MEASURED 2.1x slower at sf1
+    // (14.5 -> 30.8 s) — the unmaterialized raise_error-guarded parse
+    // tree is re-planned into every downstream branch, and the range
+    // sampling pass re-runs it besides
     val (cum, offsets) = DSort.cumsumAndOffsets(requests, Nil, order, lit(1L))
     val numbered = cum
       .withColumn("batch_id", ((col("_cum") + (startAt - 1)) / batchSize).cast("long"))
