@@ -1267,6 +1267,14 @@ object SparkEntry {
         .select("doc_id", "votes_de", "votes_en", "votes_es", "votes_fr", "pred_lang")
         .orderBy("doc_id")),
 
+    // CCNet-style statistical quality: per-doc average negative log
+    // probability under the corpus's own unigram LM (boilerplate scores
+    // low, rare-token soup scores high)
+    "quality_unigram_nll" -> ((s, d) =>
+      ext.TextAnalysis.unigramNll(Tables.load(s, d, "documents"))
+        .select("doc_id", "n_tokens", "nll")
+        .orderBy("doc_id")),
+
     "token_count_bpe" -> ((s, d) => {
       val t = col("text")
       Tables.load(s, d, "documents").select(
@@ -2837,6 +2845,17 @@ object SparkEntry {
         |       WHEN votes_es >= votes_fr THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM vocab)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(ln((SELECT total FROM tot)) - avg(ln(tf)), 4) AS nll
+        |FROM toks JOIN vocab USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "corpus_clean" ->
       """WITH scored AS (

@@ -174,6 +174,36 @@ object TextAnalysis {
           Ipv4Pattern, "<IP>"))
   }
 
+  /** CCNet-style statistical quality score (Wenzek et al., LREC 2020:
+    * perplexity under a reference LM ranks web text): per-document
+    * average negative log probability of its tokens under the corpus's
+    * OWN unigram model — nll = ln(total_tokens) − avg(ln tf(tok)).
+    * Common/boilerplate-heavy docs score LOW (unsurprising), docs full
+    * of rare tokens score HIGH; filtering the extremes is the
+    * statistical complement of [[qualityFeatures]]' heuristics.
+    *
+    * Scale shape: one explode + one groupBy builds the term-frequency
+    * table (map-side combined; vocabulary is language-bounded while the
+    * corpus is not), one scalar agg for the total, one join token→tf,
+    * one per-doc agg. At 100 TB the tf table is the only mid-size
+    * intermediate — broadcast if it fits, hash join on the token
+    * otherwise; every other stage is a partial agg. Deterministic
+    * cross-engine: per-doc avg over ≤thousands of doubles has ~1e-13
+    * accumulated error vs the 4-dp rounding's 5e-5 headroom. */
+  def unigramNll(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(whitespaceTokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum("tf").cast("double").as("_total"))
+    toks.join(vocab, Seq("tok"))
+      .join(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(log(max(col("_total"))) - avg(log(col("tf"))), 4).as("nll"))
+  }
+
   /** Document fingerprint: minimum md5 over word 3-gram shingles (a
     * 1-permutation MinHash — stable under small edits) plus the distinct
     * shingle count. */

@@ -314,6 +314,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(4L) == (10L, true) && out(5L) == (20L, true), s"cross-cell pair must survive: $out")
   }
 
+  test("unigramNll: boilerplate scores low, rare-token docs high, exact on a closed form") {
+    import graft.ext.TextAnalysis
+    // corpus: "a a a a" ×3 docs + one doc of singletons.
+    // total T = 16 tokens; tf(a)=12, tf(x|y|z|w)=1.
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "a a a a"), (3L, "a a a a"),
+      (4L, "x y z w")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val t = math.log(16.0)
+    assert(out(1L) == ((4L, BigDecimal(t - math.log(12.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(4L) == ((4L, BigDecimal(t - math.log(1.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(4L)._2 > out(1L)._2, "rare-token doc must score higher nll than boilerplate")
+    // deterministic under partitioning
+    val again = TextAnalysis.unigramNll(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == out)
+  }
+
   test("semanticDedup plan guard: pair join keyed on cell_id, no all-pairs fallback") {
     val cents = emb.where($"vec_id" % 100 === 0)
     val plan = Similarity.semanticDedup(emb, cents, threshold = 0.3)
