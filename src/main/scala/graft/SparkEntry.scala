@@ -1275,6 +1275,13 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "nll")
         .orderBy("doc_id")),
 
+    // RAG/pretraining passage splitter: 40-token windows, 20-token
+    // stride (50% overlap); zero-shuffle codegen row expansion
+    "doc_chunks" -> ((s, d) =>
+      ext.TextAnalysis.chunk(Tables.load(s, d, "documents"),
+        window = 40, stride = 20)
+        .orderBy("doc_id", "chunk_id")),
+
     "token_count_bpe" -> ((s, d) => {
       val t = col("text")
       Tables.load(s, d, "documents").select(
@@ -2856,6 +2863,19 @@ object SparkEntry {
         |  round(ln((SELECT total FROM tot)) - avg(ln(tf)), 4) AS nll
         |FROM toks JOIN vocab USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, ts, unnest(range(0, len(ts), 20)) AS s FROM toks)
+        |SELECT doc_id,
+        |  CAST(s // 20 AS BIGINT) AS chunk_id,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(len(list_slice(ts, s + 1, s + 40)) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS chunk
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
 
     "corpus_clean" ->
       """WITH scored AS (

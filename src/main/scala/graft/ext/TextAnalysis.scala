@@ -204,6 +204,34 @@ object TextAnalysis {
         round(log(max(col("_total"))) - avg(log(col("tf"))), 4).as("nll"))
   }
 
+  /** Fixed-token-window document chunking with overlap — the passage
+    * splitter every RAG / pretraining pipeline runs before embedding or
+    * packing. Chunk i covers tokens [i·stride, i·stride + window); the
+    * final chunk is short rather than padded, and a document always
+    * yields at least one chunk.
+    *
+    * Scale shape: tokenize once into an array column, explode a
+    * `sequence(0, n−1, stride)` of chunk starts, slice per chunk —
+    * zero shuffle, pure codegen row expansion; output size is
+    * corpus × (window/stride) overlap factor, the inherent cost of
+    * overlapping chunks. */
+  def chunk(docs: DataFrame, window: Int, stride: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"), whitespaceTokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - 1, lit(stride))).as("_start"))
+      .select(
+        col("doc_id"),
+        (col("_start") / stride).cast("long").as("chunk_id"),
+        col("_start").cast("long").as("start_tok"),
+        size(slice(col("_toks"), col("_start") + 1, lit(window))).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(window))).as("chunk"))
+  }
+
   /** Document fingerprint: minimum md5 over word 3-gram shingles (a
     * 1-permutation MinHash — stable under small edits) plus the distinct
     * shingle count. */

@@ -314,6 +314,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(4L) == (10L, true) && out(5L) == (20L, true), s"cross-cell pair must survive: $out")
   }
 
+  test("chunk: window/stride coverage, short tail, reassembly at stride==window, zero shuffle") {
+    import graft.ext.TextAnalysis
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val docs = Seq((1L, doc)).toDF("doc_id", "text")
+    // window 4 stride 2: starts 0,2,4,6,8 — tails shorten, never pad
+    val out = TextAnalysis.chunk(docs, window = 4, stride = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(out.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 2L, 4L), (2L, 4L, 4L), (3L, 6L, 4L), (4L, 8L, 2L)))
+    assert(out.head._4 == "t1 t2 t3 t4" && out.last._4 == "t9 t10")
+    // stride == window: non-overlapping chunks reassemble the document
+    val flat = TextAnalysis.chunk(docs, window = 3, stride = 3).collect()
+      .sortBy(_.getLong(1)).map(_.getString(4)).mkString(" ")
+    assert(flat == doc)
+    // zero shuffle: pure row expansion
+    val plan = TextAnalysis.chunk(docs, 4, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("unigramNll: boilerplate scores low, rare-token docs high, exact on a closed form") {
     import graft.ext.TextAnalysis
     // corpus: "a a a a" ×3 docs + one doc of singletons.
