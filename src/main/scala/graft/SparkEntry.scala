@@ -1037,6 +1037,34 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // BM25 keyword retrieval: top-10 per query, scores rounded BEFORE
+    // ranking so the k-boundary is reproducible cross-engine; query 2
+    // carries a vocabulary miss ("zebra") to exercise the no-match path
+    "bm25_topk" -> ((s, d) =>
+      ext.Retrieval.bm25TopK(Tables.load(s, d, "documents"), bm25Queries, k = 10)
+        .orderBy("query_id", "rank")),
+
+    // Classifier distillation (the fastText/CCNet curation pattern):
+    // train multinomial NB against the heuristic quality label, score
+    // every doc — training is two aggregations, inference a broadcast
+    // join; the DuckDB oracle re-trains the same model independently
+    "quality_nb_classifier" -> ((s, d) => {
+      val labeled = ext.TextAnalysis.qualityFeatures(
+        Tables.load(s, d, "documents").select("doc_id", "text"))
+        .withColumn("label", col("quality_score") >= 0.41)
+        .select("doc_id", "text", "label")
+      ext.QualityModel.nbTrainScore(labeled).orderBy("doc_id")
+    }),
+
+    // Streaming exact dedup: the dedup corpus split over three files,
+    // one micro-batch each (maxFilesPerTrigger=1) — cross-batch
+    // state-store dedup must reproduce the batch operator's distinct
+    // hash set (injected duplicates land in a DIFFERENT file than their
+    // originals: id+1e6 flips doc_id mod 3)
+    "dedup_stream" -> ((s, d) =>
+      graft.streaming.DedupStream.runExactDedupStream(s, dedupStreamDir(s, d),
+        queryName = "gate_dedup_stream").orderBy("content_hash")),
+
     // Curriculum tiers: decile assignment by counting (ties share a
     // bucket; integer-exact on any engine — no interpolated thresholds)
     "quality_buckets" -> ((s, d) =>
@@ -1545,6 +1573,43 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 1000000L))
   }
 
+  /** The fixed keyword-query set for `bm25_topk` — terms from the
+    * synthetic document vocabulary plus one guaranteed miss. */
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "query"),
+    1 -> Seq("customer", "stream"),
+    2 -> Seq("window", "zebra"))
+
+  /** [[dedupCorpus]] staged as a 3-file parquet directory (doc_id mod 3,
+    * ascending mtimes) so the streaming dedup processes three ordered
+    * micro-batches under maxFilesPerTrigger=1. Idempotent per sfDir;
+    * staging dirs live outside the watched directory. */
+  private def dedupStreamDir(s: SparkSession, d: String): String = {
+    val dir = "/tmp/graft_dedup_stream_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val marker = new java.io.File(dir, "_GRAFT_DONE")
+    this.synchronized {
+      if (!marker.exists()) {
+        new java.io.File(dir).mkdirs()
+        val corpus = dedupCorpus(s, d)
+        (0 until 3).foreach { e =>
+          val stage = dir + s"_stage$e"
+          corpus.where(pmod(col("doc_id"), lit(3)) === e)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          val dst = new java.io.File(dir, f"epoch-$e%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1000000000L + e * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+        }
+        marker.createNewFile()
+      }
+    }
+    dir
+  }
+
   /** Deterministic Lhotse cut manifest (JSONL, modern sources[] layout)
     * derived from `orders` — three URI families: archive members
     * (k%10=9, exercises archpath split), s3:// scheme (k%7=0, provider
@@ -1591,9 +1656,11 @@ object SparkEntry {
     dir.toString
   }
 
-  /** ns→µs conversion for raw event streams (see Tables.events). */
+  /** ts normalization for raw event streams — schema-adaptive like
+    * Tables.events (the testdata has shipped ts as both ns-as-long and
+    * µs-timestamp across generations). */
   private val eventsStreamTs: DataFrame => DataFrame =
-    df => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df => df.withColumn("ts", Tables.normalizeTs(df.schema("ts").dataType))
 
   private def lhotseEpochDir(s: SparkSession, d: String): String = {
     val dir = "/tmp/graft_lhotse_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -2774,6 +2841,69 @@ object SparkEntry {
 
     // same counting formulation, independent path: window over raw rows
     // rather than the distinct-score table
+    "bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
+        |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |q(query_id, tok) AS (VALUES
+        |  (0, 'spark'), (0, 'query'), (1, 'customer'), (1, 'stream'),
+        |  (2, 'window'), (2, 'zebra')),
+        |postings AS (
+        |  SELECT doc_id, dl, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(len(string_split_regex(trim(text), '\s+'))) AS avgdl
+        |  FROM documents),
+        |scores AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))), 4) AS score
+        |  FROM postings p JOIN q ON q.tok = p.tok
+        |  JOIN dfreq d ON d.tok = p.tok CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rank, score FROM (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scores)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "quality_nb_classifier" ->
+      """WITH labeled AS (
+        |  SELECT doc_id, text,
+        |    (round(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 0.4
+        |      + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) >= 0.41) AS label
+        |  FROM documents),
+        |toks AS (SELECT doc_id, label,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM labeled),
+        |counts AS (SELECT tok,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS cpos,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS cneg
+        |  FROM toks GROUP BY tok),
+        |tots AS (SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
+        |    CAST(sum(cneg) AS DOUBLE) AS tneg, CAST(count(*) AS DOUBLE) AS v
+        |  FROM counts),
+        |prior AS (SELECT ln(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) AS p FROM labeled),
+        |weights AS (SELECT tok,
+        |    ln((cpos + 1) / (tpos + v)) - ln((cneg + 1) / (tneg + v)) AS w
+        |  FROM counts CROSS JOIN tots)
+        |SELECT t.doc_id, max(t.label) AS label,
+        |  round((SELECT p FROM prior) + sum(w.w), 4) AS nb_score,
+        |  round((SELECT p FROM prior) + sum(w.w), 4) > 0 AS pred
+        |FROM toks t JOIN weights w USING (tok)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "dedup_stream" -> o(
+      """SELECT DISTINCT md5(text) AS content_hash
+        |FROM corpus ORDER BY content_hash""".stripMargin,
+      OracleCte.corpus),
+
     "quality_buckets" ->
       """SELECT doc_id, n_chars,
         |  CAST((count(*) OVER (ORDER BY n_chars

@@ -18,17 +18,34 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read nanos as long and convert (the corpus carries
-    * no sub-microsecond components, so the ns→µs cast is lossless). */
+  /** `events.ts` arrives in either of two physical forms depending on the
+    * testdata generation: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read nanos as long and convert; the corpus carries
+    * no sub-microsecond components, so ns→µs is lossless) or plain
+    * TIMESTAMP(MICROS) without UTC adjustment (reads as TIMESTAMP_NTZ —
+    * cast to the session-UTC instant type the downstream operators use).
+    * Either way the loaded `ts` is a TimestampType UTC instant. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          // integer div: `/` would promote the ns long (> 2^53) to
-          // double and round the µs by ±1
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType))
+  }
+
+  /** ts-normalization column for the schema read (see [[events]]). */
+  def normalizeTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType =>
+        // integer div: `/` would promote the ns long (> 2^53) to double
+        // and round the µs by ±1
+        timestamp_micros(expr("ts div 1000"))
+      case _: TimestampNTZType =>
+        // session tz is UTC everywhere in this project, so the cast maps
+        // wall-clock == instant with no shift
+        col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
   }
 
   /** Register every table as a temp view named like the file. */

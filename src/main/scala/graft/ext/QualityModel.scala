@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Statistical quality-classifier distillation (SURVEY §7.6 extension):
+  * train a multinomial Naive-Bayes text classifier ON the corpus against a
+  * cheap labeling rule, then score every document with it — the
+  * fastText-classifier pattern of CCNet / LLaMA-style data curation
+  * ("train a linear model to distill a heuristic or a seed corpus, then
+  * filter at scale by model score"), expressed end-to-end in one Spark
+  * job: the "training" is two aggregations, the "inference" a broadcast
+  * join — no ML runtime, no driver-side model state.
+  *
+  * Scale shape (the 100 TB contract):
+  *   - per-class token counts: ONE explode + groupBy(token) with both
+  *     class counts as conditional sums in the same aggregate — map-side
+  *     combined, the shuffle is vocabulary-sized (language-bounded) while
+  *     the corpus is not;
+  *   - class totals / vocab size / document prior: scalar aggregates over
+  *     the vocabulary table and the label column;
+  *   - scoring: broadcast the vocabulary-sized weight table back onto the
+  *     exploded tokens, one per-doc aggregate. Two corpus scans total.
+  */
+object QualityModel {
+
+  /** Train-and-score in one pass. `docs` must carry a boolean `labelCol`
+    * (the rule being distilled, e.g. `quality_score >= t`); both classes
+    * must be non-empty — a one-class "classifier" is a bug upstream, so
+    * raise rather than emit ±Inf priors.
+    *
+    * Per-token log-odds with Laplace smoothing over vocabulary V:
+    *   w(t)  = ln((c⁺(t)+1)/(T⁺+V)) − ln((c⁻(t)+1)/(T⁻+V))
+    *   score(d) = ln(N⁺/N⁻) + Σ_{t ∈ d} w(t),   pred(d) = score(d) > 0
+    * Scores are rounded to 4 dp and `pred` is derived from the ROUNDED
+    * score — a score within last-ulp noise of the boundary must not flip
+    * the prediction between engines or runs.
+    */
+  def nbTrainScore(docs: DataFrame, labelCol: String = "label",
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(labelCol).as("_lab"),
+      explode(TextAnalysis.whitespaceTokens(col(textCol))).as("tok"))
+
+    val counts = toks.groupBy("tok").agg(
+      sum(when(col("_lab"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("_lab"), 0L).otherwise(1L)).as("cneg"))
+
+    // class token totals + vocab size: one scalar agg over the vocab table
+    val tots = counts.agg(
+      sum("cpos").cast("double").as("_tpos"),
+      sum("cneg").cast("double").as("_tneg"),
+      count(lit(1)).cast("double").as("_v"))
+
+    // document-count prior; raising on a one-class corpus (see scaladoc)
+    val prior = docs.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).cast("double").as("_npos"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).cast("double").as("_nneg"))
+      .select(when(col("_npos") > 0 && col("_nneg") > 0,
+        log(col("_npos") / col("_nneg")))
+        .otherwise(raise_error(lit("nbTrainScore: corpus has a single class")))
+        .as("_prior"))
+
+    val weights = counts.join(broadcast(tots))
+      .select(col("tok"),
+        (log((col("cpos") + 1) / (col("_tpos") + col("_v"))) -
+         log((col("cneg") + 1) / (col("_tneg") + col("_v")))).as("_w"))
+
+    toks
+      .join(broadcast(weights), Seq("tok"))
+      .join(broadcast(prior))
+      .groupBy("doc_id")
+      .agg(
+        first(col("_lab")).as("label"),
+        round(max(col("_prior")) + sum(col("_w")), 4).as("nb_score"))
+      .withColumn("pred", col("nb_score") > 0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the document corpus (SURVEY §7.6 extension):
+  * BM25-scored top-k — the sparse-retrieval half every RAG / data-curation
+  * pipeline runs next to the dense ANN path (`ext.Similarity`), and the
+  * standard relevance filter for "find training docs about X" curation
+  * queries.
+  *
+  * Scale shape (the 100 TB contract):
+  *   - ONE corpus scan builds the postings for the QUERY TERMS ONLY — the
+  *     term filter is applied map-side via a broadcast hash join BEFORE the
+  *     (doc, term) aggregation, so the shuffle carries matched tokens, not
+  *     the corpus vocabulary. Document length rides the explode as a
+  *     column; no corpus-sized length join.
+  *   - df / idf are per-term aggregates over the matched postings (a
+  *     term-count-sized table), broadcast back.
+  *   - N and avgdl are one scalar aggregate (a second column-pruned scan;
+  *     at 100 TB both scans read only the text column).
+  *   - top-k per query is a window over matched docs partitioned by
+  *     query_id — never a global sort of the corpus.
+  */
+object Retrieval {
+
+  /** Classic Okapi BM25 with the (k1+1) numerator:
+    * idf(t)    = ln(1 + (N − df + 0.5)/(df + 0.5))   (Robertson/Lucene idf)
+    * w(t, d)   = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * score(q,d)= Σ_{t ∈ q} w(t, d), ranked per query, ties broken by doc_id.
+    *
+    * Scores are rounded to 4 dp BEFORE ranking so rank (and the top-k
+    * boundary) is reproducible cross-engine; `rank` is dense-free
+    * row_number under (score desc, doc_id asc).
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(queries.nonEmpty, "no queries")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    val terms = qterms.select("tok").distinct()
+
+    // corpus scan #1: explode to tokens with dl riding along, keep only
+    // query-term hits (broadcast), then aggregate tf per (doc, term)
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("_w"))
+      .select(col("doc_id"), size(col("_w")).cast("long").as("dl"),
+        explode(col("_w")).as("tok"))
+      .join(broadcast(terms), Seq("tok"))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+
+    // per-term document frequency over the matched postings (identical to
+    // df over the full posting list: filtering by term keeps every doc of
+    // the surviving terms)
+    val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // corpus scan #2: scalar N / avgdl (column-pruned to the text column)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(size(TextAnalysis.whitespaceTokens(col(textCol)))).as("_avgdl"))
+
+    val idf: Column = log(lit(1.0) +
+      (col("_n") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm: Column = (col("tf") * (k1 + 1)) /
+      (col("tf") + (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))))
+
+    val scores = postings
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(broadcast(stats))
+      .join(broadcast(qterms), Seq("tok"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(idf * tfNorm), 4).as("score"))
+
+    scores
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "score")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming exact deduplication (SURVEY §2.11 × §7.6): the continuous
+  * face of `ext.Dedup.exact` — a document feed deduplicated by content
+  * hash ACROSS micro-batches, the shape of continuous corpus ingestion
+  * (a crawler drop-folder where re-fetched pages must not re-enter the
+  * corpus).
+  *
+  * Spark-first: `dropDuplicates` on a streaming Dataset keeps per-key
+  * state in the state store, so the first arrival of each content hash is
+  * emitted and every later arrival — same batch or any later batch — is
+  * dropped. `maxFilesPerTrigger=1` forces multi-batch execution even on a
+  * static directory, so the cross-batch state path is what actually runs
+  * (one big batch would dedup trivially).
+  *
+  * Determinism contract: the SET of surviving content hashes equals the
+  * batch operator's exactly (that is what the oracle checks); WHICH
+  * duplicate arrives first is file-arrival order, so only the hash — not
+  * a winning doc_id — is in the output. At 100 TB the unbounded hash
+  * state is the real cost: production ingestion bounds it with
+  * `dropDuplicatesWithinWatermark` (state TTL = the re-crawl horizon) or
+  * periodically compacts state into a static bloom/anti-join set; the
+  * state layout here is identical, only the retention differs.
+  */
+object DedupStream {
+
+  def runExactDedupStream(spark: SparkSession, docsDir: String,
+                          queryName: String = "dedup_stream",
+                          maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+    val hashes = stream
+      .select(md5(col("text").cast("binary")).as("content_hash"))
+      .dropDuplicates("content_hash")
+    val q = hashes.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

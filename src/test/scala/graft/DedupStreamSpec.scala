@@ -1,0 +1,43 @@
+package graft
+
+import graft.streaming.DedupStream
+import org.apache.spark.sql.functions._
+
+/** Streaming exact dedup: cross-micro-batch state must reproduce the
+  * batch operator's distinct hash set. */
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming dedup across micro-batches == batch distinct hash set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toFile
+    // three files; "dup-a" appears in all three, "dup-b" in two —
+    // duplicates MUST span files so the cross-batch state path is what
+    // is being tested (one batch would dedup trivially)
+    Seq((0L, "dup-a"), (1L, "only-1"), (2L, "dup-b")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir + "/f0")
+    Seq((3L, "dup-a"), (4L, "dup-b"), (5L, "only-5")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir + "/f1")
+    Seq((6L, "dup-a"), (7L, "only-7")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir + "/f2")
+    val flat = new java.io.File(dir, "flat"); flat.mkdirs()
+    var i = 0
+    Seq("f0", "f1", "f2").foreach { f =>
+      new java.io.File(dir, f).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { p =>
+          val dst = new java.io.File(flat, f"epoch-$i%02d.parquet")
+          java.nio.file.Files.move(p.toPath, dst.toPath)
+          dst.setLastModified(1000000000L + i * 60000L)
+          i += 1
+        }
+    }
+
+    val got = DedupStream.runExactDedupStream(spark, flat.toString,
+      queryName = "spec_dedup_stream")
+      .collect().map(_.getString(0)).toSet
+    val want = spark.read.parquet(flat.toString)
+      .select(md5(col("text").cast("binary")).as("h"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(got == want)
+    assert(got.size == 5) // 8 rows, 3 dup-a + 2 dup-b collapse to 5 texts
+  }
+}

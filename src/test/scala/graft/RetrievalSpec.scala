@@ -1,0 +1,132 @@
+package graft
+
+import graft.ext.{QualityModel, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval + NB classifier distillation (ext.Retrieval /
+  * ext.QualityModel). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "apple banana apple"),
+    (1L, "apple cherry"),
+    (2L, "banana banana banana banana"),
+    (3L, "cherry date elderberry fig grape")
+  ).toDF("doc_id", "text")
+
+  test("bm25: hand-computed scores on a four-doc corpus") {
+    val out = Retrieval.bm25TopK(docs, Seq(0 -> Seq("apple")), k = 10)
+      .orderBy("rank").collect()
+    // N=4, df(apple)=2 → idf = ln(1 + 2.5/2.5) = ln 2
+    // avgdl = (3+2+4+5)/4 = 3.5
+    // doc0: tf=2, dl=3 → w = ln2 * 2*2.2/(2 + 1.2*(0.25+0.75*3/3.5))
+    // doc1: tf=1, dl=2 → w = ln2 * 2.2/(1 + 1.2*(0.25+0.75*2/3.5))
+    val idf = math.log(2.0)
+    val s0 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.5))
+    val s1 = idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / 3.5))
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    assert(out(0).getDouble(3) == math.rint(s0 * 1e4) / 1e4 ||
+      math.abs(out(0).getDouble(3) - s0) < 1e-4)
+    assert(math.abs(out(1).getDouble(3) - s1) < 1e-4)
+  }
+
+  test("bm25: multi-term queries sum per-term scores; unknown terms contribute nothing") {
+    val both = Retrieval.bm25TopK(docs, Seq(0 -> Seq("apple", "cherry")), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val apple = Retrieval.bm25TopK(docs, Seq(0 -> Seq("apple")), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val cherry = Retrieval.bm25TopK(docs, Seq(0 -> Seq("cherry")), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // doc1 matches both terms: its combined score is the sum of the parts
+    assert(math.abs(both(1L) - (apple(1L) + cherry(1L))) < 2e-4)
+    // an all-unknown query returns no rows at all
+    assert(Retrieval.bm25TopK(docs, Seq(0 -> Seq("zzz")), k = 5).count() == 0)
+    // unknown alongside known == known alone
+    val withMiss = Retrieval.bm25TopK(docs, Seq(0 -> Seq("apple", "zzz")), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(withMiss == apple)
+  }
+
+  test("bm25: k caps per-query results and rank is dense from 1") {
+    val out = Retrieval.bm25TopK(docs,
+      Seq(0 -> Seq("apple", "banana", "cherry"), 1 -> Seq("banana")), k = 2)
+      .orderBy("query_id", "rank").collect()
+    val byQ = out.groupBy(_.getInt(0))
+    assert(byQ(0).map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    // "banana" matches docs 0 and 2; k=2 keeps both, ranks dense
+    assert(byQ(1).map(_.getLong(2)).toSeq.sorted == Seq(1L, 2L))
+    // rank 1 of query 1 is the banana-heavy doc
+    assert(byQ(1).head.getLong(1) == 2L)
+  }
+
+  test("nb classifier: separable two-class corpus scores and predicts by class") {
+    val labeled = Seq(
+      (0L, "good clean prose text", true),
+      (1L, "good clean text", true),
+      (2L, "spam spam junk junk", false),
+      (3L, "junk spam junk", false)
+    ).toDF("doc_id", "text", "label")
+    val out = QualityModel.nbTrainScore(labeled).orderBy("doc_id").collect()
+    assert(out.length == 4)
+    // tokens are fully separable → predictions reproduce the labels
+    out.foreach(r => assert(r.getBoolean(3) == r.getBoolean(1), r.toString))
+    // scores ordered: positive docs strictly above negative docs
+    val pos = out.filter(_.getBoolean(1)).map(_.getDouble(2)).min
+    val neg = out.filter(!_.getBoolean(1)).map(_.getDouble(2)).max
+    assert(pos > neg)
+  }
+
+  test("nb classifier: shared tokens pull scores toward the prior, one-class corpus raises") {
+    val labeled = Seq(
+      (0L, "alpha shared", true),
+      (1L, "beta shared", false)
+    ).toDF("doc_id", "text", "label")
+    val out = QualityModel.nbTrainScore(labeled).orderBy("doc_id").collect()
+    // balanced prior (ln 1 = 0): alpha-doc positive, beta-doc negative
+    assert(out(0).getDouble(2) > 0 && out(1).getDouble(2) < 0)
+    // symmetric corpus → antisymmetric scores
+    assert(math.abs(out(0).getDouble(2) + out(1).getDouble(2)) < 1e-9)
+    val oneClass = Seq((0L, "a b", true), (1L, "c d", true))
+      .toDF("doc_id", "text", "label")
+    val e = intercept[Exception] {
+      QualityModel.nbTrainScore(oneClass).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("single class"))
+  }
+
+  test("plan guards: bm25 and nb score via broadcast joins, no cartesian, no corpus-sized shuffle joins") {
+    val docsTable = Tables.load(spark, TestSpark.sf001, "documents")
+    val bm25Plan = Retrieval.bm25TopK(docsTable,
+      Seq(0 -> Seq("spark", "query")), k = 10)
+      .queryExecution.executedPlan.toString
+    // term filter, df and query expansion must be broadcast hash joins —
+    // a sort-merge fallback means a corpus-sized shuffle snuck in. (The
+    // 1-row stats join IS a broadcast nested loop by design: that's the
+    // scalar-broadcast shape, same as unigramNll's total join.)
+    assert(!bm25Plan.contains("CartesianProduct"), bm25Plan.take(2000))
+    assert(!bm25Plan.contains("SortMergeJoin"), bm25Plan.take(2000))
+
+    val labeled = docsTable.select("doc_id", "text")
+      .withColumn("label", length(col("text")) > 200)
+    val nbPlan = QualityModel.nbTrainScore(labeled)
+      .queryExecution.executedPlan.toString
+    // vocab-sized weights re-join the exploded tokens via broadcast only
+    assert(!nbPlan.contains("CartesianProduct"), nbPlan.take(2000))
+    assert(!nbPlan.contains("SortMergeJoin"), nbPlan.take(2000))
+  }
+
+  test("nb classifier on documents: agreement with the distilled heuristic is well above chance") {
+    val labeled = ext.TextAnalysis.qualityFeatures(
+      Tables.load(spark, TestSpark.sf001, "documents").select("doc_id", "text"))
+      .withColumn("label", col("quality_score") >= 0.41)
+      .select("doc_id", "text", "label")
+    val out = QualityModel.nbTrainScore(labeled)
+    val n = out.count()
+    val agree = out.where(col("pred") === col("label")).count()
+    assert(n > 0)
+    // NB over unigrams recovering a length+diversity heuristic: demand
+    // comfortably-above-chance agreement, not perfection
+    assert(agree.toDouble / n > 0.7, s"agreement ${agree.toDouble / n}")
+  }
+}

@@ -13,6 +13,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+      // raw events parquet stores ts as TIMESTAMP(NANOS): suites that read
+      // it directly must see INT64, and relying on an earlier Tables.load
+      // to have set this session-wide conf is a suite-ordering race
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
