@@ -110,8 +110,10 @@ t0 = np.datetime64("2024-01-01T00:00:00.000000")
 offs = np.sort(rng.uniform(0, 30 * 86400 * 1e6, NEV)).astype(np.int64)
 write("events",
       event_id=pa.array(range(NEV), pa.int64()),
-      ts=pa.array((t0 + offs.astype("timedelta64[us]")).astype("datetime64[ns]"),
-                  pa.timestamp("ns")),
+      # timestamp[us] to mirror the driver's current generation (it shipped
+      # TIMESTAMP(NANOS) in earlier rounds; Tables.events handles both)
+      ts=pa.array((t0 + offs.astype("timedelta64[us]")).astype("datetime64[us]"),
+                  pa.timestamp("us")),
       user_id=pa.array(rng.integers(0, NUSERS, NEV), pa.int64()),
       event_type=np.array(["click", "error", "purchase", "signup",
                            "view"])[rng.integers(0, 5, NEV)],
