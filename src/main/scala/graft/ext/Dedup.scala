@@ -457,4 +457,76 @@ object Dedup {
       .select(col("id").as(idCol), col("line_idx"),
         (struct(col("id"), col("line_idx")) === col("_first")).as("keep"))
   }
+
+  /** Incremental dedup: a NEW batch checked against an existing REFERENCE
+    * corpus — the production shape of continuous ingestion (each crawl
+    * snapshot dedups against everything already kept, not against
+    * itself). Two stages, both directional (new × ref, never ref × ref):
+    *
+    *  1. exact — one hash join kills byte-identical re-fetches before any
+    *     shingling happens; the reference side collapses to its distinct
+    *     content hashes first (min doc_id as the representative).
+    *  2. near — MinHash/LSH bands of the SURVIVORS joined against the
+    *     reference's bands; shared-bucket candidates verified with exact
+    *     Jaccard (same [[verifyJaccard]] arithmetic as the self-join
+    *     pipeline); best match = highest Jaccard, ties to the lowest
+    *     ref id.
+    *
+    * Output: one row per new doc — (doc_id, status ∈ {exact_dup,
+    * near_dup, keep}, ref_id, jaccard), jaccard NULL for exact dups and
+    * keeps.
+    *
+    * Scale shape: at 100 TB the reference's signature/band table is the
+    * corpus-sized side, but it is APPEND-ONLY state — in production it is
+    * computed once and persisted (bucketed by band_hash), so each
+    * incremental batch pays bands(new) + one bucketed join; nothing here
+    * depends on recomputing the reference side per batch. The candidate
+    * verify joins are bounded by the banded candidate set, exactly like
+    * [[nearDupMinhashLsh]].
+    */
+  def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame,
+                       threshold: Double = 0.5, numHashes: Int = 12,
+                       rowsPerBand: Int = 3): DataFrame = {
+    val refByHash = refDocs
+      .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
+      .groupBy("_h").agg(min("doc_id").as("_exact_ref"))
+    val exact = newDocs
+      .select(col("doc_id"), col("text"), md5(col("text").cast("binary")).as("_h"))
+      .join(refByHash, Seq("_h"), "left")
+    val survivors = exact.where(col("_exact_ref").isNull).select("doc_id", "text")
+
+    val shNew = shingles(survivors)
+    val shRef = shingles(refDocs)
+    val bNew = lshBands(minhash(shNew, numHashes), rowsPerBand)
+    val bRef = lshBands(minhash(shRef, numHashes), rowsPerBand)
+      .withColumnRenamed("doc_id", "ref_id")
+    val cands = bNew.join(bRef, Seq("band", "band_hash"))
+      .select("doc_id", "ref_id").distinct()
+
+    val verified = cands
+      .join(shNew.select(col("doc_id"), col("shingle"), col("n").as("n_new")),
+        Seq("doc_id"))
+      .join(shRef.select(col("doc_id").as("ref_id"), col("shingle"),
+        col("n").as("n_ref")), Seq("ref_id", "shingle"))
+      .groupBy("doc_id", "ref_id")
+      .agg(count(lit(1)).as("_i"), min("n_new").as("_na"), min("n_ref").as("_nb"))
+      .withColumn("jaccard",
+        round(col("_i").cast("double") / (col("_na") + col("_nb") - col("_i")), 4))
+      .where(col("jaccard") >= threshold)
+    // best reference match: max Jaccard, ties broken to the smallest ref
+    // id (negate inside the struct-max so one aggregate does both)
+    val best = verified
+      .groupBy("doc_id")
+      .agg(max(struct(col("jaccard").as("j"), (-col("ref_id")).as("nr"))).as("_b"))
+      .select(col("doc_id"), (-col("_b.nr")).as("_near_ref"), col("_b.j").as("_near_j"))
+
+    exact.select(col("doc_id"), col("_exact_ref"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_exact_ref").isNotNull, lit("exact_dup"))
+          .when(col("_near_ref").isNotNull, lit("near_dup"))
+          .otherwise(lit("keep")).as("status"),
+        coalesce(col("_exact_ref"), col("_near_ref")).as("ref_id"),
+        col("_near_j").as("jaccard"))
+  }
 }

@@ -227,6 +227,49 @@ class ExtensionsSpec extends SparkSpec {
       plan.linesIterator.take(20).mkString("\n"))
   }
 
+  test("incremental dedup: exact re-fetch, near-dup and novel docs classified correctly") {
+    import spark.implicits._
+    val ref = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "red green blue yellow purple orange pink black")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 0
+      (101L, "one two three four five six seven eight nine extra"), // near-dup of 1
+      (102L, "totally different words having nothing shared whatsoever here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(newBatch, ref, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(100L -> "exact_dup", 101L -> "near_dup", 102L -> "keep"))
+    assert(out(0).getLong(2) == 0L && out(0).isNullAt(3)) // exact: ref 0, no jaccard
+    assert(out(1).getLong(2) == 1L && out(1).getDouble(3) >= 0.5)
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
+  test("incremental dedup is directional: ref-internal duplicates are not reported") {
+    import spark.implicits._
+    // the reference contains its own dup pair (0,1) — irrelevant to the
+    // new batch, which matches neither
+    val ref = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "nothing like any reference document at all here friends")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(newBatch, ref).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(100L))
+    assert(out.head.getString(1) == "keep")
+    // exact dup of the DUPLICATED ref text resolves to the min ref id
+    val out2 = Dedup.incrementalDedup(
+      Seq((200L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), ref)
+      .collect()
+    assert(out2.head.getString(1) == "exact_dup" && out2.head.getLong(2) == 0L)
+  }
+
   test("simhash: identical texts collide, signature is 16 bits") {
     val sigs = Dedup.simhash16(corpusWithDups).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
