@@ -1056,6 +1056,27 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Dataset-card report: per (lang, source) corpus statistics — the
+    // numbers every dataset release publishes (doc/token/char volumes,
+    // quality distribution), one scan + one partial-agg'd groupBy
+    "corpus_report" -> ((s, d) =>
+      ext.TextAnalysis.qualityFeatures(Tables.load(s, d, "documents"))
+        // the 4-dp quality score is integer-valued at 1e-4: accumulate it
+        // as exact integers so the group average is deterministic
+        // arithmetic, not a float sum that can land ON a rounding
+        // boundary (observed: avg 0.47105 flipping 0.4710/0.4711
+        // between engines)
+        .withColumn("_q4", round(col("quality_score") * 10000).cast("long"))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_chars2").as("total_chars"),
+          round(sum("_q4") / 10000.0 / count(lit(1)), 4).as("avg_quality"),
+          round(min("quality_score"), 4).as("min_quality"),
+          round(max("quality_score"), 4).as("max_quality"))
+        .orderBy("lang", "source")),
+
     // BM25 keyword retrieval: top-10 per query, scores rounded BEFORE
     // ranking so the k-boundary is reproducible cross-engine; query 2
     // carries a vocabulary miss ("zebra") to exercise the no-match path
@@ -2919,6 +2940,28 @@ object SparkEntry {
 
     // same counting formulation, independent path: window over raw rows
     // rather than the distinct-score table
+    "corpus_report" ->
+      """WITH scored AS (
+        |  SELECT lang, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS n_ch,
+        |    round(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 0.4
+        |      + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) AS q
+        |  FROM documents)
+        |SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_ch) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(CAST(round(q * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 / count(*), 4) AS avg_quality,
+        |  round(min(q), 4) AS min_quality,
+        |  round(max(q), 4) AS max_quality
+        |FROM scored GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
     "bm25_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
