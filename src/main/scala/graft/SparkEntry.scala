@@ -1056,6 +1056,31 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Sequential filter funnel (the Dolma-style curation audit): every
+    // doc is charged to its FIRST failing rule, the report is the
+    // per-rule attrition table a cleaning pipeline publishes. One scan
+    // computes every feature (langId ∘ quality ∘ repetition ∘ PII share
+    // the tokenize/stopword work), one 6-group aggregate ends it. Runs
+    // on the PII-injected corpus so the pii stage is actually exercised.
+    "corpus_funnel" -> ((s, d) => {
+      val feats = ext.TextAnalysis.piiRedact(
+        ext.TextAnalysis.repetitionStats(
+          ext.TextAnalysis.qualityFeatures(
+            ext.TextAnalysis.langId(piiDocs(s, d)))))
+      val stage = when(col("pred_lang") === "unknown", 1)
+        .when(col("n_tokens") < 20, 2)
+        .when(col("quality_score") < 0.35, 3)
+        .when(col("dup_trigram_frac") > 0.2, 4)
+        .when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 5)
+        .otherwise(6)
+      feats.withColumn("stage", stage.cast("long"))
+        .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+        .withColumn("rule", element_at(
+          typedLit(Seq("lang_known", "min_tokens", "quality", "repetition", "pii", "pass")),
+          col("stage").cast("int")))
+        .select("stage", "rule", "n_docs").orderBy("stage")
+    }),
+
     // Dataset-card report: per (lang, source) corpus statistics — the
     // numbers every dataset release publishes (doc/token/char volumes,
     // quality distribution), one scan + one partial-agg'd groupBy
@@ -2940,6 +2965,47 @@ object SparkEntry {
 
     // same counting formulation, independent path: window over raw rows
     // rather than the distinct-score table
+    "corpus_funnel" -> o(
+      """SELECT CAST(stage AS BIGINT) AS stage,
+        |  (['lang_known', 'min_tokens', 'quality', 'repetition', 'pii', 'pass'])[stage] AS rule,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
+      OracleCte.piidocs,
+      """wq AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS w FROM piidocs)""".stripMargin,
+      """ts AS (SELECT doc_id, sum(c) - count(*) AS dup, sum(c) AS tot
+        |  FROM (SELECT doc_id, g, count(*) AS c
+        |        FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |                    FROM wq WHERE len(w) >= 3))
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1)""".stripMargin,
+      """feats AS (
+        |  SELECT q.doc_id, len(q.w) AS n_tokens,
+        |    round(least(CAST(len(q.w) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + round(CAST(len(list_distinct(q.w)) AS DOUBLE) / len(q.w), 4) * 0.4
+        |      + least(round(CAST(len(regexp_extract_all(q.text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |          / len(q.w), 4) * 5.0, 1.0) * 0.2, 4) AS qs,
+        |    greatest(
+        |      len(regexp_extract_all(q.text, '\b(der|die|das|und|ist|ein)\b')),
+        |      len(regexp_extract_all(q.text, '\b(the|a|of|and|to|in|is)\b')),
+        |      len(regexp_extract_all(q.text, '\b(el|la|los|y|es|un)\b')),
+        |      len(regexp_extract_all(q.text, '\b(le|la|les|et|est|un)\b'))) AS maxvote,
+        |    round(CAST(ts.dup AS DOUBLE) / ts.tot, 4) AS dupfrac,
+        |    len(regexp_extract_all(q.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(q.text, '\b\d{3}-\d{3}-\d{4}\b'))
+        |      + len(regexp_extract_all(q.text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS npii
+        |  FROM wq q LEFT JOIN ts ON ts.doc_id = q.doc_id)""".stripMargin,
+      """staged AS (
+        |  SELECT doc_id, CASE
+        |    WHEN maxvote = 0 THEN 1
+        |    WHEN n_tokens < 20 THEN 2
+        |    WHEN qs < 0.35 THEN 3
+        |    WHEN dupfrac > 0.2 THEN 4
+        |    WHEN npii > 0 THEN 5
+        |    ELSE 6 END AS stage
+        |  FROM feats)""".stripMargin),
+
     "corpus_report" ->
       """WITH scored AS (
         |  SELECT lang, source,

@@ -116,6 +116,19 @@ class RetrievalSpec extends SparkSpec {
     assert(!nbPlan.contains("SortMergeJoin"), nbPlan.take(2000))
   }
 
+  test("corpus funnel: stages partition the corpus exactly (first-fail charging)") {
+    val out = SparkEntry.queries("corpus_funnel")(spark, TestSpark.sf001).collect()
+    val total = Tables.load(spark, TestSpark.sf001, "documents").count()
+    // every doc is charged to exactly one stage
+    assert(out.map(_.getLong(2)).sum == total)
+    // stages are strictly increasing and within [1, 6]
+    val stages = out.map(_.getLong(0)).toSeq
+    assert(stages == stages.sorted && stages.forall(s => s >= 1 && s <= 6))
+    // the PII-injected corpus must actually exercise the pii stage
+    assert(out.exists(r => r.getString(1) == "pii" && r.getLong(2) > 0))
+    assert(out.exists(r => r.getString(1) == "pass" && r.getLong(2) > 0))
+  }
+
   test("nb classifier on documents: agreement with the distilled heuristic is well above chance") {
     val labeled = ext.TextAnalysis.qualityFeatures(
       Tables.load(spark, TestSpark.sf001, "documents").select("doc_id", "text"))
