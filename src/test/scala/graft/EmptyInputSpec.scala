@@ -71,6 +71,17 @@ class EmptyInputSpec extends SparkSpec {
       noKeys.select("k"), col("k"), "s", 10L).count() == 0)
   }
 
+  test("session-continuation operators on empty inputs: empty results, not errors") {
+    // bm25 over an empty corpus: no postings, no results
+    assert(graft.ext.Retrieval.bm25TopK(noDocs, Seq(0 -> Seq("x")), k = 5).count() == 0)
+    // incremental dedup: an empty new batch yields an empty decision
+    // table; an empty REFERENCE keeps everything
+    val ref = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.incrementalDedup(noDocs, ref).count() == 0)
+    val kept = Dedup.incrementalDedup(ref, noDocs).collect()
+    assert(kept.length == 1 && kept(0).getString(1) == "keep")
+  }
+
   test("contamination with an empty benchmark flags nothing") {
     val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val out = Dedup.contamination(docs, noDocs, n = 8).collect()
