@@ -988,16 +988,21 @@ object SparkEntry {
     // exact→minhash→band→verify decision independently in SQL.
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-      val newBatch =
-        docs.where(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-          .unionByName(docs.where(col("doc_id") % 10 === 5)
-            .select((col("doc_id") + 2000000L).as("doc_id"),
-              concat(col("text"), lit(" qqq")).as("text")))
-          .unionByName(docs.where(col("doc_id") % 10 === 7)
-            .select((col("doc_id") + 3000000L).as("doc_id"),
-              concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text")))
-      ext.Dedup.incrementalDedup(newBatch, docs).orderBy("doc_id")
+      ext.Dedup.incrementalDedup(crawlBatch(docs), docs).orderBy("doc_id")
+    }),
+
+    // Same decisions via the PERSISTED bucketed band index (bucketBy on
+    // band_hash → the corpus-sized index side joins WITHOUT a shuffle;
+    // only the new batch's bands move). Same oracle as dedup_incremental:
+    // identical answer, different physical strategy — the pre-partitioned
+    // co-located-join story from the brief, demonstrated end to end.
+    "dedup_incremental_indexed" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val table = s"graft_band_index_$tag"
+      ext.Dedup.writeBandIndex(docs, table, s"/tmp/graft_band_index_$tag")
+      ext.Dedup.incrementalDedupIndexed(crawlBatch(docs), docs, table)
+        .orderBy("doc_id")
     }),
 
     // Duplicated-substring spans (n-gram-granular substring dedup):
@@ -1637,6 +1642,20 @@ object SparkEntry {
       docs.where(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
   }
+
+  /** The synthetic "new crawl" for the incremental-dedup entries: exact
+    * re-fetches (ids +1e6), one-token-appended near-dups (+2e6, the
+    * appended token is outside the corpus vocabulary), word-reversed
+    * novels (+3e6). Mirrors the `newdocs` CTE in the oracle. */
+  private def crawlBatch(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" qqq")).as("text")))
+      .unionByName(docs.where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text")))
 
   /** The fixed keyword-query set for `bm25_topk` — terms from the
     * synthetic document vocabulary plus one guaranteed miss. */
@@ -2646,64 +2665,9 @@ object SparkEntry {
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
       OracleCte.corpus, OracleCte.shingles),
 
-    "dedup_incremental" ->
-      """WITH newdocs AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000 AS doc_id, text || ' qqq' AS text
-        |  FROM documents WHERE doc_id % 10 = 5
-        |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id,
-        |    array_to_string(list_reverse(string_split_regex(trim(text), '\s+')), ' ') AS text
-        |  FROM documents WHERE doc_id % 10 = 7),
-        |exact AS (
-        |  SELECT n.doc_id, min(d.doc_id) AS exact_ref
-        |  FROM newdocs n LEFT JOIN documents d ON md5(d.text) = md5(n.text)
-        |  GROUP BY n.doc_id),
-        |surv AS (SELECT n.doc_id, n.text FROM newdocs n
-        |         JOIN exact e ON e.doc_id = n.doc_id WHERE e.exact_ref IS NULL),
-        |shn AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM surv)
-        |        WHERE len(w) >= 3)),
-        |shr AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
-        |        WHERE len(w) >= 3)),
-        |bn AS (SELECT doc_id, seed // 3 AS band,
-        |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_hash
-        |  FROM (SELECT doc_id, seed, min(CAST(('0x' || substr(md5((seed // 4) || ':' || shingle), 1 + 8*(seed % 4), 8)) AS BIGINT)) AS h
-        |        FROM shn CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
-        |        GROUP BY doc_id, seed)
-        |  GROUP BY doc_id, seed // 3),
-        |br AS (SELECT doc_id, seed // 3 AS band,
-        |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_hash
-        |  FROM (SELECT doc_id, seed, min(CAST(('0x' || substr(md5((seed // 4) || ':' || shingle), 1 + 8*(seed % 4), 8)) AS BIGINT)) AS h
-        |        FROM shr CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
-        |        GROUP BY doc_id, seed)
-        |  GROUP BY doc_id, seed // 3),
-        |cand AS (SELECT DISTINCT bn.doc_id, br.doc_id AS ref_id
-        |         FROM bn JOIN br ON bn.band = br.band AND bn.band_hash = br.band_hash),
-        |ver AS (SELECT i.doc_id, i.ref_id,
-        |    round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 4) AS jaccard
-        |  FROM (SELECT c.doc_id, c.ref_id, count(*) AS ni FROM cand c
-        |        JOIN shn sa ON sa.doc_id = c.doc_id
-        |        JOIN shr sb ON sb.doc_id = c.ref_id AND sb.shingle = sa.shingle
-        |        GROUP BY 1, 2) i
-        |  JOIN (SELECT doc_id, count(*) AS n FROM shn GROUP BY 1) na ON na.doc_id = i.doc_id
-        |  JOIN (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1) nb ON nb.doc_id = i.ref_id),
-        |near AS (SELECT doc_id, ref_id AS near_ref, jaccard FROM (
-        |    SELECT doc_id, ref_id, jaccard,
-        |      row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, ref_id) AS rn
-        |    FROM ver WHERE jaccard >= 0.5) WHERE rn = 1)
-        |SELECT e.doc_id,
-        |  CASE WHEN e.exact_ref IS NOT NULL THEN 'exact_dup'
-        |       WHEN n.near_ref IS NOT NULL THEN 'near_dup'
-        |       ELSE 'keep' END AS status,
-        |  coalesce(e.exact_ref, n.near_ref) AS ref_id,
-        |  n.jaccard AS jaccard
-        |FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
-        |ORDER BY e.doc_id""".stripMargin,
+    "dedup_incremental" -> incrementalDedupOracle,
+    // the indexed variant must give the IDENTICAL answer — same oracle
+    "dedup_incremental_indexed" -> incrementalDedupOracle,
 
     "dedup_components" -> OracleCte.sqlRecursive(
       "SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id ORDER BY doc_id",
@@ -3537,4 +3501,66 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /** Oracle for BOTH dedup_incremental entries (the indexed variant must
+    * reproduce the non-indexed answer exactly). Lazy: referenced from the
+    * oracleSql map defined textually above. */
+  private lazy val incrementalDedupOracle: String =
+      """WITH newdocs AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' qqq' AS text
+        |  FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    array_to_string(list_reverse(string_split_regex(trim(text), '\s+')), ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |exact AS (
+        |  SELECT n.doc_id, min(d.doc_id) AS exact_ref
+        |  FROM newdocs n LEFT JOIN documents d ON md5(d.text) = md5(n.text)
+        |  GROUP BY n.doc_id),
+        |surv AS (SELECT n.doc_id, n.text FROM newdocs n
+        |         JOIN exact e ON e.doc_id = n.doc_id WHERE e.exact_ref IS NULL),
+        |shn AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM surv)
+        |        WHERE len(w) >= 3)),
+        |shr AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |        WHERE len(w) >= 3)),
+        |bn AS (SELECT doc_id, seed // 3 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+        |  FROM (SELECT doc_id, seed, min(CAST(('0x' || substr(md5((seed // 4) || ':' || shingle), 1 + 8*(seed % 4), 8)) AS BIGINT)) AS h
+        |        FROM shn CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+        |        GROUP BY doc_id, seed)
+        |  GROUP BY doc_id, seed // 3),
+        |br AS (SELECT doc_id, seed // 3 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+        |  FROM (SELECT doc_id, seed, min(CAST(('0x' || substr(md5((seed // 4) || ':' || shingle), 1 + 8*(seed % 4), 8)) AS BIGINT)) AS h
+        |        FROM shr CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+        |        GROUP BY doc_id, seed)
+        |  GROUP BY doc_id, seed // 3),
+        |cand AS (SELECT DISTINCT bn.doc_id, br.doc_id AS ref_id
+        |         FROM bn JOIN br ON bn.band = br.band AND bn.band_hash = br.band_hash),
+        |ver AS (SELECT i.doc_id, i.ref_id,
+        |    round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 4) AS jaccard
+        |  FROM (SELECT c.doc_id, c.ref_id, count(*) AS ni FROM cand c
+        |        JOIN shn sa ON sa.doc_id = c.doc_id
+        |        JOIN shr sb ON sb.doc_id = c.ref_id AND sb.shingle = sa.shingle
+        |        GROUP BY 1, 2) i
+        |  JOIN (SELECT doc_id, count(*) AS n FROM shn GROUP BY 1) na ON na.doc_id = i.doc_id
+        |  JOIN (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1) nb ON nb.doc_id = i.ref_id),
+        |near AS (SELECT doc_id, ref_id AS near_ref, jaccard FROM (
+        |    SELECT doc_id, ref_id, jaccard,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, ref_id) AS rn
+        |    FROM ver WHERE jaccard >= 0.5) WHERE rn = 1)
+        |SELECT e.doc_id,
+        |  CASE WHEN e.exact_ref IS NOT NULL THEN 'exact_dup'
+        |       WHEN n.near_ref IS NOT NULL THEN 'near_dup'
+        |       ELSE 'keep' END AS status,
+        |  coalesce(e.exact_ref, n.near_ref) AS ref_id,
+        |  n.jaccard AS jaccard
+        |FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
+        |ORDER BY e.doc_id""".stripMargin
 }

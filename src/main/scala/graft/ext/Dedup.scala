@@ -487,6 +487,50 @@ object Dedup {
   def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame,
                        threshold: Double = 0.5, numHashes: Int = 12,
                        rowsPerBand: Int = 3): DataFrame = {
+    val bRef = lshBands(minhash(shingles(refDocs), numHashes), rowsPerBand)
+      .withColumnRenamed("doc_id", "ref_id")
+    incrementalDecision(newDocs, refDocs, bRef, threshold, numHashes, rowsPerBand)
+  }
+
+  /** [[incrementalDedup]] against a PERSISTED band index (see
+    * [[writeBandIndex]]): identical decisions, but reference candidate
+    * generation reads the bucketed index table instead of recomputing
+    * minhash over the reference corpus — the append-only-state shape the
+    * non-indexed operator's scaladoc promises. The index is bucketed on
+    * BOTH join keys (band, band_hash), so its HashPartitioning matches
+    * the candidate join's clustering exactly and the index side joins
+    * WITHOUT a shuffle; only the new batch's bands move (spec-guarded:
+    * the plan must show `Bucketed: true`). At 100 TB the index is the
+    * corpus-sized side — never moving it is the point. */
+  def incrementalDedupIndexed(newDocs: DataFrame, refDocs: DataFrame,
+                              indexTable: String, threshold: Double = 0.5,
+                              numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    incrementalDecision(newDocs, refDocs,
+      newDocs.sparkSession.table(indexTable), threshold, numHashes, rowsPerBand)
+
+  /** Build (once) the persisted reference band index behind
+    * [[incrementalDedupIndexed]]: `bucketBy(band_hash)` + in-bucket sort,
+    * external table at `path`. Idempotent per (session, table). */
+  def writeBandIndex(refDocs: DataFrame, table: String, path: String,
+                     nBuckets: Int = 8, numHashes: Int = 12,
+                     rowsPerBand: Int = 3): Unit = this.synchronized {
+    val spark = refDocs.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      lshBands(minhash(shingles(refDocs), numHashes), rowsPerBand)
+        .withColumnRenamed("doc_id", "ref_id")
+        .write.mode("overwrite").option("path", path)
+        // bucket on BOTH join keys: the bucketed HashPartitioning then
+        // matches the candidate join's clustering exactly, so the scan
+        // stays bucketed (a band_hash-only bucketing was "disabled by
+        // query planner" under AQE and silently re-shuffled the index)
+        .bucketBy(nBuckets, "band", "band_hash").sortBy("band", "band_hash")
+        .saveAsTable(table)
+    }
+  }
+
+  private def incrementalDecision(newDocs: DataFrame, refDocs: DataFrame,
+                                  bRef: DataFrame, threshold: Double,
+                                  numHashes: Int, rowsPerBand: Int): DataFrame = {
     val refByHash = refDocs
       .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
       .groupBy("_h").agg(min("doc_id").as("_exact_ref"))
@@ -498,8 +542,6 @@ object Dedup {
     val shNew = shingles(survivors)
     val shRef = shingles(refDocs)
     val bNew = lshBands(minhash(shNew, numHashes), rowsPerBand)
-    val bRef = lshBands(minhash(shRef, numHashes), rowsPerBand)
-      .withColumnRenamed("doc_id", "ref_id")
     val cands = bNew.join(bRef, Seq("band", "band_hash"))
       .select("doc_id", "ref_id").distinct()
 

@@ -270,6 +270,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(out2.head.getString(1) == "exact_dup" && out2.head.getLong(2) == 0L)
   }
 
+  test("band index: bucketed scan feeds the candidate join with no index-side shuffle") {
+    val ref = docs.select($"doc_id", $"text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a shuffle join so the bucketed-read claim is actually tested
+    // (a broadcast of the tiny spec batch would hide it)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Dedup.writeBandIndex(ref, "spec_band_idx", "/tmp/graft_spec_band_idx",
+        nBuckets = 4)
+      val newB = ref.where($"doc_id" < 5)
+        .select(($"doc_id" + 500L).as("doc_id"), $"text")
+      val out = Dedup.incrementalDedupIndexed(newB, ref, "spec_band_idx")
+      val f = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the index scan must be read AS BUCKETS — that is the no-shuffle
+      // guarantee (HashPartitioning(band_hash) satisfies the join's
+      // clustering); "Bucketed: false" here means the co-located join
+      // silently degraded to a full shuffle of the reference index
+      assert(f.contains("Bucketed: true"), f.take(3000))
+      // and the decisions are identical to the non-indexed operator
+      val a = out.collect().map(_.toString).sorted.toSeq
+      val b = Dedup.incrementalDedup(newB, ref).collect().map(_.toString).sorted.toSeq
+      assert(a == b)
+      assert(a.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhash: identical texts collide, signature is 16 bits") {
     val sigs = Dedup.simhash16(corpusWithDups).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
