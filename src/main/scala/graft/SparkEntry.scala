@@ -1005,6 +1005,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered exact incremental dedup: the reference corpus
+    // as a broadcastable distinct-positions table (capped at 2^20 rows
+    // regardless of corpus size); candidates verified against the
+    // never-shuffled reference. Decisions — including any Bloom false
+    // positives — are a pure function of md5, so the oracle replays
+    // them exactly.
+    "dedup_bloom" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      ext.Dedup.incrementalDedupBloom(crawlBatch(docs), docs).orderBy("doc_id")
+    }),
+
     // Duplicated-substring spans (n-gram-granular substring dedup):
     // positions whose 5-gram repeats anywhere in the corpus, merged
     // into maximal per-doc spans. The oracle counts gram TEXT while the
@@ -1020,6 +1031,19 @@ object SparkEntry {
       val sh = ext.Dedup.shingles(dedupCorpus(s, d).where(col("doc_id") % 10 === 0))
       val pairs = ext.Dedup.jaccardSelfJoin(sh, 0.8).select("doc_a", "doc_b")
       ext.Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
+
+    // Quality-aware cluster representatives over the SAME component
+    // labels: keep each near-dup cluster's highest-quality member
+    // (ties → min id) instead of the arbitrary min-id — the keep rule
+    // curation actually wants.
+    "dedup_best_rep" -> ((s, d) => {
+      val slice = dedupCorpus(s, d).where(col("doc_id") % 10 === 0)
+      val sh = ext.Dedup.shingles(slice)
+      val pairs = ext.Dedup.jaccardSelfJoin(sh, 0.8).select("doc_a", "doc_b")
+      val comps = ext.Dedup.connectedComponents(pairs)
+      val quality = ext.TextAnalysis.qualityFeatures(slice)
+      ext.Dedup.clusterRepresentative(comps, quality).orderBy("component")
     }),
 
     // Benchmark contamination: corpus docs vs the 8-gram set of a
@@ -1059,6 +1083,25 @@ object SparkEntry {
     "sample_bernoulli" -> ((s, d) =>
       ext.Sampling.bernoulliHash(Tables.load(s, d, "documents"), col("doc_id"), 0.3)
         .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Weighted sampling without replacement (k winners, weight ∝ token
+    // count): the integer-exact min-ticket race — ranking is pure md5
+    // string comparison, so the k-boundary can never flip on a float
+    // ulp. Weight = n_tokens/4 clamped to [1, 64] inside the operator.
+    "sample_weighted" -> ((s, d) =>
+      ext.Sampling.weightedSample(Tables.load(s, d, "documents"),
+        col("doc_id"), (size(split(trim(col("text")), "\\s+")) / 4).cast("long"),
+        k = 200, seed = "s1")
+        .select(col("_k").as("doc_id"), col("w"), col("ticket"))
+        .orderBy("ticket", "doc_id")),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-bigram log
+    // likelihood ratio of the English slice (target) vs the whole
+    // corpus (raw). Selection composes with sample_weighted/thresholds.
+    "dsir_weights" -> ((s, d) =>
+      ext.Dsir.importanceWeights(Tables.load(s, d, "documents"),
+        col("lang") === "en")
         .orderBy("doc_id")),
 
     // Sequential filter funnel (the Dolma-style curation audit): every
@@ -1392,6 +1435,25 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       ext.TextAnalysis.fingerprint(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
+
+    // BPE tokenizer training, step 1 at corpus scale: weighted
+    // adjacent-pair counts over the word-frequency table (the one
+    // corpus-sized pass; everything after is vocab-bounded)
+    "bpe_pair_count" -> ((s, d) =>
+      ext.Bpe.pairStats(
+        ext.Bpe.wordFreqs(Tables.load(s, d, "documents"))
+          .select(col("freq"), ext.Bpe.chars(col("word")).as("syms")))
+        .orderBy("left", "right")),
+
+    // The full merge loop (8 ranked merges). Inherently sequential —
+    // each argmax depends on the previous rewrite — so no single-query
+    // SQL oracle exists; BpeSpec hand-verifies the classic corpus,
+    // greedy overlap semantics, and rank-1 agreement with
+    // bpe_pair_count's argmax. Rows-only by declared design.
+    "bpe_merges" -> ((s, d) =>
+      ext.Bpe.mergesDf(s,
+        ext.Bpe.learnMerges(Tables.load(s, d, "documents"), nMerges = 8))
+        .orderBy("rank")),
 
     // ------------------------------------------------------------------
     // Events: windowed aggregation + sessionization (SURVEY §2.11 ext)
@@ -2669,6 +2731,43 @@ object SparkEntry {
     // the indexed variant must give the IDENTICAL answer — same oracle
     "dedup_incremental_indexed" -> incrementalDedupOracle,
 
+    // Bloom decisions replayed bit-for-bit: positions are a pure
+    // function of md5, so even false positives must agree
+    "dedup_bloom" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' qqq' AS text
+        |  FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    array_to_string(list_reverse(string_split_regex(trim(text), '\s+')), ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |np AS (SELECT doc_id, md5(text) AS h FROM newdocs),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |refpos AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || md5(text)), 1, 8)) AS BIGINT) % 1048576 AS p
+        |  FROM documents CROSS JOIN js),
+        |probes AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || h), 1, 8)) AS BIGINT) % 1048576 AS p
+        |  FROM np CROSS JOIN js),
+        |cand AS (SELECT doc_id FROM (
+        |    SELECT probes.doc_id, count(*) AS k
+        |    FROM probes JOIN refpos USING (p) GROUP BY probes.doc_id)
+        |  WHERE k = 3),
+        |mtch AS (SELECT n.doc_id, min(d.doc_id) AS ref_id
+        |  FROM np n JOIN cand c ON c.doc_id = n.doc_id
+        |  JOIN documents d ON md5(d.text) = n.h
+        |  GROUP BY n.doc_id)
+        |SELECT n.doc_id,
+        |  (c.doc_id IS NOT NULL) AS bloom_candidate,
+        |  CASE WHEN m.ref_id IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS status,
+        |  m.ref_id AS ref_id
+        |FROM np n
+        |LEFT JOIN cand c ON c.doc_id = n.doc_id
+        |LEFT JOIN mtch m ON m.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
     "dedup_components" -> OracleCte.sqlRecursive(
       "SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id ORDER BY doc_id",
       OracleCte.corpus, OracleCte.shingles,
@@ -2694,6 +2793,47 @@ object SparkEntry {
       "nodes AS (SELECT DISTINCT src AS id FROM edges)",
       """reach(id, label) AS (SELECT id, id FROM nodes
         |  UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin),
+
+    // same component labels + the corpus_clean quality formula; arg-max
+    // by (q DESC, doc_id) per component
+    "dedup_best_rep" -> OracleCte.sqlRecursive(
+      """SELECT component, doc_id AS keep_id, q AS best_q, n_members FROM (
+        |  SELECT c.component, c.doc_id, qs.q,
+        |    count(*) OVER (PARTITION BY c.component) AS n_members,
+        |    row_number() OVER (PARTITION BY c.component ORDER BY qs.q DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN qs ON qs.doc_id = c.doc_id)
+        |WHERE rn = 1 ORDER BY component""".stripMargin,
+      OracleCte.corpus, OracleCte.shingles,
+      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0)",
+      """pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT i.doc_a, i.doc_b,
+        |      round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 4) AS jaccard
+        |    FROM (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |          FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |                FROM shf a JOIN shf b
+        |                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id) c
+        |          JOIN shf sa ON sa.doc_id = c.doc_a
+        |          JOIN shf sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |          GROUP BY 1, 2) i
+        |    JOIN (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id) na
+        |      ON na.doc_id = i.doc_a
+        |    JOIN (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id) nb
+        |      ON nb.doc_id = i.doc_b)
+        |  WHERE jaccard >= 0.8)""".stripMargin,
+      """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs)""".stripMargin,
+      "nodes AS (SELECT DISTINCT src AS id FROM edges)",
+      """reach(id, label) AS (SELECT id, id FROM nodes
+        |  UNION SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin,
+      "comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id)",
+      """qs AS (SELECT doc_id,
+        |    round(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 0.4
+        |      + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) AS q
+        |  FROM corpus WHERE doc_id % 10 = 0)""".stripMargin),
 
     "contamination_check" ->
       """WITH g8 AS (
@@ -2926,6 +3066,41 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 1288490188
         |ORDER BY doc_id""".stripMargin,
+
+    // the min-ticket race replayed exactly: pure md5 string ordering,
+    // no floats anywhere
+    "sample_weighted" ->
+      """SELECT doc_id, w, ticket FROM (
+        |  SELECT doc_id,
+        |    least(greatest(len(string_split_regex(trim(text), '\s+')) // 4, 1), 64) AS w,
+        |    list_min(list_transform(
+        |      range(0, least(greatest(len(string_split_regex(trim(text), '\s+')) // 4, 1), 64)),
+        |      j -> md5('s1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)))) AS ticket
+        |  FROM documents)
+        |ORDER BY ticket, doc_id LIMIT 200""".stripMargin,
+
+    // DSIR rebuilt independently: hashed-bigram Laplace models for the
+    // EN slice vs the whole corpus, per-doc log likelihood ratio
+    "dsir_weights" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |    CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8)) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+        |              FROM documents)
+        |        WHERE len(w) >= 2)),
+        |db AS (SELECT doc_id, t, b, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |bs AS (SELECT b, sum(CASE WHEN t THEN c ELSE 0 END) AS ct, sum(c) AS cr
+        |       FROM db GROUP BY b),
+        |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr FROM bs),
+        |lr AS (SELECT b,
+        |    ln(ct + 1) - ln((SELECT nt FROM tot) + 4096)
+        |      - ln(cr + 1) + ln((SELECT nr FROM tot) + 4096) AS lr
+        |  FROM bs)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  round(sum(c * lr.lr), 4) AS weight
+        |FROM db JOIN lr USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same counting formulation, independent path: window over raw rows
     // rather than the distinct-score table
@@ -3302,6 +3477,22 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // frequency-weighted adjacent char-pair counts over the word table —
+    // BPE training's inner statistic rebuilt independently
+    "bpe_pair_count" ->
+      """WITH wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |sp AS (
+        |  SELECT freq, cs[i] AS l, cs[i+1] AS r
+        |  FROM (SELECT freq, cs, unnest(generate_series(1, len(cs) - 1)) AS i
+        |        FROM (SELECT freq, regexp_extract_all(word, '.') AS cs FROM wf)
+        |        WHERE len(cs) >= 2))
+        |SELECT l AS "left", r AS "right", CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM sp GROUP BY 1, 2 ORDER BY "left", "right"""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, min(md5(shingle)) AS fingerprint,

@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge learning (Sennrich et al., ACL
+  * 2016) — the tokenizer-training step of a pretraining data pipeline.
+  *
+  * The classic scale insight: BPE never needs the corpus after the first
+  * pass. Training runs on the WORD-FREQUENCY TABLE — `groupBy(word)`
+  * over the corpus once (vocabulary-bounded output while the corpus is
+  * not), then every merge iteration is pair-counting + a greedy rewrite
+  * over that bounded table. A 100 TB corpus pays one token
+  * explode+groupBy; the n-merge loop touches only the vocab.
+  *
+  * Merge selection is deterministic: highest weighted pair count, ties
+  * broken lexicographically by (left, right) — so learned merge tables
+  * are reproducible across runs and cluster layouts.
+  */
+object Bpe {
+
+  /** Corpus word-frequency table: (word, freq). The one corpus-sized
+    * pass; map-side combined groupBy on the word. */
+  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol sequence of a word: its characters. (Spark's
+    * split-by-empty-regex keeps a trailing "" under limit −1 — filter
+    * it.) */
+  def chars(word: Column): Column =
+    filter(split(word, ""), s => s =!= "")
+
+  /** Adjacent-pair counts over a (syms, freq) vocab table, weighted by
+    * word frequency: (left, right, cnt). Vocabulary-sized input, pair
+    * explode + one groupBy — partial-agg'd, bounded by Σ|word| over the
+    * vocab, not the corpus. */
+  def pairStats(vocab: DataFrame): DataFrame =
+    vocab
+      .where(size(col("syms")) >= 2)
+      .select(col("freq"), expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))").as("ps"))
+      // explode_outer for the InferFiltersFromGenerate reason
+      // (Dedup.shingles): size(syms)>=2 already guarantees non-empty
+      .select(col("freq"), explode_outer(col("ps")).as("p"))
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum("freq").as("cnt"))
+
+  /** One greedy left-to-right merge pass: every adjacent (a, b) becomes
+    * the single symbol a+b, first occurrence first (so "aaa" under
+    * (a,a) → [aa, a], exactly reference BPE's scan order). A pure
+    * sequential array fold — codegen per row, no shuffle. */
+  def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === a && s === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn `nMerges` BPE merges from the corpus. Returns the ranked
+    * merge table (rank, left, right, cnt) — cnt is the weighted pair
+    * count AT SELECTION TIME. Stops early if no pair remains.
+    *
+    * The per-iteration `limit(1).collect()` is the algorithm: each merge
+    * depends on the argmax of the previous rewrite (inherently
+    * sequential, one driver row per round — the same bounded-driver-loop
+    * contract as [[Dedup.connectedComponents]]'s convergence count).
+    * `localCheckpoint` per round truncates the otherwise n-deep rewrite
+    * lineage over the vocab-sized table. */
+  def learnMerges(docs: DataFrame, nMerges: Int,
+                  textCol: String = "text"): Seq[(Int, String, String, Long)] = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    var vocab = wordFreqs(docs, textCol)
+      .select(col("freq"), chars(col("word")).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var rank = 0
+    while (rank < nMerges && !done) {
+      val top = pairStats(vocab)
+        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val Row(l: String, r: String, c: Long) = top(0)
+        out += ((rank, l, r, c))
+        vocab = vocab
+          .withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The learned merge table as a DataFrame (rank, left, right, cnt). */
+  def mergesDf(spark: SparkSession, merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "cnt")
+  }
+
+  /** Apply a learned merge table to text: per-token symbol sequences
+    * after all merges, in rank order. Inference is embarrassingly
+    * parallel — the merge table is a compile-time constant folded into
+    * the per-row expression; zero shuffle. */
+  def segment(docs: DataFrame, merges: Seq[(String, String)],
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val word = col("_w")
+    val folded = merges.foldLeft(chars(word)) { case (acc, (a, b)) =>
+      applyMerge(acc, a, b)
+    }
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(split(trim(col(textCol)), "\\s+")).as("_w"))
+      .where(col("_w") =!= "")
+      .select(col("doc_id"), col("_w").as("word"), folded.as("syms"))
+  }
+}

@@ -302,6 +302,31 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("component"))
   }
 
+  /** Quality-aware cluster representative: given [[connectedComponents]]
+    * labels and a per-document quality score, keep the HIGHEST-quality
+    * member of each near-dup cluster (ties → smallest id) instead of the
+    * arbitrary min-id — the keep rule curation pipelines actually want
+    * (dedup should discard the worse copies, not a random |cluster|−1 of
+    * them). Scores must be pre-rounded (4 dp here, like
+    * [[graft.ext.TextAnalysis.qualityFeatures]]) so the arg-max is a
+    * stable comparison, not a float race.
+    *
+    * Scale: one hash join id→score + one groupBy(component) whose single
+    * `max(struct(q, -id))` aggregate resolves value and tiebreak
+    * together — both partial-agg'd; clusters never materialize as
+    * arrays. */
+  def clusterRepresentative(components: DataFrame, quality: DataFrame,
+                            idCol: String = "doc_id",
+                            qCol: String = "quality_score"): DataFrame =
+    components
+      .join(quality.select(col(idCol), col(qCol)), Seq(idCol))
+      .groupBy("component")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col(qCol).as("q"), (-col(idCol)).as("ni"))).as("_b"))
+      .select(col("component"), (-col("_b.ni")).as("keep_id"),
+        col("_b.q").as("best_q"), col("n_members"))
+
   /** 16-bit SimHash over whitespace tokens: bit b is set iff the sum of
     * (+1 / -1) votes from each distinct token's md5 nibble b is positive.
     * Entirely string-arithmetic → portable and deterministic; 16 bits is
@@ -526,6 +551,67 @@ object Dedup {
         .bucketBy(nBuckets, "band", "band_hash").sortBy("band", "band_hash")
         .saveAsTable(table)
     }
+  }
+
+  /** Bloom-prefiltered exact incremental dedup: the reference corpus's
+    * content hashes are folded into a Bloom filter, realized as a
+    * DISTINCT-POSITIONS table — `kHashes` bit positions per hash,
+    * `pos_j(h) = md5(j:h)[0,8) mod mBits` — which is capped at `mBits`
+    * rows of one long REGARDLESS of corpus size (~8 MB at the default
+    * 2^20), i.e. broadcastable by construction. A new document is a
+    * candidate iff ALL k of its positions are present (no false
+    * negatives, Bloom FP rate for the rest); only candidates pay the
+    * verify join against the reference, and they go to it as the
+    * BROADCAST build side — the corpus-sized reference is scanned but
+    * never shuffled, and the new batch never shuffles at all beyond its
+    * own tiny candidate aggregate.
+    *
+    * At 100 TB the positions table is append-only persisted state
+    * (rebuild = one column-pruned scan; update = union + distinct of a
+    * batch's positions); here it is rebuilt per run, which costs one
+    * extra reference scan. Decisions are deterministic — even the false
+    * positives are a pure function of md5 — so the whole decision table
+    * is oracle-checkable, FPs included.
+    *
+    * Output: one row per new doc — (doc_id, bloom_candidate,
+    * status ∈ {exact_dup, new}, ref_id). Near-dup detection is
+    * [[incrementalDedup]]'s banding stage; this operator is the cheap
+    * exact-membership gate in front of it. */
+  def incrementalDedupBloom(newDocs: DataFrame, refDocs: DataFrame,
+                            mBits: Int = 1 << 20, kHashes: Int = 3): DataFrame = {
+    require(mBits > 0, s"mBits must be positive: $mBits")
+    require(kHashes >= 1, s"kHashes must be >= 1: $kHashes")
+    def positions(h: Column): Seq[Column] = (0 until kHashes).map { j =>
+      pmod(conv(substring(md5(concat_ws(":", lit(j.toString), h).cast("binary")),
+        1, 8), 16, 10).cast("long"), lit(mBits.toLong))
+    }
+    val bloom = refDocs
+      .select(explode(array(positions(md5(col("text").cast("binary"))): _*)).as("p"))
+      .distinct()
+    val nw = newDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("_h"))
+    // candidate = all k positions hit; localCheckpoint the (tiny,
+    // candidate-sized) result so the two downstream uses don't rebuild
+    // the bloom — and with it re-scan the reference — once each
+    val candidates = nw
+      .select(col("doc_id"), explode(array(positions(col("_h")): _*)).as("p"))
+      .join(broadcast(bloom), Seq("p"))
+      .groupBy("doc_id").agg(count(lit(1)).as("_np"))
+      .where(col("_np") === kHashes)
+      .select(col("doc_id"), lit(true).as("bloom_candidate"))
+      .localCheckpoint()
+    val flagged = nw.join(broadcast(candidates), Seq("doc_id"), "left")
+    // verify: candidates broadcast INTO the reference scan — min ref id
+    // per matched hash rides a partial agg; the reference never shuffles
+    val matches = refDocs
+      .select(md5(col("text").cast("binary")).as("_h"), col("doc_id").as("_r"))
+      .join(broadcast(flagged.where(col("bloom_candidate")).select("doc_id", "_h")),
+        Seq("_h"))
+      .groupBy("doc_id").agg(min("_r").as("_ref"))
+    flagged.join(broadcast(matches), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bloom_candidate"), lit(false)).as("bloom_candidate"),
+        when(col("_ref").isNotNull, lit("exact_dup")).otherwise(lit("new")).as("status"),
+        col("_ref").as("ref_id"))
   }
 
   private def incrementalDecision(newDocs: DataFrame, refDocs: DataFrame,

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al., NeurIPS
+  * 2023): score every raw document by how much more likely its hashed
+  * n-gram features are under a TARGET distribution than under the raw
+  * corpus distribution — the standard recipe for skimming
+  * "Wikipedia-like" (or any exemplar-like) data out of a web crawl
+  * before pretraining.
+  *
+  * Features are word bigrams hashed into `buckets` buckets; both
+  * distributions are bag-of-buckets unigram models with Laplace
+  * smoothing, estimated from the corpus itself (`isTarget` marks the
+  * exemplar rows). A document's log importance weight is
+  *
+  *   Σ_g [ ln(ct[b(g)]+1) − ln(Nt+B) − ln(cr[b(g)]+1) + ln(Nr+B) ]
+  *
+  * over its bigram OCCURRENCES (not distinct grams — DSIR models token
+  * frequency). Selection on top of the weights is a separate concern:
+  * compose with [[Sampling.weightedSample]] (Gumbel-free deterministic
+  * resampling) or a plain threshold.
+  *
+  * Scale shape: ONE explode pass builds the (doc, bucket, count) table —
+  * a single hash shuffle whose key space is doc×bucket; the bucket
+  * statistics aggregate THAT table (Spark reuses the exchange under both
+  * consumers), and the bucket→log-ratio table is bounded at `buckets`
+  * rows, so the weight join broadcasts it. Per-doc weights are one more
+  * partial agg. Nothing in the plan grows faster than the corpus, and
+  * the model tables are fixed-size regardless of scale.
+  */
+object Dsir {
+
+  /** Per-document DSIR log importance weights:
+    * (doc_id, n_bigrams, weight), weight rounded to 4 dp (the sum is
+    * ≤ doc-length doubles of magnitude ~1; accumulated FP error ~1e-13
+    * against the 5e-5 rounding headroom — the [[TextAnalysis.unigramNll]]
+    * determinism argument). Documents with fewer than 2 tokens carry no
+    * features and are omitted (they have no evidence either way). */
+  def importanceWeights(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("_t"),
+        split(trim(col(textCol)), "\\s+").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("_t"), expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))").as("gs"))
+      // explode_outer: plain explode's inferred size(gs)>0 filter would
+      // re-evaluate the whole split+transform tree interpreted (the
+      // Dedup.shingles lesson); size(w)>=2 already guarantees non-empty
+      .select(col("doc_id"), col("_t"), explode_outer(col("gs")).as("g"))
+      .select(col("doc_id"), col("_t"),
+        pmod(conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("b"))
+    // the single corpus-sized shuffle; both the bucket model and the
+    // per-doc weights read this one aggregate (shared exchange)
+    val db = grams.groupBy("doc_id", "_t", "b").agg(count(lit(1)).as("c"))
+    val bucketStats = db.groupBy("b").agg(
+      sum(when(col("_t"), col("c")).otherwise(0L)).as("ct"),
+      sum(col("c")).as("cr"))
+    val totals = bucketStats.agg(
+      sum("ct").cast("double").as("_nt"), sum("cr").cast("double").as("_nr"))
+    val lr = bucketStats.join(broadcast(totals))
+      .select(col("b"),
+        (log(col("ct") + 1) - log(col("_nt") + buckets)
+          - log(col("cr") + 1) + log(col("_nr") + buckets)).as("_lr"))
+    db.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        round(sum(col("c") * col("_lr")), 4).as("weight"))
+  }
+}

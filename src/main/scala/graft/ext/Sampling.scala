@@ -108,6 +108,40 @@ object Sampling {
     df.withColumn("split", split)
   }
 
+  /** Weighted sampling WITHOUT replacement, k winners, deterministic and
+    * integer-exact (a float-free stand-in for Efraimidis–Spirakis
+    * `u^(1/w)` keys): each row holds `w` lottery tickets, ticket j is
+    * `md5(seed:key:j)`, and the row's sample key is its MINIMUM ticket.
+    * The k rows with the smallest sample keys win (ties broken by key).
+    * The first winner is drawn with probability exactly `w_i / Σw` —
+    * every unit ticket is equally likely to be the global minimum — and
+    * subsequent ranks follow the same ticket race conditioned on the
+    * earlier winners, i.e. the order in which items first appear when
+    * all Σw tickets are drawn uniformly at random.
+    *
+    * Why min-of-tickets instead of `pow(u, 1/w)`: the ranking is pure
+    * md5-hex string comparison — no transcendental math, so Spark and
+    * any oracle engine agree BIT-exactly and no rounding boundary can
+    * flip the k-th place (the [[graft.ext]] float-boundary lesson,
+    * PERF.md "corpus_report").
+    *
+    * Scale: the per-row ticket fold is a codegen'd array expression over
+    * at most `maxWeight` md5s (weights are clamped to [1, maxWeight] —
+    * weight resolution beyond ~64 buys no sampling fidelity), and the
+    * top-k is `TakeOrderedAndProject` — per-partition heaps + one k-row
+    * driver merge, never a global sort. Zero shuffle. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     seed: String = "", maxWeight: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(maxWeight >= 1, s"maxWeight must be >= 1: $maxWeight")
+    val w = least(greatest(weight.cast("long"), lit(1L)), lit(maxWeight.toLong))
+    val ticket = array_min(transform(sequence(lit(0L), w - 1),
+      j => md5(concat_ws(":", lit(seed), key.cast("string"), j.cast("string")))))
+    df.select(key.as("_k"), w.as("w"), ticket.as("ticket"))
+      .orderBy(col("ticket").asc, col("_k").asc)
+      .limit(k)
+  }
+
   /** Deterministic global corpus shuffle — the "shuffle the training set
     * before sharding" step. Each row's position in the permutation is its
     * rank under `md5(seed:key)` (key as tiebreak), and rows are cut into

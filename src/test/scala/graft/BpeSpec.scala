@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Bpe
+
+/** BPE merge learning: the classic hand-computed corpus, greedy overlap
+  * semantics, segmentation round-trip, and rank-1 agreement with the
+  * pair-count gate query. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("classic corpus learns the textbook merge sequence") {
+    // low*5 lower*2 newest*6 widest*3 — the Sennrich et al. example
+    // shape. Hand-computed: es(9), es+t(9), l+o(7), lo+w(7).
+    val docs = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, 4)
+    assert(merges == Seq(
+      (0, "e", "s", 9L), (1, "es", "t", 9L), (2, "l", "o", 7L), (3, "lo", "w", 7L)))
+  }
+
+  test("greedy left-to-right overlap: aaaa merges to [aa, aa], then to [aaaa]") {
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, 2)
+    assert(merges == Seq((0, "a", "a", 3L), (1, "aa", "aa", 1L)))
+    val seg = Bpe.segment(docs, merges.map(m => (m._2, m._3)))
+      .head().getSeq[String](2)
+    assert(seg == Seq("aaaa"))
+  }
+
+  test("segment applies merges in rank order: lowest -> [low, est]") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val seg = Bpe.segment(Seq((1L, "lowest")).toDF("doc_id", "text"), merges)
+      .head().getSeq[String](2)
+    assert(seg == Seq("low", "est"))
+  }
+
+  test("rank-1 merge is the argmax of the pair-count table (gate agreement)") {
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+    val top = Bpe.pairStats(
+      Bpe.wordFreqs(docs).select(col("freq"), Bpe.chars(col("word")).as("syms")))
+      .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
+      .limit(1).head()
+    val first = Bpe.learnMerges(docs, 1).head
+    assert((first._2, first._3, first._4) ==
+      ((top.getString(0), top.getString(1), top.getLong(2))))
+  }
+
+  test("merge loop stops early when no pairs remain") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // all 1-char words
+    assert(Bpe.learnMerges(docs, 5).isEmpty)
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Quality-aware cluster representative: arg-max semantics, tie rule,
+  * and the partial-agg plan shape. */
+class ClusterRepSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("highest quality wins; ties fall to the smallest id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+                    (7L, 7L), (9L, 7L))           // cluster 7 (tied q)
+      .toDF("doc_id", "component")
+    val quality = Seq((1L, 0.31), (2L, 0.97), (3L, 0.55),
+                      (7L, 0.42), (9L, 0.42)).toDF("doc_id", "quality_score")
+    val out = Dedup.clusterRepresentative(comps, quality).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 0.97, 3L)))   // best quality, 3 members
+    assert(out(7L) == ((7L, 0.42, 2L)))   // tie -> min id
+  }
+
+  test("plan: one join + one partial-agg'd groupBy, no window, no cluster arrays") {
+    val comps = (0L until 100L).map(i => (i, i % 10)).toDF("doc_id", "component")
+    val quality = (0L until 100L).map(i => (i, (i % 7) / 10.0)).toDF("doc_id", "quality_score")
+    val plan = Dedup.clusterRepresentative(comps, quality)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in cluster-rep plan:\n$plan")
+    assert(!plan.contains("collect_list"), s"cluster materialized as array:\n$plan")
+    // the arg-max rides HashAggregate partials
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+}

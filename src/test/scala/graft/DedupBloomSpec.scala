@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Bloom-prefiltered incremental dedup: decision correctness (no false
+  * negatives), plan shape (everything broadcast, the reference never
+  * shuffles), and agreement with the exact stage of the full
+  * incremental-dedup operator. */
+class DedupBloomSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("crafted corpus: exact re-fetch is a candidate+dup, novel text is a clean new") {
+    val ref = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val nw = Seq((10L, "alpha beta gamma"),          // exact dup of 1
+                 (11L, "utterly novel content row")) // clean
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedupBloom(nw, ref).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(10L) == ((true, "exact_dup", 1L)))
+    assert(out(11L)._2 == "new")
+    // a Bloom FP on 11 is possible in principle but the decision would
+    // still be ("new", no ref) — status must never be exact_dup
+  }
+
+  test("no false negatives: every true exact dup is candidate + exact_dup") {
+    val docs = Tables.load(spark, TestSpark.sf001, "documents").select("doc_id", "text")
+    val nw = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val out = Dedup.incrementalDedupBloom(nw, docs)
+    val missed = out.where(col("status") =!= "exact_dup" || !col("bloom_candidate"))
+      .join(nw.select((col("doc_id")).as("doc_id")), Seq("doc_id"))
+      .count()
+    assert(missed == 0, s"$missed true dups not flagged exact_dup")
+    // min-id representative: ref_id must be the smallest doc sharing the text
+    val expected = nw.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(docs.select(md5(col("text").cast("binary")).as("h"),
+        col("doc_id").as("r")), Seq("h"))
+      .groupBy("doc_id").agg(min("r").as("want"))
+    val wrong = out.join(expected, Seq("doc_id"))
+      .where(col("ref_id") =!= col("want")).count()
+    assert(wrong == 0)
+  }
+
+  test("plan guard: all joins broadcast — the reference corpus never shuffles") {
+    val docs = Tables.load(spark, TestSpark.sf001, "documents").select("doc_id", "text")
+    val nw = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val plan = Dedup.incrementalDedupBloom(nw, docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"SortMergeJoin in bloom plan:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin"), s"ShuffledHashJoin in bloom plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("agreement: bloom exact decisions == incrementalDedup's exact stage") {
+    val docs = Tables.load(spark, TestSpark.sf001, "documents").select("doc_id", "text")
+    // the same crawl shape as the gate query: re-fetches + novel edits
+    val nw = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" qqq")).as("text")))
+    val bloomDups = Dedup.incrementalDedupBloom(nw, docs)
+      .where(col("status") === "exact_dup")
+      .select("doc_id", "ref_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullDups = Dedup.incrementalDedup(nw, docs)
+      .where(col("status") === "exact_dup")
+      .select("doc_id", "ref_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloomDups == fullDups)
+  }
+}

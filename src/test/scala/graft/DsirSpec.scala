@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dsir
+
+/** DSIR importance weights: target-likeness ordering, determinism, and
+  * the bounded-model plan shape. */
+class DsirSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("target-vocabulary docs score above off-target docs") {
+    // target speaks {aa bb}, the raw remainder speaks {zz yy}: a raw doc
+    // written in the target vocabulary must out-score one that is not
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "aa bb aa bb aa", true)) ++
+      (20 until 40).map(i => (i.toLong, "zz yy zz yy zz", false)) :+
+      ((100L, "aa bb aa bb aa", false)) :+ ((101L, "zz yy zz yy zz", false))
+    ).toDF("doc_id", "text", "is_t")
+    // buckets=64: at the default 4096 the Laplace prior would dwarf a
+    // 40-doc corpus's counts and compress every weight toward zero
+    val w = Dsir.importanceWeights(docs, col("is_t"), buckets = 64).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(100L) > w(101L),
+      s"target-like ${w(100L)} must beat off-target ${w(101L)}")
+    assert(w(100L) > 0 && w(101L) < 0)
+  }
+
+  test("deterministic across partitioning; n_bigrams = tokens - 1") {
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+    def run(parts: Int) =
+      Dsir.importanceWeights(docs.repartition(parts), col("lang") === "en")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val a = run(3)
+    assert(a == run(13))
+    val toks = docs.select(col("doc_id"),
+      (size(split(trim(col("text")), "\\s+")) - 1).cast("long").as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.forall { case (id, nb, _) => toks(id) == nb })
+  }
+
+  test("plan: no cartesian blowup; the bucket model joins broadcast") {
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+    val plan = Dsir.importanceWeights(docs, col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in DSIR plan:\n$plan")
+    // the log-ratio table (<= buckets rows) must come in as a broadcast
+    assert(plan.contains("BroadcastHashJoin"), s"bucket model not broadcast:\n$plan")
+  }
+}

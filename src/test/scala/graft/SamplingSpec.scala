@@ -134,4 +134,46 @@ class SamplingSpec extends SparkSpec {
     // not the identity / key order: the hash actually permutes
     assert(ep0.count { case (k, p) => k == p } < 20)
   }
+
+  test("weightedSample: weight-64 items dominate weight-1 items at the expected rate") {
+    import spark.implicits._
+    // 500 heavy (w=64) + 500 light (w=1): heavy items hold 64/65 of the
+    // tickets, so a k=200 sample is overwhelmingly heavy
+    val df = (0L until 1000L).map(k => (k, if (k < 500) 64L else 1L)).toDF("k", "wt")
+    val out = Sampling.weightedSample(df, col("k"), col("wt"), k = 200, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 200)
+    val heavy = out.count(_._1 < 500)
+    assert(heavy > 170, s"heavy=$heavy of 200 — weighting not biting")
+    assert(out.filter(_._1 < 500).forall(_._2 == 64L))
+  }
+
+  test("weightedSample: clamped weights, deterministic across partitioning, no global sort") {
+    import spark.implicits._
+    val df = (0L until 300L).map(k => (k, k % 100 - 10)).toDF("k", "wt")
+    val a = Sampling.weightedSample(df, col("k"), col("wt"), k = 50, seed = "s")
+    val b = Sampling.weightedSample(df.repartition(11), col("k"), col("wt"), k = 50, seed = "s")
+    assert(a.select("_k").collect().map(_.getLong(0)).toSeq ==
+      b.select("_k").collect().map(_.getLong(0)).toSeq)
+    // clamp: no weight leaves [1, 64]
+    val ws = a.select("w").collect().map(_.getLong(0))
+    assert(ws.forall(w => w >= 1 && w <= 64))
+    // top-k must be TakeOrderedAndProject (per-partition heaps), not a
+    // global Sort + Limit
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$plan")
+  }
+
+  test("weightedSample: first-draw marginal tracks w/Σw on a two-item race") {
+    import spark.implicits._
+    // item A w=3, item B w=1 → P(A first) = 3/4; across 60 seeded
+    // deterministic races the win rate approximates the marginal
+    // (binomial σ ≈ 3.4 → 45 ± 10 is > 3σ of slack)
+    val df = Seq((0L, 3L), (1L, 1L)).toDF("k", "wt")
+    val wins = (0 until 60).count { s =>
+      Sampling.weightedSample(df, col("k"), col("wt"), k = 1, seed = s"m$s")
+        .head().getLong(0) == 0L
+    }
+    assert(wins > 35 && wins < 55, s"A won $wins/60, expected ~45")
+  }
 }
