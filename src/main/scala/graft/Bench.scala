@@ -30,7 +30,15 @@ object Bench {
     // first-touch noise (page cache, codegen of this exact plan)
     def pass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // noop write, NOT count(): counting lets the optimizer drop the
+      // final sort and prune every computed column, so a map-only query
+      // (e.g. repetition_stats) was benched as a bare parquet scan while
+      // its real evaluation cost hid until some consumer forced it
+      // (corpus_funnel's 22 s surprise). The noop sink evaluates every
+      // output column and discards rows — the honest per-query cost.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case _: Throwable => false }
       // drop this query's localCheckpoint blocks (cumsum machinery, CC
       // iterations) before the next query: blocks pinned across 119
       // queries in one JVM degrade later queries — measured repeat runs

@@ -60,6 +60,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("repetition stats: native one-pass expression == the sorted-fold formulation") {
+    import graft.ext.TextAnalysis
+    val cols = Seq("doc_id", "n_bigrams", "top_bigram_frac", "top_trigram_frac",
+      "dup_trigram_frac")
+    val native = TextAnalysis.repetitionStats(docs)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).sortBy(_.head.toString)
+    val fold = TextAnalysis.repetitionStatsFold(docs)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(native.toSeq == fold.toSeq)
+  }
+
   test("pii redact: counts and tokens for crafted strings") {
     import graft.ext.TextAnalysis
     val df = Seq(
