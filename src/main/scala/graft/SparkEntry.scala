@@ -1608,6 +1608,31 @@ object SparkEntry {
         .orderBy("shard", "member")
     }),
 
+    // Perceptual image near-dup: deterministic grayscale fixtures →
+    // REAL pixel-buffer dHash (native one-pass expression) → 4×16-bit
+    // Hamming-LSH banding → exact popcount verify. Every 10th image has
+    // a +1-intensity twin (≤ 1 bit away); the oracle replays block sums
+    // from the generating formula — bytes here, closed form in SQL.
+    "image_dhash_neardup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id")
+      def params(idc: org.apache.spark.sql.Column) = Seq(
+        (idc % 251).as("a"), (idc % 241).as("b"), (idc % 239).as("c"),
+        (idc % 256).as("dd"))
+      val base = docs.select(
+        (col("doc_id").as("img_id") +: params(col("doc_id")) :+ lit(0L).as("pert")): _*)
+      val twins = docs.where(col("doc_id") % 10 === 0).select(
+        ((col("doc_id") + 1000000L).as("img_id") +: params(col("doc_id")) :+
+          lit(1L).as("pert")): _*)
+      val src = base.unionByName(twins)
+        .withColumn("w", lit(45)).withColumn("h", lit(40))
+      val hashed = ext.Multimodal.encodeGrayFixture(src)
+        .select(col("img_id"),
+          ext.Multimodal.dhash64(col("payload"), col("w"), col("h")).as("_d"))
+        .select(col("img_id"), col("_d.hi").as("hi"), col("_d.lo").as("lo"))
+      ext.Multimodal.imageNearDup(hashed, maxHamming = 3)
+        .orderBy("img_a", "img_b")
+    }),
+
     // ------------------------------------------------------------------
     // NBI snapshot listing (SURVEY S3): list FROM the persisted catalog
     // ------------------------------------------------------------------
@@ -3587,6 +3612,51 @@ object SparkEntry {
         |                  WHERE ext = 'jpg' ORDER BY member, psize LIMIT 1000)))
         |ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
+
+    // dHash replayed from the pixel FORMULA (block sums in closed form —
+    // the Spark side hashed actual bytes), then the same banding+popcount
+    "image_dhash_neardup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS img_id, doc_id % 251 AS a, doc_id % 241 AS b,
+        |         doc_id % 239 AS c, doc_id % 256 AS d, 0 AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id % 251, doc_id % 241, doc_id % 239,
+        |         doc_id % 256, 1 FROM documents WHERE doc_id % 10 = 0),
+        |grid AS (SELECT by, bx
+        |  FROM (SELECT unnest(range(0, 8)) AS by) ys
+        |  CROSS JOIN (SELECT unnest(range(0, 9)) AS bx) xs),
+        |cells AS (
+        |  SELECT img_id, by, bx,
+        |    25 * ((a * bx + b * by + c * bx * by + d +
+        |           CASE WHEN pert = 1 AND bx = 0 AND by = 0 THEN 1 ELSE 0 END) % 248)
+        |      + 100 AS s
+        |  FROM imgs CROSS JOIN grid),
+        |bits AS (
+        |  SELECT l.img_id, l.by * 8 + l.bx AS k,
+        |    CASE WHEN l.s < r.s THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON r.img_id = l.img_id AND r.by = l.by AND r.bx = l.bx + 1
+        |  WHERE l.bx < 8),
+        |hashes AS (
+        |  SELECT img_id,
+        |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY img_id),
+        |bands AS (
+        |  SELECT img_id, hi, lo, 0 AS band, (hi >> 16) & 65535 AS bv FROM hashes
+        |  UNION ALL SELECT img_id, hi, lo, 1, hi & 65535 FROM hashes
+        |  UNION ALL SELECT img_id, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
+        |  UNION ALL SELECT img_id, hi, lo, 3, lo & 65535 FROM hashes),
+        |cand AS (
+        |  SELECT DISTINCT a.img_id AS img_a, a.hi AS hi_a, a.lo AS lo_a,
+        |         b.img_id AS img_b, b.hi AS hi_b, b.lo AS lo_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id)
+        |SELECT img_a, img_b,
+        |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+        |ORDER BY img_a, img_b""".stripMargin,
 
     "multimodal_audio" -> o(
       """SELECT shard, member,

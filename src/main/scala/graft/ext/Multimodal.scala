@@ -156,6 +156,89 @@ object Multimodal {
       .withColumn("out_width", ceil(col("image_meta.width") * col("scale")).cast("int"))
       .withColumn("out_height", ceil(col("image_meta.height") * col("scale")).cast("int"))
 
+  /** Deterministic grayscale fixture images for the perceptual-hash
+    * pipeline: expects (a, b, c, dd, pert: long; w, h: int) parameter
+    * columns; emits a row-major W×H byte buffer with block-structured
+    * pixels
+    *
+    *   p(x,y) = ((a·bx + b·by + c·bx·by + dd + [pert ∧ bx=by=0]) % 248)
+    *            + x%bw + y%bh,   bx = x/bw, by = y/bh, bw = w/9, bh = h/8
+    *
+    * — a distinct 8×9 block pattern per parameter tuple, plus an
+    * in-block gradient so the dHash genuinely averages pixels. A `pert`
+    * twin differs ONLY in block (0,0) by +1 intensity: its dHash is at
+    * most 1 bit away (the block participates in exactly one
+    * comparison). The oracle replays block sums directly from this
+    * formula — bytes on the Spark side, closed form on the SQL side. */
+  def encodeGrayFixture(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField("payload", BinaryType))
+    val ix = Seq("a", "b", "c", "dd", "pert").map(df.schema.fieldIndex)
+    val (wi, hi) = (df.schema.fieldIndex("w"), df.schema.fieldIndex("h"))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val Seq(a, b, c, dd, pert) = ix.map(r.getLong)
+        val (w, h) = (r.getInt(wi), r.getInt(hi))
+        require(w % 9 == 0 && h % 8 == 0, s"fixture dims must align: $w x $h")
+        val (bw, bh) = (w / 9, h / 8)
+        val p = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (bx, by) = (x / bw, y / bh)
+            val pb = (a * bx + b * by + c * bx * by + dd +
+              (if (pert == 1 && bx == 0 && by == 0) 1 else 0)) % 248
+            p(y * w + x) = (pb + x % bw + y % bh).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+ p)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** struct(hi, lo) dHash halves of a grayscale payload column (native
+    * [[graft.functions.DHash64]] — one O(W·H) pass per image). */
+  def dhash64(payload: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+              h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ImageFunctions.dhash64(payload, w, h)
+
+  /** Perceptual near-duplicate pairs over dHash halves (img_id, hi, lo):
+    * Hamming-LSH banding — the 64-bit hash splits into 4 × 16-bit bands,
+    * images sharing any band become candidates (guaranteed recall for
+    * Hamming distance ≤ 3: four disjoint bands can't all be hit by three
+    * bit flips), candidates are verified with the exact popcount of the
+    * XOR. The image-count-sized table carries 2 longs per image; the
+    * band groupBy is the only shuffle and candidates are a vanishing
+    * fraction — the [[graft.ext.Dedup]] LSH shape applied to pixels. */
+  def imageNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding only guarantees recall for hamming <= 3, got $maxHamming")
+    val bands = hashes.select(col("img_id"), col("hi"), col("lo"),
+      explode(array(
+        struct(lit(0).as("bi"), shiftright(col("hi"), 16).bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("bi"), col("hi").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(2).as("bi"), shiftright(col("lo"), 16).bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(3).as("bi"), col("lo").bitwiseAND(lit(65535L)).as("bv")))).as("_b"))
+      .select(col("img_id"), col("hi"), col("lo"),
+        col("_b.bi").as("band"), col("_b.bv").as("band_val"))
+    val a = bands.select(col("img_id").as("img_a"), col("hi").as("hi_a"),
+      col("lo").as("lo_a"), col("band"), col("band_val"))
+    val b = bands.select(col("img_id").as("img_b"), col("hi").as("hi_b"),
+      col("lo").as("lo_b"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("img_a") < col("img_b"))
+      .select("img_a", "img_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("img_a", "img_b", "hamming")
+  }
+
   // ------------------------------------------------------------------
   // Audio: real RIFF/WAVE header parse (the audio leg of §7.6)
   // ------------------------------------------------------------------

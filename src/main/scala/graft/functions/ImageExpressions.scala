@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Native difference-hash (dHash) over a raw grayscale pixel buffer —
+  * the perceptual fingerprint LAION-class image pipelines dedup on.
+  *
+  * Definition (documented so the oracle can replay it exactly):
+  * partition the W×H image into an 8-row × 9-column grid (pixel (x, y)
+  * belongs to grid cell (y*8/h, x*9/w)); bit i*8+j of the 64-bit hash
+  * is 1 iff the mean intensity of cell (i, j) is strictly below its
+  * right neighbor (i, j+1). Means are compared by integer
+  * cross-multiplication (sumL*cntR < sumR*cntL) — no division, no
+  * floats, bit-exact on any engine. The hash is returned as two
+  * unsigned 32-bit halves (hi = bits 0..31, lo = bits 32..63) so SQL
+  * engines never touch the sign bit.
+  *
+  * One O(W·H) pass per image; per-row native call, no per-pixel
+  * expression evaluation. Null for payloads smaller than w*h or
+  * sub-grid dimensions (w < 9 or h < 8).
+  */
+case class DHash64(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+        third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dhash64 expects (binary, int, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+
+  override def nullSafeEval(p: Any, w: Any, h: Any): Any =
+    DHash64.dhash(p.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, w, h) => {
+      s"""
+         |${ev.value} = graft.functions.DHash64$$.MODULE$$.dhash($p, $w, $h);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object DHash64 {
+  /** (hi, lo) 32-bit halves of the 8×9-grid dHash; null if the buffer
+    * can't hold a w×h image or the grid doesn't fit. */
+  def dhash(p: Array[Byte], w: Int, h: Int): InternalRow = {
+    if (p == null || w < 9 || h < 8 || p.length < w.toLong * h) return null
+    val sums = new Array[Long](72) // 8 rows x 9 cols
+    val cnts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val i = y * 8 / h
+      val rowOff = y * w
+      var x = 0
+      while (x < w) {
+        val cell = i * 9 + x * 9 / w
+        sums(cell) += (p(rowOff + x) & 0xff)
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        val l = i * 9 + j
+        // mean(l) < mean(l+1), compared exactly via cross-multiplication
+        if (sums(l) * cnts(l + 1) < sums(l + 1) * cnts(l)) {
+          val k = i * 8 + j
+          if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](hi, lo))
+  }
+}
+
+object ImageFunctions {
+  /** struct(hi, lo) dHash halves of a grayscale buffer column. */
+  def dhash64(payload: Column, w: Column, h: Column): Column =
+    GraftShim.column(DHash64(GraftShim.expression(payload),
+      GraftShim.expression(w), GraftShim.expression(h)))
+}

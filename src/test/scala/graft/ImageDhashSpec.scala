@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+import graft.functions.DHash64
+
+/** Perceptual dHash + Hamming-LSH banding: hand-computed hashes, twin
+  * recall, the banding recall contract, and buffer-edge handling. */
+class ImageDhashSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("dhash on a 9x8 one-pixel-per-cell image matches the hand definition") {
+    // pixel (x, y) IS cell (y, x); ascending row 0..8 -> every left<right
+    // comparison true in all 8 rows -> all 64 bits set
+    val asc = Array.tabulate(8, 9)((_, x) => x.toByte).flatten
+    val r = DHash64.dhash(asc, 9, 8)
+    assert(r.getLong(0) == 0xffffffffL && r.getLong(1) == 0xffffffffL)
+    // descending -> no bit set
+    val desc = Array.tabulate(8, 9)((_, x) => (8 - x).toByte).flatten
+    val r2 = DHash64.dhash(desc, 9, 8)
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 0L)
+    // flat -> strict < never fires
+    val flat = Array.fill(72)(7.toByte)
+    val r3 = DHash64.dhash(flat, 9, 8)
+    assert(r3.getLong(0) == 0L && r3.getLong(1) == 0L)
+    // single bit: raise cell (0, 1) only -> bit 0 (cell 0 < cell 1) set,
+    // bit 1 (cell 1 > cell 2) NOT set
+    val one = flat.clone(); one(1) = 9.toByte
+    val r4 = DHash64.dhash(one, 9, 8)
+    assert(r4.getLong(0) == 1L && r4.getLong(1) == 0L)
+  }
+
+  test("dhash averages blocks: in-block gradient does not change the hash") {
+    // block-constant 45x40 image vs the same + identical per-block
+    // gradient: cell means shift equally, comparisons unchanged
+    def img(grad: Boolean) = Array.tabulate(40, 45) { (y, x) =>
+      val base = ((x / 5) * 17 + (y / 5) * 29) % 200
+      (base + (if (grad) x % 5 + y % 5 else 0)).toByte
+    }.flatten
+    val a = DHash64.dhash(img(grad = false), 45, 40)
+    val b = DHash64.dhash(img(grad = true), 45, 40)
+    assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+  }
+
+  test("undersized buffers and sub-grid dims are null, not errors") {
+    assert(DHash64.dhash(new Array[Byte](10), 9, 8) == null)
+    assert(DHash64.dhash(Array.fill(64)(1.toByte), 8, 8) == null)
+    assert(DHash64.dhash(null, 9, 8) == null)
+  }
+
+  test("every +1-intensity twin is recalled with hamming <= 1") {
+    val out = SparkEntry.queries("image_dhash_neardup")(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val twins = out.filter { case (a, b, _) => b == a + 1000000L }
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+      .where(col("doc_id") % 10 === 0).count()
+    assert(twins.length == docs, s"${twins.length} of $docs twins recalled")
+    assert(twins.forall(_._3 <= 1))
+  }
+
+  test("banding contract: hamming<=3 always found; 4 flips spread over all bands is the documented miss") {
+    // hand hashes: base vs 3 flips inside one 16-bit band -> 3 other
+    // bands identical -> candidate; vs 1 flip in EACH band -> no shared
+    // band -> (documented) miss
+    val base = (0x12345678L, 0x9abcdef0L)
+    val h3 = (base._1 ^ 0x7L, base._2)                  // 3 flips, band 1
+    val h4 = (base._1 ^ 0x00010001L, base._2 ^ 0x00010001L) // 1 flip per band
+    val df = Seq((1L, base._1, base._2), (2L, h3._1, h3._2), (3L, h4._1, h4._2))
+      .toDF("img_id", "hi", "lo")
+    val pairs = Multimodal.imageNearDup(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+    // and the guard refuses thresholds the banding can't guarantee
+    intercept[IllegalArgumentException] { Multimodal.imageNearDup(df, 4) }
+  }
+}
