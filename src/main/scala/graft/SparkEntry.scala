@@ -1608,6 +1608,35 @@ object SparkEntry {
         .orderBy("shard", "member")
     }),
 
+    // Dynamic byte-budget mini-batching (DynamicBatchSampler,
+    // python/aistore/pytorch/dynamic_sampler.py) with every knob lit:
+    // zero-size skips, oversized singletons with interleaved ids,
+    // exact-budget closes, overflow reprocess, saturation-gated last
+    // batch. The slice keys < 1200 keep the (inherently sequential)
+    // boundary scan and the oracle's recursive replay bounded at every
+    // scale; sizes are crafted to hit all five decision paths.
+    "dynamic_batches" -> ((s, d) => {
+      val src = Tables.load(s, d, "part").where(col("p_partkey") < 1200)
+        .select(format_string("obj-%06d", col("p_partkey")).as("name"),
+          when(col("p_partkey") % 41 === 3, 0L)
+            .otherwise((col("p_size") * 7) % 110).cast("long").as("size"))
+      ops.DynamicBatch.assign(src, "name", "size", maxBatchBytes = 100,
+        dropLast = true, allowOversized = true, saturation = 0.8)
+        .orderBy("pos")
+    }),
+
+    // Multishard stream zip (AISMultiShardStream,
+    // python/aistore/pytorch/multishard_dataset.py): positional
+    // combined samples across two shard streams, zip-shortest; ranks
+    // from the distributed prefix sum, truncation from the inner join.
+    "multishard_zip" -> ((s, d) => {
+      val m = shards.TarFixtures.membersDf(s, d)
+      ops.MultiShard.zipStreams(Seq(
+        m.where(col("ext") === "jpg").select(col("member"), col("psize").as("size")),
+        m.where(col("ext") === "cls").select(col("member"), col("psize").as("size"))))
+        .orderBy("pos")
+    }),
+
     // Perceptual image near-dup: deterministic grayscale fixtures →
     // REAL pixel-buffer dHash (native one-pass expression) → 4×16-bit
     // Hamming-LSH banding → exact popcount verify. Every 10th image has
@@ -3611,6 +3640,95 @@ object SparkEntry {
         |            FROM (SELECT shard, member, psize FROM tarfix
         |                  WHERE ext = 'jpg' ORDER BY member, psize LIMIT 1000)))
         |ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    // the greedy fill replayed row-at-a-time by a recursive CTE — the
+    // two-phase state machine mirrors the reference's re-process loop
+    // (overflow closes the batch, then the SAME row re-enters at fill 0)
+    "dynamic_batches" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS pos,
+        |         printf('obj-%06d', p_partkey) AS name,
+        |         CAST(CASE WHEN p_partkey % 41 = 3 THEN 0
+        |              ELSE (p_size * 7) % 110 END AS BIGINT) AS sz
+        |  FROM part WHERE p_partkey < 1200),
+        |st(nvpos, nvphase, fill, yields, open_start, last_norm,
+        |   c_id, c_start, c_end, o_pos, o_id) AS (
+        |  SELECT CAST(0 AS BIGINT), 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  SELECT
+        |    CASE WHEN st.nvphase = 0 AND s.sz > 0 AND s.sz <= 100 AND st.fill + s.sz > 100
+        |         THEN s.pos ELSE s.pos + 1 END,
+        |    CASE WHEN st.nvphase = 0 AND s.sz > 0 AND s.sz <= 100 AND st.fill + s.sz > 100
+        |         THEN 1 ELSE 0 END,
+        |    CASE WHEN st.nvphase = 1 THEN (CASE WHEN s.sz = 100 THEN 0 ELSE s.sz END)
+        |         WHEN s.sz = 0 OR s.sz > 100 THEN st.fill
+        |         WHEN st.fill + s.sz < 100 THEN st.fill + s.sz
+        |         ELSE CAST(0 AS BIGINT) END,
+        |    st.yields + CASE WHEN st.nvphase = 1 THEN (CASE WHEN s.sz = 100 THEN 1 ELSE 0 END)
+        |         WHEN s.sz = 0 THEN 0
+        |         WHEN s.sz > 100 THEN 1
+        |         WHEN st.fill + s.sz >= 100 THEN 1
+        |         ELSE 0 END,
+        |    CASE WHEN st.nvphase = 1 THEN (CASE WHEN s.sz = 100 THEN NULL ELSE s.pos END)
+        |         WHEN s.sz = 0 OR s.sz > 100 THEN st.open_start
+        |         WHEN st.fill + s.sz < 100 THEN coalesce(st.open_start, s.pos)
+        |         ELSE NULL END,
+        |    CASE WHEN st.nvphase = 1 THEN (CASE WHEN s.sz = 100 THEN NULL ELSE s.pos END)
+        |         WHEN s.sz = 0 OR s.sz > 100 THEN st.last_norm
+        |         WHEN st.fill + s.sz < 100 THEN s.pos
+        |         ELSE NULL END,
+        |    CASE WHEN st.nvphase = 1 AND s.sz = 100 THEN st.yields
+        |         WHEN st.nvphase = 0 AND s.sz > 0 AND s.sz <= 100 AND st.fill + s.sz >= 100 THEN st.yields
+        |         ELSE NULL END,
+        |    CASE WHEN st.nvphase = 1 AND s.sz = 100 THEN s.pos
+        |         WHEN st.nvphase = 0 AND s.sz > 0 AND s.sz <= 100 AND st.fill + s.sz = 100 THEN coalesce(st.open_start, s.pos)
+        |         WHEN st.nvphase = 0 AND s.sz > 0 AND s.sz <= 100 AND st.fill + s.sz > 100 THEN st.open_start
+        |         ELSE NULL END,
+        |    CASE WHEN st.nvphase = 1 AND s.sz = 100 THEN s.pos
+        |         WHEN st.nvphase = 0 AND s.sz > 0 AND s.sz <= 100 AND st.fill + s.sz = 100 THEN s.pos
+        |         WHEN st.nvphase = 0 AND s.sz > 0 AND s.sz <= 100 AND st.fill + s.sz > 100 THEN st.last_norm
+        |         ELSE NULL END,
+        |    CASE WHEN st.nvphase = 0 AND s.sz > 100 THEN s.pos ELSE NULL END,
+        |    CASE WHEN st.nvphase = 0 AND s.sz > 100 THEN st.yields ELSE NULL END
+        |  FROM st JOIN src s ON s.pos = st.nvpos),
+        |fin AS (SELECT * FROM st ORDER BY nvpos DESC LIMIT 1),
+        |closes AS (
+        |  SELECT c_id AS bid, c_start, c_end, 'batched' AS rstatus
+        |  FROM st WHERE c_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT yields, open_start, last_norm, 'batched' FROM fin
+        |  WHERE open_start IS NOT NULL AND CAST(fill AS DOUBLE) / 100 > 0.8
+        |  UNION ALL
+        |  SELECT NULL, open_start, last_norm, 'drop_last' FROM fin
+        |  WHERE open_start IS NOT NULL AND NOT (CAST(fill AS DOUBLE) / 100 > 0.8)),
+        |over AS (SELECT o_pos, o_id FROM st WHERE o_pos IS NOT NULL)
+        |SELECT s.name, s.pos, s.sz AS size,
+        |  CASE WHEN s.sz = 0 THEN 'skip_empty'
+        |       WHEN s.sz > 100 THEN 'batched_oversized'
+        |       WHEN c.rstatus = 'drop_last' THEN 'drop_last'
+        |       ELSE 'batched' END AS status,
+        |  CASE WHEN s.sz = 0 THEN NULL
+        |       WHEN s.sz > 100 THEN o.o_id
+        |       ELSE c.bid END AS batch_id
+        |FROM src s
+        |LEFT JOIN closes c ON s.sz > 0 AND s.sz <= 100 AND s.pos BETWEEN c.c_start AND c.c_end
+        |LEFT JOIN over o ON o.o_pos = s.pos
+        |ORDER BY s.pos""".stripMargin,
+
+    "multishard_zip" -> o(
+      """SELECT a.pos, a.member AS name_0, a.psize AS size_0,
+        |  b.member AS name_1, b.psize AS size_1
+        |FROM (SELECT member, psize,
+        |        row_number() OVER (ORDER BY member) - 1 AS pos
+        |      FROM tarfix WHERE ext = 'jpg') a
+        |JOIN (SELECT member, psize,
+        |        row_number() OVER (ORDER BY member) - 1 AS pos
+        |      FROM tarfix WHERE ext = 'cls') b USING (pos)
+        |ORDER BY pos""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
 
     // dHash replayed from the pixel FORMULA (block sums in closed form —

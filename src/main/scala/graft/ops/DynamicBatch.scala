@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dynamic byte-budget mini-batching — the reference's
+  * `DynamicBatchSampler` (python/aistore/pytorch/dynamic_sampler.py):
+  * walk the sample listing in order and greedily fill batches up to
+  * `maxBatchBytes`, with the reference's exact knobs and quirks:
+  *
+  *  - zero-size samples are SKIPPED (logged in the reference);
+  *  - oversized samples (> max) become their own singleton batch when
+  *    `allowOversized`, else they are DROPPED — and the yield
+  *    interleaves: a singleton emitted mid-fill takes the next batch id
+  *    while the still-open batch gets a later one (dynamic_sampler.py
+  *    yields `[index]` without flushing `batch`);
+  *  - a sample landing exactly on the budget closes its batch
+  *    (`total + size == max` appends AND yields); overflow closes the
+  *    open batch WITHOUT the sample, which then re-processes into a
+  *    fresh batch — so batch bytes never exceed the budget (the
+  *    sampler's whole guarantee);
+  *  - the final partial batch is yielded unless `dropLast` and its fill
+  *    is ≤ `saturation` of the budget (strict >, per the reference).
+  *
+  * Architecture: the reference sampler IS a single sequential iterator
+  * over the full listing — that part cannot be parallelized and isn't:
+  * the boundary scan streams the narrow (pos, size) table through the
+  * coordinator with `toLocalIterator` (bounded memory, same
+  * designated-single-stream contract as GetBatch's TAR assembly). What
+  * CAN be distributed is: the listing-order rank (a
+  * [[DSort.globalCumsum]] prefix sum over 100 TB of names), and the
+  * assignment join — the scan emits one row per BATCH (≈ bytes/budget),
+  * those ranges re-expand to per-position rows with a lazy
+  * `explode(sequence)`, and samples get their batch by a co-partitioned
+  * hash join on `pos`. Decisions never exceed batch-count size on the
+  * driver.
+  *
+  * Output: (name, pos, size, status ∈ {batched, batched_oversized,
+  * skip_empty, drop_oversized, drop_last}, batch_id — null for the
+  * non-batched statuses).
+  */
+object DynamicBatch {
+
+  def assign(samples: DataFrame, nameCol: String, sizeCol: String,
+             maxBatchBytes: Long, dropLast: Boolean = false,
+             allowOversized: Boolean = false,
+             saturation: Double = 0.8): DataFrame = {
+    require(maxBatchBytes > 0, s"maxBatchBytes must be positive: $maxBatchBytes")
+    require(saturation >= 0 && saturation <= 1,
+      s"saturation must be in [0, 1]: $saturation") // mirrors the reference's ValueError
+    val spark = samples.sparkSession
+    val max = maxBatchBytes
+    // distributed rank in listing order; checkpointed because both the
+    // coordinator scan and the assignment join read it
+    val ranked = DSort.globalCumsum(
+        samples.select(col(nameCol).as("name"), col(sizeCol).cast("long").as("size")),
+        Seq(col("name").asc), lit(1L))
+      .select((col("_cum") - 1).as("pos"), col("name"), col("size"))
+      .localCheckpoint()
+
+    // ---- the sequential boundary scan (the reference's __iter__) ----
+    val normalRanges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val oversizedIds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var fill = 0L; var yields = 0L
+    var openStart = -1L; var lastNorm = -1L
+    val it = ranked.select("pos", "size").orderBy("pos").toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next(); val pos = r.getLong(0); val size = r.getLong(1)
+      if (size == 0L) () // skip_empty
+      else if (size > max) {
+        if (allowOversized) { oversizedIds += ((pos, yields)); yields += 1 }
+        // else dropped — no id
+      } else if (fill + size < max) {
+        if (openStart < 0) openStart = pos
+        fill += size; lastNorm = pos
+      } else if (fill + size == max) {
+        if (openStart < 0) openStart = pos
+        normalRanges += ((yields, openStart, pos)); yields += 1
+        fill = 0; openStart = -1
+      } else {
+        // overflow: close WITHOUT this sample (fill > 0 is guaranteed —
+        // size <= max and fill == 0 would have hit the branches above),
+        // then re-process it into the fresh batch exactly like the
+        // reference's no-index-advance re-loop
+        normalRanges += ((yields, openStart, lastNorm)); yields += 1
+        if (size == max) { normalRanges += ((yields, pos, pos)); yields += 1; fill = 0; openStart = -1 }
+        else { openStart = pos; fill = size; lastNorm = pos }
+      }
+    }
+    var tailDropped: Option[(Long, Long)] = scala.None
+    if (openStart >= 0) {
+      if (!dropLast || fill.toDouble / max > saturation)
+        { normalRanges += ((yields, openStart, lastNorm)); yields += 1 }
+      else tailDropped = Some((openStart, lastNorm))
+    }
+
+    // ---- distributed assignment ----
+    import spark.implicits._
+    val ranges = normalRanges.toSeq.map { case (id, s, e) => (id, s, e, "batched") } ++
+      tailDropped.map { case (s, e) => (-1L, s, e, "drop_last") }
+    val rangesDf = ranges.toDF("_bid", "_start", "_end", "_rstatus")
+      .select(explode(sequence(col("_start"), col("_end"))).as("pos"),
+        col("_bid"), col("_rstatus"))
+    val oversizedDf = oversizedIds.toSeq.toDF("pos", "_obid")
+    ranked
+      .join(rangesDf, Seq("pos"), "left")
+      .join(broadcast(oversizedDf), Seq("pos"), "left")
+      .select(col("name"), col("pos"), col("size"),
+        when(col("size") === 0L, lit("skip_empty"))
+          .when(col("size") > max,
+            if (allowOversized) lit("batched_oversized") else lit("drop_oversized"))
+          .when(col("size") <= max && col("_rstatus") === "drop_last", lit("drop_last"))
+          .otherwise(lit("batched")).as("status"),
+        when(col("size") === 0L, lit(null).cast("long"))
+          .when(col("size") > max, col("_obid"))
+          .when(col("_bid") >= 0, col("_bid"))
+          .otherwise(lit(null).cast("long")).as("batch_id"))
+  }
+}

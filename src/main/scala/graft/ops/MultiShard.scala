@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-shard stream zip — the reference's `AISMultiShardStream`
+  * (python/aistore/pytorch/multishard_dataset.py): iterate N shard
+  * streams in listing order and emit POSITIONAL combined samples, one
+  * object from each stream per step, stopping at the shortest stream
+  * (python `zip(*iterators)` semantics — alignment is by position, not
+  * by key; pairing shard sets whose i-th members correspond, e.g.
+  * images.tar vs labels.tar).
+  *
+  * Spark-first: each stream gets its listing-order rank from
+  * [[DSort.globalCumsum]]'s distributed prefix sum (never a single-task
+  * global window), then the streams hash-join on the rank — the
+  * zip-shortest truncation IS the inner join. A 100 TB shard set ranks
+  * itself in parallel and joins co-partitioned on `pos`.
+  */
+object MultiShard {
+
+  /** Zip N (name, size) streams positionally: (pos, name_0, size_0, …,
+    * name_{N-1}, size_{N-1}), each stream ranked by `name` ascending
+    * (the bucket-listing order the reference iterates in). */
+  def zipStreams(sources: Seq[DataFrame], nameCol: String = "member",
+                 sizeCol: String = "size"): DataFrame = {
+    require(sources.size >= 2, s"zip needs >= 2 streams, got ${sources.size}")
+    val ranked = sources.zipWithIndex.map { case (df, i) =>
+      DSort.globalCumsum(
+          df.select(col(nameCol).as("_n"), col(sizeCol).cast("long").as("_s")),
+          Seq(col("_n").asc), lit(1L))
+        .select((col("_cum") - 1).as("pos"),
+          col("_n").as(s"name_$i"), col("_s").as(s"size_$i"))
+    }
+    ranked.reduce((a, b) => a.join(b, Seq("pos")))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DynamicBatch
+
+/** DynamicBatchSampler semantics (dynamic_sampler.py): hand-computed
+  * batch layouts, the yield-interleave quirk, exact-budget closes,
+  * overflow reprocess, and every knob. */
+class DynamicBatchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(sizes: Seq[Long], max: Long, dropLast: Boolean = false,
+                  allowOversized: Boolean = false, sat: Double = 0.8) = {
+    val df = sizes.zipWithIndex.map { case (s, i) => (f"s$i%03d", s) }.toDF("name", "size")
+    DynamicBatch.assign(df, "name", "size", max, dropLast, allowOversized, sat)
+      .orderBy("pos").collect()
+      .map(r => (r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+  }
+
+  test("greedy fill with exact-budget close and overflow reprocess") {
+    // max=10: [7,2] then 5 overflows -> close {7,2}=b0; 5 starts b1; +5=10
+    // EXACTLY -> b1 closes {5,5}; 10 == max joins-and-closes as b2
+    val out = run(Seq(7L, 2L, 5L, 5L, 10L), 10)
+    assert(out.toSeq == Seq(("batched", 0L), ("batched", 0L),
+      ("batched", 1L), ("batched", 1L), ("batched", 2L)))
+  }
+
+  test("oversized singleton interleaves ids without flushing the open batch") {
+    // max=10, allowOversized: 4 opens b?, 12 yields FIRST (id 0), then
+    // 4+5 continues, 9+2>10 closes {4,5} as id 1, 2 opens, tail {2} id 2
+    val out = run(Seq(4L, 12L, 5L, 2L), 10, allowOversized = true)
+    assert(out.toSeq == Seq(("batched", 1L), ("batched_oversized", 0L),
+      ("batched", 1L), ("batched", 2L)))
+  }
+
+  test("oversized dropped when not allowed; zero sizes always skipped") {
+    val out = run(Seq(0L, 12L, 3L, 3L), 10)
+    assert(out.toSeq == Seq(("skip_empty", -1L), ("drop_oversized", -1L),
+      ("batched", 0L), ("batched", 0L)))
+  }
+
+  test("drop_last gates on strict saturation") {
+    // tail fill 8/10 = 0.8 -> NOT > 0.8 -> dropped
+    assert(run(Seq(10L, 8L), 10, dropLast = true).toSeq ==
+      Seq(("batched", 0L), ("drop_last", -1L)))
+    // tail fill 9/10 > 0.8 -> kept
+    assert(run(Seq(10L, 9L), 10, dropLast = true).toSeq ==
+      Seq(("batched", 0L), ("batched", 1L)))
+    // dropLast=false keeps any tail
+    assert(run(Seq(10L, 1L), 10).toSeq ==
+      Seq(("batched", 0L), ("batched", 1L)))
+  }
+
+  test("batch bytes never exceed the budget on the gate slice") {
+    val out = SparkEntry.queries("dynamic_batches")(spark, TestSpark.sf001)
+    val over = out.where(col("status") === "batched")
+      .groupBy("batch_id").agg(sum("size").as("b"))
+      .where(col("b") > 100).count()
+    assert(over == 0)
+    // and batch ids are dense 0..n-1 in yield order
+    val ids = out.where(col("batch_id").isNotNull)
+      .select("batch_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until ids.length).toSeq)
+  }
+}

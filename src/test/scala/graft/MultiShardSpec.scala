@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.MultiShard
+
+/** Multishard positional zip: python-zip semantics (position pairing,
+  * shortest-stream truncation), listing order, N-way. */
+class MultiShardSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("zip pairs by position in name order and stops at the shortest stream") {
+    val a = Seq(("a3", 30L), ("a1", 10L), ("a2", 20L)).toDF("member", "size")
+    val b = Seq(("b2", 2L), ("b1", 1L)).toDF("member", "size")
+    val out = MultiShard.zipStreams(Seq(a, b)).orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, "a1", 10L, "b1", 1L),
+      (1L, "a2", 20L, "b2", 2L))) // a3 unmatched -> truncated
+  }
+
+  test("three-way zip and the >= 2 streams guard") {
+    val a = Seq(("a1", 1L), ("a2", 2L)).toDF("member", "size")
+    val b = Seq(("b1", 1L), ("b2", 2L)).toDF("member", "size")
+    val c = Seq(("c1", 1L)).toDF("member", "size")
+    val out = MultiShard.zipStreams(Seq(a, b, c)).collect()
+    assert(out.length == 1 && out(0).getString(5) == "c1")
+    intercept[IllegalArgumentException] { MultiShard.zipStreams(Seq(a)) }
+  }
+
+  test("rank comes from the prefix sum, not a single-task global window") {
+    val a = (0 until 5000).map(i => (f"a$i%05d", i.toLong)).toDF("member", "size")
+    val b = (0 until 5000).map(i => (f"b$i%05d", i.toLong)).toDF("member", "size")
+    val plan = MultiShard.zipStreams(Seq(a.repartition(7), b.repartition(5)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(_pid"),
+      s"stream rank lost its _pid partitioning:\n$plan")
+    // layout-independent: same pairs regardless of partitioning
+    val x = MultiShard.zipStreams(Seq(a, b)).collect().map(_.toSeq).sortBy(_.head.toString)
+    val y = MultiShard.zipStreams(Seq(a.repartition(13), b.repartition(3)))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(x.toSeq == y.toSeq)
+  }
+}
