@@ -1608,6 +1608,15 @@ object SparkEntry {
         .orderBy("shard", "member")
     }),
 
+    // Hard-negative mining (DPR/sentence-transformers recipe, BM25 as
+    // the miner): every 97th doc queries the corpus with its own
+    // tokens; top-5 lexical neighbors EXCLUDING itself become the
+    // contrastive negatives.
+    "hard_negatives" -> ((s, d) =>
+      ext.Retrieval.hardNegatives(Tables.load(s, d, "documents"),
+        col("doc_id") % 97 === 0, k = 5)
+        .orderBy("query_id", "rank")),
+
     // Dynamic byte-budget mini-batching (DynamicBatchSampler,
     // python/aistore/pytorch/dynamic_sampler.py) with every knob lit:
     // zero-size skips, oversized singletons with interleaved ids,
@@ -1826,12 +1835,20 @@ object SparkEntry {
       .when(okey % 7 === 0,
         concat(lit("s3://"), bck, lit("/flat/obj-"), pad(okey, 8), lit(".dat")))
       .otherwise(concat(bck, lit("/flat/obj-"), pad(okey, 8), lit(".dat")))
-    Tables.load(s, d, "orders").select(
-      concat(lit("{\"id\":\"cut-"), pad(okey, 8),
-        lit("\",\"start\":"), ((okey % 30) * 0.5).cast("string"),
-        lit(",\"duration\":"), (lit(1.0) + (okey % 10).cast("double")).cast("string"),
-        lit(",\"recording\":{\"sources\":[{\"source\":\""), uri,
-        lit("\"}]}}")).as("value"))
+    // repartition BEFORE the build+parse: this fixture stands in for a
+    // manifest FILE, which is line-splittable and would arrive as ~32
+    // input splits on any real filesystem — the local orders parquet is
+    // 1-2 row groups, which serialized 1.5M from_json parses into two
+    // tasks at sf1 (measured 30 s; ~3 s split). The narrow shuffle moves
+    // only o_orderkey.
+    Tables.load(s, d, "orders").select(col("o_orderkey"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        concat(lit("{\"id\":\"cut-"), pad(okey, 8),
+          lit("\",\"start\":"), ((okey % 30) * 0.5).cast("string"),
+          lit(",\"duration\":"), (lit(1.0) + (okey % 10).cast("double")).cast("string"),
+          lit(",\"recording\":{\"sources\":[{\"source\":\""), uri,
+          lit("\"}]}}")).as("value"))
   }
 
   /** Materialize [[lhotseManifest]] as a 3-epoch manifest DIRECTORY for
@@ -3249,6 +3266,38 @@ object SparkEntry {
         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |  FROM scores)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // same BM25 arithmetic, query terms = the slice docs' own distinct
+    // tokens, self-pairs excluded before ranking
+    "hard_negatives" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
+        |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |q AS (
+        |  SELECT DISTINCT doc_id AS query_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |postings AS (
+        |  SELECT doc_id, dl, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(len(string_split_regex(trim(text), '\s+'))) AS avgdl
+        |  FROM documents),
+        |scores AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))), 4) AS score
+        |  FROM postings p JOIN q ON q.tok = p.tok
+        |  JOIN dfreq d ON d.tok = p.tok CROSS JOIN stats s
+        |  WHERE p.doc_id <> q.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rank, score FROM (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scores)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "quality_nb_classifier" ->
       """WITH labeled AS (

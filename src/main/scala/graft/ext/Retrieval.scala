@@ -86,4 +86,59 @@ object Retrieval {
       .where(col("rank") <= k)
       .select("query_id", "doc_id", "rank", "score")
   }
+
+  /** Hard-negative mining for embedding-model training: each document of
+    * a (small, deterministic) query slice retrieves its BM25 top-k
+    * NEIGHBORS EXCLUDING ITSELF — the lexically-similar-but-not-identical
+    * documents that make the hardest contrastive negatives (the standard
+    * DPR/sentence-transformers recipe, with BM25 as the miner).
+    *
+    * Same scale shape as [[bm25TopK]] with the query set now a
+    * DataFrame: query terms are the slice's DISTINCT (query, token)
+    * pairs; the slice's union vocabulary (language-bounded) broadcasts
+    * as the posting filter; scoring aggregates (query, doc) pairs that
+    * share at least one term and the per-query window ranks them —
+    * never a global sort. Self-pairs are dropped BEFORE ranking so rank
+    * 1 is the best true negative. */
+  def hardNegatives(docs: DataFrame, queryPred: Column, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val qterms = docs.where(queryPred)
+      .select(col(idCol).as("query_id"),
+        explode(array_distinct(TextAnalysis.whitespaceTokens(col(textCol)))).as("tok"))
+    val terms = qterms.select("tok").distinct()
+
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("_w"))
+      .select(col("doc_id"), size(col("_w")).cast("long").as("dl"),
+        explode(col("_w")).as("tok"))
+      .join(broadcast(terms), Seq("tok"))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+
+    val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(size(TextAnalysis.whitespaceTokens(col(textCol)))).as("_avgdl"))
+
+    val idf: Column = log(lit(1.0) +
+      (col("_n") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm: Column = (col("tf") * (k1 + 1)) /
+      (col("tf") + (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))))
+
+    postings
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(broadcast(stats))
+      .join(broadcast(qterms), Seq("tok"))
+      .where(col("doc_id") =!= col("query_id")) // negatives only
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(idf * tfNorm), 4).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "score")
+  }
 }

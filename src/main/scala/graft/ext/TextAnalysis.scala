@@ -27,7 +27,15 @@ object TextAnalysis {
 
   private def stopwordRegex(ws: Seq[String]): String = "\\b(" + ws.mkString("|") + ")\\b"
 
+  /** Whole-word stopword count — native one-scan marker counting
+    * (functions.MarkerVotes); identical to the
+    * `\b(w|…)\b` regex count, which survives as
+    * [[stopwordCountRegex]] for the agreement spec. */
   def stopwordCount(text: Column, lang: String = "en"): Column =
+    element_at(graft.functions.TextFunctions.markerVotes(
+      text, Seq(Stopwords(lang))), 1)
+
+  private[graft] def stopwordCountRegex(text: Column, lang: String = "en"): Column =
     size(regexp_extract_all(text, lit(stopwordRegex(Stopwords(lang))), lit(0))).cast("long")
 
   /** Quality features + composite score (length / stopword-ratio /
@@ -75,15 +83,19 @@ object TextAnalysis {
     * text is scanned once instead of once per language. */
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
     val langs = Stopwords.keys.toSeq.sorted
-    val allWords = Stopwords.values.flatten.toSeq.distinct.sorted
-    val unionRe = "\\b(" + allWords.mkString("|") + ")\\b"
-    val withHits = df.withColumn("_swhits",
-      regexp_extract_all(col(textCol), lit(unionRe), lit(1)))
-    val votes = langs.map { l =>
-      val ws = Stopwords(l)
-      size(filter(col("_swhits"), h => h.isInCollection(ws))).cast("long").as(s"votes_$l")
+    // ONE native byte scan counts every language's whole-word hits
+    // (functions.MarkerVotes — \b(w|…)\b semantics, see its scaladoc);
+    // replaces the union-alternation regex pass + per-language
+    // membership filters. The multi-referenced non-cheap array keeps
+    // its own projection (CollapseProject declines), so the scan runs
+    // once per row. The regex formulation survives as [[langIdRegex]]
+    // for the agreement spec — and the DuckDB oracles still compute it.
+    val withHits = df.withColumn("_v",
+      graft.functions.TextFunctions.markerVotes(col(textCol), langs.map(Stopwords(_))))
+    val votes = langs.zipWithIndex.map { case (l, i) =>
+      element_at(col("_v"), i + 1).as(s"votes_$l")
     }
-    val withVotes = withHits.select(col("*") +: votes: _*)
+    val withVotes = withHits.select(col("*") +: votes: _*).drop("_v")
     // argmax as ONE `greatest` over (votes, reverse-rank) structs — ties
     // pick the larger rank = the earlier language code, exactly the
     // previous when-chain's first-wins semantics. The chain nested each
@@ -101,6 +113,22 @@ object TextAnalysis {
           element_at(typedLit(langs.reverse), (best.getField("r") + 1).cast("int")))
           .otherwise(lit("unknown")))
       .drop("_swhits")
+  }
+
+  /** The original regex formulation of [[langId]]'s votes — kept as the
+    * independent second opinion the native-vs-regex agreement spec
+    * checks (the DuckDB oracles compute this form too). */
+  private[graft] def langIdVotesRegex(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val langs = Stopwords.keys.toSeq.sorted
+    val allWords = Stopwords.values.flatten.toSeq.distinct.sorted
+    val unionRe = "\\b(" + allWords.mkString("|") + ")\\b"
+    val withHits = df.withColumn("_swhits",
+      regexp_extract_all(col(textCol), lit(unionRe), lit(1)))
+    val votes = langs.map { l =>
+      val ws = Stopwords(l)
+      size(filter(col("_swhits"), h => h.isInCollection(ws))).cast("long").as(s"votes_$l")
+    }
+    withHits.select(col("*") +: votes: _*).drop("_swhits")
   }
 
   /** Word n-gram array in document order (duplicates kept — frequency

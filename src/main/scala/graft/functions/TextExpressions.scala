@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -81,9 +81,90 @@ object NgramRepetition {
   }
 }
 
+/** Native whole-word marker counting — the langId / stopword hot path.
+  *
+  * Semantics are EXACTLY `count of regex "\b(w1|w2|…)\b" matches` per
+  * marker set, for marker words made of ASCII word characters: a match
+  * needs word boundaries on both sides, and since markers contain only
+  * `\w`, every match is a MAXIMAL word-character run equal to a marker
+  * (ASCII `\w` = [A-Za-z0-9_] in both Java regex and RE2 defaults;
+  * UTF-8 continuation bytes are non-word, so non-ASCII text breaks runs
+  * exactly like the regex boundary does). One byte scan per row, a hash
+  * lookup per run, counts for ALL sets in one pass — replaces the
+  * union-alternation regex scan plus per-language membership filters.
+  */
+case class MarkerVotes(child: Expression, sets: Seq[Seq[String]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"marker_votes expects a string input, got ${child.dataType}")
+
+  @transient private lazy val lookup: JHashMap[String, Array[Int]] = {
+    val m = new JHashMap[String, Array[Int]]()
+    sets.zipWithIndex.foreach { case (ws, i) =>
+      ws.foreach { w =>
+        require(w.forall(c => c == '_' || Character.isLetterOrDigit(c) && c < 128),
+          s"marker '$w' must be ASCII word characters")
+        m.computeIfAbsent(w, _ => Array.empty[Int])
+        m.put(w, m.get(w) :+ i)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MarkerVotes.votes(input.asInstanceOf[UTF8String], lookup, sets.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val lk = ctx.addReferenceObj("lookup", lookup, "java.util.HashMap")
+      s"${ev.value} = graft.functions.MarkerVotes$$.MODULE$$.votes($c, $lk, ${sets.length});"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MarkerVotes {
+  private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+
+  /** Per-set whole-word match counts in one byte scan. */
+  def votes(s: UTF8String, lookup: JHashMap[String, Array[Int]],
+            nSets: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val out = new Array[Long](nSets)
+    var i = 0
+    while (i < bytes.length) {
+      if (isWordByte(bytes(i))) {
+        val start = i
+        while (i < bytes.length && isWordByte(bytes(i))) i += 1
+        // runs are pure ASCII by construction of isWordByte
+        val run = new String(bytes, start, i - start, java.nio.charset.StandardCharsets.US_ASCII)
+        val hit = lookup.get(run)
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { out(hit(j)) += 1; j += 1 }
+        }
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   /** struct(n_grams, top_count, n_distinct) of the word n-grams of an
     * array<string> column — one native pass, no sort, no explode. */
   def ngramRepetition(words: Column, n: Int): Column =
     GraftShim.column(NgramRepetition(GraftShim.expression(words), n))
+
+  /** array<long> of whole-word match counts, one element per marker
+    * set — `\b(w|…)\b` semantics in one native byte scan. */
+  def markerVotes(text: Column, sets: Seq[Seq[String]]): Column =
+    GraftShim.column(MarkerVotes(GraftShim.expression(text), sets))
 }

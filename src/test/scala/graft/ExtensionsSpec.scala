@@ -60,6 +60,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("marker votes: native byte scan == the \\b-regex formulation, incl. boundary quirks") {
+    import graft.ext.TextAnalysis
+    val crafted = Seq(
+      (1L, "the cat, the-dog and the_snake the2 athe the"), // punctuation/underscore/digit adjacency
+      (2L, "THE the el la un la"),                          // case + cross-language shares
+      (3L, "naïve café the ü_the der"),                     // non-ASCII breaks runs like \b
+      (4L, ""), (5L, "und und und"), (6L, "no markers whatsoever!"))
+      .toDF("doc_id", "text")
+    val docsAll = crafted.unionByName(docs.select("doc_id", "text"))
+    val cols = Seq("doc_id", "votes_de", "votes_en", "votes_es", "votes_fr")
+    val native = TextAnalysis.langId(docsAll)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).sortBy(_.head.toString)
+    val regex = TextAnalysis.langIdVotesRegex(docsAll)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(native.toSeq == regex.toSeq)
+    // stopword count path too
+    val a = docsAll.select(TextAnalysis.stopwordCount(col("text")).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    val b = docsAll.select(TextAnalysis.stopwordCountRegex(col("text")).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
   test("repetition stats: native one-pass expression == the sorted-fold formulation") {
     import graft.ext.TextAnalysis
     val cols = Seq("doc_id", "n_bigrams", "top_bigram_frac", "top_trigram_frac",

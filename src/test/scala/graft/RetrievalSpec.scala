@@ -142,4 +142,33 @@ class RetrievalSpec extends SparkSpec {
     // comfortably-above-chance agreement, not perfection
     assert(agree.toDouble / n > 0.7, s"agreement ${agree.toDouble / n}")
   }
+
+  test("hard negatives: self excluded, k-capped, exact dups rank first") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "red fish blue fish"),
+      (20L, "red fish blue fish"),     // exact dup of 10 -> its best negative
+      (30L, "red cat"),
+      (40L, "green turtles sleep alone"),
+      (50L, "blue cat red dog")).toDF("doc_id", "text")
+    val out = ext.Retrieval.hardNegatives(docs, col("doc_id") === 10, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(_._1 == 10L))
+    assert(out.forall(_._2 != 10L), "self must be excluded")
+    assert(out.length == 2)
+    assert(out(0)._2 == 20L, s"exact dup should be the hardest negative: ${out.toSeq}")
+  }
+
+  test("hard negatives: deterministic across partitioning; ranks dense per query") {
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+    def run(parts: Int) =
+      ext.Retrieval.hardNegatives(docs.repartition(parts), col("doc_id") % 97 === 0, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val a = run(3)
+    assert(a == run(11))
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.length).toSeq)
+    }
+  }
 }
