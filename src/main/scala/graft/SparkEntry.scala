@@ -1016,6 +1016,15 @@ object SparkEntry {
       ext.Dedup.incrementalDedupBloom(crawlBatch(docs), docs).orderBy("doc_id")
     }),
 
+    // Span REMOVAL composed on the span table: every doc rebuilt
+    // without its flagged 5-gram repeats; output counts + the md5 of
+    // the surgically cleaned text (hash-checkable without moving text).
+    "dedup_span_removal" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      ext.Dedup.removeSpans(docs, ext.Dedup.duplicatedSpans(docs, w = 5))
+        .orderBy("doc_id")
+    }),
+
     // Duplicated-substring spans (n-gram-granular substring dedup):
     // positions whose 5-gram repeats anywhere in the corpus, merged
     // into maximal per-doc spans. The oracle counts gram TEXT while the
@@ -3061,6 +3070,43 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_positions
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // same span derivation, then token surgery replayed with an
+    // anti-exists + ordered string_agg
+    "dedup_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |              FROM documents),
+        |grams AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |            array_to_string(list_slice(ts, i, i + 4), ' ') AS g
+        |          FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
+        |                FROM toks WHERE len(ts) >= 5)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |flags AS (SELECT doc_id, p,
+        |            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 5
+        |                 THEN 1 ELSE 0 END AS f
+        |          FROM (SELECT doc_id, p FROM grams JOIN dup USING (g))),
+        |isl AS (SELECT doc_id, p,
+        |          sum(f) OVER (PARTITION BY doc_id ORDER BY p
+        |                       ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM flags)
+        |, spans AS (SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+        |            FROM isl GROUP BY doc_id, island)
+        |, tok AS (SELECT doc_id, CAST(i AS BIGINT) AS p, ts[i] AS t
+        |          FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |                FROM toks))
+        |, kept AS (SELECT tk.doc_id, count(*) AS n_after,
+        |             string_agg(tk.t, ' ' ORDER BY tk.p) AS clean
+        |           FROM tok tk
+        |           WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |             WHERE s.doc_id = tk.doc_id AND tk.p BETWEEN s.s AND s.e)
+        |           GROUP BY tk.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.ts) AS BIGINT) AS n_tokens_before,
+        |  CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_tokens_after,
+        |  CAST(len(t.ts) - coalesce(k.n_after, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(k.clean, '')) AS clean_md5
+        |FROM toks t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // the oracle recomputes the canonical string from doc_id arithmetic —
     // it shares NO regex with the Spark-side canonicalizer it checks

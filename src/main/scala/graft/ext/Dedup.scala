@@ -422,6 +422,40 @@ object Dedup {
       .drop("_island")
   }
 
+  /** Span removal — the "then remove" half of substring dedup (Lee et
+    * al. ACL'22 excise repeated substrings rather than whole
+    * documents): given a span table (doc_id, span_start, span_end) in
+    * 1-based token positions (the [[duplicatedSpans]] output shape),
+    * rebuild each document WITHOUT the flagged token ranges. Removes
+    * every flagged occurrence — which occurrences to keep is the span
+    * table's decision (pre-filter it to exempt canonical copies).
+    *
+    * Scale: the spans groupBy+join shuffles only the span table
+    * (bounded by n_tokens/w rows per doc); the token surgery is one
+    * per-row array filter against the doc's own span list, no token
+    * explode, no second text shuffle. Output carries counts and the
+    * md5 of the rebuilt text (hash-checkable without moving text). */
+  def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val sp = spans.groupBy(col(idCol)).agg(
+      collect_list(struct(col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e"))).as("_sp"))
+    docs.select(col(idCol), col(textCol))
+      .join(sp, Seq(idCol), "left")
+      .withColumn("_sp",
+        coalesce(col("_sp"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("_ts", split(trim(col(textCol)), "\\s+"))
+      .withColumn("_kept", expr(
+        "filter(transform(_ts, (t, i) -> struct(t AS t, CAST(i + 1 AS BIGINT) AS p)), " +
+          "x -> NOT exists(_sp, sp -> x.p >= sp.s AND x.p <= sp.e))"))
+      .select(col(idCol),
+        size(col("_ts")).cast("long").as("n_tokens_before"),
+        size(col("_kept")).cast("long").as("n_tokens_after"),
+        (size(col("_ts")) - size(col("_kept"))).cast("long").as("n_removed"),
+        md5(expr("concat_ws(' ', transform(_kept, x -> x.t))").cast("binary"))
+          .as("clean_md5"))
+  }
+
   /** URL canonicalization (CC/CCNet-style crawl dedup key): lowercase
     * scheme+host, strip `www.`, drop the scheme's default port (http:80,
     * https:443) but keep explicit non-default ports, normalize the empty

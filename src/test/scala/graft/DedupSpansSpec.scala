@@ -50,4 +50,41 @@ class DedupSpansSpec extends SparkSpec {
     assert(exchanges.nonEmpty)
     exchanges.foreach(e => assert(e.contains("h#") || e.contains("id#"), e))
   }
+
+  test("removeSpans: exact token surgery, empty and untouched docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"),
+      (2L, "left alone entirely"),
+      (3L, "all gone")).toDF("doc_id", "text")
+    val spans = Seq((1L, 3L, 5L), (1L, 9L, 9L), (3L, 1L, 2L))
+      .toDF("doc_id", "span_start", "span_end")
+    val out = Dedup.removeSpans(docs, spans).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0) == ((1L, 12L, 8L, 4L, m("t1 t2 t6 t7 t8 t10 t11 t12"))))
+    assert(out(1) == ((2L, 3L, 3L, 0L, m("left alone entirely"))))
+    assert(out(2) == ((3L, 2L, 0L, 2L, m(""))))
+  }
+
+  test("removeSpans composed on duplicatedSpans leaves no 5-gram repeats behind") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1 u2 shared A B C D E F tail1 tail2"),
+      (2L, "v1 shared A B C D E F v2 v3 v4")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, w = 5)
+    assert(spans.count() > 0)
+    // rebuild the cleaned text the way the operator defines it, re-scan
+    val sp = spans.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cleaned = docs.collect().map { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val toks = text.trim.split("\\s+").zipWithIndex
+        .filterNot { case (_, i) =>
+          sp.exists { case (d, s, e) => d == id && i + 1 >= s && i + 1 <= e } }
+        .map(_._1)
+      (id, toks.mkString(" "))
+    }.toSeq.toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(cleaned, w = 5).count() == 0)
+  }
 }
