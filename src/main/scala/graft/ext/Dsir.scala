@@ -51,9 +51,12 @@ object Dsir {
       // re-evaluate the whole split+transform tree interpreted (the
       // Dedup.shingles lesson); size(w)>=2 already guarantees non-empty
       .select(col("doc_id"), col("_t"), explode_outer(col("gs")).as("g"))
+      // native bucket hash (functions.Md5Bucket): bit-identical to
+      // pmod(conv(substring(md5(g), 1, 8), 16, 10), B) — the DuckDB
+      // oracle still computes that form — minus a 32-char hex round
+      // trip per bigram occurrence
       .select(col("doc_id"), col("_t"),
-        pmod(conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
-          .cast("long"), lit(buckets.toLong)).as("b"))
+        graft.functions.HashFunctions.md5Bucket(col("g"), buckets.toLong).as("b"))
     // the single corpus-sized shuffle; both the bucket model and the
     // per-doc weights read this one aggregate (shared exchange)
     val db = grams.groupBy("doc_id", "_t", "b").agg(count(lit(1)).as("c"))

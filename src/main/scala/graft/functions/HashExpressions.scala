@@ -72,8 +72,55 @@ object Md5Lanes {
   }
 }
 
+/** First unsigned 32-bit lane of md5(s), mod `m` — the hashed-feature
+  * bucketing primitive (DSIR et al.). Bit-identical to the Column
+  * formulation `pmod(conv(substring(md5(s), 1, 8), 16, 10), m)` (hex
+  * chars 0..7 ARE digest bytes 0..3), so DuckDB oracle mirrors of that
+  * form are unchanged — without the 32-char hex round trip and re-parse
+  * per row. */
+case class Md5Bucket(child: Expression, m: Long) extends UnaryExpression {
+  require(m > 0, s"modulus must be positive: $m")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_bucket expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Bucket.bucket(input.asInstanceOf[UTF8String], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.Md5Bucket$$.MODULE$$.bucket($c, ${m}L);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Bucket {
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def bucket(s: UTF8String, m: Long): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(s.getBytes)
+    val d = md.digest()
+    val lane = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    lane % m
+  }
+}
+
 object HashFunctions {
   /** array<bigint> of the 4 unsigned 32-bit md5 lanes of `prefix:s`. */
   def md5Lanes(prefix: String, s: Column): Column =
     GraftShim.column(Md5Lanes(prefix, GraftShim.expression(s)))
+
+  /** first md5 lane of s, mod m (native; == conv(substring(md5(s),1,8),16,10) % m). */
+  def md5Bucket(s: Column, m: Long): Column =
+    GraftShim.column(Md5Bucket(GraftShim.expression(s), m))
 }
