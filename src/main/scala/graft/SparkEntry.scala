@@ -1324,6 +1324,40 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Product-quantization ANN: 16 codewords × 8 subspaces, codebook
+    // sampled deterministically (every ⌈n/40⌉-th vector, first 16) so
+    // the oracle rebuilds the identical codebook; integer ADC LUTs make
+    // the candidate set bit-deterministic (same trick as
+    // embed_knn_quantized), so the full encode→ADC→re-rank pipeline
+    // hash-checks against DuckDB.
+    "embed_knn_pq" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val stride = math.max(1L, emb.count() / 40L)
+      ext.Similarity.pqTopK(emb,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        codewords = emb.where(col("vec_id") % stride === 0)
+          .orderBy("vec_id").limit(16),
+        m = 8, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVFPQ — coarse cells (same adaptive ~128-cell stride as
+    // embed_cell_assign) bound the scan to nprobe=4 cells per query,
+    // PQ ADC ranks within the probed cells, exact cosine re-ranks.
+    // Every stage is deterministic, so the full three-stage FAISS-shape
+    // index hash-checks against the DuckDB rebuild.
+    "embed_knn_ivfpq" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val n = emb.count()
+      ext.Similarity.ivfPqTopK(emb,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        centroids = emb.where(col("vec_id") % math.max(100L, n / 128L) === 0),
+        codewords = emb.where(col("vec_id") % math.max(1L, n / 40L) === 0)
+          .orderBy("vec_id").limit(16),
+        m = 8, k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // The SparkSessionExtensions SQL surface: pure SQL text over the
     // injected native expression (GraftExtensions.float_dot)
     "embed_sql_cosine" -> ((s, d) => {
@@ -3159,6 +3193,109 @@ object SparkEntry {
         |SELECT query_id, vec_id, round(cosx, 4) AS cos,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
         |FROM cand WHERE crank <= 20
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // PQ rebuilt end to end: identical sampled codebook (stride from
+    // count(*), first 16 by vec_id), per-subspace argmin encode
+    // (|c|² − 2·x·c, ties → lowest code), integer ADC LUT sum, exact
+    // cosine re-rank of the top-20 candidates
+    "embed_knn_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT greatest(1, count(*) // 40) AS stride FROM e),
+        |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+        |       FROM e WHERE vec_id % (SELECT stride FROM st) = 0
+        |       ORDER BY vec_id LIMIT 16),
+        |cb AS (SELECT sub.s, cw.code, cw.v[sub.s*8+1 : sub.s*8+8] AS c,
+        |         list_dot_product(cw.v[sub.s*8+1 : sub.s*8+8],
+        |                          cw.v[sub.s*8+1 : sub.s*8+8]) AS c2
+        |       FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |         SELECT e.vec_id, cb.s, cb.code,
+        |           row_number() OVER (PARTITION BY e.vec_id, cb.s
+        |             ORDER BY cb.c2 - 2*list_dot_product(e.v[cb.s*8+1 : cb.s*8+8], cb.c),
+        |                      cb.code) AS rn
+        |         FROM e CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
+        |          CAST(floor(list_dot_product(q.v[cb.s*8+1 : cb.s*8+8], cb.c)
+        |            * 10000 + 0.5) AS BIGINT) AS lv
+        |        FROM e q CROSS JOIN cb WHERE q.vec_id IN (17, 42, 99, 123, 256)),
+        |adc AS (SELECT l.query_id, en.vec_id, sum(l.lv) AS adc
+        |        FROM enc en JOIN lut l ON l.s = en.s AND l.code = en.code
+        |        WHERE en.vec_id <> l.query_id GROUP BY 1, 2),
+        |cand AS (SELECT query_id, vec_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adc DESC, vec_id) AS crank
+        |         FROM adc)
+        |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+        |FROM (SELECT c.query_id, c.vec_id,
+        |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
+        |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
+        |      FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |                  JOIN e t ON t.vec_id = c.vec_id
+        |      WHERE c.crank <= 20)
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVFPQ rebuilt end to end: embed_cell_assign's cells + embed_knn_pq's
+    // codebook/encode/LUT, candidates restricted to each query's 4
+    // nearest cells, integer ADC sum, exact cosine re-rank
+    "embed_knn_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |stc AS (SELECT GREATEST(100, count(*) // 128) AS s FROM e),
+        |cents AS (SELECT vec_id AS cell_id, v AS cv
+        |          FROM e WHERE vec_id % (SELECT s FROM stc) = 0),
+        |cells AS (SELECT vec_id, cell_id FROM (
+        |           SELECT e.vec_id, c.cell_id,
+        |             row_number() OVER (PARTITION BY e.vec_id
+        |               ORDER BY -list_dot_product(e.v, c.cv)
+        |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+        |           FROM e CROSS JOIN cents c) WHERE rn = 1),
+        |probe AS (SELECT query_id, cell_id FROM (
+        |           SELECT q.vec_id AS query_id, c.cell_id,
+        |             row_number() OVER (PARTITION BY q.vec_id
+        |               ORDER BY -list_dot_product(q.v, c.cv)
+        |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+        |           FROM e q CROSS JOIN cents c
+        |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 4),
+        |stq AS (SELECT greatest(1, count(*) // 40) AS stride FROM e),
+        |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+        |       FROM e WHERE vec_id % (SELECT stride FROM stq) = 0
+        |       ORDER BY vec_id LIMIT 16),
+        |cb AS (SELECT sub.s, cw.code, cw.v[sub.s*8+1 : sub.s*8+8] AS c,
+        |         list_dot_product(cw.v[sub.s*8+1 : sub.s*8+8],
+        |                          cw.v[sub.s*8+1 : sub.s*8+8]) AS c2
+        |       FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |         SELECT e.vec_id, cb.s, cb.code,
+        |           row_number() OVER (PARTITION BY e.vec_id, cb.s
+        |             ORDER BY cb.c2 - 2*list_dot_product(e.v[cb.s*8+1 : cb.s*8+8], cb.c),
+        |                      cb.code) AS rn
+        |         FROM e CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
+        |          CAST(floor(list_dot_product(q.v[cb.s*8+1 : cb.s*8+8], cb.c)
+        |            * 10000 + 0.5) AS BIGINT) AS lv
+        |        FROM e q CROSS JOIN cb WHERE q.vec_id IN (17, 42, 99, 123, 256)),
+        |adc AS (SELECT l.query_id, en.vec_id, sum(l.lv) AS adc
+        |        FROM enc en
+        |        JOIN cells ce ON ce.vec_id = en.vec_id
+        |        JOIN probe p ON p.cell_id = ce.cell_id
+        |        JOIN lut l ON l.query_id = p.query_id
+        |                  AND l.s = en.s AND l.code = en.code
+        |        WHERE en.vec_id <> l.query_id GROUP BY 1, 2),
+        |cand AS (SELECT query_id, vec_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adc DESC, vec_id) AS crank
+        |         FROM adc)
+        |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+        |FROM (SELECT c.query_id, c.vec_id,
+        |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
+        |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
+        |      FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |                  JOIN e t ON t.vec_id = c.vec_id
+        |      WHERE c.crank <= 20)
         |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "embed_sql_cosine" ->

@@ -269,6 +269,157 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** Per-subspace product-quantization codebook, collected driver-side
+    * (index-small by the same contract as [[assignCells]]'s centroids:
+    * m × ksub × dsub floats — a few KB). `codewords` are full sampled
+    * corpus vectors; subspace `s`'s codebook is their s-th dsub-slice.
+    * Returns, per subspace, the code-ascending array of
+    * (code, subvector, |subvector|²). */
+  private def pqCodebook(codewords: DataFrame, m: Int,
+                         idCol: String, vecCol: String): Array[Seq[(Long, Seq[Float], Double)]] = {
+    val rows = codewords.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .sortBy(_.getLong(0))
+    require(rows.nonEmpty, "pqCodebook: empty codeword table")
+    val dim = rows.head.getSeq[Float](1).length
+    require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      rows.zipWithIndex.toSeq.map { case (r, j) =>
+        val sub = r.getSeq[Float](1).slice(s * dsub, (s + 1) * dsub)
+        var acc = 0.0; var i = 0
+        while (i < sub.length) { acc += sub(i).toDouble * sub(i).toDouble; i += 1 }
+        (j.toLong, sub, acc) // same left-to-right double sum as floatDot
+      }
+    }.toArray
+  }
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011): the corpus is
+    * encoded to `m` one-byte codes (nearest sub-codeword per subspace),
+    * queries score candidates via an additive lookup table (ADC), and the
+    * top `k × rerankFactor` ADC candidates re-rank with exact cosine.
+    *
+    * Scale shape — the whole point of PQ at 100 TB: the coarse scan
+    * touches m bytes per vector instead of 4·dim (32× less bandwidth at
+    * dim=64/m=8), encoding is ONE zero-shuffle pass with the literal
+    * codebook folded per row (codegen'd, exactly [[assignCells]]'s
+    * argmin shape, m times), and the ADC scan is a broadcast of the tiny
+    * query LUTs — no shuffle anywhere before the per-query top-k window.
+    *
+    * Determinism contract (what makes this oracle-checkable rather than
+    * recall-bounded, same trick as [[quantizedTopK]]): each LUT entry is
+    * `floor(dot × 10⁴ + ½)` — ONE double dot (bit-identical across
+    * engines) snapped to an integer — so the ADC score is an INTEGER sum,
+    * immune to float summation order; encode argmin compares
+    * `|c|² − 2·x·c` (exact given bit-identical dots) with ties to the
+    * lowest code.
+    *
+    * `codewords`: small DataFrame of sampled full corpus vectors (the
+    * "training set" — deterministic sampling keeps the oracle able to
+    * rebuild the identical codebook). */
+  /** nearest sub-codeword per subspace: fold over the code-ascending
+    * literal codebook, first strict minimum wins (== dist asc, code asc) */
+  private def pqCodesCol(cb: Array[Seq[(Long, Seq[Float], Double)]], vec: Column): Column = {
+    val dsub = cb(0).head._2.length
+    def encodeSub(s: Int): Column = {
+      val sub = slice(vec, s * dsub + 1, dsub)
+      aggregate(typedLit(cb(s)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("c")),
+        (acc, cw) => {
+          val d = cw.getField("_3") - lit(2.0d) * floatDot(sub, cw.getField("_2"))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), cw.getField("_1").as("c"))).otherwise(acc)
+        }).getField("c")
+    }
+    array(cb.indices.map(encodeSub): _*)
+  }
+
+  /** query ADC lookup tables: lut[s][j] = floor(dot(q_s, c_j) · 10⁴ + ½) */
+  private def pqLutCol(cb: Array[Seq[(Long, Seq[Float], Double)]], vec: Column): Column = {
+    val dsub = cb(0).head._2.length
+    def lutSub(s: Int): Column = {
+      val sub = slice(vec, s * dsub + 1, dsub)
+      transform(typedLit(cb(s)), cw =>
+        floor(floatDot(sub, cw.getField("_2")) * 10000d + 0.5d).cast("long"))
+    }
+    array(cb.indices.map(lutSub): _*)
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codewords: DataFrame,
+             m: Int, k: Int, rerankFactor: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(codewords, m, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
+      pqCodesCol(cb, col(vecCol)).as("_codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      pqLutCol(cb, col(vecCol)).as("_lut"))
+    val adc = aggregate(
+      zip_with(col("_codes"), col("_lut"),
+        (cd, l) => element_at(l, cd.cast("int") + 1)),
+      lit(0L), _ + _)
+    val coarse = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("_adc", adc)
+    val wc = Window.partitionBy("query_id").orderBy(col("_adc").desc, col("vec_id").asc)
+    val wf = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    coarse
+      .withColumn("_crank", row_number().over(wc))
+      .where(col("_crank") <= k * rerankFactor)
+      .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 4))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** IVFPQ — the FAISS-standard composition: a coarse IVF index bounds
+    * the scan to `nprobe` cells per query, and within the probed cells
+    * candidates rank by the PQ ADC score before the exact re-rank. At
+    * 100 TB this is THE ANN memory/bandwidth shape: the per-cell scan
+    * touches m code bytes per vector (not 4·dim), and the cell bound
+    * cuts the scan to nprobe/#cells of the corpus — both reductions
+    * compose multiplicatively.
+    *
+    * Same determinism contracts as [[assignCells]] (unrounded argmin,
+    * ties → lowest cell) and [[pqTopK]] (integer ADC LUTs), so the whole
+    * three-stage pipeline is oracle-checkable. Recall is bounded by the
+    * probed cells exactly as in [[ivfTopK]] — that contract is the
+    * index's, not the scorer's. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                codewords: DataFrame, m: Int, k: Int, nprobe: Int,
+                rerankFactor: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(codewords, m, idCol, vecCol)
+    // cell assignment + PQ encode in the SAME zero-shuffle scan
+    val c = assignCells(corpus, centroids, idCol, vecCol)
+      .withColumn("_codes", pqCodesCol(cb, col("_cv")))
+    // queries pick their nprobe nearest cells (tiny broadcast cross join,
+    // exactly ivfTopK's probe) and carry their ADC LUTs
+    val cent = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("_centv"),
+      sqrt(floatDot(col(vecCol), col(vecCol))).as("_centn"))
+    val wp = Window.partitionBy("query_id").orderBy(col("_cdist").asc, col("cell_id").asc)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        pqLutCol(cb, col(vecCol)).as("_lut"))
+      .crossJoin(broadcast(cent))
+      .withColumn("_cdist", -floatDot(col("_qv"), col("_centv")) / col("_centn"))
+      .withColumn("_prank", row_number().over(wp))
+      .where(col("_prank") <= nprobe)
+      .select("query_id", "cell_id", "_qv", "_lut")
+    val adc = aggregate(
+      zip_with(col("_codes"), col("_lut"),
+        (cd, l) => element_at(l, cd.cast("int") + 1)),
+      lit(0L), _ + _)
+    val wc = Window.partitionBy("query_id").orderBy(col("_adc").desc, col("vec_id").asc)
+    val wf = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(q), Seq("cell_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("_adc", adc)
+      .withColumn("_crank", row_number().over(wc))
+      .where(col("_crank") <= k * rerankFactor)
+      .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 4))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
   /** One Lloyd iteration: assign to nearest centroid, re-compute the
     * per-cell means (flat form). */
   def kmeansStep(corpus: DataFrame, centroids: DataFrame,

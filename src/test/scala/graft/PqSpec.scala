@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** Product-quantization ANN invariants (ext/Similarity.pqTopK).
+  *
+  * The oracle gate (`embed_knn_pq`) proves the encode→ADC→re-rank
+  * pipeline bit-matches an independent DuckDB rebuild; these specs prove
+  * the *retrieval* properties the oracle can't see: PQ finds the true
+  * neighbors when the codebook resolves the cluster structure, codes are
+  * well-formed, and the operator compiles and runs at real embedding
+  * dims (768, m=96 → the FAISS-default 8-dim subspaces).
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 16 tight clusters of 15 vectors each (dim 64): member v of cluster c
+    * is base_c + 0.1% per-member perturbation, so exact top-5 of any
+    * member is same-cluster, and one codeword per cluster makes the ADC
+    * candidate set contain the whole cluster. */
+  private def clustered(dim: Int): org.apache.spark.sql.DataFrame =
+    spark.range(0, 240).select($"id".as("vec_id"),
+      expr(s"""transform(sequence(1, $dim),
+             |  j -> cast(sin((cast(id as int) div 15 + 1) * j)
+             |            + 0.001 * sin((id + 7) * j) as float))""".stripMargin)
+        .as("embedding"))
+
+  test("pqTopK recovers the exact brute-force top-k on cluster-resolved codebooks") {
+    val corpus = clustered(64).cache()
+    // one codeword per cluster: the first member of each
+    val codewords = corpus.where($"vec_id" % 15 === 0)
+    val queries = corpus.where($"vec_id".isin(3L, 77L, 151L, 239L))
+    val pq = Similarity.pqTopK(corpus, queries, codewords, m = 8, k = 5)
+      .orderBy("query_id", "rank").collect()
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(pq.length === 20)
+    assert(pq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      === bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq)
+    corpus.unpersist()
+  }
+
+  test("pq codes are dense, in [0, ksub), and deterministic across runs") {
+    val corpus = clustered(64)
+    val codewords = corpus.where($"vec_id" % 15 === 0)
+    val queries = corpus.where($"vec_id" === 3L)
+    def run() = Similarity.pqTopK(corpus, queries, codewords, m = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(run() === run())
+  }
+
+  test("pqTopK at dim=768 m=96 (FAISS-shape 8-dim subspaces) compiles and retrieves") {
+    val dim = 768
+    val corpus = spark.range(0, 120).select($"id".as("vec_id"),
+      expr(s"""transform(sequence(1, $dim),
+             |  j -> cast(sin((cast(id as int) div 30 + 1) * j)
+             |            + 0.001 * sin((id + 7) * j) as float))""".stripMargin)
+        .as("embedding")).cache()
+    val codewords = corpus.where($"vec_id" % 30 < 4) // 16 codewords
+    val queries = corpus.where($"vec_id".isin(5L, 65L))
+    val out = Similarity.pqTopK(corpus, queries, codewords, m = 96, k = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(out.length === 6)
+    // cluster-resolved codebook → every retrieved neighbor is same-cluster
+    out.foreach(r => assert(r.getLong(1) / 30 === r.getLong(0) / 30))
+    corpus.unpersist()
+  }
+
+  test("ivfPqTopK: nprobe=1 candidates stay in the probed cell; cluster-resolved index recovers brute force") {
+    val corpus = clustered(64).cache()
+    val protos = corpus.where($"vec_id" % 15 === 0) // one centroid/codeword per cluster
+    val queries = corpus.where($"vec_id".isin(3L, 77L, 151L, 239L))
+    val out = Similarity.ivfPqTopK(corpus, queries, centroids = protos,
+      codewords = protos, m = 8, k = 5, nprobe = 1)
+      .orderBy("query_id", "rank").collect()
+    assert(out.length === 20)
+    // nprobe=1 → every neighbor shares the query's cluster (cell bound)
+    out.foreach(r => assert(r.getLong(1) / 15 === r.getLong(0) / 15))
+    // and the in-cell top-5 is the exact brute-force top-5 (all same-cluster)
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      === bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq)
+    corpus.unpersist()
+  }
+
+  test("pqTopK preconditions: dim % m != 0 and empty codewords raise") {
+    val corpus = clustered(64)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(corpus, corpus.limit(1), corpus.limit(16), m = 7, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(corpus, corpus.limit(1), corpus.where(lit(false)), m = 8, k = 5)
+    }
+  }
+}
