@@ -1459,6 +1459,15 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "nll")
         .orderBy("doc_id")),
 
+    // KenLM-style perplexity filter: bigram stupid-backoff LM trained on
+    // the EN slice, every doc scored by avg negative log score — the
+    // n-gram upgrade of quality_unigram_nll (non-EN docs hit the 0.4
+    // backoff path, so both model branches are exercised)
+    "quality_bigram_nll" -> ((s, d) =>
+      ext.TextAnalysis.bigramBackoffNll(Tables.load(s, d, "documents"),
+        modelFilter = col("lang") === "en")
+        .orderBy("doc_id")),
+
     // RAG/pretraining passage splitter: 40-token windows, 20-token
     // stride (50% overlap); zero-shuffle codegen row expansion
     "doc_chunks" -> ((s, d) =>
@@ -3604,6 +3613,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(ln((SELECT total FROM tot)) - avg(ln(tf)), 4) AS nll
         |FROM toks JOIN vocab USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram stupid-backoff LM rebuilt independently: EN-slice bigram +
+    // unigram counts, seen = MLE c2/c1, unseen = 0.4·(c1(w2)+1)/(N+V)
+    "quality_bigram_nll" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS im,
+        |             string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |big AS (SELECT doc_id, im, w[i] AS w1, w[i+1] AS w2
+        |        FROM (SELECT doc_id, im, w,
+        |                unnest(generate_series(1, len(w) - 1)) AS i
+        |              FROM w WHERE len(w) >= 2)),
+        |u AS (SELECT tok, count(*) AS c1
+        |      FROM (SELECT unnest(w) AS tok FROM w WHERE im) GROUP BY tok),
+        |b2 AS (SELECT w1, w2, count(*) AS c2 FROM big WHERE im GROUP BY 1, 2),
+        |sc AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+        |              CAST(count(*) AS DOUBLE) AS v FROM u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-avg(CASE WHEN b2.c2 IS NOT NULL THEN ln(b2.c2) - ln(u1.c1)
+        |    ELSE ln(0.4) + ln(coalesce(u2.c1, 0) + 1)
+        |      - ln((SELECT n FROM sc) + (SELECT v FROM sc)) END), 4) AS nll
+        |FROM big LEFT JOIN b2 USING (w1, w2)
+        |LEFT JOIN u u1 ON u1.tok = big.w1
+        |LEFT JOIN u u2 ON u2.tok = big.w2
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_chunks" ->

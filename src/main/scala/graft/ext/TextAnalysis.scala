@@ -260,6 +260,66 @@ object TextAnalysis {
         round(log(max(col("_total"))) - avg(log(col("tf"))), 4).as("nll"))
   }
 
+  /** KenLM-style bigram LM scoring with stupid backoff (Brants et al.,
+    * EMNLP 2007) — the n-gram upgrade of [[unigramNll]] and the
+    * deterministic stand-in for the KenLM perplexity filter CCNet-family
+    * pipelines run: train a bigram model on a TRUSTED SLICE of the
+    * corpus (`modelFilter`), score every document by its average
+    * negative log score, keep the low-perplexity tail.
+    *
+    * Score of bigram (w1, w2):
+    *   - seen in the model slice:  S = c2(w1,w2) / c1(w1)   (MLE)
+    *   - unseen: S = 0.4 · (c1(w2) + 1) / (N + V)           (backoff,
+    *     Laplace-smoothed unigram so out-of-vocabulary words score
+    *     finite instead of −∞)
+    * Per-doc nll = −avg ln S over the doc's bigram positions; docs with
+    * fewer than 2 tokens have no bigrams and drop out (same contract as
+    * the DSIR scorer).
+    *
+    * Determinism: every S is a ratio of integers (plus the 0.4 and the
+    * N+V constants), so each ln is bit-identical across engines; the
+    * per-doc avg is the same rounded-double class as [[unigramNll]]
+    * (green at 4 scales).
+    *
+    * Scale shape: model = one bigram groupBy + one unigram groupBy over
+    * the slice (partial-agg'd, counts only — text never re-shuffles);
+    * scoring = the doc-bigram table hash-joined against the two count
+    * tables (shuffle carries tokens, not documents) + one per-doc agg.
+    * Nothing quadratic, nothing driver-side, no windows. */
+  def bigramBackoffNll(docs: DataFrame, modelFilter: Column,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), modelFilter.as("_in_model"),
+      whitespaceTokens(col(textCol)).as("_w"))
+    val big = toks
+      .where(size(col("_w")) >= 2)
+      .select(col("doc_id"), col("_in_model"),
+        explode(zip_with(slice(col("_w"), lit(1), size(col("_w")) - 1),
+          slice(col("_w"), lit(2), size(col("_w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_b"))
+      .select(col("doc_id"), col("_in_model"),
+        col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val uni = toks.where(col("_in_model"))
+      .select(explode(col("_w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val b2 = big.where(col("_in_model"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scal = uni.agg(sum("c1").cast("double").as("_n"),
+      count(lit(1)).cast("double").as("_v"))
+    big
+      .join(b2, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "_c1w1"),
+        Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "_c1w2"),
+        Seq("w2"), "left")
+      .join(broadcast(scal))
+      .withColumn("_lns",
+        when(col("c2").isNotNull, log(col("c2")) - log(col("_c1w1")))
+          .otherwise(log(lit(0.4d)) + log(coalesce(col("_c1w2"), lit(0L)) + 1d)
+            - log(col("_n") + col("_v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("_lns")), 4).as("nll"))
+  }
+
   /** Fixed-token-window document chunking with overlap — the passage
     * splitter every RAG / pretraining pipeline runs before embedding or
     * packing. Chunk i covers tokens [i·stride, i·stride + window); the

@@ -456,6 +456,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("bigramBackoffNll: closed form on a textbook corpus, backoff branch exercised") {
+    import graft.ext.TextAnalysis
+    // model slice (im=true): "a b a b" → c1(a)=2, c1(b)=2; c2(a,b)=2,
+    // c2(b,a)=1; N=4, V=2. held-out doc "a b c":
+    //   (a,b) seen → ln(2/2)=0;  (b,c) unseen → ln(0.4·(0+1)/(4+2))
+    val docs = Seq((1L, "a b a b", true), (2L, "a b c", false))
+      .toDF("doc_id", "text", "im")
+    val out = TextAnalysis.bigramBackoffNll(docs, modelFilter = $"im")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // model doc: bigrams (a,b)=ln1, (b,a)=ln(1/2), (a,b)=ln1 → nll = ln2/3
+    assert(out(1L) == ((3L, r4(math.log(2.0) / 3.0))))
+    assert(out(2L) == ((2L, r4(-(0.0 + math.log(0.4 / 6.0)) / 2.0))))
+    // out-of-model text scores strictly worse than in-model text
+    assert(out(2L)._2 > out(1L)._2)
+    // docs with < 2 tokens have no bigrams and drop out; partition-invariant
+    val short = Seq((1L, "a b a b", true), (9L, "solo", false))
+      .toDF("doc_id", "text", "im")
+    assert(TextAnalysis.bigramBackoffNll(short, $"im")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    val again = TextAnalysis.bigramBackoffNll(docs.repartition(5), $"im")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == out)
+  }
+
   test("semanticDedup plan guard: pair join keyed on cell_id, no all-pairs fallback") {
     val cents = emb.where($"vec_id" % 100 === 0)
     val plan = Similarity.semanticDedup(emb, cents, threshold = 0.3)
