@@ -481,6 +481,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("bigramBackoffNll plan guard: keyed hash joins only — no cartesian, no window") {
+    val plan = graft.ext.TextAnalysis.bigramBackoffNll(docs, $"lang" === "en")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bigram scorer fell to a cartesian:\n$plan")
+    assert(!plan.contains("Window"),
+      s"bigram scorer must aggregate, not window:\n$plan")
+  }
+
   test("semanticDedup plan guard: pair join keyed on cell_id, no all-pairs fallback") {
     val cents = emb.where($"vec_id" % 100 === 0)
     val plan = Similarity.semanticDedup(emb, cents, threshold = 0.3)

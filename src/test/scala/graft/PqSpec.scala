@@ -85,6 +85,26 @@ class PqSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("plan guards: PQ corpus side never shuffles before the top-k window; IVFPQ joins hash on cell_id") {
+    val corpus = clustered(64)
+    val protos = corpus.where($"vec_id" % 15 === 0)
+    val queries = corpus.where($"vec_id" === 3L)
+    val pqPlan = Similarity.pqTopK(corpus, queries, protos, m = 8, k = 5)
+      .queryExecution.executedPlan.toString
+    // encode is a zero-shuffle literal-codebook scan; the only exchanges
+    // are the tiny query broadcast and the per-query top-k window's
+    assert(!pqPlan.contains("CartesianProduct"), s"PQ fell to a cartesian:\n$pqPlan")
+    val ivfPlan = Similarity.ivfPqTopK(corpus, queries, protos, protos,
+      m = 8, k = 5, nprobe = 1).queryExecution.executedPlan.toString
+    // the corpus-sized candidate join must hash on cell_id (the one
+    // BroadcastNestedLoopJoin in the plan is the DECLARED index-small
+    // query × centroid probe cross join, exactly ivfTopK's)
+    assert(ivfPlan.contains("BroadcastHashJoin [cell_id"),
+      s"IVFPQ candidate join must broadcast-hash on cell_id:\n$ivfPlan")
+    assert(!ivfPlan.contains("CartesianProduct"),
+      s"IVFPQ degraded to an unkeyed join:\n$ivfPlan")
+  }
+
   test("pqTopK preconditions: dim % m != 0 and empty codewords raise") {
     val corpus = clustered(64)
     intercept[IllegalArgumentException] {
