@@ -601,6 +601,21 @@ object SparkEntry {
         isChunked = col("size") >= 500000L)
         .orderBy("action")),
 
+    // Content-defined chunking: the dedup-friendly leg of the rechunk
+    // family (fixed offsets above; gear-hash boundaries here — see
+    // functions.GearChunks). Payloads are block-composed so identical
+    // content recurs at DIFFERENT offsets across objects; the dedup
+    // ratio below proves CDC recovers it where fixed-size slicing can't.
+    "cdc_chunks" -> ((s, d) =>
+      ops.Cdc.chunkDigests(cdcFixture(s, d), "member", "payload_str",
+        minSize = 48, maxSize = 512, maskBits = 6)
+        .orderBy("member", "chunk_id")),
+
+    "cdc_dedup_ratio" -> ((s, d) =>
+      ops.Cdc.dedupStats(
+        ops.Cdc.chunkDigests(cdcFixture(s, d), "member", "payload_str",
+          minSize = 48, maxSize = 512, maskBits = 6))),
+
     // ------------------------------------------------------------------
     // Scalar functions (SURVEY F5, F7, F8)
     // ------------------------------------------------------------------
@@ -1660,6 +1675,29 @@ object SparkEntry {
         .orderBy("shard", "member")
     }),
 
+    // Audio DSP leg of §7.6: fixture members become REAL mono 16-bit
+    // PCM WAV bytes whose samples follow a closed-form formula with
+    // every third 64-sample block silent; the pipeline decodes the
+    // BYTES back (RIFF walk + int16 LE reads), sums s² per 64-sample
+    // window, and segments voiced runs — a VAD-style preprocessing
+    // pass. The oracle recomputes everything from the sample formula,
+    // so the byte-level decode is what's actually checked.
+    "audio_segments" -> ((s, d) => {
+      val src = shards.TarFixtures.membersDf(s, d)
+        .where(col("ext") === "cls")
+        .orderBy("member", "psize").limit(300)
+        .select(col("member"),
+          element_at(array(lit(8000), lit(16000), lit(44100)),
+            (col("psize") % 3).cast("int") + 1).as("sr"),
+          (col("psize") % 2000 + 256).cast("int").as("frames"),
+          col("psize").cast("long").as("seed"))
+      val wavs = ext.Multimodal.encodeWavPcmFixture(src)
+      val en = ext.Multimodal.withPcmEnergies(wavs, "payload", window = 64)
+      ext.Multimodal.energySegments(en, window = 64, threshold = 100000L,
+        keyCols = Seq("member"))
+        .orderBy("member", "seg_id")
+    }),
+
     // Hard-negative mining (DPR/sentence-transformers recipe, BM25 as
     // the miner): every 97th doc queries the corpus with its own
     // tokens; top-5 lexical neighbors EXCLUDING itself become the
@@ -2003,6 +2041,26 @@ object SparkEntry {
         when(col("doc_id") % 11 === 0,
           concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
             (col("doc_id") % 200 + 1).cast("string"))).otherwise(lit(""))).as("text"))
+
+  /** CDC fixture: block-composed ASCII payloads over a scale-capped
+    * order slice — mirrors [[OracleCte.cdcfix]] exactly. Blocks are
+    * drawn from a 24-entry pool, so identical content recurs at
+    * different byte offsets across objects (the case CDC exists for).
+    * The `< 60000` cap fixes the object count across scale factors:
+    * the OPERATOR is one linear pass, but the DuckDB oracle replays
+    * every rolling-hash window in SQL — its cost must not scale with
+    * sf. */
+  private def cdcFixture(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .where(col("o_orderkey") % 59 === 0 && col("o_orderkey") < 15000)
+      .select(format_string("cdc-%06d", col("o_orderkey")).as("member"),
+        expr(
+          """array_join(transform(sequence(0L, 4 + o_orderkey % 9 - 1), i ->
+            |  substring(
+            |    repeat(concat('B', cast((o_orderkey*31 + i*i*7) % 24 as string), ':',
+            |                  md5(concat('blk:', cast((o_orderkey*31 + i*i*7) % 24 as string))), '|'), 8),
+            |    1, cast(120 + (((o_orderkey*31 + i*i*7) % 24) * 29) % 113 as int))), '')"""
+            .stripMargin).as("payload_str"))
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2510,6 +2568,29 @@ object SparkEntry {
         |      FROM objects)
         |GROUP BY action ORDER BY action""".stripMargin,
       OracleCte.objects),
+
+    // CDC: the gear table, every rolling-hash window, the candidate
+    // walk (min/max clamps), and the chunk digests are ALL rebuilt in
+    // SQL — the only shared artifact is the md5 algorithm itself.
+    "cdc_chunks" -> OracleCte.sqlRecursive(
+      """SELECT ch.member, ch.chunk_id, ch.start, ch.len,
+        |  md5(substr(f.payload_str, CAST(ch.start+1 AS INT), CAST(ch.len AS INT))) AS chunk_md5
+        |FROM cdcchunks ch JOIN cdcfix f ON f.member = ch.member
+        |ORDER BY ch.member, ch.chunk_id""".stripMargin,
+      OracleCte.cdcfix, cdcMachinery),
+
+    "cdc_dedup_ratio" -> OracleCte.sqlRecursive(
+      """SELECT CAST(sum(refs) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(tlen) AS BIGINT) AS total_bytes,
+        |  CAST(sum(ulen) AS BIGINT) AS unique_bytes,
+        |  CAST(sum(ulen) * 100 // sum(tlen) AS BIGINT) AS stored_pct
+        |FROM (
+        |  SELECT md5(substr(f.payload_str, CAST(ch.start+1 AS INT), CAST(ch.len AS INT))) AS h,
+        |    count(*) AS refs, max(ch.len) AS ulen, sum(ch.len) AS tlen
+        |  FROM cdcchunks ch JOIN cdcfix f ON f.member = ch.member
+        |  GROUP BY 1)""".stripMargin,
+      OracleCte.cdcfix, cdcMachinery),
 
     "fn_time_format" -> o(
       """SELECT name,
@@ -4066,6 +4147,42 @@ object SparkEntry {
         |ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
 
+    // VAD segmentation: window energies, the voiced threshold, and the
+    // gaps-and-islands merge are all recomputed from the SAMPLE FORMULA
+    // (never the bytes) — the Spark side must decode real PCM to agree.
+    "audio_segments" -> o(
+      """SELECT member,
+        |  CAST(row_number() OVER (PARTITION BY member ORDER BY w_start) - 1 AS BIGINT) AS seg_id,
+        |  CAST(w_start AS BIGINT) AS w_start, CAST(w_end AS BIGINT) AS w_end,
+        |  CAST(n_windows AS BIGINT) AS n_windows, CAST(energy AS BIGINT) AS energy,
+        |  CAST(w_start * 64 * 1000 // sr AS BIGINT) AS ms_start,
+        |  CAST((w_end + 1) * 64 * 1000 // sr AS BIGINT) AS ms_end
+        |FROM (
+        |  SELECT member, min(sr) AS sr, min(w) AS w_start, max(w) AS w_end,
+        |         count(*) AS n_windows, sum(energy) AS energy
+        |  FROM (
+        |    SELECT member, sr, w, energy,
+        |           w - row_number() OVER (PARTITION BY member ORDER BY w) AS grp
+        |    FROM (
+        |      SELECT member, sr, j // 64 AS w,
+        |        sum(CASE WHEN (j // 64) % 3 = 2 THEN 0
+        |                 ELSE ((seed*31 + j*7) % 2001 - 1000) * ((seed*31 + j*7) % 2001 - 1000)
+        |            END) AS energy
+        |      FROM (SELECT member, sr, seed, unnest(range(0, frames)) AS j FROM afix)
+        |      GROUP BY 1, 2, 3)
+        |    WHERE energy > 100000)
+        |  GROUP BY member, grp)
+        |ORDER BY member, seg_id""".stripMargin,
+      OracleCte.members, OracleCte.tarfix,
+      """afix AS (
+        |  SELECT member,
+        |    ([8000, 16000, 44100])[CAST(psize % 3 AS INT) + 1] AS sr,
+        |    CAST(psize % 2000 + 256 AS BIGINT) AS frames,
+        |    psize AS seed
+        |  FROM (SELECT member, psize FROM tarfix
+        |        WHERE ext = 'cls' ORDER BY member, psize LIMIT 300)
+        |)""".stripMargin),
+
     "dedup_lines" -> o(
       """SELECT page_id, CAST(line_idx AS BIGINT) AS line_idx,
         |  row_number() OVER (PARTITION BY md5(line) ORDER BY page_id, line_idx) = 1 AS keep
@@ -4149,6 +4266,72 @@ object SparkEntry {
   /** Oracle for BOTH dedup_incremental entries (the indexed variant must
     * reproduce the non-indexed answer exactly). Lazy: referenced from the
     * oracleSql map defined textually above. */
+  /** CDC oracle machinery — CTE bodies replaying [[graft.functions.GearChunks]]
+    * in closed form: per-position window sums (the rolling hash is a pure
+    * function of the trailing ≤32-byte window, see the expression doc),
+    * then a lock-step recursive walk over the candidate lists applying
+    * the min/max-size clamps, then the forced-cut tail after candidate
+    * exhaustion. Parameters pinned to the gate entries:
+    * minSize=48, maxSize=512, maskBits=6. */
+  private lazy val cdcMachinery: String = {
+    val shifts = (0 until 32).map(j => (1L << j).toString).mkString("[", ",", "]")
+    s"""cdcgear AS MATERIALIZED (
+       |  SELECT b, CAST(('0x' || substr(md5('gear:' || CAST(b AS VARCHAR)),1,8)) AS BIGINT) AS g
+       |  FROM (SELECT unnest(range(0,256)) AS b)
+       |),
+       |cdchash AS MATERIALIZED (
+       |  SELECT e.member, e.p,
+       |    CAST(sum(CAST(g.g AS HUGEINT) * ($shifts)[CAST(e.j+1 AS INT)]) % 4294967296 AS BIGINT) AS h
+       |  FROM (
+       |    SELECT member, p, unnest(range(0, least(32, p+1))) AS j,
+       |           ascii(substr(payload_str, CAST(p - unnest(range(0, least(32, p+1))) + 1 AS INT), 1)) AS b
+       |    FROM (SELECT member, payload_str, unnest(range(0, length(payload_str))) AS p FROM cdcfix)
+       |  ) e JOIN cdcgear g ON g.b = e.b
+       |  GROUP BY 1,2
+       |),
+       |cdccand AS MATERIALIZED (
+       |  SELECT member, p+1 AS cut, row_number() OVER (PARTITION BY member ORDER BY p) AS idx
+       |  FROM cdchash WHERE h % 64 = 0
+       |),
+       |cdcwalk(member, idx, last_cut, cut) AS (
+       |  SELECT member, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT) FROM cdcfix
+       |  UNION ALL
+       |  SELECT w.member,
+       |    CASE WHEN c.cut - w.last_cut < 48 THEN w.idx + 1
+       |         WHEN c.cut - w.last_cut > 512 THEN w.idx
+       |         ELSE w.idx + 1 END,
+       |    CASE WHEN c.cut - w.last_cut < 48 THEN w.last_cut
+       |         WHEN c.cut - w.last_cut > 512 THEN w.last_cut + 512
+       |         ELSE c.cut END,
+       |    CASE WHEN c.cut - w.last_cut < 48 THEN NULL
+       |         WHEN c.cut - w.last_cut > 512 THEN w.last_cut + 512
+       |         ELSE c.cut END
+       |  FROM cdcwalk w JOIN cdccand c ON c.member = w.member AND c.idx = w.idx
+       |),
+       |cdcfinal AS (SELECT member, max(last_cut) AS fl FROM cdcwalk GROUP BY member),
+       |cdctail AS (
+       |  SELECT t.member, t.fl + (t.k+1) * 512 AS cut
+       |  FROM (SELECT f.member, f.fl,
+       |               unnest(range(0, (length(c.payload_str) - f.fl - 1) // 512)) AS k
+       |        FROM cdcfinal f JOIN cdcfix c ON c.member = f.member
+       |        WHERE length(c.payload_str) > f.fl) t
+       |  UNION ALL
+       |  SELECT f.member, length(c.payload_str) AS cut
+       |  FROM cdcfinal f JOIN cdcfix c ON c.member = f.member
+       |  WHERE length(c.payload_str) > f.fl
+       |),
+       |cdccuts AS (
+       |  SELECT member, cut FROM cdcwalk WHERE cut IS NOT NULL
+       |  UNION ALL SELECT member, cut FROM cdctail
+       |),
+       |cdcchunks AS (
+       |  SELECT member, row_number() OVER (PARTITION BY member ORDER BY cut) - 1 AS chunk_id,
+       |         coalesce(lag(cut) OVER (PARTITION BY member ORDER BY cut), 0) AS start,
+       |         cut - coalesce(lag(cut) OVER (PARTITION BY member ORDER BY cut), 0) AS len
+       |  FROM cdccuts
+       |)""".stripMargin
+  }
+
   private lazy val incrementalDedupOracle: String =
       """WITH newdocs AS (
         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0

@@ -286,6 +286,21 @@ object OracleCte {
       |  FROM documents
       |)""".stripMargin
 
+  /** CDC fixture: block-composed ASCII payloads over a scale-capped
+    * order slice — mirrors `SparkEntry.cdcFixture`. */
+  val cdcfix: String =
+    """cdcfix AS MATERIALIZED (
+      |  SELECT printf('cdc-%06d', o_orderkey) AS member,
+      |    string_agg(
+      |      substr(repeat('B' || CAST(t AS VARCHAR) || ':' ||
+      |                    md5('blk:' || CAST(t AS VARCHAR)) || '|', 8),
+      |             1, CAST(120 + ((t*29) % 113) AS INT)), '' ORDER BY i) AS payload_str
+      |  FROM (SELECT o_orderkey, i, (o_orderkey*31 + i*i*7) % 24 AS t
+      |        FROM (SELECT o_orderkey, unnest(range(0, 4 + o_orderkey % 9)) AS i
+      |              FROM orders WHERE o_orderkey % 59 = 0 AND o_orderkey < 15000))
+      |  GROUP BY 1
+      |)""".stripMargin
+
   /** Compose a WITH clause from the given CTE bodies + a query. */
   def sql(query: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + query

@@ -328,6 +328,134 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Audio DSP: per-window PCM energy + voice-activity segmentation
+  // ------------------------------------------------------------------
+
+  /** Deterministic real-PCM WAV fixture: mono 16-bit samples generated
+    * from a per-row seed, with every third 64-sample block silent —
+    * `s_j = 0` when `(j div 64) mod 3 = 2`, else
+    * `s_j = (seed·31 + j·7) mod 2001 − 1000`. The formula is the
+    * oracle's closed form; the payload is REAL encoded bytes that
+    * [[pcmWindowEnergies]] must decode back. */
+  def encodeWavPcmFixture(df: DataFrame, srCol: String = "sr",
+                          framesCol: String = "frames", seedCol: String = "seed"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField("payload", BinaryType))
+    val (si, fi, di) = (df.schema.fieldIndex(srCol), df.schema.fieldIndex(framesCol),
+      df.schema.fieldIndex(seedCol))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val (sr, fr, seed) = (r.getInt(si), r.getInt(fi), r.getLong(di))
+        val dataLen = fr * 2
+        val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(sr)
+          .putInt(sr * 2).putShort(2).putShort(16)
+        b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var j = 0
+        while (j < fr) {
+          val s = if ((j / 64) % 3 == 2) 0
+          else ((seed * 31 + j * 7) % 2001 - 1000).toInt
+          b.putShort(s.toShort)
+          j += 1
+        }
+        Row.fromSeq(r.toSeq :+ b.array())
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Real PCM decode: walk the RIFF chunks, read mono 16-bit LE samples
+    * from the data chunk, and sum `s²` per `window`-sample window (the
+    * final partial window sums what remains). None for non-WAV,
+    * non-mono, or non-16-bit payloads. */
+  def pcmWindowEnergies(p: Array[Byte], window: Int): Option[(Int, Array[Long])] = {
+    if (p == null || p.length < 44 || !tag(p, 0, "RIFF") || !tag(p, 8, "WAVE"))
+      return scala.None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = scala.None
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= p.length && (fmt.isEmpty || dataOff < 0)) {
+      val size = le32(p, i + 4).toInt
+      if (tag(p, i, "fmt ")) {
+        if (i + 24 > p.length) return scala.None
+        fmt = Some((le16(p, i + 10), le32(p, i + 12).toInt, le16(p, i + 22)))
+      } else if (tag(p, i, "data")) { dataOff = i + 8; dataLen = size }
+      i += 8 + size + (size & 1)
+    }
+    fmt match {
+      case Some((ch, sr, bits)) if dataOff >= 0 && ch == 1 && bits == 16 =>
+        val n = math.min(dataLen / 2, (p.length - dataOff) / 2)
+        val out = new Array[Long]((n + window - 1) / window)
+        var j = 0
+        while (j < n) {
+          val off = dataOff + 2 * j
+          val s = ((p(off) & 0xff) | (p(off + 1) << 8)).toShort.toLong
+          out(j / window) += s * s
+          j += 1
+        }
+        Some((sr, out))
+      case _ => scala.None
+    }
+  }
+
+  /** Attach (sample_rate, window energies) decoded from real WAV bytes. */
+  def withPcmEnergies(df: DataFrame, payloadCol: String = "payload",
+                      window: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+      .add(StructField("pcm_sr", IntegerType))
+      .add(StructField("energies", ArrayType(LongType, containsNull = false)))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        parseOpt(r.getAs[Array[Byte]](pIdx), window) match {
+          case Some((sr, en)) => Row.fromSeq(r.toSeq :+ sr :+ en.toSeq)
+          case scala.None => Row.fromSeq(r.toSeq :+ null :+ null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def parseOpt(p: Array[Byte], window: Int): Option[(Int, Array[Long])] =
+    pcmWindowEnergies(p, window)
+
+  /** Voice-activity segmentation over the per-window energies: windows
+    * with `energy > threshold` are voiced; maximal voiced runs become
+    * segments. Pure per-row array surgery (no explode-then-window, no
+    * shuffle): start indices are voiced windows whose predecessor is
+    * silent, ends mirror that, and the pairs zip positionally. Times
+    * derive from the window grid (`window` samples at `pcm_sr`). */
+  def energySegments(df: DataFrame, window: Int, threshold: Long,
+                     keyCols: Seq[String]): DataFrame = {
+    val voiced = s"transform(energies, e -> e > ${threshold}L)"
+    val withSegs = df
+      .withColumn("_v", expr(voiced))
+      .withColumn("_starts", expr(
+        "filter(sequence(0, size(_v) - 1), i -> element_at(_v, i + 1) AND (i = 0 OR NOT element_at(_v, i)))"))
+      .withColumn("_ends", expr(
+        "filter(sequence(0, size(_v) - 1), i -> element_at(_v, i + 1) AND (i = size(_v) - 1 OR NOT element_at(_v, i + 2)))"))
+      .where(size(col("_starts")) > 0)
+    withSegs
+      .select(keyCols.map(col) :+ col("pcm_sr") :+ col("energies") :+
+        posexplode(arrays_zip(col("_starts"), col("_ends"))): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("pos").cast("long").as("seg_id"),
+        col("col._starts").cast("long").as("w_start"),
+        col("col._ends").cast("long").as("w_end"),
+        (col("col._ends") - col("col._starts") + 1).cast("long").as("n_windows"),
+        expr("aggregate(slice(energies, col._starts + 1, col._ends - col._starts + 1), 0L, (a, x) -> a + x)")
+          .as("energy"),
+        expr(s"cast(col._starts as bigint) * $window * 1000 div pcm_sr").as("ms_start"),
+        expr(s"(cast(col._ends as bigint) + 1) * $window * 1000 div pcm_sr").as("ms_end")): _*)
+  }
+
+  // ------------------------------------------------------------------
   // Video: real ISO BMFF (MP4) box walk (the video leg of §7.6)
   // ------------------------------------------------------------------
 

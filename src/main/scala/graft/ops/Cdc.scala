@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CdcFunctions
+
+/** Content-defined chunking — the dedup-friendly leg of the rechunk
+  * family (reference rechunk xaction `xact/xs/rechunk.go` re-slices at
+  * FIXED offsets; see [[graft.functions.GearChunks]] for why
+  * content-defined boundaries beat that for storage dedup).
+  *
+  * Spark-first shape: boundaries are ONE native-expression pass per
+  * payload (no shuffle), chunks are a per-row explode of the boundary
+  * array, and the dedup summary is a single partial-agg'd groupBy on
+  * the 32-char chunk digest — the only shuffled bytes are digests, the
+  * payloads never move. At 100 TB the scan parallelizes on input
+  * splits; nothing here is driver-side.
+  */
+object Cdc {
+
+  /** One row per content-defined chunk of `payloadCol`:
+    * (keyCol, chunk_id, start, len, chunk_md5). Zero-shuffle plan. */
+  def chunkTable(objects: DataFrame, keyCol: String, payloadCol: String,
+                 minSize: Int, maxSize: Int, maskBits: Int): DataFrame = {
+    val cuts = CdcFunctions.gearChunks(col(payloadCol), minSize, maxSize, maskBits)
+    objects
+      .withColumn("_cuts", cuts)
+      // empty payload → zero chunks (arrays_zip would null-pad the [0] start)
+      .where(size(col("_cuts")) > 0)
+      // starts = [0] ++ cuts[0..n-2]: per-row array surgery, no window
+      .withColumn("_starts",
+        concat(array(lit(0)), expr("slice(_cuts, 1, greatest(size(_cuts) - 1, 0))")))
+      .select(col(keyCol), posexplode(arrays_zip(col("_starts"), col("_cuts"))))
+      .select(col(keyCol),
+        col("pos").cast("long").as("chunk_id"),
+        col("col._starts").cast("long").as("start"),
+        (col("col._cuts") - col("col._starts")).cast("long").as("len"),
+        col("col._cuts").as("_end"))
+      .withColumnRenamed("_end", "end")
+  }
+
+  /** Chunk table carrying the content digest (joins the payload back via
+    * a per-row substring — still one scan: explode and slice happen in
+    * the same stage). */
+  def chunkDigests(objects: DataFrame, keyCol: String, payloadCol: String,
+                   minSize: Int, maxSize: Int, maskBits: Int): DataFrame = {
+    val cuts = CdcFunctions.gearChunks(col(payloadCol), minSize, maxSize, maskBits)
+    objects
+      .withColumn("_cuts", cuts)
+      .where(size(col("_cuts")) > 0)
+      .withColumn("_starts",
+        concat(array(lit(0)), expr("slice(_cuts, 1, greatest(size(_cuts) - 1, 0))")))
+      .select(col(keyCol), col(payloadCol),
+        posexplode(arrays_zip(col("_starts"), col("_cuts"))))
+      .select(col(keyCol),
+        col("pos").cast("long").as("chunk_id"),
+        col("col._starts").cast("long").as("start"),
+        (col("col._cuts") - col("col._starts")).cast("long").as("len"),
+        md5(expr(s"cast(substring($payloadCol, col._starts + 1, col._cuts - col._starts) as binary)"))
+          .as("chunk_md5"))
+  }
+
+  /** Corpus-wide dedup accounting over a chunk-digest table: stored
+    * bytes vs unique bytes (equal digests ⇒ equal content ⇒ equal
+    * length, so unique bytes = Σ max(len) per digest). Integer-exact
+    * percentage. */
+  def dedupStats(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("refs"), max("len").as("ulen"), sum("len").as("tlen"))
+      .agg(
+        sum("refs").cast("long").as("n_chunks"),
+        count(lit(1)).cast("long").as("n_unique"),
+        sum("tlen").cast("long").as("total_bytes"),
+        sum("ulen").cast("long").as("unique_bytes"))
+      .withColumn("stored_pct", expr("unique_bytes * 100 div total_bytes"))
+}

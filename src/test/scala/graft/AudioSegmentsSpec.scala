@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+
+/** PCM energy + VAD segmentation (ext/Multimodal audio DSP leg).
+  *
+  * The oracle gate (`audio_segments`) recomputes windows/threshold/
+  * islands from the sample formula; these specs pin the parts the
+  * formula can't see: the byte-level decode (hand-built WAVs with known
+  * samples), format rejection, partial tail windows, and the island
+  * edge cases (all-voiced, all-silent, voiced-at-edges).
+  */
+class AudioSegmentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-encode a mono 16-bit WAV around explicit samples. */
+  private def wav(sr: Int, samples: Seq[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
+  test("pcmWindowEnergies decodes real bytes: energies == Σ s² per window incl. partial tail") {
+    val samples = Seq(3, -4, 0, 1000) ++ Seq.fill(60)(0) ++ Seq(7, -7, 5)
+    val Some((sr, en)) = Multimodal.pcmWindowEnergies(wav(16000, samples), 64)
+    assert(sr == 16000)
+    assert(en.toSeq == Seq(9L + 16 + 1000L * 1000, 49L + 49 + 25))
+  }
+
+  test("negative samples survive the int16 LE round trip") {
+    val Some((_, en)) = Multimodal.pcmWindowEnergies(wav(8000, Seq(-32768, 32767)), 64)
+    assert(en.toSeq == Seq(32768L * 32768 + 32767L * 32767))
+  }
+
+  test("non-WAV, stereo and 8-bit payloads are rejected") {
+    assert(Multimodal.pcmWindowEnergies("not a wav at all, just bytes!!!!!!!!!!!!!!".getBytes, 64).isEmpty)
+    // stereo: channels=2
+    val st = wav(8000, Seq(1, 2, 3, 4))
+    st(22) = 2 // channels field
+    assert(Multimodal.pcmWindowEnergies(st, 64).isEmpty)
+    val eight = wav(8000, Seq(1, 2))
+    eight(34) = 8 // bits per sample
+    assert(Multimodal.pcmWindowEnergies(eight, 64).isEmpty)
+  }
+
+  private def segs(energies: Seq[Long], thr: Long = 10L) = {
+    val df = Seq(("k", 16000, energies)).toDF("member", "pcm_sr", "energies")
+    Multimodal.energySegments(df, window = 64, threshold = thr, keyCols = Seq("member"))
+      .orderBy("seg_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+  }
+
+  test("island edges: voiced at both ends, interior gaps, singletons") {
+    // energies:  v v . v . . v   (thr 10)
+    assert(segs(Seq(50L, 20L, 0L, 99L, 1L, 2L, 11L)) ==
+      Seq((0L, 0L, 1L, 2L, 70L), (1L, 3L, 3L, 1L, 99L), (2L, 6L, 6L, 1L, 11L)))
+  }
+
+  test("all-voiced is one segment; all-silent yields no rows") {
+    assert(segs(Seq(100L, 100L, 100L)) == Seq((0L, 0L, 2L, 3L, 300L)))
+    assert(segs(Seq(1L, 2L, 3L)).isEmpty)
+  }
+
+  test("ms columns follow the window grid at the row's sample rate") {
+    val df = Seq(("k", 8000, Seq(100L, 100L, 0L, 100L))).toDF("member", "pcm_sr", "energies")
+    val rows = Multimodal.energySegments(df, 64, 10L, Seq("member"))
+      .orderBy("seg_id")
+      .select("ms_start", "ms_end").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 64 samples @8k = 8ms per window
+    assert(rows == Seq((0L, 16L), (24L, 32L)))
+  }
+
+  test("fixture round trip: encoder bytes decode to the formula energies") {
+    val src = Seq(("m1", 8000, 300, 77L), ("m2", 16000, 256, 123L))
+      .toDF("member", "sr", "frames", "seed")
+    val en = Multimodal.withPcmEnergies(Multimodal.encodeWavPcmFixture(src), "payload", 64)
+      .select("member", "frames", "seed", "energies")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getSeq[Long](3))).toSeq
+    en.foreach { case (_, frames, seed, got) =>
+      val exp = (0 until frames).map { j =>
+        val s = if ((j / 64) % 3 == 2) 0L else (seed * 31 + j * 7) % 2001 - 1000
+        (j / 64, s * s)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(got.toSeq == (0 until (frames + 63) / 64).map(exp(_)))
+    }
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GearChunks
+import graft.ops.Cdc
+
+/** Content-defined chunking invariants (functions.GearChunks + ops.Cdc).
+  *
+  * The oracle gate (`cdc_chunks`, `cdc_dedup_ratio`) proves the full
+  * pipeline bit-matches an independent DuckDB replay; these specs prove
+  * the contract directly: the rolling fold equals the closed-form
+  * window-sum definition (an INDEPENDENT implementation — per-position
+  * Σ gear[b]·2^j, then a greedy walk over candidates), the min/max
+  * clamps hold, empty/short payloads behave, and the property CDC
+  * exists for — boundary stability under upstream inserts — actually
+  * holds on shifted content.
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val MIN = 48
+  private val MAX = 512
+  private val BITS = 6
+
+  /** Independent reference: closed-form window hash per position (no
+    * rolling state), then a greedy walk — structurally different from
+    * the expression's single-pass fold. */
+  private def refCuts(payload: Array[Byte], minSize: Int = MIN,
+                      maxSize: Int = MAX, maskBits: Int = BITS): Seq[Int] = {
+    val mask = (1L << maskBits) - 1
+    def h(p: Int): Long = {
+      var s = BigInt(0)
+      var j = 0
+      while (j <= math.min(31, p)) {
+        s += BigInt(GearChunks.gear(payload(p - j) & 0xff)) * (BigInt(1) << j)
+        j += 1
+      }
+      (s mod BigInt(2).pow(32)).toLong
+    }
+    val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+    var last = 0
+    var p = 0
+    while (p < payload.length) {
+      val cut = p + 1
+      if ((h(p) & mask) == 0L && cut - last >= minSize) { cuts += cut; last = cut }
+      else if (cut - last == maxSize) { cuts += cut; last = cut }
+      p += 1
+    }
+    if (payload.length > last) cuts += payload.length
+    cuts.toSeq
+  }
+
+  private def dfCuts(payloads: Seq[String]): Map[String, Seq[Int]] =
+    payloads.zipWithIndex.map { case (p, i) => (i.toString, p) }
+      .toDF("k", "payload")
+      .select($"k", graft.functions.CdcFunctions.gearChunks($"payload", MIN, MAX, BITS).as("cuts"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+      .map { case (k, v) => payloads(k.toInt) -> (v: Seq[Int]) }
+
+  /** Deterministic pseudo-random ASCII payload. */
+  private def gen(seed: Int, len: Int): String = {
+    val sb = new StringBuilder
+    var x = seed
+    (0 until len).foreach { _ =>
+      x = (x * 1103515245 + 12345) & 0x7fffffff
+      sb.append((33 + x % 94).toChar)
+    }
+    sb.toString
+  }
+
+  test("expression equals the closed-form + greedy-walk reference on varied payloads") {
+    val payloads = Seq(gen(1, 37), gen(2, 48), gen(3, 300), gen(4, 1025),
+      gen(5, 2048), gen(6, 513), "x" * 512, "ab" * 700)
+    val got = dfCuts(payloads)
+    payloads.foreach { p =>
+      assert(got(p) === refCuts(p.getBytes("UTF-8")), s"payload len ${p.length}")
+    }
+  }
+
+  test("cut invariants: ascending, min/max clamps on interior chunks, final cut at len") {
+    val payloads = (0 until 50).map(i => gen(100 + i, 200 + i * 37))
+    dfCuts(payloads).foreach { case (p, cuts) =>
+      assert(cuts.nonEmpty && cuts.last == p.length)
+      assert(cuts == cuts.sorted && cuts.distinct == cuts)
+      val lens = cuts.zip(0 +: cuts.init).map { case (e, s) => e - s }
+      // every chunk except the tail respects [MIN, MAX]; the tail only MAX
+      lens.init.foreach(l => assert(l >= MIN && l <= MAX, s"interior $l"))
+      assert(lens.last <= MAX)
+    }
+  }
+
+  test("empty payload yields no chunks; short payload yields exactly one") {
+    val rows = Seq(("e", ""), ("s", "abc"), ("m", gen(9, MIN - 1)))
+      .toDF("k", "payload")
+    val chunks = Cdc.chunkDigests(rows, "k", "payload", MIN, MAX, BITS)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(!chunks.exists(_._1 == "e"))
+    assert(chunks.count(_._1 == "s") == 1 && chunks.find(_._1 == "s").get._4 == 3L)
+    assert(chunks.count(_._1 == "m") == 1)
+  }
+
+  test("boundary stability: chunks after an upstream insert are shared (the CDC property)") {
+    val base = gen(42, 4000)
+    val shifted = gen(7, 11) + base // 11 inserted bytes at the front
+    val d = Seq(("a", base), ("b", shifted)).toDF("k", "payload")
+    val digests = Cdc.chunkDigests(d, "k", "payload", MIN, MAX, BITS)
+      .groupBy("k").agg(collect_list("chunk_md5").as("h"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    val shared = digests("a").intersect(digests("b")).size
+    // all but the first chunk (and possibly its successor) re-align:
+    // the rolling window is 32 bytes, so hashes — and therefore cuts —
+    // coincide once both walks pass the same 32-byte context after the
+    // first shared candidate. Fixed-size chunking would share ~nothing.
+    assert(shared >= digests("a").size - 2,
+      s"shared=$shared of ${digests("a").size}")
+  }
+
+  test("plan guard: cdc_chunks is one scan — the only exchange is the output sort") {
+    val plan = SparkEntry.queries("cdc_chunks")(spark, TestSpark.sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, s"cdc shuffles mid-plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedupStats accounts shared chunks once") {
+    val block = gen(11, 600)
+    val d = Seq(("a", gen(1, 100) + block), ("b", gen(2, 333) + block)).toDF("k", "payload")
+    val stats = Cdc.dedupStats(Cdc.chunkDigests(d, "k", "payload", MIN, MAX, BITS)).collect()(0)
+    val (n, u, tot, uniq) = (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    assert(tot == (100 + 600) + (333 + 600))
+    assert(uniq < tot, "shared block must dedup")
+    assert(u < n)
+    assert(stats.getLong(4) == uniq * 100 / tot)
+  }
+}
