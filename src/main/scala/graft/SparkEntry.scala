@@ -937,6 +937,14 @@ object SparkEntry {
       ext.Dedup.nearDupMinhashLsh(dedupCorpus(s, d), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Fuzzy dedup, edit-distance verify: same LSH candidates, but pairs
+    // are judged by exact character Levenshtein (<= 1/10 of max length,
+    // compared in integers) — catches small in-place edits that barely
+    // move the shingle set. All-integer output, no float boundary.
+    "dedup_edit" -> ((s, d) =>
+      ext.Dedup.editDistancePairs(dedupCorpus(s, d), simNum = 1, simDen = 10)
+        .orderBy("doc_a", "doc_b")),
+
     // Standalone exact n-gram Jaccard (oracle-checkable ground truth for
     // the LSH pipeline) on a deterministic 10% slice — candidate
     // generation by shingle join is quadratic in shared-shingle counts;
@@ -1460,6 +1468,12 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "n_uniq_tokens", "stopword_ratio",
           "uniq_ratio", "avg_token_len", "quality_score")
         .orderBy("doc_id")),
+
+    // Per-language Zipf fit + vocabulary health (slope ≈ −1 for natural
+    // text; rank built from freq-class prefix sums, no global token sort)
+    "corpus_zipf" -> ((s, d) =>
+      ext.TextAnalysis.zipfStats(Tables.load(s, d, "documents"))
+        .orderBy("lang")),
 
     "lang_id" -> ((s, d) =>
       ext.TextAnalysis.langId(Tables.load(s, d, "documents"))
@@ -2931,6 +2945,33 @@ object SparkEntry {
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
       OracleCte.corpus, OracleCte.shingles),
 
+    // Edit-distance fuzzy dedup: the SAME LSH candidate replay as
+    // dedup_minhash_lsh, then DuckDB's levenshtein() as the verify —
+    // threshold is the integer comparison dist*10 <= max_len*1, so the
+    // boundary cannot differ between engines.
+    "dedup_edit" -> o(
+      """SELECT c.doc_a, c.doc_b,
+        |  levenshtein(da.text, db.text) AS edit_dist,
+        |  greatest(length(da.text), length(db.text)) AS max_len
+        |FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT doc_id, seed // 3 AS band, md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+        |        FROM (SELECT doc_id, seed, min(CAST(('0x' || substr(md5((seed // 4) || ':' || shingle), 1 + 8*(seed % 4), 8)) AS BIGINT)) AS h
+        |              FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+        |              GROUP BY doc_id, seed)
+        |        GROUP BY doc_id, seed // 3) a
+        |  JOIN (SELECT doc_id, seed // 3 AS band, md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+        |        FROM (SELECT doc_id, seed, min(CAST(('0x' || substr(md5((seed // 4) || ':' || shingle), 1 + 8*(seed % 4), 8)) AS BIGINT)) AS h
+        |              FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+        |              GROUP BY doc_id, seed)
+        |        GROUP BY doc_id, seed // 3) b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id) c
+        |JOIN corpus da ON da.doc_id = c.doc_a
+        |JOIN corpus db ON db.doc_id = c.doc_b
+        |WHERE levenshtein(da.text, db.text) * 10 <= greatest(length(da.text), length(db.text))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+      OracleCte.corpus, OracleCte.shingles),
+
     "dedup_incremental" -> incrementalDedupOracle,
     // the indexed variant must give the IDENTICAL answer — same oracle
     "dedup_incremental_indexed" -> incrementalDedupOracle,
@@ -3671,6 +3712,27 @@ object SparkEntry {
         |    + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
         |        / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Zipf fit: rank replayed with a direct per-language window — must
+    // equal Spark's freq-class prefix-sum + in-class row_number
+    "corpus_zipf" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |freq AS (
+        |  SELECT lang, tok, count(*) AS cnt FROM tok
+        |  WHERE length(tok) > 0 GROUP BY lang, tok),
+        |ranked AS (
+        |  SELECT lang, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rank
+        |  FROM freq)
+        |SELECT lang,
+        |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
+        |  count(*) AS distinct_tokens,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens,
+        |  round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+        |  round(regr_r2(ln(cnt), ln(rank)), 4) AS zipf_r2
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
 
     "lang_id" ->
       """SELECT doc_id,

@@ -202,6 +202,42 @@ object Dedup {
     verifyJaccard(candidatePairs(lshBands(minhash(sh, numHashes), rowsPerBand)), sh, threshold)
   }
 
+  /** Fuzzy dedup with an EDIT-DISTANCE verify stage: MinHash-LSH
+    * banding proposes candidate pairs (same machinery as
+    * [[nearDupMinhashLsh]]), then each candidate is verified with exact
+    * character-level Levenshtein distance instead of set Jaccard — the
+    * right check when duplicates differ by small in-place edits (OCR
+    * noise, template fills, typo'd re-posts) that barely move the
+    * shingle set but matter to the text.
+    *
+    * A pair survives iff `edit_dist * simDen <= max_len * simNum`, i.e.
+    * normalized distance `edit_dist / max_len <= simNum / simDen` — the
+    * threshold is a RATIONAL compared in pure integer arithmetic, so no
+    * float rounding can flip a boundary pair (the corpus_report ×10⁴
+    * lesson). Defaults 1/10: normalized edit similarity >= 0.9.
+    *
+    * Scale shape: candidates come from the banded equi-join (never
+    * all-pairs); the O(|a|·|b|) Levenshtein DP runs once per CANDIDATE,
+    * and text reaches the verify join by joining the candidate table
+    * back to the corpus on doc id — two hash joins carrying (id, text),
+    * no text in the banding shuffle. Output columns are all integers:
+    * (doc_a, doc_b, edit_dist, max_len). */
+  def editDistancePairs(docs: DataFrame, simNum: Int = 1, simDen: Int = 10,
+                        numHashes: Int = 12, rowsPerBand: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(simNum >= 0 && simDen > 0, s"bad threshold $simNum/$simDen")
+    val cands = candidatePairs(lshBands(minhash(shingles(docs, idCol, textCol), numHashes), rowsPerBand))
+    val t = docs.select(col(idCol).as("_id"), col(textCol).as("_tx"),
+      length(col(textCol)).cast("long").as("_ln"))
+    cands
+      .join(t.select(col("_id").as("doc_a"), col("_tx").as("_ta"), col("_ln").as("_la")), Seq("doc_a"))
+      .join(t.select(col("_id").as("doc_b"), col("_tx").as("_tb"), col("_ln").as("_lb")), Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .withColumn("max_len", greatest(col("_la"), col("_lb")))
+      .where(col("edit_dist") * simDen <= col("max_len") * simNum)
+      .select("doc_a", "doc_b", "edit_dist", "max_len")
+  }
+
   /** Distinct word n-gram set per document — the generalized form of
     * [[shingles]] (n=3). Used for benchmark-contamination checks (n=8 is
     * the usual "13-gram-ish" public-eval overlap window scaled to the

@@ -393,4 +393,47 @@ object TextAnalysis {
       .withColumn("bucket", expr(s"_below * $nBuckets div ${n}L").cast("int"))
       .drop("_s", "_c", "_below")
   }
+
+  /** Per-language vocabulary statistics with a Zipf least-squares fit —
+    * the standard corpus-health report before pretraining: vocabulary
+    * size vs token volume, hapax (freq-1) mass, and how closely the
+    * frequency-rank curve follows Zipf's law (ln freq ≈ a + s·ln rank;
+    * slope s ≈ −1 for natural text, flatter for templated/synthetic
+    * corpora — exactly the signal used to flag machine-generated spam).
+    *
+    * Rank is computed WITHOUT a global per-language sort: the
+    * (lang, freq) CLASS table (index-small — distinct frequency values,
+    * not tokens) gets an exclusive running count of tokens in strictly
+    * higher classes; a token's rank is that offset plus its
+    * row_number within its own class (partitioned window, keyed by
+    * (lang, cnt)). Identical to rank() over (freq desc, token asc), but
+    * every shuffle is keyed and partial-aggregated — the vocab-sized
+    * token table is never globally ordered.
+    *
+    * Output: (lang, total_tokens, distinct_tokens, hapax_tokens,
+    * zipf_slope, zipf_r2), slope/r2 rounded to 4 dp. */
+  def zipfStats(docs: DataFrame, langCol: String = "lang",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(langCol).as("lang"),
+        explode(whitespaceTokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val freq = tok.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val classes = freq.groupBy("lang", "cnt").agg(count(lit(1)).as("_nclass"))
+    // tokens in strictly-higher frequency classes: window over the
+    // class table (distinct freq values per lang — index-small)
+    val higher = classes.withColumn("_higher",
+      coalesce(sum(col("_nclass")).over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = freq.join(broadcast(higher.select("lang", "cnt", "_higher")), Seq("lang", "cnt"))
+      .withColumn("rank", col("_higher") + row_number().over(
+        Window.partitionBy("lang", "cnt").orderBy("tok")))
+    ranked.groupBy("lang").agg(
+      sum("cnt").as("total_tokens"),
+      count(lit(1)).as("distinct_tokens"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_tokens"),
+      round(expr("regr_slope(ln(cnt), ln(rank))"), 4).as("zipf_slope"),
+      round(expr("regr_r2(ln(cnt), ln(rank))"), 4).as("zipf_r2"))
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+
+/** Edit-distance fuzzy dedup: crafted corpora where Jaccard and
+  * Levenshtein verdicts DIFFER, threshold boundary integrity, and the
+  * candidate-bounded scale shape. */
+class EditDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Long shared prefix so MinHash-LSH banding reliably buckets the pair
+  // (the op under test is the verify stage, not LSH recall).
+  private val base = "the quick brown fox jumps over the lazy dog while " +
+    "spark executors shuffle partitions across the cluster ring today"
+
+  test("in-place small edit passes; different text in same buckets fails") {
+    val nearDup = base.replace("today", "tonite")     // few chars changed
+    val docs = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getLong(2) > 0 && r.getLong(2) * 10 <= r.getLong(3))
+  }
+
+  test("exact duplicate verifies at distance zero") {
+    val docs = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs).collect()
+    assert(out.length === 1 && out.head.getLong(2) === 0L)
+  }
+
+  test("threshold is an exact integer boundary: dist*den == max_len*num passes, +1 fails") {
+    // 120-char doc vs a 12-char-edit variant: dist=12, max_len=120 →
+    // 12*10 == 120*1 exactly on the boundary (must PASS, <=); a
+    // 13-char-distance variant must fail. Appending k 'z's to a doc of
+    // length L gives distance exactly k and max_len L+k.
+    val doc = ("ab " * 40).trim            // 119 chars
+    // distance by pure appends: d(doc, doc + suffix) = |suffix|
+    val okLen = doc.length + 12            // 131; 12*10=120 <= 131 → pass
+    val docs = Seq((1L, doc), (2L, doc + ("z" * 12))).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs).collect()
+    assert(out.length === 1 && out.head.getLong(2) === 12L && out.head.getLong(3) === okLen.toLong)
+    // 14 appended chars: 14*10=140 > 133 → filtered out
+    val docs2 = Seq((1L, doc), (2L, doc + ("z" * 14))).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(docs2).collect().isEmpty)
+  }
+
+  test("jaccard-vs-edit disagreement: word swap keeps shingles low but edit distance tiny") {
+    // Replacing one WORD mid-doc destroys 3 shingles (n=3 windows) but
+    // is a small character edit: the edit verdict accepts what a strict
+    // Jaccard threshold on short docs may reject.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val b = a.replaceFirst("delta", "delXa")
+    val docs = Seq((1L, a.trim), (2L, b.trim)).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs).collect()
+    assert(out.length === 1 && out.head.getLong(2) === 1L)
+  }
+
+  test("plan: no cartesian product; candidates come from the band equi-join") {
+    val docs = Seq((1L, base), (2L, base + " x")).toDF("doc_id", "text")
+    val plan = Dedup.editDistancePairs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sf0.001 gate entry: injected exact dups all found, pairs within threshold") {
+    val df = SparkEntry.queries("dedup_edit")(spark, TestSpark.sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) * 10 <= r.getLong(3)))
+    // every injected exact dup (doc_id + 1e6, docs with >= 3 words) must
+    // appear as a distance-0 pair with its source
+    val exact = rows.filter(r => r.getLong(2) == 0L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+      .where(col("doc_id") % 10 === 0 && size(split(trim(col("text")), "\\s+")) >= 3)
+      .select("doc_id").as[Long].collect()
+    docs.foreach(id => assert(exact.contains((id, id + 1000000L)), s"missing dup pair for $id"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Zipf/vocabulary statistics: hand-computed fit, tie-break rank
+  * semantics, and agreement with the direct global-window rank. */
+class ZipfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed three-type corpus: ranks 1,2,3 and exact LS slope") {
+    val docs = Seq((1L, "a a a b b c", "en")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.zipfStats(docs).collect().head
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[Long]("total_tokens") === 6L)
+    assert(r.getAs[Long]("distinct_tokens") === 3L)
+    assert(r.getAs[Long]("hapax_tokens") === 1L)
+    // least squares over (x=ln rank, y=ln cnt): ranks (1,2,3), cnts (3,2,1)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(3.0, 2.0, 1.0).map(math.log)
+    val mx = xs.sum / 3; val my = ys.sum / 3
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(r.getAs[Double]("zipf_slope") -
+      math.rint(slope * 10000) / 10000) < 1e-9)
+  }
+
+  test("equal frequencies tie-break by token order; r2 of a perfect flat fit") {
+    // all types freq 2: slope 0, ranks by token asc — regr on constant y
+    val docs = Seq((1L, "b b a a c c", "de")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.zipfStats(docs).collect().head
+    assert(r.getAs[Long]("distinct_tokens") === 3L)
+    assert(r.getAs[Long]("hapax_tokens") === 0L)
+    assert(r.getAs[Double]("zipf_slope") === 0.0)
+  }
+
+  test("per-language isolation: stats computed independently per lang") {
+    val docs = Seq(
+      (1L, "x x y", "en"),
+      (2L, "p q", "fr")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.zipfStats(docs).orderBy("lang").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("total_tokens") === 3L) // en
+    assert(out(1).getAs[Long]("hapax_tokens") === 2L) // fr: p,q both hapax
+  }
+
+  test("agreement with the direct global-window rank on sf0.001 documents") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+    val got = TextAnalysis.zipfStats(docs)
+    val freq = docs.select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val direct = freq
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)))
+      .groupBy("lang").agg(
+        sum("cnt").as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_tokens"),
+        round(expr("regr_slope(ln(cnt), ln(rank))"), 4).as("zipf_slope"),
+        round(expr("regr_r2(ln(cnt), ln(rank))"), 4).as("zipf_r2"))
+    assert(got.orderBy("lang").collect().toSeq ===
+      direct.orderBy("lang").collect().toSeq)
+  }
+
+  test("plan: no global token-table sort; windows keyed by lang/cnt only") {
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+    val plan = TextAnalysis.zipfStats(docs).queryExecution.optimizedPlan.toString
+    // the only Window partitionings allowed are (lang) over the class
+    // table and (lang, cnt) over the freq table — never an unkeyed one
+    assert(!plan.contains("windowspecdefinition()"), plan)
+  }
+}
