@@ -986,6 +986,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // UT1-style domain blocklist gate: synthesized hosts with varied
+    // label depth (optional cdn./img. prefix, site{0..6}, com/co.uk/org
+    // TLDs, sometimes a port); overlapping entries (site0.com AND
+    // cdn.site0.com) prove the most-specific-match rule.
+    "url_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val host = concat(
+        element_at(array(lit("cdn."), lit("img."), lit(""), lit("")),
+          (col("doc_id") % 4).cast("int") + 1),
+        lit("site"), (col("doc_id") % 7).cast("string"), lit("."),
+        element_at(array(lit("com"), lit("co.uk"), lit("org")),
+          (col("doc_id") % 3).cast("int") + 1))
+      val url = concat(lit("https://"), host,
+        when(col("doc_id") % 5 === 0, lit(":8443")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"))
+      val bl = Seq("site0.com", "cdn.site0.com", "site1.co.uk",
+        "site3.org", "img.site5.com").toDF("domain")
+      ext.Dedup.domainBlocklist(
+        Tables.load(s, d, "documents").select(col("doc_id")).withColumn("url", url), bl)
+        .orderBy("doc_id")
+    }),
+
     // Line-level exact dedup (C4-style boilerplate strip): synthesize
     // multi-line "pages" (4 docs each, framed by a shared header and a
     // 3-variant footer — the repeated-across-pages boilerplate this op
@@ -1086,6 +1108,18 @@ object SparkEntry {
       ext.Dedup.contamination(docs, docs.where(col("doc_id") % 97 === 0),
         n = 8, threshold = 0.05)
         .orderBy("doc_id")
+    }),
+
+    // Embedding-space contamination: every 50th vector plays the eval
+    // benchmark; corpus vectors whose best cosine reaches 0.35 are
+    // flagged with that best match (ties → smallest bench_id).
+    "contamination_semantic" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      ext.Similarity.semanticContamination(
+        emb.where(col("vec_id") % 50 =!= 0),
+        emb.where(col("vec_id") % 50 === 0).withColumnRenamed("vec_id", "bench_id"),
+        threshold = 0.35)
+        .orderBy("vec_id")
     }),
 
     // Gopher-style repetition quality signals — zero-shuffle fold.
@@ -3080,6 +3114,22 @@ object SparkEntry {
         |          / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) AS q
         |  FROM corpus WHERE doc_id % 10 = 0)""".stripMargin),
 
+    // quadratic corpus×bench replay; round-before-filter and the
+    // (cos desc, bench_id asc) argmax mirror the Spark struct-max
+    "contamination_semantic" ->
+      """WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE vec_id % 50 <> 0),
+        |s AS (SELECT vec_id, bench_id,
+        |        round(list_dot_product(bv, cv)
+        |          / (sqrt(list_dot_product(bv, bv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
+        |      FROM c CROSS JOIN b),
+        |f AS (SELECT vec_id, bench_id, cos,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC) AS rn
+        |      FROM s WHERE cos >= 0.35)
+        |SELECT vec_id, bench_id, cos FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     "contamination_check" ->
       """WITH g8 AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
@@ -3275,6 +3325,26 @@ object SparkEntry {
 
     // the oracle recomputes the canonical string from doc_id arithmetic —
     // it shares NO regex with the Spark-side canonicalizer it checks
+    // host rebuilt arithmetically; suffix match replayed as the LIKE
+    // formulation (host = e OR host LIKE '%.e') — independent of the
+    // Spark side's label-suffix equi-join
+    "url_blocklist" ->
+      """WITH hosts AS (
+        |  SELECT doc_id,
+        |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'cdn.' WHEN 1 THEN 'img.' ELSE '' END) ||
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+        |    (['com','co.uk','org'])[CAST(doc_id % 3 AS INT) + 1] AS host
+        |  FROM documents),
+        |bl AS (SELECT unnest(['site0.com','cdn.site0.com','site1.co.uk',
+        |                      'site3.org','img.site5.com']) AS e),
+        |m AS (
+        |  SELECT doc_id, e,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY length(e) DESC, e DESC) AS rn
+        |  FROM hosts JOIN bl ON host = e OR host LIKE '%.' || e)
+        |SELECT h.doc_id, h.host, (m.e IS NOT NULL) AS blocked, m.e AS blocked_by
+        |FROM hosts h LEFT JOIN m ON m.doc_id = h.doc_id AND m.rn = 1
+        |ORDER BY h.doc_id""".stripMargin,
+
     "url_dedup" ->
       """SELECT doc_id,
         |  'http://example' || CAST(doc_id % 5 AS VARCHAR) || '.com/Dir/p' ||

@@ -534,6 +534,49 @@ object Dedup {
       .select(col(idCol), col("canonical_url"), (col(idCol) === col("_keep")).as("keep"))
   }
 
+  /** UT1/blocklist-style DOMAIN filtering — the standard first gate of a
+    * web-crawl curation pipeline (CCNet, RefinedWeb): a document is
+    * blocked when its URL's host equals a blocklist entry or sits under
+    * one (any-label-depth subdomain). Matching is SUFFIX matching on
+    * dot-separated labels, never substring (`notexample.com` does not
+    * match `example.com`).
+    *
+    * Scale shape: real blocklists are millions of domains (UT1 adult
+    * alone is ~4M), so the match must be an EQUI-join, not a LIKE scan:
+    * each host explodes into its ≤ `maxLabels` label-suffixes
+    * (`a.b.co.uk` → `uk`, `co.uk`, `b.co.uk`, `a.b.co.uk`) and joins the
+    * blocklist on the suffix string — bounded fan-out per document,
+    * hash-joinable at any blocklist size (Spark broadcasts it when
+    * small). The most specific (longest, then lexicographically
+    * greatest) matching entry is reported via one struct-max aggregate.
+    * Entries deeper than `maxLabels` labels never match by contract.
+    *
+    * Output: every input row as (id, host, blocked, blocked_by) with
+    * blocked_by null for clean hosts. */
+  def domainBlocklist(docs: DataFrame, blocklist: DataFrame, maxLabels: Int = 8,
+                      idCol: String = "doc_id", urlCol: String = "url",
+                      entryCol: String = "domain"): DataFrame = {
+    require(maxLabels > 0, s"maxLabels must be positive: $maxLabels")
+    val hostport = regexp_extract(
+      regexp_replace(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?", ""),
+      "^([^/?#]+)", 1)
+    val hosts = docs.select(col(idCol).as("_id"),
+      lower(regexp_replace(hostport, ":\\d+$", "")).as("host"))
+    val sufs = hosts
+      .withColumn("_ls", split(col("host"), "\\."))
+      .select(col("_id"), col("host"), explode(expr(
+        s"transform(sequence(1, least(size(_ls), $maxLabels)), " +
+          "i -> array_join(slice(_ls, size(_ls) - i + 1, i), '.'))")).as("_suf"))
+    val bl = blocklist.select(lower(col(entryCol)).as("_suf")).distinct()
+    val matched = sufs.join(bl, "_suf")
+      .groupBy("_id")
+      .agg(max(struct(length(col("_suf")).as("_l"), col("_suf").as("_e"))).as("_m"))
+      .select(col("_id"), col("_m._e").as("blocked_by"))
+    hosts.join(matched, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("host"),
+        col("blocked_by").isNotNull.as("blocked"), col("blocked_by"))
+  }
+
   def lineDedup(pages: DataFrame, idCol: String = "page_id",
                 textCol: String = "text", delim: String = "\n"): DataFrame = {
     val lines = pages

@@ -79,6 +79,39 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Benchmark contamination by EMBEDDING similarity — the
+    * embedding-space analog of the n-gram [[Dedup.contamination]] check
+    * (catches paraphrased eval leakage that no token overlap sees): flag
+    * every corpus vector whose cosine against ANY benchmark vector
+    * reaches `threshold`, reporting the best match.
+    *
+    * Eval benchmarks are small by nature → the benchmark side is the
+    * broadcast side of a nested-loop scan: per corpus row, |bench|
+    * codegen'd float-dot loops and a filter — the corpus is read ONCE,
+    * its vectors never shuffle, and no quadratic pair table
+    * materializes (the post-filter survivor set is what groups).
+    * The corpus side is round-robin repartitioned first for the same
+    * single-row-group reason as [[nearDupPairs]].
+    *
+    * Determinism: cosines round to 4 dp BEFORE the threshold filter and
+    * argmax; ties break to the smallest bench_id via struct-max over
+    * (cos, -bench_id). Output: (vec_id, bench_id, cos) for contaminated
+    * vectors only. */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            benchIdCol: String = "bench_id"): DataFrame = {
+    val n = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = withNorm(corpus, "vec_id", "_cv", "_cn", idCol, vecCol).repartition(n)
+    val q = withNorm(benchmark, "bench_id", "_qv", "_qn", benchIdCol, vecCol)
+    c.join(broadcast(q))
+      .withColumn("cos", round(
+        cosineWithNorms(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 4))
+      .where(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos").as("c"), (-col("bench_id")).as("nb"))).as("_m"))
+      .select(col("vec_id"), (-col("_m.nb")).as("bench_id"), col("_m.c").as("cos"))
+  }
+
   /** Sign-LSH bucket id: `bits` pseudo-random hyperplanes derived
     * deterministically from md5(planeIdx, dim) in {-1, +1}; the bucket is
     * the sign pattern of the projections.

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ext.Dedup
+
+/** Domain blocklist: suffix (not substring) matching, most-specific
+  * rule, URL host extraction quirks, the maxLabels contract. */
+class BlocklistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(urls: Seq[(Long, String)], bl: Seq[String], maxLabels: Int = 8) =
+    Dedup.domainBlocklist(urls.toDF("doc_id", "url"), bl.toDF("domain"), maxLabels)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), Option(r.getString(3))))
+
+  test("exact and subdomain matches block; substring does NOT") {
+    val out = run(Seq(
+      1L -> "https://example.com/x",
+      2L -> "https://a.b.example.com/x",
+      3L -> "https://notexample.com/x",     // substring, must stay clean
+      4L -> "https://clean.org/x"),
+      Seq("example.com"))
+    assert(out(0) === (1L, "example.com", true, Some("example.com")))
+    assert(out(1) === (2L, "a.b.example.com", true, Some("example.com")))
+    assert(out(2) === (3L, "notexample.com", false, None))
+    assert(out(3) === (4L, "clean.org", false, None))
+  }
+
+  test("most specific entry wins when several match") {
+    val out = run(Seq(1L -> "https://cdn.site.com/x"),
+      Seq("site.com", "cdn.site.com", "com"))
+    assert(out(0)._4 === Some("cdn.site.com"))
+  }
+
+  test("multi-label public-suffix-style entries match at depth") {
+    val out = run(Seq(
+      1L -> "http://x.site1.co.uk/p",
+      2L -> "http://site1.co.uk/p",
+      3L -> "http://site2.co.uk/p"),
+      Seq("site1.co.uk"))
+    assert(out.map(_._3).toSeq === Seq(true, true, false))
+  }
+
+  test("host extraction: case, userinfo, port, path, query all stripped") {
+    val out = run(Seq(1L -> "HTTPS://user:pw@CDN.Site0.COM:8443/A/b?q=1#f"),
+      Seq("site0.com"))
+    assert(out(0)._2 === "cdn.site0.com")
+    assert(out(0)._3)
+  }
+
+  test("maxLabels bounds the suffix fan-out: deep entries ignored below the cap") {
+    val url = Seq(1L -> "http://a.b.c.d.example.com/x")
+    // entry has 3 labels; with maxLabels=2 only 2-label suffixes exist → clean
+    assert(run(url, Seq("d.example.com"), maxLabels = 2).head._3 === false)
+    assert(run(url, Seq("d.example.com")).head._3 === true)
+  }
+
+  test("blocklist entry case-insensitive; empty blocklist blocks nothing") {
+    assert(run(Seq(1L -> "http://bad.com/"), Seq("BAD.com")).head._3 === true)
+    assert(run(Seq(1L -> "http://bad.com/"), Seq.empty[String]).head._3 === false)
+  }
+
+  test("plan: suffix match is an equi-join — no cartesian, no nested loop") {
+    val df = Dedup.domainBlocklist(
+      Seq((1L, "http://a.com/x")).toDF("doc_id", "url"),
+      Seq("a.com").toDF("domain"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ext.Similarity
+
+/** Embedding-space contamination: crafted geometry, argmax tie-breaks,
+  * rounding at the threshold boundary. */
+class SemanticContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+  private def bench(rows: (Long, Array[Float])*) = rows.toDF("bench_id", "embedding")
+
+  test("only vectors over the threshold flag, with the best match reported") {
+    val c = corpus(
+      1L -> Array(1f, 0f),      // cos 1.0 vs bench 10
+      2L -> Array(0f, 1f),      // orthogonal: cos 0
+      3L -> Array(-1f, 0f))     // opposite: cos -1
+    val b = bench(10L -> Array(2f, 0f)) // same direction, unnormalized on purpose
+    val out = Similarity.semanticContamination(c, b, 0.5).orderBy("vec_id").collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getLong(1) === 10L
+      && out.head.getDouble(2) === 1.0)
+  }
+
+  test("closest benchmark wins; equal-cos tie goes to the smallest bench_id") {
+    val c = corpus(1L -> Array(1f, 0.1f))
+    val b = bench(
+      20L -> Array(1f, 0f),     // closer
+      30L -> Array(0f, 1f))     // farther
+    val out = Similarity.semanticContamination(c, b, 0.05).collect()
+    assert(out.head.getLong(1) === 20L)
+    // exact tie: duplicate benchmark vectors under different ids
+    val b2 = bench(44L -> Array(1f, 0f), 22L -> Array(1f, 0f))
+    val out2 = Similarity.semanticContamination(c, b2, 0.5).collect()
+    assert(out2.head.getLong(1) === 22L)
+  }
+
+  test("rounded cosine exactly AT the threshold is included (>=)") {
+    // bench on x-axis, corpus component 0.35 of unit length: cos rounds
+    // to exactly 0.3500 → must pass a 0.35 threshold
+    val y = math.sqrt(1.0 - 0.35 * 0.35).toFloat
+    val c = corpus(1L -> Array(0.35f, y))
+    val b = bench(9L -> Array(1f, 0f))
+    val out = Similarity.semanticContamination(c, b, 0.35).collect()
+    assert(out.length === 1 && out.head.getDouble(2) === 0.35)
+  }
+
+  test("nothing over threshold: empty result, not an error") {
+    val out = Similarity.semanticContamination(
+      corpus(1L -> Array(0f, 1f)), bench(5L -> Array(1f, 0f)), 0.9)
+    assert(out.collect().isEmpty)
+  }
+
+  test("gate entry produces flagged rows at sf0.001") {
+    val df = SparkEntry.queries("contamination_semantic")(spark, TestSpark.sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) >= 0.35))
+    assert(rows.forall(_.getLong(1) % 50 === 0))
+  }
+}
