@@ -1478,6 +1478,12 @@ object SparkEntry {
     }),
 
     // int8 symmetric quantization — the 4x memory-scale path for ANN
+    // JL ±1 projection to 16 dims (√16 exact in binary → oracle-safe
+    // scaling); flat (vec_id, pos, val) output
+    "embed_project" -> ((s, d) =>
+      ext.Similarity.randomProject(Tables.load(s, d, "embeddings"), outDim = 16, dim = 64)
+        .orderBy("vec_id", "pos")),
+
     "embed_quantize" -> ((s, d) =>
       ext.Similarity.quantizeInt8(Tables.load(s, d, "embeddings"))
         .orderBy("vec_id", "pos")),
@@ -3192,6 +3198,20 @@ object SparkEntry {
         |        unnest(generate_series(1, len(embedding))) AS i
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // planes rebuilt from md5 byte signs in SQL; list_dot_product's
+    // left-to-right accumulation matches FloatDotProduct exactly
+    "embed_project" ->
+      """WITH planes AS (
+        |  SELECT p, list(CASE WHEN CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 2)) AS INT) >= 128
+        |                      THEN -1.0 ELSE 1.0 END ORDER BY d) AS pw
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS p)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+        |  GROUP BY p)
+        |SELECT vec_id, CAST(p AS BIGINT) AS pos,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), pw) / 4.0, 4) AS val
+        |FROM embeddings CROSS JOIN planes
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "embed_quantize" ->
       """SELECT vec_id,

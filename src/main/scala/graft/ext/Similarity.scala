@@ -136,6 +136,35 @@ object Similarity {
     concat(planeBits: _*)
   }
 
+  /** Johnson-Lindenstrauss random projection with DATABASE-FRIENDLY ±1
+    * planes (Achlioptas, JCSS 2003): y[p] = (Σ_d R[p][d]·x[d]) / √outDim
+    * with R[p][d] ∈ {−1, +1} derived from md5("p:d")'s first byte — the
+    * same deterministic plane family as [[signLshBucket]], so any
+    * executor on any cluster rebuilds the identical matrix from nothing.
+    * The standard dimensionality-reduction front end for ANN at scale:
+    * project 768-dim embeddings to 16–64 dims, index the projections,
+    * re-rank survivors at full precision.
+    *
+    * Pure map, zero shuffle: outDim [[graft.functions.FloatDotProduct]]
+    * codegen loops per row (generated code is outDim tight loops
+    * regardless of input dim — the signLsh Janino lesson). Output is the
+    * FLAT (vec_id, pos, val) table, val rounded to 4 dp; use a √outDim
+    * that is exact in binary (16 → 4.0) when oracle-checking. */
+  def randomProject(embs: DataFrame, outDim: Int, dim: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(outDim > 0 && dim > 0, s"bad dims $outDim/$dim")
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { p =>
+      val plane: Seq[Float] = (0 until dim).map { d =>
+        if (java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$d".getBytes)(0) < 0) -1.0f else 1.0f
+      }
+      round(floatDot(col(vecCol), typedLit(plane)) / scale, 4)
+    }
+    embs.select(col(idCol).as("vec_id"), posexplode(array(comps: _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("col").as("val"))
+  }
+
   /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
     * cell (one broadcast pass); each query probes its `nprobe` nearest
     * cells and reranks candidates with exact cosine. Centroids are any

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+/** JL ±1 random projection: hand-computed component, geometry
+  * preservation in expectation, zero-shuffle plan. */
+class RandomProjectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planeSign(p: Int, d: Int): Double =
+    if (java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes)(0) < 0) -1.0 else 1.0
+
+  test("hand-computed projection of a unit basis vector") {
+    // x = e_3 in dim 4: y[p] = R[p][3] / sqrt(2) for outDim 2
+    val df = Seq((7L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, outDim = 2, dim = 4)
+      .orderBy("pos").collect()
+    assert(out.length === 2)
+    (0 until 2).foreach { p =>
+      val expect = math.rint(planeSign(p, 3) / math.sqrt(2.0) * 10000) / 10000
+      assert(out(p).getDouble(2) === expect, s"component $p")
+    }
+  }
+
+  test("projection is deterministic across invocations and row order") {
+    val emb = Tables.load(spark, TestSpark.sf001, "embeddings")
+    val a = Similarity.randomProject(emb, 16, 64).orderBy("vec_id", "pos").collect()
+    val b = Similarity.randomProject(emb.orderBy(col("vec_id").desc), 16, 64)
+      .orderBy("vec_id", "pos").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === emb.count() * 16)
+  }
+
+  test("JL geometry: mean squared norm is preserved within 25% on real embeddings") {
+    // E[||y||²] = ||x||² for ±1/√k projections; inputs are unit-norm
+    val emb = Tables.load(spark, TestSpark.sf001, "embeddings")
+    val meanSq = Similarity.randomProject(emb, 16, 64)
+      .groupBy("vec_id").agg(sum(col("val") * col("val")).as("sq"))
+      .agg(avg("sq")).head().getDouble(0)
+    assert(meanSq > 0.75 && meanSq < 1.25, s"mean ||y||^2 = $meanSq")
+  }
+
+  test("plan: pure map + generate — no exchange anywhere") {
+    val emb = Tables.load(spark, TestSpark.sf001, "embeddings")
+    val plan = Similarity.randomProject(emb, 16, 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("dim-768 x outDim-32 planes compile and evaluate (Janino headroom)") {
+    val big = Seq((1L, Array.fill(768)(0.01f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(big, 32, 768).collect()
+    assert(out.length === 32)
+  }
+}
