@@ -98,6 +98,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("round-3 additions on empty inputs: empty results, not errors") {
+    // edit-distance dedup over nothing
+    assert(Dedup.editDistancePairs(noDocs).count() == 0)
+    // zipf over an empty corpus (regr over zero points)
+    val noLangDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.zipfStats(noLangDocs).count() == 0)
+    // blocklist over no docs; docs over an empty blocklist all survive
+    val noUrls = Seq.empty[(Long, String)].toDF("doc_id", "url")
+    val noBl = Seq.empty[String].toDF("domain")
+    assert(Dedup.domainBlocklist(noUrls, Seq("x.com").toDF("domain")).count() == 0)
+    val clean = Dedup.domainBlocklist(
+      Seq((1L, "http://a.com/")).toDF("doc_id", "url"), noBl).collect()
+    assert(clean.length == 1 && !clean(0).getBoolean(2))
+    // semantic contamination with an empty benchmark / empty corpus
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val someVecs = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val noBench = Seq.empty[(Long, Array[Float])].toDF("bench_id", "embedding")
+    assert(graft.ext.Similarity.semanticContamination(someVecs, noBench, 0.1).count() == 0)
+    assert(graft.ext.Similarity.semanticContamination(noVecs,
+      Seq((1L, Array(1f, 0f))).toDF("bench_id", "embedding"), 0.1).count() == 0)
+    // projection of nothing
+    assert(graft.ext.Similarity.randomProject(noVecs, 4, 2).count() == 0)
+  }
+
   test("repetition stats on sub-n-gram docs emit nulls, not errors") {
     val out = TextAnalysis.repetitionStats(
         Seq((1L, "single"), (2L, "two words"), (3L, "")).toDF("doc_id", "text"))
