@@ -1815,6 +1815,28 @@ object SparkEntry {
         .orderBy("img_a", "img_b")
     }),
 
+    // DCT perceptual hash (exact-integer variant) of the formula-pixel
+    // fixture: base images on a doc slice + perturbed twins
+    "image_phash" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id")
+        .where(col("doc_id") % 10 === 0)
+      def params(idc: org.apache.spark.sql.Column) = Seq(
+        (idc % 251).as("a"), (idc % 241).as("b"), (idc % 239).as("c"),
+        (idc % 256).as("dd"))
+      val base = docs.select(
+        (col("doc_id").as("img_id") +: params(col("doc_id")) :+ lit(0L).as("pert")): _*)
+      val twins = docs.where(col("doc_id") % 50 === 0).select(
+        ((col("doc_id") + 1000000L).as("img_id") +: params(col("doc_id")) :+
+          lit(1L).as("pert")): _*)
+      val src = base.unionByName(twins)
+        .withColumn("w", lit(45)).withColumn("h", lit(40))
+      ext.Multimodal.encodeGrayFixture(src)
+        .select(col("img_id"),
+          ext.Multimodal.phash64(col("payload"), col("w"), col("h")).as("_p"))
+        .select(col("img_id"), col("_p.hi").as("hi"), col("_p.lo").as("lo"))
+        .orderBy("img_id")
+    }),
+
     // ------------------------------------------------------------------
     // NBI snapshot listing (SURVEY S3): list FROM the persisted catalog
     // ------------------------------------------------------------------
@@ -4231,6 +4253,8 @@ object SparkEntry {
 
     // dHash replayed from the pixel FORMULA (block sums in closed form —
     // the Spark side hashed actual bytes), then the same banding+popcount
+    "image_phash" -> phashOracle,
+
     "image_dhash_neardup" ->
       """WITH imgs AS (
         |  SELECT doc_id AS img_id, doc_id % 251 AS a, doc_id % 241 AS b,
@@ -4482,6 +4506,55 @@ object SparkEntry {
        |         cut - coalesce(lag(cut) OVER (PARTITION BY member ORDER BY cut), 0) AS len
        |  FROM cdccuts
        |)""".stripMargin
+  }
+
+  /** pHash oracle: the full exact-integer DCT pipeline replayed in SQL —
+    * formula pixels → 32×32 integer-floor downsample → 8×8 coefficients
+    * against the SAME embedded basis integers ([[graft.functions.PHash64.T]],
+    * interpolated below so no cross-engine cos() is involved) → lower
+    * median → bit assembly via integer shifts. */
+  private lazy val phashOracle: String = {
+    val tvals = (for (j <- 0 until 8; k <- 0 until 32)
+      yield s"($j,$k,${graft.functions.PHash64.T(j)(k)})").mkString(",")
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS img_id, doc_id % 251 AS a, doc_id % 241 AS b,
+       |         doc_id % 239 AS c, doc_id % 256 AS dd, 0 AS pert
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id % 251, doc_id % 241, doc_id % 239,
+       |         doc_id % 256, 1
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |tt AS (SELECT * FROM (VALUES $tvals) AS t(j, k, tv)),
+       |px AS (
+       |  SELECT img_id, x, y,
+       |    ((a*(x//5) + b*(y//5) + c*(x//5)*(y//5) + dd +
+       |      CASE WHEN pert = 1 AND x//5 = 0 AND y//5 = 0 THEN 1 ELSE 0 END) % 248
+       |     + x % 5 + y % 5) % 256 AS pv
+       |  FROM imgs
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 44)) AS x)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS y)),
+       |cells AS (
+       |  SELECT img_id, (y*32)//40 AS cy, (x*32)//45 AS cx,
+       |    (CAST(sum(pv) AS BIGINT) * 10000) // count(*) AS g
+       |  FROM px GROUP BY 1, 2, 3),
+       |co AS (
+       |  SELECT img_id, tu.j AS u, tv2.j AS v,
+       |    CAST(sum(tu.tv * tv2.tv * g) AS BIGINT) AS cf
+       |  FROM cells
+       |  JOIN tt tu ON tu.k = cy
+       |  JOIN tt tv2 ON tv2.k = cx
+       |  GROUP BY 1, 2, 3),
+       |med AS (
+       |  SELECT img_id, cf AS m FROM (
+       |    SELECT img_id, cf,
+       |      row_number() OVER (PARTITION BY img_id ORDER BY cf ASC) AS rn
+       |    FROM co) WHERE rn = 32)
+       |SELECT co.img_id,
+       |  CAST(coalesce(sum(CASE WHEN cf > m AND u*8 + v < 32
+       |    THEN (CAST(1 AS BIGINT) << (u*8 + v)) ELSE 0 END), 0) AS BIGINT) AS hi,
+       |  CAST(coalesce(sum(CASE WHEN cf > m AND u*8 + v >= 32
+       |    THEN (CAST(1 AS BIGINT) << (u*8 + v - 32)) ELSE 0 END), 0) AS BIGINT) AS lo
+       |FROM co JOIN med USING (img_id) GROUP BY co.img_id ORDER BY img_id""".stripMargin
   }
 
   private lazy val incrementalDedupOracle: String =

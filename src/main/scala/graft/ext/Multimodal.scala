@@ -206,6 +206,13 @@ object Multimodal {
               h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.ImageFunctions.dhash64(payload, w, h)
 
+  /** struct(hi, lo) pHash halves of a grayscale payload column (native
+    * [[graft.functions.PHash64]] — exact-integer 32×32 DCT variant;
+    * interchangeable with [[dhash64]] as input to [[imageNearDup]]). */
+  def phash64(payload: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+              h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ImageFunctions.phash64(payload, w, h)
+
   /** Perceptual near-duplicate pairs over dHash halves (img_id, hi, lo):
     * Hamming-LSH banding — the 64-bit hash splits into 4 × 16-bit bands,
     * images sharing any band become candidates (guaranteed recall for

@@ -98,9 +98,131 @@ object DHash64 {
   }
 }
 
+/** Native perceptual hash (pHash) over a raw grayscale pixel buffer —
+  * the DCT-domain fingerprint that survives blur/resize/recompress where
+  * dHash's gradient grid does not.
+  *
+  * Definition (an EXACT-INTEGER DCT variant, documented so the oracle
+  * replays it bit-for-bit):
+  *  1. downsample to a 32×32 grid (pixel (x, y) → cell (y*32/h, x*32/w));
+  *     cell value g = sum·10000 / count via INTEGER floor division;
+  *  2. 2-D DCT-II restricted to the 8×8 low-frequency block using the
+  *     integer basis T[j][k] = rint(cos(π(2k+1)j/64)·10⁴) — coefficient
+  *     C[u][v] = Σ_{y,x} T[u][y]·T[v][x]·g[y·32+x], pure Long products
+  *     (max |term| ≈ 2.6e14, Σ over 1024 terms ≈ 2.6e17 < 2⁶³);
+  *  3. med = 32nd-smallest of the 64 coefficients (lower median);
+  *     bit u*8+v is 1 iff C[u][v] > med — at most 32 bits set, ties
+  *     deterministic.
+  * The basis table is exposed ([[PHash64.T]]) so the DuckDB oracle
+  * embeds the SAME integers rather than re-deriving cos() — no
+  * cross-engine libm coin flips. Hash returned as unsigned 32-bit
+  * halves like [[DHash64]]. Null for buffers that can't hold w×h or
+  * dims under 32. One O(W·H + 64·1024) pass per image. */
+case class PHash64(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+        third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"phash64 expects (binary, int, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+
+  override def nullSafeEval(p: Any, w: Any, h: Any): Any =
+    PHash64.phash(p.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, w, h) => {
+      s"""
+         |${ev.value} = graft.functions.PHash64$$.MODULE$$.phash($p, $w, $h);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PHash64 {
+  /** Integer DCT-II basis: T(j)(k) = rint(cos(π(2k+1)j/64)·10⁴),
+    * frequencies j ∈ 0..7 over 32 samples. Public: the oracle SQL
+    * embeds these very integers. */
+  val T: Array[Array[Long]] = Array.tabulate(8, 32)((j, k) =>
+    math.rint(math.cos(math.Pi * (2 * k + 1) * j / 64.0) * 10000.0).toLong)
+
+  def phash(p: Array[Byte], w: Int, h: Int): InternalRow = {
+    if (p == null || w < 32 || h < 32 || p.length < w.toLong * h) return null
+    val sums = new Array[Long](1024)
+    val cnts = new Array[Long](1024)
+    var y = 0
+    while (y < h) {
+      val cy = y * 32 / h
+      val rowOff = y * w
+      var x = 0
+      while (x < w) {
+        val cell = cy * 32 + x * 32 / w
+        sums(cell) += (p(rowOff + x) & 0xff)
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val g = new Array[Long](1024)
+    var i = 0
+    while (i < 1024) { g(i) = sums(i) * 10000L / cnts(i); i += 1 }
+    val coef = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      val tu = T(u)
+      var v = 0
+      while (v < 8) {
+        val tv = T(v)
+        var s = 0L
+        var yy = 0
+        while (yy < 32) {
+          val tuy = tu(yy)
+          val row = yy * 32
+          var xx = 0
+          while (xx < 32) { s += tuy * tv(xx) * g(row + xx); xx += 1 }
+          yy += 1
+        }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coef.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 64) {
+      if (coef(k) > med) {
+        if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](hi, lo))
+  }
+}
+
 object ImageFunctions {
   /** struct(hi, lo) dHash halves of a grayscale buffer column. */
   def dhash64(payload: Column, w: Column, h: Column): Column =
     GraftShim.column(DHash64(GraftShim.expression(payload),
+      GraftShim.expression(w), GraftShim.expression(h)))
+
+  /** struct(hi, lo) pHash halves of a grayscale buffer column. */
+  def phash64(payload: Column, w: Column, h: Column): Column =
+    GraftShim.column(PHash64(GraftShim.expression(payload),
       GraftShim.expression(w), GraftShim.expression(h)))
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ext.Multimodal
+import graft.functions.PHash64
+import org.apache.spark.sql.functions._
+
+/** pHash (exact-integer DCT): reimplementation agreement, twin
+  * robustness vs dHash-style fixtures, guards, determinism. */
+class PHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent functional re-derivation of the documented contract
+    * (index math, basis use, median, bit assembly all rebuilt). */
+  private def phashRef(p: Array[Byte], w: Int, h: Int): (Long, Long) = {
+    val cells = (0 until h).flatMap(y => (0 until w).map(x =>
+      ((y * 32 / h) * 32 + x * 32 / w, (p(y * w + x) & 0xff).toLong)))
+      .groupBy(_._1).view.mapValues(v => v.map(_._2).sum * 10000L / v.size).toMap
+    val coef = (0 until 64).map { k =>
+      val (u, v) = (k / 8, k % 8)
+      (0 until 1024).map { c =>
+        PHash64.T(u)(c / 32) * PHash64.T(v)(c % 32) * cells(c)
+      }.sum
+    }
+    val med = coef.sorted.apply(31)
+    coef.zipWithIndex.foldLeft((0L, 0L)) { case ((hi, lo), (c, k)) =>
+      if (c > med) { if (k < 32) (hi | (1L << k), lo) else (hi, lo | (1L << (k - 32))) }
+      else (hi, lo)
+    }
+  }
+
+  private def fixture(n: Int): Seq[(Long, Array[Byte])] = (0 until n).map { i =>
+    val (w, h) = (45, 40)
+    val p = Array.tabulate(w * h) { idx =>
+      val (x, y) = (idx % w, idx / w)
+      ((i * 31 + x * x * 7 + y * 13 + x * y) % 256).toByte
+    }
+    (i.toLong, p)
+  }
+
+  test("native expression agrees with the independent re-derivation") {
+    val rows = fixture(20)
+    val df = rows.toDF("img_id", "payload")
+      .select(col("img_id"),
+        Multimodal.phash64(col("payload"), lit(45), lit(40)).as("_p"))
+      .select(col("img_id"), col("_p.hi"), col("_p.lo"))
+      .orderBy("img_id").collect()
+    rows.foreach { case (id, p) =>
+      val (hi, lo) = phashRef(p, 45, 40)
+      val r = df(id.toInt)
+      assert((r.getLong(1), r.getLong(2)) === ((hi, lo)), s"img $id")
+    }
+  }
+
+  test("at most 32 bits set (lower-median contract); halves are unsigned") {
+    val df = fixture(20).toDF("img_id", "payload")
+      .select(Multimodal.phash64(col("payload"), lit(45), lit(40)).as("_p"))
+      .select(col("_p.hi").as("hi"), col("_p.lo").as("lo")).collect()
+    df.foreach { r =>
+      val bits = java.lang.Long.bitCount(r.getLong(0)) + java.lang.Long.bitCount(r.getLong(1))
+      assert(bits <= 32, s"bits=$bits")
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 0xffffffffL)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 0xffffffffL)
+    }
+  }
+
+  test("single-block +1 perturbation moves few bits; unrelated images differ a lot") {
+    // the encodeGrayFixture pert twin: one 5x5 source block nudged by 1
+    val src = Seq(
+      (1L, 7L, 11L, 13L, 100L, 0L, 45, 40),
+      (2L, 7L, 11L, 13L, 100L, 1L, 45, 40),   // pert twin of 1
+      (3L, 201L, 3L, 77L, 9L, 0L, 45, 40))    // unrelated
+      .toDF("img_id", "a", "b", "c", "dd", "pert", "w", "h")
+    val hashed = Multimodal.encodeGrayFixture(src)
+      .select(col("img_id"), Multimodal.phash64(col("payload"), col("w"), col("h")).as("_p"))
+      .select(col("img_id"), col("_p.hi").as("hi"), col("_p.lo").as("lo"))
+      .orderBy("img_id").collect()
+    def ham(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =
+      java.lang.Long.bitCount(a.getLong(1) ^ b.getLong(1)) +
+        java.lang.Long.bitCount(a.getLong(2) ^ b.getLong(2))
+    assert(ham(hashed(0), hashed(1)) <= 8,
+      s"twin hamming ${ham(hashed(0), hashed(1))}")
+    assert(ham(hashed(0), hashed(2)) > 8,
+      s"unrelated hamming ${ham(hashed(0), hashed(2))}")
+  }
+
+  test("guards: null for sub-32 dims or short buffers") {
+    val df = Seq(
+      (1L, Array.fill(45 * 40)(1.toByte), 45, 40),
+      (2L, Array.fill(31 * 40)(1.toByte), 31, 40),  // w < 32
+      (3L, Array.fill(10)(1.toByte), 45, 40))       // short buffer
+      .toDF("img_id", "payload", "w", "h")
+      .select(col("img_id"), Multimodal.phash64(col("payload"), col("w"), col("h")).as("p"))
+      .orderBy("img_id").collect()
+    assert(!df(0).isNullAt(1) && df(1).isNullAt(1) && df(2).isNullAt(1))
+  }
+
+  test("gate entry: rows at sf0.001, repeat-run deterministic") {
+    val a = SparkEntry.queries("image_phash")(spark, TestSpark.sf001).collect()
+    val b = SparkEntry.queries("image_phash")(spark, TestSpark.sf001).collect()
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
+}
