@@ -955,7 +955,7 @@ object SparkEntry {
     // self-join, without the quadratic hot-shingle blowup — the raw
     // self-join scaled ×21 at the sf0.1→sf1 step.
     "dedup_jaccard" -> ((s, d) => {
-      val sh = ext.Dedup.shingles(dedupCorpus(s, d).where(col("doc_id") % 10 === 0))
+      val sh = ext.Dedup.shingles(auditSlice(dedupCorpus(s, d)))
       ext.Dedup.jaccardSelfJoin(sh, 0.8).orderBy("doc_a", "doc_b")
     }),
 
@@ -1082,7 +1082,7 @@ object SparkEntry {
     // over the exact-Jaccard pair table (same deterministic slice as
     // dedup_jaccard so the oracle's recursive CTE sees identical edges).
     "dedup_components" -> ((s, d) => {
-      val sh = ext.Dedup.shingles(dedupCorpus(s, d).where(col("doc_id") % 10 === 0))
+      val sh = ext.Dedup.shingles(auditSlice(dedupCorpus(s, d)))
       val pairs = ext.Dedup.jaccardSelfJoin(sh, 0.8).select("doc_a", "doc_b")
       ext.Dedup.connectedComponents(pairs).orderBy("doc_id")
     }),
@@ -1092,7 +1092,7 @@ object SparkEntry {
     // (ties → min id) instead of the arbitrary min-id — the keep rule
     // curation actually wants.
     "dedup_best_rep" -> ((s, d) => {
-      val slice = dedupCorpus(s, d).where(col("doc_id") % 10 === 0)
+      val slice = auditSlice(dedupCorpus(s, d))
       val sh = ext.Dedup.shingles(slice)
       val pairs = ext.Dedup.jaccardSelfJoin(sh, 0.8).select("doc_a", "doc_b")
       val comps = ext.Dedup.connectedComponents(pairs)
@@ -1515,6 +1515,12 @@ object SparkEntry {
       ext.TextAnalysis.zipfStats(Tables.load(s, d, "documents"))
         .orderBy("lang")),
 
+    // OOV coverage vs the corpus's own top-20 vocabulary (the 31-word
+    // fixture vocab guarantees a nonempty OOV tail); all-integer output
+    "vocab_oov" -> ((s, d) =>
+      ext.TextAnalysis.oovRate(Tables.load(s, d, "documents"), vocabSize = 20)
+        .orderBy("doc_id")),
+
     "lang_id" -> ((s, d) =>
       ext.TextAnalysis.langId(Tables.load(s, d, "documents"))
         .select("doc_id", "votes_de", "votes_en", "votes_es", "votes_fr", "pred_lang")
@@ -1933,6 +1939,19 @@ object SparkEntry {
       docs.where(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
   }
+
+  /** FIXED-SIZE audit slice for the exact-Jaccard ground-truth entries
+    * (dedup_jaccard / dedup_components / dedup_best_rep): every 10th
+    * doc, capped at base id < 100k (`% 1000000` keeps each injected
+    * duplicate with its original). The exact self-join is a DECLARED
+    * quadratic oracle baseline — its cost must not grow with the corpus,
+    * and at sf10 the uncapped 10% slice (55k docs over the 31-word
+    * fixture vocab) blew the verify join past the sandbox disk
+    * (candidates × shingles ≈ 10^10 rows; measured, PERF round-3 sf10
+    * section). The LSH path ([[graft.ext.Dedup.nearDupMinhashLsh]],
+    * corpus_prepare) is the scale path and stays uncapped. */
+  private def auditSlice(corpus: DataFrame): DataFrame =
+    corpus.where(col("doc_id") % 10 === 0 && col("doc_id") % 1000000L < 100000L)
 
   /** The synthetic "new crawl" for the incremental-dedup entries: exact
     * re-fetches (ids +1e6), one-token-appended near-dups (+2e6, the
@@ -2978,7 +2997,7 @@ object SparkEntry {
         |    ON nb.doc_id = i.doc_b)
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
       OracleCte.corpus, OracleCte.shingles,
-      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0)"),
+      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0 AND doc_id % 1000000 < 100000)"),
 
     "dedup_minhash_lsh" -> o(
       """SELECT doc_a, doc_b, jaccard FROM (
@@ -3078,7 +3097,7 @@ object SparkEntry {
     "dedup_components" -> OracleCte.sqlRecursive(
       "SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id ORDER BY doc_id",
       OracleCte.corpus, OracleCte.shingles,
-      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0)",
+      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0 AND doc_id % 1000000 < 100000)",
       """pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT i.doc_a, i.doc_b,
@@ -3111,7 +3130,7 @@ object SparkEntry {
         |  FROM comp c JOIN qs ON qs.doc_id = c.doc_id)
         |WHERE rn = 1 ORDER BY component""".stripMargin,
       OracleCte.corpus, OracleCte.shingles,
-      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0)",
+      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0 AND doc_id % 1000000 < 100000)",
       """pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT i.doc_a, i.doc_b,
@@ -3824,6 +3843,24 @@ object SparkEntry {
         |    + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
         |        / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // top-20 vocab rebuilt with the same (freq desc, token asc) cut;
+    // permille is integer floor division in both engines
+    "vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+        |vocab AS (
+        |  SELECT tok FROM (SELECT tok, count(*) AS f FROM tk GROUP BY tok)
+        |  ORDER BY f DESC, tok ASC LIMIT 20)
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
+        |    // count(*) AS oov_permille
+        |FROM tk LEFT JOIN vocab v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Zipf fit: rank replayed with a direct per-language window — must
     // equal Spark's freq-class prefix-sum + in-class row_number

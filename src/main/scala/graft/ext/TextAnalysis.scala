@@ -394,6 +394,46 @@ object TextAnalysis {
       .drop("_s", "_c", "_below")
   }
 
+  /** Out-of-vocabulary rate per document against a closed vocabulary —
+    * the coverage check run before committing to a tokenizer/vocab: how
+    * much of each document (and of the corpus) falls outside the top-N
+    * token list. High OOV flags encoding-mangled or off-domain text.
+    *
+    * The vocabulary is DERIVED here (top `vocabSize` tokens by corpus
+    * frequency, ties to the lexicographically smaller token) so the
+    * whole check is reproducible from the corpus alone; pass any other
+    * single-column `vocab` DataFrame to check against an external list
+    * via [[oovRateAgainst]]. Output is all-integer — (doc_id, n_tokens,
+    * n_oov, oov_permille) with permille = n_oov·1000 div n_tokens — so
+    * no float boundary exists.
+    *
+    * Scale shape: ONE token explode feeds both the frequency count and
+    * the per-doc join; the vocab is `vocabSize` rows by construction —
+    * broadcast — and the top-N cut is a TakeOrderedAndProject-style
+    * limit over the (token, freq) agg, never a global sort of the
+    * corpus. */
+  def oovRate(docs: DataFrame, vocabSize: Int,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(whitespaceTokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("_f"))
+      .orderBy(col("_f").desc, col("tok").asc).limit(vocabSize)
+      .select("tok")
+    oovRateAgainst(tok, vocab)
+  }
+
+  /** OOV rates of a pre-exploded (doc_id, tok) table against an explicit
+    * one-column vocabulary. */
+  private[graft] def oovRateAgainst(tok: DataFrame, vocab: DataFrame): DataFrame =
+    tok.join(broadcast(vocab.select(col(vocab.columns.head).as("tok"),
+        lit(1).as("_inv"))), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+
   /** Per-language vocabulary statistics with a Zipf least-squares fit —
     * the standard corpus-health report before pretraining: vocabulary
     * size vs token volume, hapax (freq-1) mass, and how closely the

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** OOV-rate: hand-computed coverage, tie-break at the vocab boundary,
+  * integer permille semantics. */
+class VocabOovSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand case: top-2 vocab of a 3-type corpus; per-doc counts") {
+    // freqs: a=4, c=3, b=2 → vocab {a, c}; each doc's only OOV is 'b'
+    val docs = Seq((1L, "a a b c"), (2L, "a b a c c")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 1L
+      && out(0).getLong(3) === 250L)
+    assert(out(1).getLong(1) === 5L && out(1).getLong(2) === 1L
+      && out(1).getLong(3) === 200L)
+  }
+
+  test("vocab boundary tie breaks to the lexicographically smaller token") {
+    // freqs all equal: vocab of size 1 must pick 'a'
+    val docs = Seq((1L, "b a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabSize = 1).collect()
+    assert(out.head.getLong(2) === 2L) // b, c OOV; a kept
+  }
+
+  test("full-coverage vocab gives zero OOV; permille is floor division") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabSize = 10).collect()
+    assert(out.head.getLong(2) === 0L && out.head.getLong(3) === 0L)
+    // 2 OOV of 3 → 666 permille (floored)
+    val out2 = TextAnalysis.oovRate(Seq((1L, "q r s")).toDF("doc_id", "text"), 1)
+      .collect()
+    assert(out2.head.getLong(3) === 666L)
+  }
+
+  test("gate entry: every sf0.001 doc accounted for, permille bounded") {
+    val rows = SparkEntry.queries("vocab_oov")(spark, TestSpark.sf001).collect()
+    val nDocs = Tables.load(spark, TestSpark.sf001, "documents").count()
+    assert(rows.length === nDocs)
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 1000))
+    // the 31-word vocab against a top-20 cut guarantees a nonzero tail
+    assert(rows.exists(_.getLong(2) > 0))
+  }
+}
