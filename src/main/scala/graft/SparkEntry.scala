@@ -1521,6 +1521,17 @@ object SparkEntry {
       ext.TextAnalysis.oovRate(Tables.load(s, d, "documents"), vocabSize = 20)
         .orderBy("doc_id")),
 
+    // CCNet normalization over case/accent/punct-decorated docs (the
+    // ASCII fixture text is a no-op without the injected noise)
+    "text_normalize" -> ((s, d) => {
+      val deco = concat(col("text"), element_at(array(
+        lit(" Café, #42!"), lit(" ÜBER naïve…"), lit("  [töst]  "), lit(" œuf & ß")),
+        (col("doc_id") % 4).cast("int") + 1))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), ext.TextAnalysis.normalize(deco).as("norm"))
+        .orderBy("doc_id")
+    }),
+
     "lang_id" -> ((s, d) =>
       ext.TextAnalysis.langId(Tables.load(s, d, "documents"))
         .select("doc_id", "votes_de", "votes_en", "votes_es", "votes_fr", "pred_lang")
@@ -3843,6 +3854,23 @@ object SparkEntry {
         |    + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
         |        / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same explicit accent table interpolated — no cross-engine unicode
+    // tables involved; DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all default
+    "text_normalize" -> {
+      val src = ext.TextAnalysis.AccentSrc
+      val dst = ext.TextAnalysis.AccentDst
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(
+         |    translate(lower(text ||
+         |      (CASE CAST(doc_id % 4 AS INT)
+         |         WHEN 0 THEN ' Café, #42!' WHEN 1 THEN ' ÜBER naïve…'
+         |         WHEN 2 THEN '  [töst]  ' ELSE ' œuf & ß' END)),
+         |      '$src', '$dst'),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // top-20 vocab rebuilt with the same (freq desc, token asc) cut;
     // permille is integer floor division in both engines

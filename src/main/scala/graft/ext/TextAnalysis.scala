@@ -394,6 +394,26 @@ object TextAnalysis {
       .drop("_s", "_c", "_below")
   }
 
+  /** Accent-fold source/target tables for [[normalize]] — EXPLICIT so
+    * the oracle embeds the identical mapping instead of trusting two
+    * engines' unicode tables to agree. Lowercase Latin-1/Latin-Extended
+    * accents only (inputs are lowercased first). */
+  private[graft] val AccentSrc = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāēīōūœæß"
+  private[graft] val AccentDst = "aaaaaaceeeeiiiinooooouuuuyyaeiouoas"
+
+  /** CCNet-style text normalization — the canonical form fed to LM
+    * scoring and hash-based dedup so that case, accents, and punctuation
+    * differences don't split otherwise-identical content:
+    * lowercase → accent fold (explicit table above) → every char outside
+    * [a-z0-9 ] becomes a space → whitespace collapse + trim. Pure
+    * codegen Column ops (lower/translate/regexp_replace/trim), zero
+    * shuffle, one scan. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(translate(lower(text), AccentSrc, AccentDst),
+        "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** Out-of-vocabulary rate per document against a closed vocabulary —
     * the coverage check run before committing to a tokenizer/vocab: how
     * much of each document (and of the corpus) falls outside the top-N

@@ -1,0 +1,37 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** CCNet-style normalization: accent table, punctuation stripping,
+  * collapse/trim, idempotence. */
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(s: String*): Seq[String] =
+    s.toDF("t").select(TextAnalysis.normalize(col("t")).as("n"))
+      .as[String].collect().toSeq
+
+  test("case, accents, ligatures fold to ASCII") {
+    assert(norm("Café ÜBER naïve œuf ß straße") ===
+      Seq("cafe uber naive ouf s strase"))
+  }
+
+  test("punctuation becomes a space; runs collapse; edges trim") {
+    assert(norm("  Hello,   world!! (#42) --ok  ") === Seq("hello world 42 ok"))
+  }
+
+  test("non-Latin scripts strip (documented contract of the [a-z0-9 ] alphabet)") {
+    assert(norm("abc 中文 def") === Seq("abc def"))
+  }
+
+  test("idempotent: normalizing a normalized string is a no-op") {
+    val inputs = Seq("Café, #42!", "ÜBER naïve…", "  [töst]  ", "œuf & ß")
+    val once = norm(inputs: _*)
+    assert(norm(once: _*) === once)
+  }
+
+  test("accent table arity: src and dst are the same length") {
+    assert(TextAnalysis.AccentSrc.length === TextAnalysis.AccentDst.length)
+  }
+}
