@@ -1,0 +1,55 @@
+package graft
+
+/** Full-surface physical-plan audit — every SparkEntry query plans at
+  * sf0.001 and is checked for the scale anti-patterns: CartesianProduct
+  * anywhere is a failure; BroadcastNestedLoopJoin only on the declared
+  * broadcast-scan / quadratic-oracle-baseline operators. Keeps the
+  * PERF.md plan audit enforced in `sbt test` as the surface grows. */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Ops whose contract IS a broadcast nested scan (small side broadcast
+    * by construction: query sets, benchmark sets, centroid/codebook
+    * tables) or a DECLARED quadratic exact baseline. Each is documented
+    * at its definition site. */
+  private val bnljAllowed = Set(
+    "embed_near_dup",           // declared quadratic oracle baseline
+    "embed_knn", "embed_knn_quantized", "embed_knn_pq", "embed_knn_ivfpq",
+    "embed_knn_ivf", "embed_knn_lsh", // broadcast query sets (non-equi self-exclusion)
+    "embed_sql_cosine",
+    "embed_semantic_dedup",     // in-cell pair scan, cells bound the blowup
+    "contamination_semantic",   // broadcast benchmark scan
+    "hard_negatives",           // broadcast slice-vocab posting filter
+    // ---- single-row broadcast of a scalar aggregate (totals / model
+    // constants joined to every row — a 1×N nested loop IS the plan):
+    "dsir_weights", "quality_unigram_nll", "quality_bigram_nll",
+    "quality_nb_classifier", "bm25_topk", "q22_dormant_customers",
+    "lhotse_batches",
+    // ---- template/range expansion joined on a non-equi name condition
+    // (the expansion side is index-small by the template contract):
+    "template_expand", "template_expand_alpha", "sel_template_join",
+    "sel_union", "evict_delete", "dload_range_diff")
+
+  test("no CartesianProduct in any query plan; BNLJ only where declared") {
+    try shards.TarFixtures.ensure(spark, TestSpark.sf001) catch { case _: Throwable => }
+    try SparkEntry.queries("nbi_snapshot_listing")(spark, TestSpark.sf001).count()
+    catch { case _: Throwable => }
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, TestSpark.sf001).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: undeclared BroadcastNestedLoopJoin")
+        else None
+      } catch {
+        case e: Throwable => Some(s"$name: failed to plan: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("the BNLJ allowlist stays tight: every allowed name still exists") {
+    bnljAllowed.foreach(n =>
+      assert(SparkEntry.queries.contains(n), s"allowlisted '$n' is gone"))
+  }
+}
