@@ -1298,11 +1298,22 @@ object SparkEntry {
     // (regex-heavy) scored plan — an agg + join-back would run it twice.
     "corpus_clean" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val scored = ext.TextAnalysis.qualityFeatures(ext.TextAnalysis.langId(docs))
+      // DEDUP FIRST, SCORE SECOND: langId/quality are pure functions of
+      // the text, so every member of an md5 group passes or fails the
+      // filter together and the group's keeper is min(doc_id) either
+      // way. The hash aggregate partial-combines map-side (duplicates
+      // collapse BEFORE the exchange, so the shuffle carries at most
+      // the distinct texts), there is no per-group sort, and the
+      // feature scan runs ONCE over the already-deduped survivors —
+      // the window formulation shuffled full scored rows and a join
+      // formulation evaluated the feature scan twice (both measured
+      // slower at sf1/sf10, PERF round-3 session notes).
+      val kept = docs
+        .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"), col("text"))
+        .groupBy("_h")
+        .agg(min("doc_id").as("doc_id"), min("text").as("text"))
+      ext.TextAnalysis.qualityFeatures(ext.TextAnalysis.langId(kept))
         .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
-      val w = Window.partitionBy(md5(col("text").cast("binary")))
-        .orderBy(col("doc_id").asc)
-      scored.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
         .select("doc_id", "n_tokens", "quality_score")
         .orderBy("doc_id")
     }),
