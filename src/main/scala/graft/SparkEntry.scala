@@ -1110,14 +1110,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Embedding-space contamination: every 50th vector plays the eval
-    // benchmark; corpus vectors whose best cosine reaches 0.35 are
-    // flagged with that best match (ties → smallest bench_id).
+    // Embedding-space contamination: every 50th vector among the first
+    // 25k ids plays the eval benchmark — FIXED-SIZE at any corpus scale
+    // (eval sets don't grow with the crawl; an uncapped %50 slice made
+    // the broadcast side scale with the corpus and the scan go ×17 at
+    // the sf1→sf10 step). Corpus = the complement.
     "contamination_semantic" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
+      val isBench = col("vec_id") % 50 === 0 && col("vec_id") < 25000
       ext.Similarity.semanticContamination(
-        emb.where(col("vec_id") % 50 =!= 0),
-        emb.where(col("vec_id") % 50 === 0).withColumnRenamed("vec_id", "bench_id"),
+        emb.where(!isBench),
+        emb.where(isBench).withColumnRenamed("vec_id", "bench_id"),
         threshold = 0.35)
         .orderBy("vec_id")
     }),
@@ -1538,7 +1541,11 @@ object SparkEntry {
       val deco = concat(col("text"), element_at(array(
         lit(" Café, #42!"), lit(" ÜBER naïve…"), lit("  [töst]  "), lit(" œuf & ß")),
         (col("doc_id") % 4).cast("int") + 1))
-      Tables.load(s, d, "documents")
+      // repartition: the local documents parquet is 1-2 row groups, so a
+      // pure regex map would run in ONE task (measured ×14 at sf1→sf10);
+      // on any real FS the scan arrives split — this stands in for that
+      val n = s.sparkContext.defaultParallelism
+      Tables.load(s, d, "documents").repartition(n)
         .select(col("doc_id"), ext.TextAnalysis.normalize(deco).as("norm"))
         .orderBy("doc_id")
     }),
@@ -3187,9 +3194,9 @@ object SparkEntry {
     // (cos desc, bench_id asc) argmax mirror the Spark struct-max
     "contamination_semantic" ->
       """WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
-        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |           FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 25000),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
-        |      FROM embeddings WHERE vec_id % 50 <> 0),
+        |      FROM embeddings WHERE NOT (vec_id % 50 = 0 AND vec_id < 25000)),
         |s AS (SELECT vec_id, bench_id,
         |        round(list_dot_product(bv, cv)
         |          / (sqrt(list_dot_product(bv, bv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
