@@ -276,8 +276,15 @@ object Similarity {
     val absMax = aggregate(col(vecCol), lit(0.0d),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
     embs
-      .select(col(idCol).as("vec_id"), (absMax / 127.0d).as("_s"),
-        posexplode(col(vecCol)).as(Seq("pos", "_x")))
+      // _s in its OWN select, before the explode: with _s and posexplode
+      // in one select, the analyzer hoists Generate above the projection
+      // and the interpreted aggregate() fold re-runs once PER ELEMENT —
+      // dim× the work (measured 10.9 s → 1.8 s at sf1). As a separate
+      // non-cheap multiply-referenced projection, CollapseProject leaves
+      // it below the Generate (the minhash two-selects lesson).
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
+        (absMax / 127.0d).as("_s"))
+      .select(col("vec_id"), col("_s"), posexplode(col("_v")).as(Seq("pos", "_x")))
       .select(col("vec_id"),
         round(col("_s"), 8).as("scale"),
         col("pos").cast("long").as("pos"),
