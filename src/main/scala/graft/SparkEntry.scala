@@ -1008,6 +1008,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Interval lookup join (the GeoIP / tariff-tier shape) via bucket
+    // decomposition — event value-cents against a FIXED 2000-interval
+    // tier table derived arithmetically from part (overlapping tiers,
+    // coverage gaps, widths 20..200). Aggregated per event so output
+    // stays linear in facts while the join itself exercises the
+    // decomposed equi-join (PlanAuditSpec proves no BNLJ/Cartesian).
+    "range_lookup" -> ((s, d) => {
+      val facts = Tables.load(s, d, "events")
+        .select(col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
+      val ranges = Tables.load(s, d, "part")
+        .where(col("p_partkey") <= 2000)
+        .select(col("p_partkey").cast("long").as("range_id"),
+          ((col("p_partkey") * 37) % 50000).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + lit(20) + (col("range_id") % 13) * 15)
+      ops.RangeJoin.lookup(facts, ranges, "cents", joinType = "left")
+        .groupBy("event_id", "cents")
+        .agg(count(col("range_id")).as("n_tiers"), min("range_id").as("first_tier"))
+        .orderBy("event_id")
+    }),
+
     // Line-level exact dedup (C4-style boilerplate strip): synthesize
     // multi-line "pages" (4 docs each, framed by a shared header and a
     // 3-variant footer — the repeated-across-pages boilerplate this op
@@ -3434,6 +3454,22 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, (m.e IS NOT NULL) AS blocked, m.e AS blocked_by
         |FROM hosts h LEFT JOIN m ON m.doc_id = h.doc_id AND m.rn = 1
         |ORDER BY h.doc_id""".stripMargin,
+
+    // the oracle replays the interval join as a plain non-equi join —
+    // independent of the Spark side's bucket decomposition
+    "range_lookup" ->
+      """WITH facts AS (
+        |  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |ranges AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS range_id,
+        |         CAST((p_partkey * 37) % 50000 AS BIGINT) AS lo,
+        |         CAST((p_partkey * 37) % 50000 + 20 + (p_partkey % 13) * 15 AS BIGINT) AS hi
+        |  FROM part WHERE p_partkey <= 2000)
+        |SELECT f.event_id, f.cents, count(r.range_id) AS n_tiers,
+        |       min(r.range_id) AS first_tier
+        |FROM facts f LEFT JOIN ranges r ON f.cents >= r.lo AND f.cents <= r.hi
+        |GROUP BY f.event_id, f.cents
+        |ORDER BY f.event_id""".stripMargin,
 
     "url_dedup" ->
       """SELECT doc_id,
