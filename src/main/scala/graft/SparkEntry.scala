@@ -1008,6 +1008,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML -> text extraction: each document wrapped in a full synthetic
+    // page (head with entity-bearing title + style + script whose BODY
+    // contains decoy tags, uppercase tags, nav boilerplate, a comment,
+    // entity-encoded list items incl. the &amp;lt; double-escape and the
+    // decode-after-strip '<tag>' resurrection case). The op must return
+    // exactly the body content.
+    "html_extract" -> ((s, d) => {
+      val page = concat(
+        lit("<!DOCTYPE html><html><head><title> Doc &amp; "),
+        col("doc_id").cast("string"),
+        lit(" </title><style>body{color:red}</style>" +
+          "<script type=\"text/javascript\">var x = '<p>not text</p>';</script>" +
+          "</head><body><DIV class=\"nav\">Home | About</DIV><!-- nav ends --><p>"),
+        col("text"),
+        lit("</p><ul><li>a &lt;tag&gt;</li><li>b&nbsp;c</li></ul><br/>" +
+          "&quot;quoted&quot; &#39;q&#39; &amp;amp;</body></html>"))
+      ext.TextAnalysis.htmlExtract(
+        Tables.load(s, d, "documents").select(col("doc_id"), page.as("html")))
+        .orderBy("doc_id")
+    }),
+
     // Interval lookup join (the GeoIP / tariff-tier shape) via bucket
     // decomposition — event value-cents against a FIXED 2000-interval
     // tier table derived arithmetically from part (overlapping tiers,
@@ -3454,6 +3475,48 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, (m.e IS NOT NULL) AS blocked, m.e AS blocked_by
         |FROM hosts h LEFT JOIN m ON m.doc_id = h.doc_id AND m.rn = 1
         |ORDER BY h.doc_id""".stripMargin,
+
+    // the oracle rebuilds the page and replays the extraction chain with
+    // DuckDB's RE2 engine — every pattern is chosen to mean the same
+    // thing in RE2 and Java regex (the cross-engine contract under test)
+    "html_extract" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<!DOCTYPE html><html><head><title> Doc &amp; ' || CAST(doc_id AS VARCHAR) ||
+        |    ' </title><style>body{color:red}</style>' ||
+        |    '<script type="text/javascript">var x = ''<p>not text</p>'';</script>' ||
+        |    '</head><body><DIV class="nav">Home | About</DIV><!-- nav ends --><p>' ||
+        |    text ||
+        |    '</p><ul><li>a &lt;tag&gt;</li><li>b&nbsp;c</li></ul><br/>' ||
+        |    '&quot;quoted&quot; &#39;q&#39; &amp;amp;</body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?is)<head\b[^>]*>.*?</head>', ' ', 'g') AS h FROM pages),
+        |s2 AS (SELECT doc_id, html, regexp_replace(regexp_replace(h,
+        |    '(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table|blockquote|section|article)\b[^>]*>',
+        |    chr(10), 'g'), '(?s)<[^>]*>', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, html,
+        |  replace(replace(replace(replace(replace(replace(h,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&') AS h FROM s2),
+        |s4 AS (SELECT doc_id, html, trim(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(h, '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+        |    '\n+', chr(10), 'g'), '^\n+|\n+$', '', 'g')) AS text FROM s3),
+        |t1 AS (SELECT doc_id, regexp_extract(regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?is)<title[^>]*>(.*?)</title>', 1) AS raw FROM pages),
+        |t2 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(raw,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&') AS d FROM t1),
+        |t3 AS (SELECT doc_id, CASE WHEN length(trim(d)) > 0
+        |    THEN trim(regexp_replace(d, '\s+', ' ', 'g')) END AS title FROM t2)
+        |SELECT s4.doc_id, t3.title, s4.text, length(s4.text) AS n_chars
+        |FROM s4 JOIN t3 ON s4.doc_id = t3.doc_id
+        |ORDER BY s4.doc_id""".stripMargin,
 
     // the oracle replays the interval join as a plain non-equi join —
     // independent of the Spark side's bucket decomposition

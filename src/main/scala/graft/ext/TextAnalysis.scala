@@ -414,6 +414,58 @@ object TextAnalysis {
         "[^a-z0-9 ]", " "),
       " +", " "))
 
+  /** HTML → text extraction (the trafilatura/jusText stage every crawl
+    * pipeline runs before any of the text ops here): drop script/style
+    * payloads, comments, and the whole `<head>` (its text — title, meta —
+    * is chrome, not content; [[htmlTitle]] extracts the title
+    * separately), turn block-level tags into line breaks, strip
+    * the remaining tags, decode the six core entities, collapse
+    * whitespace. Every pattern is chosen to mean the same thing in Java
+    * regex (Spark) and RE2 (DuckDB oracle): `(?is)` flags, non-greedy
+    * `.*?`, `\b`, `[^>]*` — no backrefs, no lookaround.
+    *
+    * Contract: tag attributes must not contain a raw `>` (standard for
+    * machine-generated pages; a full HTML5 tokenizer is out of scope for
+    * a regex pass — documents needing one should route through an ETL
+    * pipe transform). `&amp;` decodes LAST so `&amp;lt;` yields the
+    * literal text `&lt;`, not a resurrected tag.
+    *
+    * Pure codegen Column ops, zero shuffle, one scan — the same scale
+    * shape as [[normalize]]. */
+  def htmlText(html: Column): Column = {
+    val noPayload = regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " "),
+      "(?is)<head\\b[^>]*>.*?</head>", " ")
+    val broken = regexp_replace(noPayload,
+      "(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table|blockquote|section|article)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(broken, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(decoded,
+      "[ \\t]+", " "), " ?\\n ?", "\n"), "\\n+", "\n"), "^\\n+|\\n+$", ""))
+  }
+
+  /** The `<title>` of a page under the same cross-engine regex rules —
+    * entity-decoded, whitespace-collapsed, null when absent. */
+  def htmlTitle(html: Column): Column = {
+    val raw = regexp_extract(regexp_replace(html, "(?s)<!--.*?-->", " "),
+      "(?is)<title[^>]*>(.*?)</title>", 1)
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(raw) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    when(length(trim(decoded)) > 0, trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
+  /** HTML extraction over a corpus: (id, title, text, n_chars). */
+  def htmlExtract(df: DataFrame, htmlCol: String = "html",
+                  idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), htmlTitle(col(htmlCol)).as("title"),
+        htmlText(col(htmlCol)).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   /** Out-of-vocabulary rate per document against a closed vocabulary —
     * the coverage check run before committing to a tokenizer/vocab: how
     * much of each document (and of the corpus) falls outside the top-N

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextAnalysis
+
+/** HTML → text extraction contract: payload removal, head removal,
+  * block-tag line breaks, entity decode order, whitespace normal form. */
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): (String, String) = {
+    val r = TextAnalysis.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html")).head()
+    (Option(r.getString(1)).getOrElse("∅"), r.getString(2))
+  }
+
+  test("full page: chrome dropped, body text with block line breaks") {
+    val (title, text) = extract(
+      "<html><head><title> A &amp; B </title><style>p{}</style></head>" +
+        "<body><h1>Head</h1><p>one two</p><div>three</div></body></html>")
+    assert(title == "A & B")
+    assert(text == "Head\none two\nthree")
+  }
+
+  test("script payload with decoy tags and </p> inside a string is removed whole") {
+    val (_, text) = extract(
+      "<body><script>var s = '<p>fake</p>';</script><p>real</p></body>")
+    assert(text == "real")
+  }
+
+  test("head text (title, meta) is chrome — never leaks into body text") {
+    val (_, text) = extract(
+      "<head><title>Chrome Title</title><meta name=\"a\" content=\"b\"></head><p>content</p>")
+    assert(text == "content")
+    assert(!text.contains("Chrome"))
+  }
+
+  test("entity decode happens AFTER tag strip: &lt;tag&gt; survives as literal text") {
+    val (_, text) = extract("<p>use &lt;br&gt; here</p>")
+    assert(text == "use <br> here")
+  }
+
+  test("&amp; decodes last: &amp;lt; yields the literal four chars '&lt;'") {
+    val (_, text) = extract("<p>&amp;lt; &amp;amp;</p>")
+    assert(text == "&lt; &amp;")
+  }
+
+  test("uppercase and attribute-bearing tags break blocks case-insensitively") {
+    val (_, text) = extract("<DIV CLASS=\"x\">a</DIV><BR/><P id='y'>b</P>")
+    assert(text == "a\nb")
+  }
+
+  test("comments vanish, nbsp becomes space, quotes decode") {
+    val (_, text) = extract("<p>a&nbsp;b<!-- hidden --> &quot;c&#39;</p>")
+    assert(text == "a b \"c'")
+  }
+
+  test("no title → null title; empty body → empty text") {
+    val r = TextAnalysis.htmlExtract(
+      Seq((1L, "<body></body>")).toDF("doc_id", "html")).head()
+    assert(r.isNullAt(1) && r.getString(2) == "" && r.getLong(3) == 0L)
+  }
+
+  test("plain text without any markup passes through") {
+    val (_, text) = extract("just words here")
+    assert(text == "just words here")
+  }
+
+  test("multi-line title collapses to one normalized line") {
+    val (title, _) = extract("<head><title>\n  Long\n   Title </title></head><p>x</p>")
+    assert(title == "Long Title")
+  }
+}
