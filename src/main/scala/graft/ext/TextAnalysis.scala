@@ -414,6 +414,36 @@ object TextAnalysis {
         "[^a-z0-9 ]", " "),
       " +", " "))
 
+  /** Secret/credential detectors (the BigCode/The-Stack curation gate —
+    * distinct from PII: a leaked key means the document must be DROPPED
+    * or the key rotated, not merely redacted). Deterministic regex
+    * detectors only — the entropy-threshold detectors of detect-secrets
+    * are heuristic and engine-specific; these patterns mean the same
+    * thing in Java regex and RE2 (no lookaround, no backrefs). */
+  private[graft] val SecretPatterns: Seq[(String, String)] = Seq(
+    "aws_key" -> "\\bAKIA[0-9A-Z]{16}\\b",
+    "private_key" -> "-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "github_pat" -> "\\bghp_[0-9A-Za-z]{36}\\b",
+    "slack_token" -> "\\bxox[baprs]-[0-9A-Za-z-]{10,48}\\b",
+    "jwt" -> "\\beyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{5,}\\b",
+    "assigned_secret" ->
+      "(?i)\\b(api_key|apikey|api-key|secret|token|password|passwd)\\s*[:=]\\s*[\"']([^\"'\\s]{8,})[\"']")
+
+  /** Per-document secret scan: one count column per detector, a total,
+    * and the drop flag. One scan, zero shuffle, pure codegen
+    * (`regexp_count` per detector). */
+  def secretScan(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val counts = SecretPatterns.map { case (n, p) =>
+      regexp_count(col(textCol), lit(p)).cast("long").as(s"n_$n")
+    }
+    val total = SecretPatterns.map { case (n, _) => col(s"n_$n") }
+      .reduce(_ + _)
+    df.select(col(idCol) +: counts: _*)
+      .withColumn("n_secrets", total)
+      .withColumn("has_secret", col("n_secrets") > 0)
+  }
+
   /** HTML → text extraction (the trafilatura/jusText stage every crawl
     * pipeline runs before any of the text ops here): drop script/style
     * payloads, comments, and the whole `<head>` (its text — title, meta —
