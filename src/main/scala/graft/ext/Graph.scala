@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph scoring for crawl curation — the CommonCrawl-style
+  * "domain authority" signal used to prioritize fetch frontiers and
+  * weight training-mix sampling (harmonic-centrality / PageRank ranks
+  * published per-domain by Common Crawl).
+  *
+  * All arithmetic is EXACT-INTEGER (the corpus_report ×10⁴ lesson,
+  * applied end to end): scores are fixed-point at `scale` (default
+  * 10⁶), damping is the rational `dampNum/dampDen` (default 85/100),
+  * and each node's per-edge contribution is
+  * `((score * dampNum) div dampDen) div outdeg` — two truncating
+  * integer divisions whose results are identical in any engine and any
+  * summation order. The div-truncation loses ≤ outdeg·dampDen score
+  * units per node per iteration (documented, deterministic); this is a
+  * RANKING signal, not a probability estimate, and determinism across
+  * engines/partitionings is worth more than the 10⁻⁶-scale mass drift.
+  */
+object Graph {
+
+  /** Fixed-iteration integer PageRank.
+    *
+    * @param edges directed (src, dst) pairs; duplicates collapse (a page
+    *              linking twice votes once — the standard host-graph
+    *              treatment); self-loops dropped.
+    * @return (node, score) — score is fixed-point at `scale`; the
+    *         stationary "random surfer" mass × scale, after `iters`
+    *         power iterations from the uniform start.
+    *
+    * Scale shape: per iteration, ONE hash join (scores ⋈ edges on src —
+    * both sides shuffle on src, or the score table broadcasts when the
+    * node set is small) and ONE partial-agg'd groupBy(dst); the score
+    * table is |nodes| rows — for a host graph, orders of magnitude
+    * smaller than the corpus. `localCheckpoint` per iteration truncates
+    * the growing lineage (the connectedComponents pattern). Dangling
+    * nodes (no out-edges) keep receiving the teleport base and simply
+    * don't redistribute — their surplus is the standard dangling-mass
+    * simplification, applied identically in the oracle. */
+  def pageRank(edgesRaw: DataFrame, iters: Int = 5,
+               srcCol: String = "src", dstCol: String = "dst",
+               dampNum: Long = 85, dampDen: Long = 100,
+               scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen && scale > 0,
+      s"bad params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
+    val edges = edgesRaw
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val base = scale - (scale * dampNum) / dampDen // teleport mass, integer
+    var scores = nodes.withColumn("score", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = scores
+        .join(outdeg, Seq("node"))
+        .withColumnRenamed("node", "src")
+        .join(edges, Seq("src"))
+        // `div`, not `/`: true integer division — a double quotient cast
+        // back to long is one rounding quirk away from an off-by-one at
+        // web-scale outdegrees
+        .select(col("dst").as("node"),
+          expr(s"((score * ${dampNum}L) div ${dampDen}L) div deg").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("in_mass"))
+      scores = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("score"))
+        .localCheckpoint()
+    }
+    scores
+  }
+}

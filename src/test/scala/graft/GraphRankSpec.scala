@@ -1,0 +1,54 @@
+package graft
+
+import graft.ext.Graph
+
+/** Integer PageRank contract: fixed points, dangling nodes, edge
+  * normalization, and partition-independence of the integer arithmetic. */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a pure cycle is a fixed point: every node keeps exactly `scale`") {
+    val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("star graph: hub gets only teleport mass, leaves split the hub's vote") {
+    val r = ranks(Seq((0L, 1L), (0L, 2L), (0L, 3L)), iters = 5)
+    // hub receives nothing: base = 150000. Leaves stabilize at
+    // 150000 + ((150000*85) div 100) div 3 = 192500 from iteration 2 on.
+    assert(r(0L) == 150000L)
+    assert(r(1L) == 192500L && r(2L) == 192500L && r(3L) == 192500L)
+  }
+
+  test("duplicate edges vote once; self-loops are dropped") {
+    val clean = ranks(Seq((1L, 2L), (2L, 1L)))
+    val noisy = ranks(Seq((1L, 2L), (1L, 2L), (1L, 1L), (2L, 1L)))
+    assert(clean == noisy)
+  }
+
+  test("an extra outlink dilutes each vote (outdeg division)") {
+    // 1→2 only vs 1→{2,3}: node 2's inflow halves (integer div)
+    val single = ranks(Seq((1L, 2L), (2L, 1L)))
+    val split = ranks(Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)))
+    assert(split(2L) < single(2L))
+  }
+
+  test("scores are partition-independent (integer arithmetic has no order)") {
+    val edges = (0L until 60L).map(i => (i % 12, (i * 5 + 1) % 12))
+    val a = Graph.pageRank(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.pageRank(edges.toDF("src", "dst").repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bad params raise") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 0)
+    }
+  }
+}
