@@ -1008,6 +1008,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Metric-stream spike detection: integer-exact trailing-window
+    // z-test over per-user event values (cents), ROWS frame excludes
+    // the point under test from its own baseline.
+    "events_anomaly" -> ((s, d) =>
+      ext.Anomaly.spikes(Tables.load(s, d, "events"),
+        floor(col("value") * 100).cast("long"))
+        .orderBy("event_id")),
+
     // Domain-authority ranking (CommonCrawl-style): integer PageRank
     // over a 50-host link graph synthesized from doc_id arithmetic
     // (each doc votes one host→host edge; distinct() collapses repeat
@@ -3513,6 +3521,22 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, (m.e IS NOT NULL) AS blocked, m.e AS blocked_by
         |FROM hosts h LEFT JOIN m ON m.doc_id = h.doc_id AND m.rn = 1
         |ORDER BY h.doc_id""".stripMargin,
+
+    // the z-test replayed with DuckDB's identical ROWS frame; sums go
+    // HUGEINT there, comparisons stay exact, only output casts narrow
+    "events_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, v,
+        |    SUM(v) OVER win AS s, SUM(v * v) OVER win AS q, COUNT(*) OVER win AS n
+        |  FROM e WINDOW win AS (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, v AS value, CAST(n AS BIGINT) AS n_prior,
+        |  (n >= 5 AND (v * n - s) * (v * n - s) > 9 * (n * q - s * s)) AS is_spike
+        |FROM w ORDER BY event_id""".stripMargin,
 
     // 5 power iterations UNROLLED as CTEs (standard SQL forbids
     // aggregation in a recursive term); all-integer arithmetic — scores

@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Metric-stream spike detection — the data-quality tripwire run over
+  * ingest telemetry (events/sec, bytes/object, loss curves) to catch
+  * pipeline regressions: flag a point whose value sits more than `z`
+  * standard deviations from the mean of its own trailing window.
+  *
+  * The z-test is evaluated in EXACT INTEGER arithmetic: with trailing
+  * sums S = Σxᵢ, Q = Σxᵢ² over n prior points (x in integer units,
+  * e.g. cents), `(x·n − S)² > z²·(n·Q − S²)` is algebraically
+  * `((x−μ)/σ_pop)² > z²` with every intermediate an integer — no float
+  * mean/stddev, so no engine/accumulation-order rounding can flip a
+  * boundary flag (the corpus_report lesson applied to telemetry).
+  *
+  * Scale shape: ONE hash shuffle on the partition key, per-key sort for
+  * the running frame — the same shape as any sessionization; no global
+  * ordering, no self-join. Trailing `ROWS BETWEEN lookback PRECEDING
+  * AND 1 PRECEDING` frame: the current point never contaminates its own
+  * baseline, and the first `minPrior` points per key are unflaggable
+  * (insufficient evidence), both by contract. */
+object Anomaly {
+
+  /** Flag spikes in `valueCol` (integer units) per `keyCol`, ordered by
+    * (`tsCol`, `idCol`) — the id breaks timestamp ties so the frame is
+    * total-ordered and deterministic.
+    *
+    * Output: key, id, value, n_prior, is_spike. */
+  def spikes(events: DataFrame, valueCol: Column,
+             keyCol: String = "user_id", tsCol: String = "ts",
+             idCol: String = "event_id",
+             lookback: Int = 10, minPrior: Int = 5, z: Int = 3): DataFrame = {
+    require(lookback >= minPrior && minPrior >= 2 && z >= 1,
+      s"bad params: lookback=$lookback minPrior=$minPrior z=$z")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lookback, -1)
+    events
+      .select(col(keyCol), col(idCol), col(tsCol), valueCol.cast("long").as("v"))
+      .withColumn("_s", sum(col("v")).over(w))
+      .withColumn("_q", sum(col("v") * col("v")).over(w))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("is_spike",
+        col("n_prior") >= minPrior &&
+          (col("v") * col("n_prior") - col("_s")) * (col("v") * col("n_prior") - col("_s"))
+            > lit(z.toLong * z) * (col("n_prior") * col("_q") - col("_s") * col("_s")))
+      .select(col(keyCol), col(idCol), col("v").as("value"),
+        col("n_prior"), col("is_spike"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Anomaly
+
+/** Integer z-test spike detection: hand-computed flags, the strict->
+  * boundary, the minPrior evidence gate, self-exclusion, determinism. */
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(points: Seq[(Long, Long, Long)], minPrior: Int = 5): Map[Long, Boolean] =
+    Anomaly.spikes(
+      points.toDF("user_id", "event_id", "v").withColumn("ts", col("event_id")),
+      col("v"), minPrior = minPrior)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+
+  test("a spike over a noisy baseline is flagged; baseline points are not") {
+    // baseline alternates 100/102 (nonzero variance), then 200 spikes
+    val pts = (0L until 10L).map(i => (1L, i, 100L + (i % 2) * 2L)) :+ (1L, 10L, 200L)
+    val flags = run(pts)
+    assert(flags(10L))
+    assert((0L until 10L).forall(i => !flags(i)))
+  }
+
+  test("on a constant baseline any deviation is a spike, equality is not") {
+    val pts = (0L until 8L).map(i => (1L, i, 100L)) ++ Seq((1L, 8L, 101L), (1L, 9L, 100L))
+    val flags = run(pts)
+    assert(flags(8L))   // zero variance, (1·8)² > 0
+    // id 9's frame now holds the 101: S=901, Q=90201, n=9 →
+    // (100·9−901)² = 1 vs 9·(9·90201−901²) = 72 → not a spike
+    assert(!flags(9L))
+  }
+
+  test("boundary: z-squared exactly equal is NOT a spike (strict >)") {
+    // 4 prior points {90,110,90,110}: S=400, Q=40400, n=4, μ=100, σ²=100
+    // x=130: (130*4-400)² = 120² = 14400; 9*(4*40400-160000) = 9*1600=14400 → equal
+    val pts = Seq((1L, 0L, 90L), (1L, 1L, 110L), (1L, 2L, 90L), (1L, 3L, 110L),
+      (1L, 4L, 130L))
+    assert(!run(pts, minPrior = 4)(4L))
+    // one more unit clears the boundary
+    val pts2 = pts.dropRight(1) :+ (1L, 4L, 131L)
+    assert(run(pts2, minPrior = 4)(4L))
+  }
+
+  test("fewer than minPrior prior points can never flag") {
+    val pts = Seq((1L, 0L, 100L), (1L, 1L, 100L), (1L, 2L, 100L), (1L, 3L, 999L))
+    assert(run(pts).values.forall(v => !v)) // only 3 prior points at id 3
+  }
+
+  test("keys are independent: one user's spike does not leak into another's") {
+    val quiet = (0L until 8L).map(i => (2L, 100L + i, 50L))
+    val spiky = (0L until 8L).map(i => (1L, i, 100L + (i % 2))) :+ (1L, 8L, 500L)
+    val flags = run(spiky ++ quiet)
+    assert(flags(8L) && quiet.forall { case (_, id, _) => !flags(id) })
+  }
+
+  test("partition-independence: repartitioned input yields identical flags") {
+    val pts = (0L until 50L).map(i => (i % 3, i, 100L + (i * 7) % 13))
+    val df = pts.toDF("user_id", "event_id", "v").withColumn("ts", col("event_id"))
+    val a = Anomaly.spikes(df, col("v")).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = Anomaly.spikes(df.repartition(7), col("v"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
+}
