@@ -1008,6 +1008,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Code-file curation stats (The Stack rules): synthesized "source
+    // files" — word-per-line bodies, an autogen header every 13th doc,
+    // a 1200-char minified line every 7th, a low-alnum separator blob
+    // every 5th — so every rule fires somewhere and the keep flag mixes.
+    "code_stats" -> ((s, d) => {
+      val code = concat(
+        when(col("doc_id") % 13 === 0,
+          lit("// auto-generated do not edit\n")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          regexp_replace(col("text"), " ", "\n")).otherwise(col("text")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("\n"), expr("repeat('x', 1200)"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\n"), expr("repeat('; ', 300)"))).otherwise(lit("")))
+      ext.TextAnalysis.codeStats(
+        Tables.load(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), code.as("text")))
+        .orderBy("doc_id")
+    }),
+
     // Metric-stream spike detection: integer-exact trailing-window
     // z-test over per-user event values (cents), ROWS frame excludes
     // the point under test from its own baseline.
@@ -3521,6 +3542,32 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, (m.e IS NOT NULL) AS blocked, m.e AS blocked_by
         |FROM hosts h LEFT JOIN m ON m.doc_id = h.doc_id AND m.rn = 1
         |ORDER BY h.doc_id""".stripMargin,
+
+    // line stats via unnest+groupBy (independent of the Spark side's
+    // zero-explode array fold); integer permille and div averages
+    "code_stats" ->
+      """WITH code AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 13 = 0 THEN '// auto-generated do not edit' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN replace(text, ' ', chr(10)) ELSE text END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || repeat('x', 1200) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || repeat('; ', 300) ELSE '' END) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM code),
+        |ls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |         CAST(MAX(length(line)) AS BIGINT) AS max_line_len,
+        |         CAST(SUM(length(line)) AS BIGINT) AS sum_len
+        |       FROM l GROUP BY doc_id),
+        |a AS (SELECT c.doc_id, n_lines, max_line_len,
+        |        CAST(sum_len // n_lines AS BIGINT) AS avg_line_len,
+        |        CAST((length(regexp_replace(c.text, '[^A-Za-z0-9]', '', 'g')) * 1000)
+        |          // greatest(length(c.text), 1) AS BIGINT) AS alnum_permille,
+        |        regexp_matches(c.text, '(?i)(auto-generated|do not edit|generated by)') AS is_autogen
+        |      FROM code c JOIN ls ON ls.doc_id = c.doc_id)
+        |SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_permille, is_autogen,
+        |  (max_line_len <= 1000 AND avg_line_len <= 100 AND alnum_permille >= 250
+        |   AND NOT is_autogen) AS keep
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // the z-test replayed with DuckDB's identical ROWS frame; sums go
     // HUGEINT there, comparisons stay exact, only output casts narrow

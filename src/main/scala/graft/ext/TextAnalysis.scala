@@ -414,6 +414,40 @@ object TextAnalysis {
         "[^a-z0-9 ]", " "),
       " +", " "))
 
+  /** Code-file curation stats (The Stack / StarCoder filtering rules,
+    * Kocetkov et al. 2022): line-shape and character-class heuristics
+    * that separate human-written source from minified bundles, data
+    * blobs, and generated files. All-integer outputs (permille, `div`
+    * averages) so thresholds are bit-deterministic across engines.
+    *
+    * `keep` applies the published defaults: max line ≤ 1000 chars, avg
+    * line ≤ 100 chars, ≥ 25% alphanumeric, no auto-generation marker.
+    * One scan, zero shuffle, pure codegen (array fold over line
+    * lengths — the text is never exploded). */
+  def codeStats(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val stats = df
+      .withColumn("_lines", split(col(textCol), "\n"))
+      .withColumn("_lens", expr("transform(_lines, l -> length(l))"))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("max_line_len",
+        coalesce(array_max(col("_lens")), lit(0)).cast("long"))
+      .withColumn("_sum_len",
+        expr("aggregate(_lens, 0L, (a, x) -> a + x)"))
+      .withColumn("avg_line_len", expr("_sum_len div n_lines"))
+      .withColumn("_alnum",
+        length(regexp_replace(col(textCol), "[^A-Za-z0-9]", "")).cast("long"))
+      .withColumn("alnum_permille",
+        expr(s"(_alnum * 1000) div greatest(length($textCol), 1)"))
+      .withColumn("is_autogen",
+        col(textCol).rlike("(?i)(auto-generated|do not edit|generated by)"))
+    stats.select(col(idCol), col("n_lines"), col("max_line_len"),
+        col("avg_line_len"), col("alnum_permille"), col("is_autogen"))
+      .withColumn("keep",
+        col("max_line_len") <= 1000 && col("avg_line_len") <= 100 &&
+          col("alnum_permille") >= 250 && !col("is_autogen"))
+  }
+
   /** Secret/credential detectors (the BigCode/The-Stack curation gate —
     * distinct from PII: a leaked key means the document must be DROPPED
     * or the key rotated, not merely redacted). Deterministic regex
