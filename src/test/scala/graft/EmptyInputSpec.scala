@@ -122,6 +122,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ext.Similarity.randomProject(noVecs, 4, 2).count() == 0)
   }
 
+  test("continuation-2 operators on empty inputs: empty results, not errors") {
+    // html extraction / secret scan / code stats over no docs
+    val noHtml = Seq.empty[(Long, String)].toDF("doc_id", "html")
+    assert(TextAnalysis.htmlExtract(noHtml).count() == 0)
+    assert(TextAnalysis.secretScan(noDocs).count() == 0)
+    assert(TextAnalysis.codeStats(noDocs).count() == 0)
+    // pagerank over an empty edge list: empty, and over self-loops only
+    // (which all drop) likewise
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ext.Graph.pageRank(noEdges).count() == 0)
+    assert(graft.ext.Graph.pageRank(
+      Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")).count() == 0)
+    // spike detection over no events
+    val noEvents = Seq.empty[(Long, Long, Long)].toDF("user_id", "event_id", "v")
+      .withColumn("ts", col("event_id"))
+    assert(graft.ext.Anomaly.spikes(noEvents, col("v")).count() == 0)
+  }
+
   test("repetition stats on sub-n-gram docs emit nulls, not errors") {
     val out = TextAnalysis.repetitionStats(
         Seq((1L, "single"), (2L, "two words"), (3L, "")).toDF("doc_id", "text"))
