@@ -1008,6 +1008,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Hybrid retrieval: BM25 (query docs searching the corpus) fused
+    // with dense ANN (matching query vectors over embeddings) by
+    // integer reciprocal-rank fusion. Cross-table contract: vec_id keys
+    // doc_id (embeddings are document embeddings); queries restricted to
+    // ids present in BOTH tables at every scale.
+    "hybrid_topk" -> ((s, d) => {
+      val isQ = col("doc_id") % 97 === 0 && col("doc_id") < 200
+      val sparse = ext.Retrieval.hardNegatives(
+        Tables.load(s, d, "documents"), isQ, k = 20)
+        .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+      val emb = Tables.load(s, d, "embeddings")
+      val dense = ext.Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") % 97 === 0 && col("vec_id") < 200), k = 20)
+        .select(col("query_id"), col("vec_id").as("item_id"), col("rank"))
+      ext.Retrieval.rrfFuse(Seq(sparse, dense), topK = 10)
+        .orderBy("query_id", "rrf_rank")
+    }),
+
     // Code-file curation stats (The Stack rules): synthesized "source
     // files" — word-per-line bodies, an autogen header every 13th doc,
     // a 1200-char minified line every 7th, a low-alnum separator blob
@@ -3542,6 +3560,59 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, (m.e IS NOT NULL) AS blocked, m.e AS blocked_by
         |FROM hosts h LEFT JOIN m ON m.doc_id = h.doc_id AND m.rn = 1
         |ORDER BY h.doc_id""".stripMargin,
+
+    // both rankings rebuilt independently (the hard_negatives BM25 form
+    // and the embed_knn cosine form), then fused with the same integer
+    // reciprocal-rank arithmetic — `//` there, `div` here
+    "hybrid_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
+        |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |q AS (
+        |  SELECT DISTINCT doc_id AS query_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 97 = 0 AND doc_id < 200),
+        |postings AS (
+        |  SELECT doc_id, dl, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(len(string_split_regex(trim(text), '\s+'))) AS avgdl
+        |  FROM documents),
+        |bmscores AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))), 4) AS score
+        |  FROM postings p JOIN q ON q.tok = p.tok
+        |  JOIN dfreq d ON d.tok = p.tok CROSS JOIN stats s
+        |  WHERE p.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |sparse AS (
+        |  SELECT query_id, doc_id AS item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM bmscores QUALIFY rank <= 20),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 200),
+        |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |dense AS (
+        |  SELECT query_id, vec_id AS item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM (SELECT query_id, vec_id,
+        |          round(list_dot_product(qv, cv)
+        |            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
+        |        FROM cv JOIN qv ON vec_id <> query_id)
+        |  QUALIFY rank <= 20),
+        |u AS (
+        |  SELECT query_id, item_id, 1000000 // (60 + rank) AS c FROM sparse
+        |  UNION ALL
+        |  SELECT query_id, item_id, 1000000 // (60 + rank) AS c FROM dense),
+        |f AS (SELECT query_id, item_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+        |        CAST(count(*) AS BIGINT) AS n_lists
+        |      FROM u GROUP BY 1, 2)
+        |SELECT query_id, item_id, rrf_score, n_lists,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, item_id) AS BIGINT) AS rrf_rank
+        |FROM f QUALIFY rrf_rank <= 10 ORDER BY query_id, rrf_rank""".stripMargin,
 
     // line stats via unnest+groupBy (independent of the Spark side's
     // zero-explode array fold); integer permille and div averages

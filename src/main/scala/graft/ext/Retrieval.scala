@@ -141,4 +141,38 @@ object Retrieval {
       .where(col("rank") <= k)
       .select("query_id", "doc_id", "rank", "score")
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * way to combine a sparse (BM25) and a dense (ANN) ranking without
+    * comparing their incommensurable scores: each list contributes
+    * `1/(kRrf + rank)` per item, fused score is the sum. Evaluated in
+    * FIXED-POINT integers (`scale div (kRrf + rank)`), so fusion is
+    * bit-deterministic — only the input RANKS matter, never the float
+    * scores behind them. Items missing from a list contribute nothing
+    * (standard RRF). Ties break to the smaller item id.
+    *
+    * Input contract: each DataFrame carries (query_id, item_id, rank)
+    * with rank ≥ 1 and (query_id, item_id) unique within a list.
+    *
+    * Scale shape: one union (no shuffle) → one partial-agg'd groupBy on
+    * (query, item) → per-query window top-k over the already-k-bounded
+    * fused table (≤ Σ list-k rows per query, never corpus-sized). */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int = 10, kRrf: Long = 60L,
+              scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty && topK > 0 && kRrf > 0 && scale > 0,
+      s"bad params: lists=${rankings.size} topK=$topK kRrf=$kRrf scale=$scale")
+    val normed = rankings.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col("item_id").cast("long").as("item_id"),
+      col("rank").cast("long").as("rank")))
+    normed.reduce(_ unionAll _)
+      .select(col("query_id"), col("item_id"),
+        expr(s"${scale}L div (${kRrf}L + rank)").as("_c"))
+      .groupBy("query_id", "item_id")
+      .agg(sum("_c").as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn("rrf_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_score").desc, col("item_id"))).cast("long"))
+      .where(col("rrf_rank") <= topK)
+  }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ext.Retrieval
+
+/** RRF fusion contract: hand-computed integer scores, single-list
+  * items, tie-break, top-k cut. */
+class RrfFuseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, Long, Long)*) =
+    rows.toSeq.toDF("query_id", "item_id", "rank")
+
+  test("hand-computed fusion: both-list items beat single-list items") {
+    // list A: item 1 rank 1, item 2 rank 2; list B: item 2 rank 1, item 3 rank 2
+    val out = Retrieval.rrfFuse(
+      Seq(df((7L, 1L, 1L), (7L, 2L, 2L)), df((7L, 2L, 1L), (7L, 3L, 2L))))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._4)
+    // item 2: 1000000 div 62 + 1000000 div 61 = 16129 + 16393 = 32522 (2 lists)
+    // item 1: 1000000 div 61 = 16393; item 3: 1000000 div 62 = 16129
+    assert(out.toSeq == Seq((2L, 32522L, 2L, 1L), (1L, 16393L, 1L, 2L),
+      (3L, 16129L, 1L, 3L)))
+  }
+
+  test("score ties break to the smaller item id") {
+    val out = Retrieval.rrfFuse(Seq(df((1L, 9L, 1L), (1L, 4L, 1L))), topK = 2)
+    // both rank 1 in the same list? (distinct items) → equal scores
+    val got = out.collect().map(r => (r.getLong(1), r.getLong(4))).sortBy(_._2)
+    assert(got.toSeq == Seq((4L, 1L), (9L, 2L)))
+  }
+
+  test("topK cuts after fusion, per query") {
+    val rows = (1L to 30L).map(i => (1L, i, i)) ++ (1L to 5L).map(i => (2L, i, i))
+    val out = Retrieval.rrfFuse(Seq(rows.toDF("query_id", "item_id", "rank")), topK = 3)
+    val byQ = out.collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byQ == Map(1L -> 3, 2L -> 3))
+  }
+
+  test("bad params raise") {
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq.empty) }
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(df()), topK = 0) }
+  }
+}
