@@ -426,6 +426,30 @@ object TextAnalysis {
     * lengths — the text is never exploded). */
   def codeStats(df: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
+    // one native byte scan for all five counts (LineStats Scaladoc
+    // carries the bit-equality argument; CodeStatsSpec pins it against
+    // the Column-chain reference below)
+    val stats = df
+      .withColumn("_st", graft.functions.TextFunctions.lineStats(col(textCol)))
+      .withColumn("n_lines", col("_st.n_lines"))
+      .withColumn("max_line_len", col("_st.max_line_len"))
+      .withColumn("avg_line_len", expr("_st.sum_line_len div _st.n_lines"))
+      .withColumn("alnum_permille",
+        expr("(_st.n_alnum * 1000) div greatest(_st.n_chars, 1L)"))
+      .withColumn("is_autogen",
+        col(textCol).rlike("(?i)(auto-generated|do not edit|generated by)"))
+    stats.select(col(idCol), col("n_lines"), col("max_line_len"),
+        col("avg_line_len"), col("alnum_permille"), col("is_autogen"))
+      .withColumn("keep",
+        col("max_line_len") <= 1000 && col("avg_line_len") <= 100 &&
+          col("alnum_permille") >= 250 && !col("is_autogen"))
+  }
+
+  /** The original Column-chain formulation of [[codeStats]] — kept as
+    * the agreement-spec reference for the native [[graft.functions
+    * .LineStats]] byte scan. */
+  private[graft] def codeStatsColumns(df: DataFrame, idCol: String = "doc_id",
+                                      textCol: String = "text"): DataFrame = {
     val stats = df
       .withColumn("_lines", split(col(textCol), "\n"))
       .withColumn("_lens", expr("transform(_lines, l -> length(l))"))

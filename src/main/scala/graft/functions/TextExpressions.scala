@@ -157,6 +157,84 @@ object MarkerVotes {
   }
 }
 
+/** Native one-pass line/character statistics — the [[graft.ext
+  * .TextAnalysis.codeStats]] hot path.
+  *
+  * The Column formulation needs `split` (allocates a line array),
+  * `transform`+`aggregate` over it (interpreted higher-order passes),
+  * and a `regexp_replace` that BUILDS the alnum-stripped copy of the
+  * whole text just to measure its length — per document. This
+  * expression computes the same five numbers in one byte scan with
+  * zero allocation beyond the result row.
+  *
+  * Bit-equal semantics, argued per field: `split(text, "\n")` keeps
+  * trailing empty segments, so n_lines = newline count + 1 (empty text
+  * → 1 line); Spark's `length` counts CODEPOINTS, so the scan counts
+  * bytes that are not UTF-8 continuation bytes (`(b & 0xC0) != 0x80`);
+  * `[A-Za-z0-9]` matches ASCII only, so the alnum count is a pure
+  * ASCII-byte test (multibyte codepoints can never match). The
+  * codeStats agreement spec pins this expression against the original
+  * Column chain. */
+case class LineStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("max_line_len", LongType, nullable = false),
+    StructField("sum_line_len", LongType, nullable = false),
+    StructField("n_alnum", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"line_stats expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    LineStats.scan(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.LineStats$$.MODULE$$.scan($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LineStats {
+  /** (n_lines, max_line_len, sum_line_len, n_alnum, n_chars) in one
+    * byte scan; lengths in codepoints, alnum is ASCII-only. */
+  def scan(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    var nLines = 1L
+    var maxLen = 0L
+    var curLen = 0L
+    var nChars = 0L
+    var nAlnum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == '\n') {
+        if (curLen > maxLen) maxLen = curLen
+        curLen = 0L
+        nLines += 1L
+        nChars += 1L
+      } else {
+        if ((b & 0xC0) != 0x80) { // not a continuation byte → new codepoint
+          curLen += 1L
+          nChars += 1L
+          if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+            (b >= '0' && b <= '9')) nAlnum += 1L
+        }
+      }
+      i += 1
+    }
+    if (curLen > maxLen) maxLen = curLen
+    new GenericInternalRow(Array[Any](
+      nLines, maxLen, nChars - (nLines - 1L), nAlnum, nChars))
+  }
+}
+
 object TextFunctions {
   /** struct(n_grams, top_count, n_distinct) of the word n-grams of an
     * array<string> column — one native pass, no sort, no explode. */
@@ -167,4 +245,9 @@ object TextFunctions {
     * set — `\b(w|…)\b` semantics in one native byte scan. */
   def markerVotes(text: Column, sets: Seq[Seq[String]]): Column =
     GraftShim.column(MarkerVotes(GraftShim.expression(text), sets))
+
+  /** struct(n_lines, max_line_len, sum_line_len, n_alnum, n_chars) of a
+    * string column — one native byte scan, no split, no stripped copy. */
+  def lineStats(text: Column): Column =
+    GraftShim.column(LineStats(GraftShim.expression(text)))
 }
