@@ -1055,6 +1055,15 @@ object SparkEntry {
         floor(col("value") * 100).cast("long"))
         .orderBy("event_id")),
 
+    // Streaming face of events_anomaly — SAME oracle: the watermark-
+    // finalized state machine must reproduce the batch integer z-test
+    // flags exactly under availableNow.
+    "events_anomaly_stream" -> ((s, d) =>
+      graft.streaming.EventsStream.runSpikeStream(s, eventsStreamDir(s, d),
+        floor(col("value") * 100).cast("long"),
+        queryName = "gate_events_anomaly_stream", prepare = eventsStreamTs)
+        .orderBy("event_id")),
+
     // Domain-authority ranking (CommonCrawl-style): integer PageRank
     // over a 50-host link graph synthesized from doc_id arithmetic
     // (each doc votes one host→host edge; distinct() collapses repeat
@@ -4522,6 +4531,22 @@ object SparkEntry {
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // identical to events_anomaly: the watermark-finalized state machine
+    // must reproduce the batch integer z-test flags exactly
+    "events_anomaly_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, v,
+        |    SUM(v) OVER win AS s, SUM(v * v) OVER win AS q, COUNT(*) OVER win AS n
+        |  FROM e WINDOW win AS (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, v AS value, CAST(n AS BIGINT) AS n_prior,
+        |  (n >= 5 AND (v * n - s) * (v * n - s) > 9 * (n * q - s * s)) AS is_spike
+        |FROM w ORDER BY event_id""".stripMargin,
 
     // identical to events_asof: the streaming recast must match the
     // batch operator bit-for-bit

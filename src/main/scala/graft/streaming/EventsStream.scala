@@ -260,6 +260,95 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Streaming spike detection — the continuous face of
+    * [[graft.ext.Anomaly]].spikes, same integer z-test, same trailing
+    * `ROWS` semantics, run as watermark-finalized state
+    * (the [[runBufferedSessionize]] out-of-order pattern):
+    *
+    * Per key, arriving events BUFFER in state; once the watermark
+    * passes an event's time it is FINALIZED in (ts, id) order — its
+    * flag computed against the trailing `lookback` finalized values,
+    * which then absorb it. Still-pending events get PROVISIONAL flags
+    * each trigger (Update mode, latest snapshot wins), so by
+    * availableNow completion every event carries the flag the batch
+    * operator would assign — exact parity when no event is
+    * late-beyond-watermark (late ones are dropped at the horizon, the
+    * standard contract; the batch op would have seen them).
+    *
+    * State per key = the O(lateness-horizon) pending buffer + the
+    * `lookback` finalized values + one horizon scalar — bounded. */
+  def runSpikeStream(spark: SparkSession, eventsDir: String,
+                     valueCents: org.apache.spark.sql.Column,
+                     queryName: String = "events_spikes",
+                     lookback: Int = 10, minPrior: Int = 5, z: Int = 3,
+                     delay: String = "30 minutes",
+                     maxFilesPerTrigger: Option[Int] = None,
+                     prepare: DataFrame => DataFrame = identity): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val prepared = prepare(reader.parquet(eventsDir))
+    val stream = prepared
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        valueCents.cast("long").as("v"),
+        col("ts").cast("double").as("tsec"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Double)]
+
+    def decide(win: Seq[Long], v: Long): (Long, Boolean) = {
+      val n = win.size.toLong
+      val s = win.sum
+      val q = win.map(x => x * x).sum
+      val d = v * n - s
+      (n, n >= minPrior && d * d > z.toLong * z * (n * q - s * s))
+    }
+    // state: (pending (tsec, id, v), finalized trailing values, horizon)
+    def update(userId: Long,
+               events: Iterator[(Long, java.sql.Timestamp, Long, Long, Double)],
+               state: GroupState[(Seq[(Double, Long, Long)], Seq[Long], Double)])
+        : Iterator[(Long, Long, Long, Long, Boolean, Long)] = {
+      val (pending0, win0, hor0) =
+        state.getOption.getOrElse((Seq.empty[(Double, Long, Long)],
+          Seq.empty[Long], Double.MinValue))
+      val wm = state.getCurrentWatermarkMs() / 1000.0
+      // below the finalized horizon = late-beyond-watermark → dropped
+      val fresh = events.map(e => (e._5, e._3, e._4)).filter(_._1 >= hor0)
+      val all = (pending0 ++ fresh).sortBy(t => (t._1, t._2))
+      val (ripe, pending) = all.partition(_._1 <= wm)
+      val seq = state.getCurrentProcessingTimeMs()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Boolean, Long)]()
+      var win = win0
+      for ((_, id, v) <- ripe) {
+        val (n, spike) = decide(win, v)
+        out += ((userId, id, v, n, spike, seq))
+        win = (win :+ v).takeRight(lookback)
+      }
+      var wp = win // provisional continuation — not persisted
+      for ((_, id, v) <- pending) {
+        val (n, spike) = decide(wp, v)
+        out += ((userId, id, v, n, spike, seq))
+        wp = (wp :+ v).takeRight(lookback)
+      }
+      state.update((pending, win, math.max(hor0, wm)))
+      out.iterator
+    }
+    val flagged = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "event_id", "value", "n_prior", "is_spike", "_seq")
+    val q = flagged.writeStream.outputMode("update").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest snapshot per event: provisional flags are superseded by the
+    // finalized (or final-trigger provisional) emission
+    spark.table(queryName)
+      .groupBy("user_id", "event_id")
+      .agg(max(struct(col("_seq"), col("value"), col("n_prior"), col("is_spike"))).as("_m"))
+      .select(col("user_id"), col("event_id"), col("_m.value").as("value"),
+        col("_m.n_prior").as("n_prior"), col("_m.is_spike").as("is_spike"))
+  }
+
   /** Streaming as-of enrichment — the continuous face of
     * [[graft.ops.AsOf]].join for the stream-static case (an event
     * stream enriched against slowly-changing reference data, the

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Anomaly
+import graft.streaming.EventsStream
+
+/** Streaming spike detection must reproduce the batch operator exactly,
+  * even when a user's events arrive out of event-time order across
+  * micro-batches (within the watermark). */
+class AnomalyStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cross-batch out-of-order feed: stream flags == batch flags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spike_stream").toString
+    val base = 1700000000L
+    // two users, 21 points each: stable baseline then a late spike;
+    // values vary so the z-test has real variance to chew on
+    val rows = for (u <- 1L to 2L; i <- 0L until 21L) yield {
+      val v = if (i == 18L) 90.0 + u * 20 else 1.0 + ((i * 7 + u) % 5) * 0.1
+      (u, u * 100 + i, new java.sql.Timestamp((base + i * 60) * 1000L), v)
+    }
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    // interleave: event i lands in file i%3 → every micro-batch delivers
+    // a non-contiguous, out-of-order slice of each user's timeline
+    for (f <- 0 until 3)
+      df.where(col("event_id") % 3 === f).coalesce(1)
+        .write.mode("append").parquet(dir)
+
+    val stream = EventsStream.runSpikeStream(spark, dir,
+      floor(col("value") * 100).cast("long"),
+      queryName = "spec_spike_stream", delay = "30 minutes",
+      maxFilesPerTrigger = Some(1))
+      .select("user_id", "event_id", "value", "n_prior", "is_spike")
+    val batch = Anomaly.spikes(df, floor(col("value") * 100).cast("long"))
+      .select("user_id", "event_id", "value", "n_prior", "is_spike")
+
+    val a = stream.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = batch.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b && a.size == 42)
+    // the fixture genuinely spikes (and not everywhere)
+    val spikes = batch.where(col("is_spike")).collect()
+    assert(spikes.nonEmpty && spikes.length < 42)
+  }
+}
