@@ -432,8 +432,11 @@ object Dedup {
         .as("gs"))
       // explode_outer for the InferFiltersFromGenerate reason at shingles()
       .select(col("id"), posexplode_outer(col("gs")))
+      // unhex: the hash is internal (never emitted), so carry the
+      // 16-byte digest instead of its 32-char hex string — halves the
+      // key bytes of the operator's dominant exchange+sort
       .select(col("id"), (col("pos") + 1).cast("long").as("p"),
-        md5(col("col").cast("binary")).as("h"))
+        unhex(md5(col("col").cast("binary"))).as("h"))
     // occurrence threshold as ONE count-over-window pass: the
     // groupBy-then-join-back alternative shuffles the positions table by
     // h anyway for the join, plus a second full gram expansion for the

@@ -22,13 +22,15 @@ import org.apache.spark.sql.functions._
   * compose with [[Sampling.weightedSample]] (Gumbel-free deterministic
   * resampling) or a plain threshold.
   *
-  * Scale shape: ONE explode pass builds the (doc, bucket, count) table —
-  * a single hash shuffle whose key space is doc×bucket; the bucket
-  * statistics aggregate THAT table (Spark reuses the exchange under both
-  * consumers), and the bucket→log-ratio table is bounded at `buckets`
-  * rows, so the weight join broadcasts it. Per-doc weights are one more
-  * partial agg. Nothing in the plan grows faster than the corpus, and
-  * the model tables are fixed-size regardless of scale.
+  * Scale shape: each document's (bucket, count) map is built in ONE
+  * native pass over its own token array
+  * ([[graft.functions.BigramBucketCounts]]) — the exploded rows arrive
+  * already aggregated per doc, so the bucket model is a partial agg
+  * down to `buckets` rows and the per-doc weights partial-agg collapse
+  * map-side; no corpus-sized exchange exists anywhere in the plan. The
+  * bucket→log-ratio table is bounded at `buckets` rows and broadcasts
+  * into the weight join. Nothing in the plan grows faster than the
+  * corpus, and the model tables are fixed-size regardless of scale.
   */
 object Dsir {
 
@@ -41,25 +43,27 @@ object Dsir {
   def importanceWeights(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val grams = docs
+    // per-doc bucket counts in ONE native pass (functions
+    // .BigramBucketCounts, bit-identical bucket ids to the md5Bucket /
+    // conv(substring(md5)) forms the oracle still computes): the
+    // exploded rows arrive ALREADY aggregated per document, so the
+    // downstream partial aggs collapse map-side and the one
+    // corpus-sized (doc, bucket) exchange this operator used to pay —
+    // its dominant shuffle — disappears (measured 8.7 → 3.7 s at sf1,
+    // see PERF.md)
+    val db = docs
       .select(col(idCol).as("doc_id"), isTarget.as("_t"),
         split(trim(col(textCol)), "\\s+").as("w"))
       .where(size(col("w")) >= 2)
-      .select(col("doc_id"), col("_t"), expr(
-        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))").as("gs"))
-      // explode_outer: plain explode's inferred size(gs)>0 filter would
-      // re-evaluate the whole split+transform tree interpreted (the
-      // Dedup.shingles lesson); size(w)>=2 already guarantees non-empty
-      .select(col("doc_id"), col("_t"), explode_outer(col("gs")).as("g"))
-      // native bucket hash (functions.Md5Bucket): bit-identical to
-      // pmod(conv(substring(md5(g), 1, 8), 16, 10), B) — the DuckDB
-      // oracle still computes that form — minus a 32-char hex round
-      // trip per bigram occurrence
+      // explode_outer for the InferFiltersFromGenerate reason at
+      // Dedup.shingles; size(w)>=2 already guarantees non-empty
+      .select(col("doc_id"), col("_t"), explode_outer(
+        graft.functions.HashFunctions.bigramBucketCounts(col("w"), buckets.toLong)).as("_bc"))
       .select(col("doc_id"), col("_t"),
-        graft.functions.HashFunctions.md5Bucket(col("g"), buckets.toLong).as("b"))
-    // the single corpus-sized shuffle; both the bucket model and the
-    // per-doc weights read this one aggregate (shared exchange)
-    val db = grams.groupBy("doc_id", "_t", "b").agg(count(lit(1)).as("c"))
+        col("_bc.b").as("b"), col("_bc.c").as("c"))
+    // both consumers below re-run the cheap native scan rather than
+    // sharing an exchange — there is no exchange left to share, and two
+    // hashing passes cost far less than one corpus-sized shuffle
     val bucketStats = db.groupBy("b").agg(
       sum(when(col("_t"), col("c")).otherwise(0L)).as("ct"),
       sum(col("c")).as("cr"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the minhash hot path (SURVEY §7.6
@@ -115,6 +115,84 @@ object Md5Bucket {
   }
 }
 
+/** Per-document hashed-bigram bucket COUNTS in one native pass — the
+  * DSIR hot path ([[graft.ext.Dsir.importanceWeights]]).
+  *
+  * The Column formulation exploded every bigram OCCURRENCE
+  * (corpus-sized row stream) into a hash aggregate whose (doc, bucket)
+  * exchange was the one corpus-sized shuffle of the operator. This
+  * expression builds each document's bucket→count map in a local scan
+  * of its token array (one md5 per bigram, zero string concat — digest
+  * bytes fed directly) and emits the ALREADY-AGGREGATED
+  * `array<struct<b,c>>`, sorted by bucket for determinism. Exploding
+  * that array yields ≤ min(bigrams, distinct buckets) rows per doc
+  * whose downstream partial aggs collapse map-side — the corpus-sized
+  * exchange disappears. Bucket ids are bit-identical to [[Md5Bucket]]
+  * over `concat_ws(' ', a, b)` (same bytes, same lane, same mod), so
+  * the DuckDB oracle is unchanged. */
+case class BigramBucketCounts(child: Expression, m: Long) extends UnaryExpression {
+  require(m > 0, s"modulus must be positive: $m")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigram_bucket_counts expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramBucketCounts.counts(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.BigramBucketCounts$$.MODULE$$.counts($c, ${m}L);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramBucketCounts {
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def counts(words: org.apache.spark.sql.catalyst.util.ArrayData,
+             m: Long): GenericArrayData = {
+    val n = words.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val map = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val md = digests.get()
+    var i = 0
+    while (i < n - 1) {
+      md.reset()
+      md.update(words.getUTF8String(i).getBytes)
+      md.update(' '.toByte)
+      md.update(words.getUTF8String(i + 1).getBytes)
+      val d = md.digest()
+      val lane = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      map.merge(lane % m, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val buckets = new Array[Long](map.size)
+    val it = map.keySet().iterator()
+    var k = 0
+    while (it.hasNext) { buckets(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(buckets)
+    val rows = new Array[Any](buckets.length)
+    var j = 0
+    while (j < buckets.length) {
+      rows(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](buckets(j), map.get(buckets(j)).longValue()))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
 object HashFunctions {
   /** array<bigint> of the 4 unsigned 32-bit md5 lanes of `prefix:s`. */
   def md5Lanes(prefix: String, s: Column): Column =
@@ -123,4 +201,9 @@ object HashFunctions {
   /** first md5 lane of s, mod m (native; == conv(substring(md5(s),1,8),16,10) % m). */
   def md5Bucket(s: Column, m: Long): Column =
     GraftShim.column(Md5Bucket(GraftShim.expression(s), m))
+
+  /** array<struct<b,c>> of per-document hashed-bigram bucket counts —
+    * one native pass over the token array, pre-aggregated map-side. */
+  def bigramBucketCounts(words: Column, m: Long): Column =
+    GraftShim.column(BigramBucketCounts(GraftShim.expression(words), m))
 }

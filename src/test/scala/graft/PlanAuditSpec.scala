@@ -19,6 +19,7 @@ class PlanAuditSpec extends SparkSpec {
     "embed_semantic_dedup",     // in-cell pair scan, cells bound the blowup
     "contamination_semantic",   // broadcast benchmark scan
     "hard_negatives",           // broadcast slice-vocab posting filter
+    "hybrid_topk",              // dense leg = embed_knn's broadcast query scan
     // ---- single-row broadcast of a scalar aggregate (totals / model
     // constants joined to every row — a 1×N nested loop IS the plan):
     "dsir_weights", "quality_unigram_nll", "quality_bigram_nll",
