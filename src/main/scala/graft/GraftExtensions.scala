@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{FloatDotProduct, Md5Lanes}
+import graft.functions.{BigramBucketCounts, DHash64, FloatDotProduct, LineStats,
+  Md5Bucket, Md5Lanes, NgramRepetition, PHash64}
 
 /** SparkSessionExtensions entry point — makes the library's native
   * Catalyst expressions first-class SQL functions, so a pure-SQL user
@@ -37,6 +38,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"md5_lanes prefix must be a string literal, got $other")
         }
         Md5Lanes(prefix, children(1))
+      }))
+    // integer-literal second argument (modulus / n): these expressions
+    // embed the constant at plan time, the SQL face extracts it here
+    def intLit(name: String, e: Expression): Long = e match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$name expects an integer literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("md5_bucket"),
+      new ExpressionInfo(classOf[Md5Bucket].getName, "md5_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"md5_bucket takes 2 arguments, got ${children.length}")
+        Md5Bucket(children.head, intLit("md5_bucket modulus", children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bigram_bucket_counts"),
+      new ExpressionInfo(classOf[BigramBucketCounts].getName, "bigram_bucket_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"bigram_bucket_counts takes 2 arguments, got ${children.length}")
+        BigramBucketCounts(children.head, intLit("bigram_bucket_counts modulus", children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_repetition"),
+      new ExpressionInfo(classOf[NgramRepetition].getName, "ngram_repetition"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"ngram_repetition takes 2 arguments, got ${children.length}")
+        NgramRepetition(children.head, intLit("ngram_repetition n", children(1)).toInt)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("line_stats"),
+      new ExpressionInfo(classOf[LineStats].getName, "line_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"line_stats takes 1 argument, got ${children.length}")
+        LineStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dhash64"),
+      new ExpressionInfo(classOf[DHash64].getName, "dhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, s"dhash64 takes 3 arguments, got ${children.length}")
+        DHash64(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("phash64"),
+      new ExpressionInfo(classOf[PHash64].getName, "phash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, s"phash64 takes 3 arguments, got ${children.length}")
+        PHash64(children(0), children(1), children(2))
       }))
   }
 }

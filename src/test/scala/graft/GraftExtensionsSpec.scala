@@ -60,4 +60,36 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal") || e.getMessage.contains("md5_lanes"))
   }
+
+  test("every native expression family has a SQL face with API-identical results") {
+    // md5_bucket == the hex Column formulation
+    val b = spark.sql("SELECT md5_bucket('hello world', 4096) AS b," +
+      " pmod(conv(substring(md5('hello world'), 1, 8), 16, 10), 4096) AS ref").head()
+    assert(b.getLong(0) == b.getLong(1))
+    // line_stats fields
+    val ls = spark.sql("SELECT line_stats('ab\ncdef') AS s").head().getStruct(0)
+    assert(ls.getLong(0) == 2L && ls.getLong(1) == 4L && ls.getLong(2) == 6L &&
+      ls.getLong(3) == 6L && ls.getLong(4) == 7L)
+    // ngram_repetition on a repeated bigram
+    val nr = spark.sql(
+      "SELECT ngram_repetition(array('a','b','a','b'), 2) AS s").head().getStruct(0)
+    assert(nr.getLong(0) == 3L && nr.getLong(1) == 2L && nr.getLong(2) == 2L)
+    // bigram_bucket_counts counts sum to bigram count
+    val bc = spark.sql(
+      "SELECT aggregate(bigram_bucket_counts(array('x','y','x','y'), 64), 0L," +
+        " (a, s) -> a + s.c) AS n").head()
+    assert(bc.getLong(0) == 3L)
+    // dhash64 / phash64 resolve and return the struct (9x8 / 32x32 buffers)
+    val dh = spark.sql(
+      "SELECT dhash64(CAST(repeat('p', 72) AS BINARY), 9, 8) IS NOT NULL AS ok").head()
+    assert(dh.getBoolean(0))
+    val ph = spark.sql(
+      "SELECT phash64(CAST(repeat('p', 1024) AS BINARY), 32, 32) IS NOT NULL AS ok").head()
+    assert(ph.getBoolean(0))
+    // literal enforcement on the new integer args
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT md5_bucket('x', CAST(rand() * 10 AS INT))").head()
+    }
+    assert(e2.getMessage.contains("literal") || e2.getMessage.contains("md5_bucket"))
+  }
 }
