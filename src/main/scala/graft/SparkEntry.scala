@@ -1008,6 +1008,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Encoding-health scan (ftfy signal): deterministic injected
+    // artifacts — a replacement char every 7th doc, a BEL control every
+    // 11th, Ã©-class mojibake every 13th, â€™-class every 17th; doc 0
+    // carries all four.
+    "encoding_stats" -> ((s, d) => {
+      def inj(m: Int, frag: String) =
+        when(col("doc_id") % m === 0, lit(" " + frag)).otherwise(lit(""))
+      val doc = Tables.load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), concat(col("text"),
+          inj(7, "bad \uFFFD byte"),
+          inj(11, "bell\u0007here"),
+          inj(13, "caf\u00C3\u00A9 ma\u00C3\u00B1ana"),
+          inj(17, "it\u00E2\u20AC\u2122s \u00E2\u20AC\u0153quoted \u00E2\u20AC\u201C yes")).as("text"))
+      ext.TextAnalysis.encodingStats(doc).orderBy("doc_id")
+    }),
+
     // Hybrid retrieval: BM25 (query docs searching the corpus) fused
     // with dense ANN (matching query vectors over embeddings) by
     // integer reciprocal-rank fusion. Cross-table contract: vec_id keys
@@ -3569,6 +3586,30 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, (m.e IS NOT NULL) AS blocked, m.e AS blocked_by
         |FROM hosts h LEFT JOIN m ON m.doc_id = h.doc_id AND m.rn = 1
         |ORDER BY h.doc_id""".stripMargin,
+
+    // injections replayed arithmetically; detector patterns INTERPOLATED
+    // from the same Scala constants the operator compiles — the two
+    // engines receive byte-identical regex and fragments
+    "encoding_stats" -> {
+      val pats = ext.TextAnalysis.EncodingPatterns.toMap
+      s"""WITH docs AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN ' bad � byte' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0 THEN ' bell' || chr(7) || 'here' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 13 = 0 THEN ' cafÃ© maÃ±ana' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 17 = 0 THEN ' itâ€™s â€œquoted â€“ yes' ELSE '' END) AS text
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '${pats("replacement")}')) AS n_replacement,
+         |  len(regexp_extract_all(text, '${pats("control")}')) AS n_control,
+         |  len(regexp_extract_all(text, '${pats("mojibake_accent")}')) AS n_mojibake_accent,
+         |  len(regexp_extract_all(text, '${pats("mojibake_punct")}')) AS n_mojibake_punct
+         |  FROM docs)
+         |SELECT doc_id, n_replacement, n_control, n_mojibake_accent, n_mojibake_punct,
+         |  n_replacement + n_control + n_mojibake_accent + n_mojibake_punct AS n_artifacts,
+         |  (n_replacement + n_control + n_mojibake_accent + n_mojibake_punct) > 0 AS needs_fix
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     // both rankings rebuilt independently (the hard_negatives BM25 form
     // and the embed_knn cosine form), then fused with the same integer

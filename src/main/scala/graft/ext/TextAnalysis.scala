@@ -414,6 +414,32 @@ object TextAnalysis {
         "[^a-z0-9 ]", " "),
       " +", " "))
 
+  /** Encoding-health detectors (the ftfy/CCNet cleanup signal): count
+    * the three artifact classes that mark a document as
+    * encoding-mangled — U+FFFD replacement chars (decoder already gave
+    * up), raw C0 control chars (binary junk in "text"), and classic
+    * UTF-8-read-as-Latin-1 mojibake (`Ã©`-class single accents,
+    * `â€™`-class punctuation). Patterns are literal-alternation regex,
+    * identical under Java regex and RE2. */
+  private[graft] val EncodingPatterns: Seq[(String, String)] = Seq(
+    "replacement" -> "�",
+    "control" -> "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]",
+    "mojibake_accent" -> "\u00C3[\u00A9\u00A1\u00AD\u00B1\u00B3\u00B6\u00BC\u00A8]",
+    "mojibake_punct" -> "\u00E2\u20AC[\u2122\u0153\u201C\u201D]")
+
+  /** Per-document encoding artifact counts + the needs-ftfy flag. One
+    * scan, zero shuffle, pure codegen. */
+  def encodingStats(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val counts = EncodingPatterns.map { case (n, p) =>
+      regexp_count(col(textCol), lit(p)).cast("long").as(s"n_$n")
+    }
+    df.select(col(idCol) +: counts: _*)
+      .withColumn("n_artifacts",
+        EncodingPatterns.map { case (n, _) => col(s"n_$n") }.reduce(_ + _))
+      .withColumn("needs_fix", col("n_artifacts") > 0)
+  }
+
   /** Code-file curation stats (The Stack / StarCoder filtering rules,
     * Kocetkov et al. 2022): line-shape and character-class heuristics
     * that separate human-written source from minified bundles, data

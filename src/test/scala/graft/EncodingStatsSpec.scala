@@ -1,0 +1,43 @@
+package graft
+
+import graft.ext.TextAnalysis
+
+/** Encoding-artifact detectors: each class fires on its canonical
+  * mangled form and stays silent on healthy text. */
+class EncodingStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scan(text: String): Map[String, Long] = {
+    val r = TextAnalysis.encodingStats(Seq((1L, text)).toDF("doc_id", "text")).head()
+    (TextAnalysis.EncodingPatterns.map(_._1) :+ "artifacts")
+      .map(n => n -> r.getAs[Long](s"n_$n")).toMap
+  }
+
+  test("replacement char U+FFFD is counted; normal accents are not") {
+    assert(scan("bad \uFFFD here \uFFFD")("replacement") == 2L)
+    assert(scan("café naïve")("replacement") == 0L)
+  }
+
+  test("C0 controls count, but tab/newline/CR are legitimate text") {
+    assert(scan("a\u0007b\u0001c")("control") == 2L)
+    assert(scan("a\tb\nc\rd")("control") == 0L)
+  }
+
+  test("mojibake accents: Ã© fires, real é and standalone Ã (Portuguese não) do not") {
+    assert(scan("caf\u00C3\u00A9")("mojibake_accent") == 1L)
+    assert(scan("café")("mojibake_accent") == 0L)
+    assert(scan("n\u00C3o falo")("mojibake_accent") == 0L) // \u00C3 before plain letter
+  }
+
+  test("mojibake punctuation: â€™-family fires, real curly quotes do not") {
+    assert(scan("it\u00E2\u20AC\u2122s")("mojibake_punct") == 1L)
+    assert(scan("it’s “quoted”")("mojibake_punct") == 0L)
+  }
+
+  test("healthy multilingual text is clean; totals add up") {
+    val clean = scan("Der schnelle braune Fuchs — даже по-русски, 日本語も")
+    assert(clean("artifacts") == 0L)
+    val dirty = scan("\uFFFD \u0007 caf\u00C3\u00A9 it\u00E2\u20AC\u2122s")
+    assert(dirty("artifacts") == 4L)
+  }
+}
