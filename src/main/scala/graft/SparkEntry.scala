@@ -1008,6 +1008,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Mixture planning: a FIXED 2M-token budget against the corpus's
+    // actual per-language volumes — at small sf desired >> available
+    // (multi-epoch upsampling), at large sf desired < available (plain
+    // subsampling): both plan branches exercised across scales. zh has
+    // no weight → excluded by recipe contract.
+    "mixture_plan" -> ((s, d) =>
+      ext.Sampling.mixturePlan(Tables.load(s, d, "documents"),
+        Seq("en" -> 50L, "de" -> 20L, "fr" -> 20L, "es" -> 10L),
+        budget = 2000000L)
+        .orderBy("lang")),
+
     // Encoding-health scan (ftfy signal): deterministic injected
     // artifacts — a replacement char every 7th doc, a BEL control every
     // 11th, Ã©-class mojibake every 13th, â€™-class every 17th; doc 0
@@ -3586,6 +3597,20 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, (m.e IS NOT NULL) AS blocked, m.e AS blocked_by
         |FROM hosts h LEFT JOIN m ON m.doc_id = h.doc_id AND m.rn = 1
         |ORDER BY h.doc_id""".stripMargin,
+
+    "mixture_plan" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT * FROM (VALUES ('en', 50), ('de', 20), ('fr', 20), ('es', 10)) AS w(lang, wt))
+        |SELECT t.lang, avail_tokens,
+        |  CAST((2000000 * wt) // 100 AS BIGINT) AS desired_tokens,
+        |  CAST(((2000000 * wt) // 100) // avail_tokens AS BIGINT) AS full_epochs,
+        |  CAST(((((2000000 * wt) // 100) % avail_tokens) * 1000) // avail_tokens AS BIGINT)
+        |    AS tail_rate_permille
+        |FROM t JOIN w ON t.lang = w.lang
+        |ORDER BY t.lang""".stripMargin,
 
     // injections replayed arithmetically; detector patterns INTERPOLATED
     // from the same Scala constants the operator compiles — the two

@@ -168,4 +168,38 @@ object Sampling {
         (col("_cum") - 1).as("pos"),
         ((col("_cum") - 1) / docsPerShard).cast("long").as("shard_id"))
   }
+
+  /** Mixture PLANNING (the Dolma/Pile recipe step that precedes
+    * [[mixtureSample]]): given per-group target weights and a total
+    * token budget, turn the corpus's ACTUAL per-group token counts into
+    * an execution plan — how many full epochs each group repeats
+    * (desired > available ⇒ upsampling, the multi-epoch case) and the
+    * permille rate for the fractional tail (desired < available ⇒ plain
+    * subsampling). All-integer arithmetic: desired = budget·w div Σw,
+    * epochs = desired div available, tail = (desired mod available)·1000
+    * div available — bit-deterministic, and `full_epochs`/`tail_rate`
+    * feed [[mixtureSample]]/[[weightedSample]] directly.
+    *
+    * Scale shape: ONE partial-agg'd groupBy to the per-group token
+    * table (≤ |groups| rows), then scalar arithmetic on the broadcast
+    * weight list. Groups without a weight are excluded by contract
+    * (they are not part of the recipe). */
+  def mixturePlan(docs: DataFrame, weights: Seq[(String, Long)], budget: Long,
+                  groupCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0) && budget > 0,
+      s"bad plan inputs: weights=$weights budget=$budget")
+    val den = weights.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(groupCol, "_wt")
+    docs
+      .groupBy(col(groupCol))
+      .agg(sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("avail_tokens"))
+      .join(broadcast(w), Seq(groupCol))
+      .withColumn("desired_tokens", expr(s"(${budget}L * _wt) div ${den}L"))
+      .withColumn("full_epochs", expr("desired_tokens div avail_tokens"))
+      .withColumn("tail_rate_permille",
+        expr("((desired_tokens % avail_tokens) * 1000) div avail_tokens"))
+      .drop("_wt")
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ext.Sampling
+
+/** Mixture planning: hand-computed epochs/rates for both the upsample
+  * and subsample branches, recipe-exclusion, parameter guards. */
+class MixturePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  // en: 2 docs x 4 tokens = 8; de: 1 doc x 4 = 4; zh unweighted
+  private lazy val docs = Seq(
+    (1L, "en", "a b c d"), (2L, "en", "e f g h"),
+    (3L, "de", "i j k l"), (4L, "zh", "m n o p")).toDF("doc_id", "lang", "text")
+
+  private def plan(budget: Long) =
+    Sampling.mixturePlan(docs, Seq("en" -> 3L, "de" -> 1L), budget)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("upsample branch: desired > available gives full epochs + tail rate") {
+    val p = plan(100L)
+    // en: desired = 100*3 div 4 = 75, avail 8 → 9 epochs + (3*1000 div 8)=375‰
+    assert(p("en") == (8L, 75L, 9L, 375L))
+    // de: desired = 25, avail 4 → 6 epochs + (1*1000 div 4)=250‰
+    assert(p("de") == (4L, 25L, 6L, 250L))
+  }
+
+  test("subsample branch: desired < available gives 0 epochs + pure rate") {
+    val p = plan(8L)
+    // en: desired = 6, avail 8 → 0 epochs, 750‰
+    assert(p("en") == (8L, 6L, 0L, 750L))
+  }
+
+  test("groups without a weight are excluded by recipe contract") {
+    assert(!plan(100L).contains("zh"))
+  }
+
+  test("bad params raise") {
+    intercept[IllegalArgumentException] {
+      Sampling.mixturePlan(docs, Seq.empty, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixturePlan(docs, Seq("en" -> 0L), 100L)
+    }
+  }
+}
