@@ -1008,6 +1008,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Video near-dup: formula-pixel frames (6 per video, params vary by
+    // (vid, frame_idx)), re-encode twins perturbed +1 on every frame's
+    // block (0,0) → all 6 frames within hamming 1 → 1000-permille match.
+    "video_near_dup" -> ((s, d) => {
+      val vids = Tables.load(s, d, "documents").select("doc_id")
+        .where(col("doc_id") % 5 === 0)
+      val frames = vids
+        .withColumn("frame_idx", explode(sequence(lit(0L), lit(5L))))
+      def params(v: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column) = Seq(
+        ((v * 7 + f) % 251).as("a"), ((v * 11 + f) % 241).as("b"),
+        ((v * 13 + f) % 239).as("c"), ((v + f * 17) % 256).as("dd"))
+      val base = frames.select(
+        (col("doc_id").as("vid") +: col("frame_idx") +:
+          params(col("doc_id"), col("frame_idx")) :+ lit(0L).as("pert")): _*)
+      val twins = frames.where(col("doc_id") % 20 === 0).select(
+        ((col("doc_id") + 1000000L).as("vid") +: col("frame_idx") +:
+          params(col("doc_id"), col("frame_idx")) :+ lit(1L).as("pert")): _*)
+      // clip-edits: frames 0-2 identical, frames 3-5 re-shot (gradient
+      // param a shifted — a pure dd shift would leave the dHash
+      // invariant) → exactly 500 permille, ON the threshold boundary
+      val edits = frames.where(col("doc_id") % 25 === 0).select(
+        ((col("doc_id") + 2000000L).as("vid") +: col("frame_idx") +:
+          Seq(when(col("frame_idx") >= 3, (col("doc_id") * 7 + col("frame_idx") + 50) % 251)
+            .otherwise((col("doc_id") * 7 + col("frame_idx")) % 251).as("a"),
+            ((col("doc_id") * 11 + col("frame_idx")) % 241).as("b"),
+            ((col("doc_id") * 13 + col("frame_idx")) % 239).as("c"),
+            ((col("doc_id") + col("frame_idx") * 17) % 256).as("dd")) :+
+          lit(0L).as("pert")): _*)
+      val src = base.unionByName(twins).unionByName(edits)
+        .withColumn("w", lit(45)).withColumn("h", lit(40))
+      val hashed = ext.Multimodal.encodeGrayFixture(src)
+        .select(col("vid"), col("frame_idx"),
+          ext.Multimodal.dhash64(col("payload"), col("w"), col("h")).as("_d"))
+        .select(col("vid"), col("frame_idx"),
+          col("_d.hi").as("hi"), col("_d.lo").as("lo"))
+      ext.Multimodal.videoNearDup(hashed, maxHamming = 3, minMatchPermille = 500)
+        .orderBy("vid_a", "vid_b")
+    }),
+
     // Mixture planning: a FIXED 2M-token budget against the corpus's
     // actual per-language volumes — at small sf desired >> available
     // (multi-epoch upsampling), at large sf desired < available (plain
@@ -3597,6 +3636,67 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, (m.e IS NOT NULL) AS blocked, m.e AS blocked_by
         |FROM hosts h LEFT JOIN m ON m.doc_id = h.doc_id AND m.rn = 1
         |ORDER BY h.doc_id""".stripMargin,
+
+    // the whole frame-hash pipeline replayed in closed form from the
+    // pixel formula (the image_dhash_neardup oracle extended per-frame),
+    // then the same frame-aligned banding + permille verdicts
+    "video_near_dup" ->
+      """WITH vids AS (SELECT doc_id AS v FROM documents WHERE doc_id % 5 = 0),
+        |frames AS (SELECT v, unnest(range(0, 6)) AS fi FROM vids),
+        |imgs AS (
+        |  SELECT v AS vid, fi, (v * 7 + fi) % 251 AS a, (v * 11 + fi) % 241 AS b,
+        |         (v * 13 + fi) % 239 AS c, (v + fi * 17) % 256 AS d, 0 AS pert
+        |  FROM frames
+        |  UNION ALL
+        |  SELECT v + 1000000, fi, (v * 7 + fi) % 251, (v * 11 + fi) % 241,
+        |         (v * 13 + fi) % 239, (v + fi * 17) % 256, 1
+        |  FROM frames WHERE v % 20 = 0
+        |  UNION ALL
+        |  SELECT v + 2000000, fi,
+        |         (CASE WHEN fi >= 3 THEN v * 7 + fi + 50 ELSE v * 7 + fi END) % 251,
+        |         (v * 11 + fi) % 241, (v * 13 + fi) % 239, (v + fi * 17) % 256, 0
+        |  FROM frames WHERE v % 25 = 0),
+        |grid AS (SELECT by, bx
+        |  FROM (SELECT unnest(range(0, 8)) AS by) ys
+        |  CROSS JOIN (SELECT unnest(range(0, 9)) AS bx) xs),
+        |cells AS (
+        |  SELECT vid, fi, by, bx,
+        |    25 * ((a * bx + b * by + c * bx * by + d +
+        |           CASE WHEN pert = 1 AND bx = 0 AND by = 0 THEN 1 ELSE 0 END) % 248)
+        |      + 100 AS s
+        |  FROM imgs CROSS JOIN grid),
+        |bits AS (
+        |  SELECT l.vid, l.fi, l.by * 8 + l.bx AS k,
+        |    CASE WHEN l.s < r.s THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON r.vid = l.vid AND r.fi = l.fi AND r.by = l.by AND r.bx = l.bx + 1
+        |  WHERE l.bx < 8),
+        |hashes AS (
+        |  SELECT vid, fi,
+        |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY vid, fi),
+        |bands AS (
+        |  SELECT vid, fi, hi, lo, 0 AS band, (hi >> 16) & 65535 AS bv FROM hashes
+        |  UNION ALL SELECT vid, fi, hi, lo, 1, hi & 65535 FROM hashes
+        |  UNION ALL SELECT vid, fi, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
+        |  UNION ALL SELECT vid, fi, hi, lo, 3, lo & 65535 FROM hashes),
+        |m AS (
+        |  SELECT DISTINCT a.vid AS vid_a, b.vid AS vid_b, a.fi,
+        |         a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+        |  FROM bands a JOIN bands b
+        |    ON a.fi = b.fi AND a.band = b.band AND a.bv = b.bv AND a.vid < b.vid),
+        |mm AS (SELECT vid_a, vid_b, fi FROM m
+        |  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3),
+        |counts AS (SELECT vid, count(*) AS nf FROM hashes GROUP BY vid),
+        |p AS (SELECT vid_a, vid_b, CAST(count(*) AS BIGINT) AS n_matched
+        |      FROM mm GROUP BY 1, 2)
+        |SELECT p.vid_a, p.vid_b, n_matched,
+        |  CAST((n_matched * 1000) // least(ca.nf, cb.nf) AS BIGINT) AS match_permille
+        |FROM p JOIN counts ca ON ca.vid = p.vid_a
+        |JOIN counts cb ON cb.vid = p.vid_b
+        |WHERE (n_matched * 1000) // least(ca.nf, cb.nf) >= 500
+        |ORDER BY vid_a, vid_b""".stripMargin,
 
     "mixture_plan" ->
       """WITH t AS (

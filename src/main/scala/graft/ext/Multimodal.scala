@@ -246,6 +246,57 @@ object Multimodal {
       .select("img_a", "img_b", "hamming")
   }
 
+  /** Video near-duplicate detection — the frame-fingerprint recipe
+    * (sample frames → perceptual-hash each → two videos near-dup when
+    * most aligned frames hash within the Hamming budget): the re-encode
+    * / re-upload dedup pass of video dataset curation, composing
+    * [[frameSamplePlan]] + [[dhash64]] + the [[imageNearDup]] banding.
+    *
+    * Input: (vid, frame_idx, hi, lo) per sampled frame. Candidates come
+    * from 4×16-bit Hamming banding keyed by (frame_idx, band, value) —
+    * frame alignment is the contract (re-encodes preserve frame
+    * indices; clipped videos need an alignment pass upstream). A frame
+    * pair verifies at popcount ≤ maxHamming; a video pair reports when
+    * matched frames ≥ minMatchPermille of the SHORTER video.
+    *
+    * Scale shape: the banding groupBy/join is the only corpus-sized
+    * shuffle and carries 4 longs per frame; per-pair aggregation is
+    * candidate-bounded. All-integer permille verdicts. */
+  def videoNearDup(frameHashes: DataFrame, maxHamming: Int = 3,
+                   minMatchPermille: Long = 500L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding only guarantees recall for hamming <= 3, got $maxHamming")
+    require(minMatchPermille >= 0 && minMatchPermille <= 1000,
+      s"minMatchPermille out of range: $minMatchPermille")
+    val bands = frameHashes.select(col("vid"), col("frame_idx"), col("hi"), col("lo"),
+      explode(array(
+        struct(lit(0).as("bi"), shiftright(col("hi"), 16).bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("bi"), col("hi").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(2).as("bi"), shiftright(col("lo"), 16).bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(3).as("bi"), col("lo").bitwiseAND(lit(65535L)).as("bv")))).as("_b"))
+      .select(col("vid"), col("frame_idx"), col("hi"), col("lo"),
+        col("_b.bi").as("band"), col("_b.bv").as("band_val"))
+    val a = bands.select(col("vid").as("vid_a"), col("frame_idx"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"), col("band"), col("band_val"))
+    val b = bands.select(col("vid").as("vid_b"), col("frame_idx"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"), col("band"), col("band_val"))
+    val matched = a.join(b, Seq("frame_idx", "band", "band_val"))
+      .where(col("vid_a") < col("vid_b"))
+      .select("vid_a", "vid_b", "frame_idx", "hi_a", "lo_a", "hi_b", "lo_b")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+    val counts = frameHashes.groupBy(col("vid")).agg(count(lit(1)).as("nf"))
+    matched.groupBy("vid_a", "vid_b").agg(count(lit(1)).as("n_matched"))
+      .join(counts.select(col("vid").as("vid_a"), col("nf").as("nf_a")), Seq("vid_a"))
+      .join(counts.select(col("vid").as("vid_b"), col("nf").as("nf_b")), Seq("vid_b"))
+      .withColumn("match_permille", expr("(n_matched * 1000) div least(nf_a, nf_b)"))
+      .where(col("match_permille") >= minMatchPermille)
+      .select("vid_a", "vid_b", "n_matched", "match_permille")
+  }
+
   // ------------------------------------------------------------------
   // Audio: real RIFF/WAVE header parse (the audio leg of §7.6)
   // ------------------------------------------------------------------

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ext.Multimodal
+
+/** Frame-fingerprint video near-dup: alignment contract, permille
+  * threshold, hamming budget. */
+class VideoNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(rows: Seq[(Long, Long, Long, Long)], minPermille: Long = 500) =
+    Multimodal.videoNearDup(
+      rows.toDF("vid", "frame_idx", "hi", "lo"), minMatchPermille = minPermille)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("identical frame sets match at 1000 permille") {
+    val a = (0L until 4L).map(i => (1L, i, 100L + i, 200L + i))
+    val b = (0L until 4L).map(i => (2L, i, 100L + i, 200L + i))
+    assert(pairs(a ++ b) == Seq((1L, 2L, 4L, 1000L)))
+  }
+
+  test("half-matching frames sit exactly on the 500 threshold") {
+    val a = (0L until 4L).map(i => (1L, i, 100L + i, 200L + i))
+    val b = (0L until 4L).map(i =>
+      (2L, i, if (i < 2) 100L + i else 0xAAAA5555FL + i * 65536L, 200L + i))
+    assert(pairs(a ++ b) == Seq((1L, 2L, 2L, 500L)))
+    assert(pairs(a ++ b, minPermille = 501).isEmpty)
+  }
+
+  test("frame alignment is the contract: shifted frames do not match") {
+    // hashes far apart between consecutive frames (adjacent ints would
+    // be 1 hamming bit apart and legitimately match)
+    def h(i: Long) = (i + 1) * 0x0F0F0F0FL
+    val a = (0L until 4L).map(i => (1L, i, h(i), h(i + 10)))
+    val b = (0L until 4L).map(i => (2L, i + 1, h(i), h(i + 10)))
+    assert(pairs(a ++ b).isEmpty)
+  }
+
+  test("hamming budget: 3 flipped bits still match, 4 do not") {
+    val a = Seq((1L, 0L, 0L, 0L), (1L, 1L, 0L, 0L))
+    val ok = Seq((2L, 0L, 7L, 0L), (2L, 1L, 7L, 0L))      // 3 bits per frame
+    val far = Seq((3L, 0L, 15L, 0L), (3L, 1L, 15L, 0L))   // 4 bits per frame
+    assert(pairs(a ++ ok).map(t => (t._1, t._2)) == Seq((1L, 2L)))
+    assert(pairs(a ++ far).forall(t => !(t._1 == 1L && t._2 == 3L)))
+  }
+
+  test("shorter video is the permille denominator") {
+    val a = (0L until 6L).map(i => (1L, i, 50L + i, 60L + i))
+    val b = (0L until 3L).map(i => (2L, i, 50L + i, 60L + i))
+    assert(pairs(a ++ b) == Seq((1L, 2L, 3L, 1000L)))
+  }
+}
