@@ -1008,6 +1008,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Streaming face of the FLAGSHIP corpus_clean — SAME oracle: keyed
+    // min-fold dedup state + stateless scoring must reproduce the batch
+    // answer exactly under availableNow.
+    "corpus_clean_stream" -> ((s, d) =>
+      graft.streaming.CorpusStream.runCleanStream(s, docsStreamDir(s, d),
+        queryName = "gate_corpus_clean_stream")
+        .orderBy("doc_id")),
+
     // Video near-dup: formula-pixel frames (6 per video, params vary by
     // (vid, frame_idx)), re-encode twins perturbed +1 on every frame's
     // block (0,0) → all 6 frames within hamming 1 → 1000-permille match.
@@ -2275,6 +2283,19 @@ object SparkEntry {
   /** FileStreamSource needs a DIRECTORY; the testdata events table is a
     * single parquet file — stage a symlink dir (no copy). Also arms the
     * nanos-as-long conf the raw schema read needs. */
+  private def docsStreamDir(s: SparkSession, d: String): String = {
+    val src = java.nio.file.Paths.get(d, "documents.parquet").toAbsolutePath
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft_docs_stream_" + d.replaceAll("[^a-zA-Z0-9.]", "_"))
+    this.synchronized {
+      java.nio.file.Files.createDirectories(dir)
+      val link = dir.resolve("documents.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, src)
+    }
+    dir.toString
+  }
+
   private def eventsStreamDir(s: SparkSession, d: String): String = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
@@ -4496,6 +4517,33 @@ object SparkEntry {
         |  CAST(len(list_slice(ts, s + 1, s + 40)) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS chunk
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // identical to corpus_clean: the streaming min-fold dedup + scoring
+    // must reproduce the batch flagship exactly
+    "corpus_clean_stream" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    round(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 0.4
+        |      + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) AS quality_score,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS votes_de,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS votes_en,
+        |    len(regexp_extract_all(text, '\b(el|la|los|y|es|un)\b')) AS votes_es,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et|est|un)\b')) AS votes_fr
+        |  FROM documents),
+        |filt AS (
+        |  SELECT * FROM scored
+        |  WHERE quality_score >= 0.5
+        |    AND greatest(votes_de, votes_en, votes_es, votes_fr) > 0
+        |    AND NOT (votes_de >= votes_en AND votes_de >= votes_es AND votes_de >= votes_fr)
+        |    AND (votes_en >= votes_es AND votes_en >= votes_fr)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text))
+        |SELECT f.doc_id, f.n_tokens, f.quality_score
+        |FROM filt f JOIN keep k ON f.doc_id = k.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
 
     "corpus_clean" ->
       """WITH scored AS (

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Continuous-ingest face of the FLAGSHIP cleaning pipeline
+  * (`corpus_clean`): exact dedup across micro-batches as keyed state,
+  * language/quality scoring on the deduped survivors.
+  *
+  * The batch operator's keeper rule is `min(doc_id)` per content hash —
+  * `dropDuplicates` (first ARRIVAL wins) would make the stream's answer
+  * depend on partition order, so dedup state is an explicit
+  * min-fold over the hash key instead: each trigger updates the
+  * running (minId, text) per hash and emits an Update-mode snapshot;
+  * the latest snapshot per hash IS the converged minimum once the feed
+  * drains (min is monotone). Scoring is stateless and runs batch-side
+  * over the final survivor set — langId/quality are pure functions of
+  * the text, so batch parity is exact regardless of arrival order.
+  *
+  * State per hash = one long + one text (the keeper's); at 100 TB/day
+  * bound it with `dropDuplicatesWithinWatermark`-style lateness limits
+  * upstream, the dedup_stream contract. */
+object CorpusStream {
+
+  def runCleanStream(spark: SparkSession, docsDir: String,
+                     queryName: String = "corpus_clean_stream",
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(docsDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(docsDir)
+      .select(md5(col("text").cast("binary")).as("_h"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+
+    def update(h: String, docs: Iterator[(String, Long, String)],
+               state: GroupState[(Long, String)]): Iterator[(String, Long, String, Long)] = {
+      val batchMin = docs.minBy(_._2)
+      val cur = state.getOption match {
+        case Some((id, t)) if id <= batchMin._2 => (id, t)
+        case _ => (batchMin._2, batchMin._3)
+      }
+      state.update(cur)
+      Iterator.single((h, cur._1, cur._2, state.getCurrentProcessingTimeMs()))
+    }
+    val deduped = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .toDF("_h", "doc_id", "text", "_seq")
+    val q = deduped.writeStream.outputMode("update").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // min over all snapshots == the latest snapshot (the min-fold is
+    // monotone), and needs no _seq tie-breaking
+    val kept = spark.table(queryName)
+      .groupBy("_h")
+      .agg(min(struct(col("doc_id"), col("text"))).as("_m"))
+      .select(col("_m.doc_id").as("doc_id"), col("_m.text").as("text"))
+    graft.ext.TextAnalysis.qualityFeatures(graft.ext.TextAnalysis.langId(kept))
+      .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      .select("doc_id", "n_tokens", "quality_score")
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.CorpusStream
+
+/** Streaming corpus_clean parity: the min-id keeper must win even when
+  * it ARRIVES AFTER a higher-id duplicate (first-arrival dedup would
+  * keep the wrong doc). */
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min-id duplicate arriving in a later micro-batch still wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clean_stream").toString
+    val good = "the a of and to in is " * 20 // en, high quality
+    // batch 1: the HIGH id copy of the dup + a unique doc
+    Seq((50L, good + "dup"), (60L, good + "unique one"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    // batch 2: the LOW id copy of the same dup text
+    Seq((7L, good + "dup"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+
+    val out = CorpusStream.runCleanStream(spark, dir,
+      queryName = "spec_clean_stream", maxFilesPerTrigger = Some(1))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(7L, 60L)) // 50 deduped away in favor of 7
+  }
+
+  test("stream output equals the batch flagship on the gate corpus") {
+    val d = TestSpark.sf001
+    val dir = java.nio.file.Files.createTempDirectory("graft_clean_stream2").toString
+    val docs = Tables.load(spark, d, "documents").select("doc_id", "text")
+    // split into 3 interleaved files → 3 micro-batches
+    for (f <- 0 until 3)
+      docs.where(col("doc_id") % 3 === f).coalesce(1)
+        .write.mode("append").parquet(dir)
+    val stream = CorpusStream.runCleanStream(spark, dir,
+      queryName = "spec_clean_stream2", maxFilesPerTrigger = Some(1))
+      .select("doc_id", "n_tokens", "quality_score")
+    val batch = SparkEntry.queries("corpus_clean")(spark, d)
+    val a = stream.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = batch.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
