@@ -1505,6 +1505,21 @@ object SparkEntry {
         .select(col("_k").as("doc_id"), col("pos"), col("shard_id"))
         .orderBy("pos")),
 
+    // Shard manifests (reproducible-release provenance): per training
+    // shard, doc count, position range, and the md5 of the ordered
+    // member-id list — the checksum a dataset card ships so any
+    // re-materialization can be verified without moving the data.
+    "shard_manifest" -> ((s, d) =>
+      ext.Sampling.corpusShuffle(Tables.load(s, d, "documents"),
+        col("doc_id"), seed = "ep0", docsPerShard = 100L)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min("pos").as("pos_lo"), max("pos").as("pos_hi"),
+          md5(concat_ws(",",
+            expr("transform(array_sort(collect_list(struct(pos, _k))), x -> CAST(x._k AS STRING))"))
+            .cast("binary")).as("content_md5"))
+        .orderBy("shard_id")),
+
     // The composed training-data flagship: language filter → quality
     // threshold → exact dedup, each stage the already-oracle'd operator.
     // Dedup as row_number over the content hash keeps it ONE scan of the
@@ -4383,6 +4398,20 @@ object SparkEntry {
         |  CAST((row_number() OVER (
         |    ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) // 100 AS BIGINT) AS shard_id
         |FROM documents ORDER BY pos""".stripMargin,
+
+    // the shuffle rank replayed as the oracle's global row_number, the
+    // manifest digest as ORDER BY string_agg — per-shard agg both sides
+    "shard_manifest" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (
+        |      ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        |  FROM documents),
+        |s AS (SELECT doc_id, pos, CAST(pos // 100 AS BIGINT) AS shard_id FROM r)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(pos) AS pos_lo, max(pos) AS pos_hi,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS content_md5
+        |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,
