@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev tool: print the formatted physical plan of named gate queries
+  * (the PLANS.md generator). Usage:
+  * `tools/run_local.sh graft.PlanDump q1,q2 [sfDir]` */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n## $n\n")
+      println(SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted")))
+    }
+    spark.stop()
+  }
+}
