@@ -1008,6 +1008,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus version diff (release audit): v2 synthesized from the
+    // corpus — every 17th doc dropped, every 13th doc's text edited,
+    // 50 brand-new ids appended — all four statuses exercised.
+    "corpus_diff" -> ((s, d) => {
+      val v1 = Tables.load(s, d, "documents").select("doc_id", "text")
+      val v2 = v1.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" edited v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.where(col("doc_id") < 50)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(lit("new doc "), col("text")).as("text")))
+      ext.DatasetDiff.diff(v1, v2).orderBy("key")
+    }),
+
     // Streaming face of the FLAGSHIP corpus_clean — SAME oracle: keyed
     // min-fold dedup state + stateless scoring must reproduce the batch
     // answer exactly under availableNow.
@@ -4546,6 +4561,26 @@ object SparkEntry {
         |  CAST(len(list_slice(ts, s + 1, s + 40)) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS chunk
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the full-outer content diff replayed directly; md5 over the same
+    // synthesized v2
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' edited v2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, 'new doc ' || text FROM v1 WHERE doc_id < 50),
+        |o AS (SELECT doc_id AS key, md5(text) AS old_md5 FROM v1),
+        |n AS (SELECT doc_id AS key, md5(text) AS new_md5 FROM v2)
+        |SELECT COALESCE(o.key, n.key) AS key, old_md5, new_md5,
+        |  CASE WHEN old_md5 IS NULL THEN 'added'
+        |       WHEN new_md5 IS NULL THEN 'removed'
+        |       WHEN old_md5 = new_md5 THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.key = n.key
+        |ORDER BY key""".stripMargin,
 
     // identical to corpus_clean: the streaming min-fold dedup + scoring
     // must reproduce the batch flagship exactly

@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus version diff — the release audit run between dataset versions
+  * (v1 → v2 of a curated corpus): which documents were added, removed,
+  * changed (same key, different content), or carried unchanged. The
+  * content-level complement of the catalog's metadata diff
+  * ([[graft.ops.DiffResolver]] compares object etag/size; this compares
+  * the DATA by content digest).
+  *
+  * Scale shape: each side reduces map-side to (key, md5) — text never
+  * shuffles — then ONE full outer hash join on the key; the verdict is
+  * a null/equality CASE. Output is one row per key in either version
+  * plus the summary counts an audit report needs. */
+object DatasetDiff {
+
+  /** Per-key verdicts: (key, status ∈ added|removed|changed|unchanged,
+    * old_md5, new_md5). */
+  def diff(oldV: DataFrame, newV: DataFrame, keyCol: String = "doc_id",
+           textCol: String = "text"): DataFrame = {
+    val o = oldV.select(col(keyCol).as("key"),
+      md5(col(textCol).cast("binary")).as("old_md5"))
+    val n = newV.select(col(keyCol).as("key"),
+      md5(col(textCol).cast("binary")).as("new_md5"))
+    o.join(n, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") === col("new_md5"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
+  /** The audit-report rollup: one row per status with counts. */
+  def diffSummary(oldV: DataFrame, newV: DataFrame, keyCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    diff(oldV, newV, keyCol, textCol)
+      .groupBy("status").agg(count(lit(1)).as("n"))
+}

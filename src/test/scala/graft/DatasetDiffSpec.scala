@@ -1,0 +1,32 @@
+package graft
+
+import graft.ext.DatasetDiff
+
+/** Corpus version diff: all four verdicts, key coalescing, summary. */
+class DatasetDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "will drop"))
+    .toDF("doc_id", "text")
+  private lazy val v2 = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+    .toDF("doc_id", "text")
+
+  test("each key gets its verdict; keys from either side survive the full outer") {
+    val m = DatasetDiff.diff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("summary rolls up counts per status") {
+    val m = DatasetDiff.diffSummary(v1, v2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("unchanged" -> 1L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("identical versions diff to all-unchanged; empty old marks everything added") {
+    assert(DatasetDiff.diff(v1, v1).collect().forall(_.getString(3) == "unchanged"))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DatasetDiff.diff(empty, v2).collect().forall(_.getString(3) == "added"))
+    assert(DatasetDiff.diff(v1, empty).collect().forall(_.getString(3) == "removed"))
+  }
+}
