@@ -114,6 +114,31 @@ object Dedup {
       .select(col("doc_id"), col("_b.band").as("band"), col("_b.band_hash").as("band_hash"))
   }
 
+  /** The [[lshBands]]∘[[minhash]]∘[[shingles]] chain folded into ONE
+    * native pass per document ([[graft.functions.MinhashBands]] — see
+    * its bit-equality argument): zero explode, zero groupBy, zero
+    * shuffle. MEASURED NEGATIVE for the self-join pipelines and
+    * therefore NOT wired into them: the Column chain's signature
+    * groupBy produces an Exchange that ReuseExchange serves to BOTH
+    * candidate-join sides, so the expansion runs once — while this
+    * shuffle-free plan recomputes the native scan per side (sf1:
+    * dedup_minhash_lsh 6.0 → 10.2 s, dedup_edit 13.4 → 33.0 s; sf10
+    * within noise — PERF.md). Kept, spec-pinned, for consumers with no
+    * reusable exchange: a directional new×ref banding where each side
+    * is derived once, or band derivation over an already-materialized
+    * frame. */
+  private[graft] def lshBandsNative(docs: DataFrame, numHashes: Int = 12,
+                                    rowsPerBand: Int = 3, idCol: String = "doc_id",
+                                    textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
+      .where(size(col("w")) >= 3)
+      // explode_outer for the InferFiltersFromGenerate reason at
+      // [[shingles]]; the guard makes the array non-empty
+      .select(col("doc_id"), explode_outer(
+        graft.functions.HashFunctions.minhashBands(col("w"), numHashes, rowsPerBand)).as("_b"))
+      .select(col("doc_id"), col("_b.band").as("band"), col("_b.band_hash").as("band_hash"))
+
   /** Candidate pairs from shared LSH buckets (a < b). */
   def candidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))

@@ -193,6 +193,114 @@ object BigramBucketCounts {
   }
 }
 
+/** Per-document MinHash LSH band hashes in ONE native pass — the
+  * hottest stage of every MinHash pipeline ([[graft.ext.Dedup]]).
+  *
+  * Folds shingling → lane hashing → per-lane minima → band md5s inside
+  * one scan of the token array: zero explode, zero groupBy, zero
+  * shuffle. NOTE the measured trade-off at [[graft.ext.Dedup
+  * .lshBandsNative]]: in the self-join pipelines the Column chain's
+  * signature Exchange is REUSED across both join sides, which beats
+  * re-running even this cheap scan twice — use this form only where no
+  * exchange reuse exists (directional new×ref, pre-materialized
+  * inputs).
+  *
+  * Bit-identical by construction: distinct 3-grams of `concat_ws(' ')`
+  * (a hash set — order can't matter for minima); lane s reuses
+  * [[Md5Lanes.lanes]] (same digest bytes, same unsigned 32-bit lanes);
+  * band hash = lowercase-hex md5 of the comma-joined DECIMAL lane
+  * minima, exactly `md5(concat_ws(",", h…).cast("binary"))`. The
+  * lshBands-vs-native agreement spec pins it. */
+case class MinhashBands(child: Expression, numHashes: Int, rowsPerBand: Int)
+  extends UnaryExpression {
+  require(numHashes > 0 && rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+    s"bad minhash params: numHashes=$numHashes rowsPerBand=$rowsPerBand")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("band_hash", StringType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashBands.bands(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numHashes, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.MinhashBands$$.MODULE$$.bands($c, $numHashes, $rowsPerBand);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashBands {
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def bands(words: org.apache.spark.sql.catalyst.util.ArrayData,
+            numHashes: Int, rowsPerBand: Int): GenericArrayData = {
+    val n = words.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val nGroups = (numHashes + 3) / 4
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n - 2) {
+      val gram = words.getUTF8String(i).toString + " " +
+        words.getUTF8String(i + 1).toString + " " + words.getUTF8String(i + 2).toString
+      if (seen.add(gram)) {
+        val gramU = UTF8String.fromString(gram)
+        var g = 0
+        while (g < nGroups) {
+          val lanes = Md5Lanes.lanes(g.toString, gramU)
+          var j = 0
+          while (j < 4 && g * 4 + j < numHashes) {
+            val s = g * 4 + j
+            val v = lanes.getLong(j)
+            if (v < mins(s)) mins(s) = v
+            j += 1
+          }
+          g += 1
+        }
+      }
+      i += 1
+    }
+    val md = digests.get()
+    val nBands = numHashes / rowsPerBand
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      val sb = new java.lang.StringBuilder()
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(mins(b * rowsPerBand + r))
+        r += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      val hex = new Array[Char](32)
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = HexChars((d(k) >> 4) & 0xf)
+        hex(2 * k + 1) = HexChars(d(k) & 0xf)
+        k += 1
+      }
+      out(b) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b, UTF8String.fromString(new String(hex))))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object HashFunctions {
   /** array<bigint> of the 4 unsigned 32-bit md5 lanes of `prefix:s`. */
   def md5Lanes(prefix: String, s: Column): Column =
@@ -206,4 +314,9 @@ object HashFunctions {
     * one native pass over the token array, pre-aggregated map-side. */
   def bigramBucketCounts(words: Column, m: Long): Column =
     GraftShim.column(BigramBucketCounts(GraftShim.expression(words), m))
+
+  /** array<struct<band,band_hash>> MinHash-LSH band hashes of a token
+    * array — shingle → lane-min → band md5 folded into one native pass. */
+  def minhashBands(words: Column, numHashes: Int, rowsPerBand: Int): Column =
+    GraftShim.column(MinhashBands(GraftShim.expression(words), numHashes, rowsPerBand))
 }

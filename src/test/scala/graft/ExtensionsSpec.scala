@@ -196,6 +196,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact.forall(_.getDouble(2) == 1.0))
   }
 
+  test("native MinhashBands == the lshBands∘minhash∘shingles Column chain, row for row") {
+    // multibyte tokens, repeated shingles (distinct contract), short docs
+    // (guarded away identically), and the gate corpus itself
+    val sp = spark
+    import sp.implicits._
+    val crafted = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c a b c a b c d"), (3L, "too short"),
+      (4L, "café né über déjà vu encore une fois"), (5L, "x y z"),
+      (6L, "")).toDF("doc_id", "text")
+    for (df <- Seq(crafted, docs)) {
+      val ref = Dedup.lshBands(Dedup.minhash(Dedup.shingles(df), 12), 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val native = Dedup.lshBandsNative(df)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      assert(native == ref && ref.nonEmpty)
+    }
+  }
+
   test("prefix-filtered jaccard self-join is EXACT vs the full token self-join") {
     // adversarial mix: hot shared shingles, near-threshold pairs, varied
     // sizes — plus the sf0.001 corpus with injected exact+near dups
