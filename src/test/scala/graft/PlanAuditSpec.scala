@@ -53,4 +53,26 @@ class PlanAuditSpec extends SparkSpec {
     bnljAllowed.foreach(n =>
       assert(SparkEntry.queries.contains(n), s"allowlisted '$n' is gone"))
   }
+
+  test("ReuseExchange is load-bearing in the LSH candidate join (the MinhashBands lesson)") {
+    // the Column chain's signature Exchange must keep serving BOTH
+    // candidate-join sides — if a Spark upgrade or a refactor breaks
+    // exchange reuse here, the expansion runs twice and the measured
+    // regression in PERF.md ("a shuffle is sometimes the cache") comes
+    // back silently
+    // reuse materializes at RUNTIME under AQE, and only on the shuffle
+    // path (at fixture scale the band table broadcasts instead, which
+    // bypasses the reuse this guard protects) — so force the
+    // at-scale join shape, run the ACTUAL frame, then read its final
+    // adaptive plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("dedup_minhash_lsh")(spark, TestSpark.sf001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"no exchange reuse in the LSH plan — the band expansion runs per join side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
