@@ -1008,6 +1008,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-column table profile (trust-before-use data-quality summary):
+    // events with injected nulls by arithmetic — value nulled every 7th
+    // row, props every 11th — so null accounting is exercised, not
+    // vacuously zero.
+    "table_profile" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 7 =!= 0, col("value")).as("value"),
+        when(col("event_id") % 11 =!= 0, col("props")).as("props"))
+      ops.Profile.profile(ev).orderBy("column")
+    }),
+
     // Corpus version diff (release audit): v2 synthesized from the
     // corpus — every 17th doc dropped, every 13th doc's text edited,
     // 50 brand-new ids appended — all four statuses exercised.
@@ -4561,6 +4573,31 @@ object SparkEntry {
         |  CAST(len(list_slice(ts, s + 1, s + 40)) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS chunk
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // one UNION ALL branch per column, same null-injection arithmetic
+    "table_profile" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_id % 7 <> 0 THEN value END AS value,
+        |    CASE WHEN event_id % 11 <> 0 THEN props END AS props
+        |  FROM events)
+        |SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(event_id) AS BIGINT) AS n_nonnull,
+        |  CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM ev
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) AS BIGINT), CAST(count(user_id) AS BIGINT),
+        |  CAST(count(*) - count(user_id) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT) FROM ev
+        |UNION ALL
+        |SELECT 'event_type', CAST(count(*) AS BIGINT), CAST(count(event_type) AS BIGINT),
+        |  CAST(count(*) - count(event_type) AS BIGINT), CAST(count(DISTINCT event_type) AS BIGINT) FROM ev
+        |UNION ALL
+        |SELECT 'value', CAST(count(*) AS BIGINT), CAST(count(value) AS BIGINT),
+        |  CAST(count(*) - count(value) AS BIGINT), CAST(count(DISTINCT value) AS BIGINT) FROM ev
+        |UNION ALL
+        |SELECT 'props', CAST(count(*) AS BIGINT), CAST(count(props) AS BIGINT),
+        |  CAST(count(*) - count(props) AS BIGINT), CAST(count(DISTINCT props) AS BIGINT) FROM ev
+        |ORDER BY "column"""".stripMargin,
 
     // the full-outer content diff replayed directly; md5 over the same
     // synthesized v2

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the per-COLUMN data-quality summary run before a
+  * table is trusted in a pipeline (null density, cardinality, row
+  * coverage): the generic-table face of the catalog's bucket summary.
+  *
+  * One aggregate per column, unioned: on columnar parquet each
+  * aggregate scans ONLY its column, so the union's total I/O is the
+  * table read once — and every aggregate is partial-combined (exact
+  * distinct rides a per-column two-level agg, never a multi-column
+  * Expand, whose row blowup is #cols × table). All-integer output, no
+  * min/max strings — cross-engine value FORMATTING is exactly the trap
+  * integer counts avoid. */
+object Profile {
+
+  /** (column, n_rows, n_nonnull, n_nulls, n_distinct) per column.
+    * `n_distinct` counts distinct NON-NULL values (SQL COUNT(DISTINCT)
+    * semantics). */
+  def profile(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cols.nonEmpty, "profile of a zero-column frame")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nonnull"),
+          (col("n_rows") - col("n_nonnull")).as("n_nulls"), col("n_distinct"))
+    }.reduce(_ unionAll _)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import graft.ops.Profile
+
+/** Table profile: null accounting, distinct-over-nonnull semantics,
+  * column selection, empty table. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val t = Seq(
+    (1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b")), (4L, None))
+    .toDF("k", "v")
+
+  test("per-column rows/nonnull/nulls/distinct are exact") {
+    val m = Profile.profile(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(m("k") == (5L, 5L, 0L, 4L)) // 4 appears twice
+    assert(m("v") == (5L, 3L, 2L, 2L)) // distinct counts non-null only
+  }
+
+  test("column selection restricts the profile") {
+    val rows = Profile.profile(t, Seq("v")).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "v")
+  }
+
+  test("empty table profiles to zero counts, not an error") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(Profile.profile(empty).collect()
+      .forall(r => r.getLong(1) == 0L && r.getLong(4) == 0L))
+  }
+}
