@@ -1008,6 +1008,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sliding (hopping) windows — 1h windows every 30min, each event in
+    // exactly two: the overlap semantics tumbling windows can't express
+    // (trend smoothing / rate alarms).
+    "events_window_sliding" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("value_sum"))
+        .orderBy("window_start", "event_type")),
+
     // Per-column table profile (trust-before-use data-quality summary):
     // events with injected nulls by arithmetic — value nulled every 7th
     // row, props every 11th — so null accounting is exercised, not
@@ -4573,6 +4584,18 @@ object SparkEntry {
         |  CAST(len(list_slice(ts, s + 1, s + 40)) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS chunk
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // every event replicated into its two 30min-aligned 1h windows —
+    // epoch alignment matches Spark's window() default startTime=0
+    "events_window_sliding" ->
+      """WITH wins AS (
+        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS value_sum
+        |FROM wins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // one UNION ALL branch per column, same null-injection arithmetic
     "table_profile" ->
