@@ -1008,6 +1008,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Cohort retention (D1/D7): cohort = a user's first active day;
+    // retained = any activity exactly 1 / 7 days later. n_users counts
+    // first-day activity (every cohort member by definition), so the
+    // whole table is one distinct-days pass + one groupBy.
+    "events_retention" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val firsts = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort"))
+      val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      days.join(firsts, Seq("user_id"))
+        .groupBy("cohort").agg(
+          sum(when(col("day") === col("cohort"), 1L).otherwise(0L)).as("n_users"),
+          sum(when(col("day") === date_add(col("cohort"), 1), 1L).otherwise(0L)).as("n_d1"),
+          sum(when(col("day") === date_add(col("cohort"), 7), 1L).otherwise(0L)).as("n_d7"))
+        // ISO string, not DATE: the two engines' date types normalize
+        // differently through the compare harness; strings are exact
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("n_users"), col("n_d1"), col("n_d7"))
+        .orderBy("cohort")
+    }),
+
     // Sliding (hopping) windows — 1h windows every 30min, each event in
     // exactly two: the overlap semantics tumbling windows can't express
     // (trend smoothing / rate alarms).
@@ -4584,6 +4604,17 @@ object SparkEntry {
         |  CAST(len(list_slice(ts, s + 1, s + 40)) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS chunk
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id),
+        |days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(sum(CASE WHEN d.day = f.cohort THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN d.day = f.cohort + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+        |  CAST(sum(CASE WHEN d.day = f.cohort + 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_d7
+        |FROM days d JOIN firsts f ON d.user_id = f.user_id
+        |GROUP BY f.cohort ORDER BY 1""".stripMargin,
 
     // every event replicated into its two 30min-aligned 1h windows —
     // epoch alignment matches Spark's window() default startTime=0
