@@ -1008,6 +1008,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Three-step ordered funnel (view → click-within-24h →
+    // purchase-within-24h, strictly increasing µs timestamps): ONE
+    // shuffle — per-user sorted event fold finds first view, first
+    // qualifying click after it, first qualifying purchase after that;
+    // the oracle replays it as the independent min-after-min 3-CTE
+    // formulation. The 24h step bound makes attrition real
+    // (150 → 60 → 25 at sf0.01), not a vacuous 100% conversion.
+    "events_funnel3" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("t"), col("event_type").as("ty")).as("e"))
+      ev.groupBy("user_id").agg(array_sort(collect_list(col("e"))).as("seq"))
+        .select(expr(
+          """aggregate(seq,
+            |  named_struct('tv', -1L, 'tc', -1L, 'tp', -1L),
+            |  (a, x) -> named_struct(
+            |    'tv', CASE WHEN a.tv < 0 AND x.ty = 'view' THEN x.t ELSE a.tv END,
+            |    'tc', CASE WHEN a.tv >= 0 AND a.tc < 0 AND x.ty = 'click'
+            |               AND x.t > a.tv AND x.t <= a.tv + 86400000000L
+            |               THEN x.t ELSE a.tc END,
+            |    'tp', CASE WHEN a.tc >= 0 AND a.tp < 0 AND x.ty = 'purchase'
+            |               AND x.t > a.tc AND x.t <= a.tc + 86400000000L
+            |               THEN x.t ELSE a.tp END))""".stripMargin).as("f"))
+        .agg(
+          sum(when(col("f.tv") >= 0, 1L).otherwise(0L)).as("n_viewers"),
+          sum(when(col("f.tc") >= 0, 1L).otherwise(0L)).as("n_clicked"),
+          sum(when(col("f.tp") >= 0, 1L).otherwise(0L)).as("n_purchased"))
+        .select(col("n_viewers"), col("n_clicked"), col("n_purchased"),
+          expr("(n_clicked * 1000) div greatest(n_viewers, 1L)").as("click_permille"),
+          expr("(n_purchased * 1000) div greatest(n_clicked, 1L)").as("purchase_permille"))
+    }),
+
     // Cohort retention (D1/D7): cohort = a user's first active day;
     // retained = any activity exactly 1 / 7 days later. n_users counts
     // first-day activity (every cohort member by definition), so the
@@ -4604,6 +4637,29 @@ object SparkEntry {
         |  CAST(len(list_slice(ts, s + 1, s + 40)) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS chunk
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // independent formulation: min view, min click AFTER it, min
+    // purchase after that — never a sorted fold
+    "events_funnel3" ->
+      """WITH tv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS tc
+        |  FROM events e JOIN tv ON e.user_id = tv.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > tv.tv
+        |    AND epoch_us(e.ts) <= tv.tv + 86400000000 GROUP BY e.user_id),
+        |tp AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+        |  FROM events e JOIN tc ON e.user_id = tc.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > tc.tc
+        |    AND epoch_us(e.ts) <= tc.tc + 86400000000 GROUP BY e.user_id)
+        |SELECT
+        |  CAST((SELECT count(*) FROM tv) AS BIGINT) AS n_viewers,
+        |  CAST((SELECT count(*) FROM tc) AS BIGINT) AS n_clicked,
+        |  CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_purchased,
+        |  CAST(((SELECT count(*) FROM tc) * 1000) // greatest((SELECT count(*) FROM tv), 1) AS BIGINT) AS click_permille,
+        |  CAST(((SELECT count(*) FROM tp) * 1000) // greatest((SELECT count(*) FROM tc), 1) AS BIGINT) AS purchase_permille""".stripMargin,
 
     "events_retention" ->
       """WITH firsts AS (

@@ -68,6 +68,10 @@ class PlanAuditSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // other suites cache the documents scan; a cached source swaps the
+      // whole reuse shape to TableCacheQueryStage and hides the exchange
+      // this guard is about — audit the uncached plan
+      spark.catalog.clearCache()
       val df = SparkEntry.queries("dedup_minhash_lsh")(spark, TestSpark.sf001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
