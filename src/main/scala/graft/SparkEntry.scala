@@ -1539,6 +1539,18 @@ object SparkEntry {
       ext.QualityModel.nbTrainScore(labeled).orderBy("doc_id")
     }),
 
+    // Distillation confusion audit: (teacher label, student pred)
+    // counts — the check run before trusting a distilled filter model.
+    "quality_agreement" -> ((s, d) => {
+      val labeled = ext.TextAnalysis.qualityFeatures(
+        Tables.load(s, d, "documents").select("doc_id", "text"))
+        .withColumn("label", col("quality_score") >= 0.41)
+        .select("doc_id", "text", "label")
+      ext.QualityModel.nbTrainScore(labeled)
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    }),
+
     // Streaming exact dedup: the dedup corpus split over three files,
     // one micro-batch each (maxFilesPerTrigger=1) — cross-batch
     // state-store dedup must reproduce the batch operator's distinct
@@ -4435,6 +4447,40 @@ object SparkEntry {
         |  round((SELECT p FROM prior) + sum(w.w), 4) > 0 AS pred
         |FROM toks t JOIN weights w USING (tok)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // the distillation confusion audit: the NB oracle wrapped in a
+    // (label, pred) rollup — same model rebuild, independent of the
+    // Spark side's aggregation
+    "quality_agreement" ->
+      """WITH labeled AS (
+        |  SELECT doc_id, text,
+        |    (round(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 0.4
+        |      + least(round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')), 4) * 5.0, 1.0) * 0.2, 4) >= 0.41) AS label
+        |  FROM documents),
+        |toks AS (SELECT doc_id, label,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM labeled),
+        |counts AS (SELECT tok,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS cpos,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS cneg
+        |  FROM toks GROUP BY tok),
+        |tots AS (SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
+        |    CAST(sum(cneg) AS DOUBLE) AS tneg, CAST(count(*) AS DOUBLE) AS v
+        |  FROM counts),
+        |prior AS (SELECT ln(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) AS p FROM labeled),
+        |weights AS (SELECT tok,
+        |    ln((cpos + 1) / (tpos + v)) - ln((cneg + 1) / (tneg + v)) AS w
+        |  FROM counts CROSS JOIN tots),
+        |scored AS (
+        |  SELECT t.doc_id, max(t.label) AS label,
+        |    round((SELECT p FROM prior) + sum(w.w), 4) > 0 AS pred
+        |  FROM toks t JOIN weights w USING (tok)
+        |  GROUP BY t.doc_id)
+        |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+        |FROM scored GROUP BY label, pred ORDER BY label, pred""".stripMargin,
 
     "dedup_stream" -> o(
       """SELECT DISTINCT md5(text) AS content_hash
