@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{BigramBucketCounts, DHash64, FloatDotProduct, LineStats,
-  Md5Bucket, Md5Lanes, NgramRepetition, PHash64}
+  Md5Bucket, Md5Lanes, MinhashBands, NgramRepetition, PHash64}
 
 /** SparkSessionExtensions entry point — makes the library's native
   * Catalyst expressions first-class SQL functions, so a pure-SQL user
@@ -76,6 +76,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, s"line_stats takes 1 argument, got ${children.length}")
         LineStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"minhash_bands takes 3 arguments, got ${children.length}")
+        MinhashBands(children.head,
+          intLit("minhash_bands numHashes", children(1)).toInt,
+          intLit("minhash_bands rowsPerBand", children(2)).toInt)
       }))
     ext.injectFunction((
       FunctionIdentifier("dhash64"),

@@ -79,6 +79,11 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT aggregate(bigram_bucket_counts(array('x','y','x','y'), 64), 0L," +
         " (a, s) -> a + s.c) AS n").head()
     assert(bc.getLong(0) == 3L)
+    // minhash_bands: 4 bands of 3 over 12 hashes, well-formed hex hashes
+    val mb = spark.sql(
+      "SELECT minhash_bands(array('a','b','c','d','e'), 12, 3) AS b").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(mb.length == 4 && mb.forall(_.getString(1).matches("[0-9a-f]{32}")))
     // dhash64 / phash64 resolve and return the struct (9x8 / 32x32 buffers)
     val dh = spark.sql(
       "SELECT dhash64(CAST(repeat('p', 72) AS BINARY), 9, 8) IS NOT NULL AS ok").head()
