@@ -17,10 +17,15 @@ object Bench {
     try SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
     // one-time fixture corpora (TAR shards, NBI snapshot) are setup, not
-    // query work — build them before the timed loop
-    try shards.TarFixtures.ensure(spark, sfDir) catch { case _: Throwable => }
-    try SparkEntry.queries.get("nbi_snapshot_listing").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => }
+    // query work — build them before the timed loop. Skippable for
+    // large-scale SUBSET runs of non-archive queries: at sf30 the TAR
+    // fixture corpus alone is ~47 GB (it mirrors lineitem payloads) and
+    // fills the sandbox disk for no benefit.
+    if (sys.env.get("SPARK_GRAFT_NO_FIXTURES").isEmpty) {
+      try shards.TarFixtures.ensure(spark, sfDir) catch { case _: Throwable => }
+      try SparkEntry.queries.get("nbi_snapshot_listing").foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => }
+    }
     // optional comma-separated name filter for local single-query
     // iteration (unset in the driver's full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
