@@ -467,6 +467,21 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy("day")),
 
+    // MERGEABLE sketch tables (the 100 TB distinct-count pattern: build
+    // a small HLL sketch per partition-of-work, union sketches instead
+    // of re-scanning raw data): per-(type, day) DataSketches HLL →
+    // union across days → per-type estimate. No oracle (DuckDB has no
+    // wire-compatible sketch); the spec bounds the union estimate
+    // against exact distincts and proves union == direct-sketch.
+    "events_users_sketch" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")),
+
     // ------------------------------------------------------------------
     // Templates + selections (SURVEY F1, P3, GB8)
     // ------------------------------------------------------------------

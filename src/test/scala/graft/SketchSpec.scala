@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mergeable HLL sketch contract: unioning per-slice sketches estimates
+  * the same set as sketching the whole — the property that lets a
+  * 100 TB distinct-count run as per-partition sketch builds + a tiny
+  * sketch union instead of a global shuffle of raw keys. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60k rows, 20k distinct keys, spread over 10 slices
+  private lazy val rows = spark.range(60000L)
+    .select((col("id") % 20000L).as("k"), (col("id") % 10L).as("slice"))
+
+  test("union of per-slice sketches == one direct sketch, bit-for-bit estimate") {
+    val perSlice = rows.groupBy("slice").agg(expr("hll_sketch_agg(k)").as("sk"))
+    val merged = perSlice.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est")).head().getLong(0)
+    val direct = rows.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(k))").as("est")).head().getLong(0)
+    assert(merged == direct)
+  }
+
+  test("estimate is within 5% of the exact distinct count") {
+    val est = rows.groupBy("slice").agg(expr("hll_sketch_agg(k)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head().getLong(0)
+    val exact = 20000.0
+    assert(math.abs(est - exact) / exact <= 0.05, s"est=$est")
+  }
+
+  test("the gate entry recovers the true per-type user count at fixture cardinality") {
+    val out = SparkEntry.queries("events_users_sketch")(spark, TestSpark.sf001)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) > 0))
+  }
+}
