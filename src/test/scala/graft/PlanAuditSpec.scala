@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     // ---- single-row broadcast of a scalar aggregate (totals / model
     // constants joined to every row — a 1×N nested loop IS the plan):
     "dsir_weights", "quality_unigram_nll", "quality_bigram_nll",
-    "quality_nb_classifier", "bm25_topk", "q22_dormant_customers",
+    "quality_nb_classifier", "quality_agreement", "bm25_topk", "q22_dormant_customers",
     "lhotse_batches",
     // ---- template/range expansion joined on a non-equi name condition
     // (the expansion side is index-small by the template contract):
