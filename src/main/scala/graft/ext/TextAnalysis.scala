@@ -405,10 +405,16 @@ object TextAnalysis {
     * scoring and hash-based dedup so that case, accents, and punctuation
     * differences don't split otherwise-identical content:
     * lowercase → accent fold (explicit table above) → every char outside
-    * [a-z0-9 ] becomes a space → whitespace collapse + trim. Pure
-    * codegen Column ops (lower/translate/regexp_replace/trim), zero
-    * shuffle, one scan. */
+    * [a-z0-9 ] becomes a space → whitespace collapse + trim. ONE native
+    * byte pass ([[graft.functions.NormalizeText]] — bit-equality
+    * argument there; the four-pass Column chain survives below as the
+    * agreement-spec reference). Zero shuffle, one scan. */
   def normalize(text: Column): Column =
+    graft.functions.TextFunctions.normalizeText(text, AccentSrc, AccentDst)
+
+  /** The original four-pass Column formulation of [[normalize]] — the
+    * agreement-spec reference for the native byte pass. */
+  private[graft] def normalizeColumns(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(translate(lower(text), AccentSrc, AccentDst),
         "[^a-z0-9 ]", " "),

@@ -235,6 +235,99 @@ object LineStats {
   }
 }
 
+/** Native one-pass CCNet normalization — the [[graft.ext.TextAnalysis
+  * .normalize]] hot path (lowercase → accent fold → non-[a-z0-9 ] to
+  * space → collapse+trim was four string-rewriting passes per document,
+  * two of them regex).
+  *
+  * Bit-equal semantics: Unicode lowercasing delegates to
+  * `UTF8String.toLowerCase` (the same call Spark's `lower()` makes);
+  * the accent TABLE (2-byte UTF-8 sequences → ASCII) is passed in from
+  * the same AccentSrc/AccentDst constants `translate` used; every other
+  * codepoint outside [a-z0-9 ] — ASCII or multibyte — becomes one
+  * space exactly like the per-character regex replacement; the
+  * collapse emits single spaces and trims. One output buffer, one
+  * scan. The normalize agreement spec pins it against the Column
+  * chain on accents, non-Latin scripts, and edge whitespace. */
+case class NormalizeText(child: Expression, src: String, dst: String)
+  extends UnaryExpression {
+  require(src.length == dst.length, "accent table arity mismatch")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"normalize_text expects a string input, got ${child.dataType}")
+
+  // java.lang.Byte, NOT Scala Byte: a primitive-typed generic would make
+  // `get` unbox a MISS (null) to 0, silently mapping every unknown
+  // 2-byte codepoint to a NUL byte instead of a space
+  @transient private lazy val table: java.util.HashMap[Integer, java.lang.Byte] = {
+    val m = new java.util.HashMap[Integer, java.lang.Byte]()
+    src.zip(dst).foreach { case (s, d) =>
+      val b = s.toString.getBytes("UTF-8")
+      require(b.length == 2, s"accent '$s' must be a 2-byte UTF-8 codepoint")
+      m.put(((b(0) & 0xff) << 8) | (b(1) & 0xff), java.lang.Byte.valueOf(d.toByte))
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeText.normalize(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tbl = ctx.addReferenceObj("accentTable", table, "java.util.HashMap")
+      s"${ev.value} = graft.functions.NormalizeText$$.MODULE$$.normalize($c, $tbl);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  /** One pass over the lowercased bytes: accent fold via the 2-byte
+    * table, everything outside [a-z0-9 ] → space, spaces collapsed,
+    * edges trimmed. */
+  def normalize(s: UTF8String,
+                table: java.util.HashMap[Integer, java.lang.Byte]): UTF8String = {
+    val bytes = s.toLowerCase.getBytes
+    val out = new Array[Byte](bytes.length)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      // decode one codepoint's byte length
+      val len =
+        if (b < 0x80) 1
+        else if ((b & 0xE0) == 0xC0) 2
+        else if ((b & 0xF0) == 0xE0) 3
+        else 4
+      var mapped: Int = -1 // -1 = becomes space
+      if (len == 1) {
+        if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) mapped = b
+        // ' ' and every other ASCII char fall through to space
+      } else if (len == 2 && i + 1 < bytes.length) {
+        val key = (b << 8) | (bytes(i + 1) & 0xff)
+        val hit = table.get(Integer.valueOf(key))
+        if (hit != null) mapped = hit.byteValue().toInt
+      }
+      if (mapped >= 0) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = mapped.toByte
+        o += 1
+      } else {
+        pendingSpace = true // spaces emit lazily: collapses runs, trims edges
+      }
+      i += len
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+}
+
 object TextFunctions {
   /** struct(n_grams, top_count, n_distinct) of the word n-grams of an
     * array<string> column — one native pass, no sort, no explode. */
@@ -250,4 +343,9 @@ object TextFunctions {
     * string column — one native byte scan, no split, no stripped copy. */
   def lineStats(text: Column): Column =
     GraftShim.column(LineStats(GraftShim.expression(text)))
+
+  /** CCNet-normalized text in one native pass — lowercase, accent fold
+    * via the given table, non-[a-z0-9 ] → space, collapse + trim. */
+  def normalizeText(text: Column, src: String, dst: String): Column =
+    GraftShim.column(NormalizeText(GraftShim.expression(text), src, dst))
 }

@@ -31,6 +31,24 @@ class NormalizeSpec extends SparkSpec {
     assert(norm(once: _*) === once)
   }
 
+  test("native byte pass == the four-pass Column chain, including the gate corpus") {
+    val crafted = Seq(
+      "Café ÜBER naïve œuf ß straße", "  edges \t and\nnewlines  ",
+      "日本語のテキスト mixed ascii 123", "ALL CAPS!!! and… ellipsis",
+      "", "   ", "déjà-vu: l'été, øre?", "a", "ç")
+    val a = crafted.toDF("t")
+      .select(TextAnalysis.normalize(col("t")).as("n")).as[String].collect().toSeq
+    val b = crafted.toDF("t")
+      .select(TextAnalysis.normalizeColumns(col("t")).as("n")).as[String].collect().toSeq
+    assert(a == b)
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+    val diff = docs.select(
+      TextAnalysis.normalize(col("text")).as("x"),
+      TextAnalysis.normalizeColumns(col("text")).as("y"))
+      .where(col("x") =!= col("y")).count()
+    assert(diff == 0)
+  }
+
   test("accent table arity: src and dst are the same length") {
     assert(TextAnalysis.AccentSrc.length === TextAnalysis.AccentDst.length)
   }
