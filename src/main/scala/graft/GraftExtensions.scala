@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{BigramBucketCounts, DHash64, FloatDotProduct, LineStats,
-  Md5Bucket, Md5Lanes, MinhashBands, NgramRepetition, PHash64}
+  Md5Bucket, Md5Lanes, MinhashBands, NgramRepetition, NormalizeText, PHash64}
 
 /** SparkSessionExtensions entry point — makes the library's native
   * Catalyst expressions first-class SQL functions, so a pure-SQL user
@@ -76,6 +76,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, s"line_stats takes 1 argument, got ${children.length}")
         LineStats(children.head)
+      }))
+    def strLit(name: String, e: Expression): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$name expects a string literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"normalize_text takes 3 arguments (text, srcTable, dstTable), got ${children.length}")
+        NormalizeText(children.head,
+          strLit("normalize_text src", children(1)),
+          strLit("normalize_text dst", children(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),

@@ -79,6 +79,12 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT aggregate(bigram_bucket_counts(array('x','y','x','y'), 64), 0L," +
         " (a, s) -> a + s.c) AS n").head()
     assert(bc.getLong(0) == 3L)
+    // normalize_text with the library's accent table
+    val nt = spark.sql(
+      s"SELECT normalize_text('CAFÉ!! naïve', " +
+        s"'${graft.ext.TextAnalysis.AccentSrc}', " +
+        s"'${graft.ext.TextAnalysis.AccentDst}') AS n").head().getString(0)
+    assert(nt == "cafe naive")
     // minhash_bands: 4 bands of 3 over 12 hashes, well-formed hex hashes
     val mb = spark.sql(
       "SELECT minhash_bands(array('a','b','c','d','e'), 12, 3) AS b").head()
