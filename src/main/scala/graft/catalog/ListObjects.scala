@@ -126,7 +126,7 @@ object ListObjects {
     val fileCols = project(files, q.props, extra = Seq("is_dir"))
     val dirCols = fileCols.columns.foldLeft(dirs) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-    }.select(fileCols.columns.map(col): _*)
+    }.select(fileCols.columns.toIndexedSeq.map(col): _*)
     // LsNoDirs (nextpage.go:149): dir entries only when the flag is unset
     val unioned =
       if (q.noDirs) fileCols else fileCols.unionByName(dirCols)

@@ -48,7 +48,7 @@ object CopySync {
         concat(lit(toPrefix), expr(s"substring(name, ${fromPrefix.length + 1})")))
     val untouched = catalog.where(!col("name").startsWith(fromPrefix))
       .join(renamed.select("bucket", "name"), Seq("bucket", "name"), "left_anti")
-    untouched.unionByName(renamed.select(untouched.columns.map(col): _*))
+    untouched.unionByName(renamed.select(untouched.columns.toIndexedSeq.map(col): _*))
   }
 
   /** GB7 evict/delete: remaining catalog after removing a selection. */

@@ -379,7 +379,7 @@ object EventsStream {
         (intervals("_next").isNull || stream(leftTs) < intervals("_next")),
       "left_outer")
     val out = joined.select(
-      stream.columns.map(stream(_)) ++ payloadCols.map(intervals(_)): _*)
+      stream.columns.toIndexedSeq.map(stream(_)) ++ payloadCols.toIndexedSeq.map(intervals(_)): _*)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName(queryName).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
