@@ -709,6 +709,29 @@ object SparkEntry {
         .orderBy("sample_key")
     }),
 
+    // compression-ratio-adjusted packing (dsort.go:113-124 phase 3 +
+    // manager.go:538-551): ratio measured from the input-shard listing
+    // (on-disk vs extracted bytes, clamped, seeded 1/1), packing cap
+    // scaled to OutputShardSize / ratio so compressed output shards land
+    // on target. The measured pairs here are a deterministic affine
+    // function of the fixture listing — gzip itself isn't SQL, so the
+    // oracle replays measurement → adjustment → packing arithmetic, while
+    // REAL .tar.gz on-disk sizes hitting the target is DSortSpec's
+    // compression test.
+    "dsort_tgz_pack" -> ((s, d) => {
+      val members = DerivedCatalog.members(s, d)
+      val byShard = members.groupBy("shard").agg(sum("size").as("extracted"))
+        .withColumn("compressed", expr("(extracted * 2) DIV 5 + 64"))
+      val ratio = DSort.compressionRatio(byShard, col("compressed"), col("extracted"))
+      val ss = DSort.samples(members)
+      val alg = DSort.Algorithm.Alphanumeric()
+      DSort.packShardsCompressed(
+        DSort.withSortKey(ss, alg).select("sample_key", "size", "_key"),
+        alg, 500000L, ratio)
+        .select("sample_key", "size", "shard_id", "shard_name")
+        .orderBy("sample_key")
+    }),
+
     "dsort_md5_top" -> ((s, d) => {
       val keyed = DSort.withSortKey(
         DSort.samples(DerivedCatalog.members(s, d)), DSort.Algorithm.Md5)
@@ -3143,6 +3166,22 @@ object SparkEntry {
         |      FROM (SELECT sample_key, size,
         |              sum(size) OVER (ORDER BY sample_key ROWS UNBOUNDED PRECEDING) AS c
         |            FROM samples))
+        |ORDER BY sample_key""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "dsort_tgz_pack" -> o(
+      """SELECT sample_key, size, shard_id,
+        |  printf('out-shard-%06d.tar.gz', shard_id) AS shard_name
+        |FROM (SELECT sample_key, size,
+        |        CAST(dense_rank() OVER (ORDER BY
+        |          CAST(floor((c - size) / (500000.0 / r)) AS BIGINT)) - 1 AS BIGINT) AS shard_id
+        |      FROM (SELECT sample_key, size, r,
+        |              sum(size) OVER (ORDER BY sample_key ROWS UNBOUNDED PRECEDING) AS c
+        |            FROM samples CROSS JOIN
+        |              (SELECT CAST(1 + sum(LEAST((extracted * 2) // 5 + 64, extracted)) AS DOUBLE)
+        |                      / CAST(1 + sum(extracted) AS DOUBLE) AS r
+        |               FROM (SELECT shard, CAST(sum(size) AS BIGINT) AS extracted
+        |                     FROM members GROUP BY shard)) ratio))
         |ORDER BY sample_key""".stripMargin,
       OracleCte.members, OracleCte.samples),
 

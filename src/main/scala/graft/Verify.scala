@@ -7,13 +7,27 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,8192] runs the whole gate with
+    // executors in SEPARATE JVMs (multi-JVM proof: serialization of native
+    // expressions, DSv2 readers, checkpoint blocks off-driver). Default
+    // stays single-JVM local[N] for speed.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // local-cluster executors are fresh JVMs launched from SPARK_HOME: they
+    // need our compiled classes on their classpath (the driver's -cp is not
+    // inherited) and the same java.base --add-opens flags Java 17 requires.
+    val spark = (if (master.startsWith("local-cluster")) {
+      val classesDir = new java.io.File(
+        SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+      builder
+        .config("spark.executor.extraClassPath", classesDir)
+        .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
+    } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional name filter for local iteration (same contract as Bench)

@@ -252,6 +252,39 @@ object DSort {
       .drop("_cum")
   }
 
+  /** Compression-ratio measurement (reference `ext/dsort/manager.go:538-551`
+    * addSizes/compressionRatio): `ratio = (1 + Σ min(compressed, extracted))
+    * / (1 + Σ extracted)` over the input-shard listing — the on-disk size is
+    * clamped to the extracted size ("tar with padding or poor compression",
+    * `manager.go:539`), and both accumulators are seeded at 1
+    * (`manager.go:211-212`). One row out of one aggregate — broadcastable
+    * at any corpus size. */
+  def compressionRatio(shards: DataFrame, compressedSize: Column, extractedSize: Column): DataFrame =
+    shards.agg(
+      ((lit(1L) + sum(least(compressedSize, extractedSize))) /
+        (lit(1L) + sum(extractedSize))).as("_ratio"))
+
+  /** O5 with compression adjustment (`ext/dsort/dsort.go:113-124` phase 3):
+    * when output shards are compressed, the reference scales the packing
+    * cap to `OutputShardSize / ratio` so that AFTER compression the
+    * on-disk shard sizes land ≈ the requested target — cutting on raw
+    * bytes alone systematically undersizes compressed shards. The ratio
+    * arrives as the 1-row frame from [[compressionRatio]] and is
+    * broadcast-cross-joined, keeping measurement → adjustment → packing in
+    * ONE Catalyst plan (no driver round-trip between phases). */
+  def packShardsCompressed(samplesWithKey: DataFrame, alg: Algorithm, outputShardSize: Long,
+                           ratio: DataFrame,
+                           nameTemplate: String = "out-shard-%06d.tar.gz"): DataFrame = {
+    val order = keyOrder(alg)
+    val raw = globalCumsum(samplesWithKey, order, col("size"))
+      .crossJoin(broadcast(ratio))
+      .withColumn("shard_id",
+        floor((col("_cum") - col("size")) / (lit(outputShardSize.toDouble) / col("_ratio"))))
+    denseShardIds(raw, Nil)
+      .withColumn("shard_name", shardName(nameTemplate, col("shard_id")))
+      .drop("_cum", "_ratio")
+  }
+
   /** Densely renumber `shard_id` (within `groups`, if any) so shard names
     * form a consecutive 0..n sequence even when an oversized sample spans
     * multiple cap boundaries (reference behavior: `pt.Next()` never

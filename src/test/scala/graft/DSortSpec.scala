@@ -211,4 +211,62 @@ class DSortSpec extends SparkSpec {
         "^s0000.*" -> "b-%d.tar")).collect()
     }
   }
+
+  test("compression-adjusted packing: real .tar.gz on-disk sizes land on target") {
+    import spark.implicits._
+    // deterministic mixed-entropy payloads: a repeated base (compresses)
+    // plus per-line unique counters (doesn't) → gzip ratio in a realistic
+    // 0.2-0.5 band, uniform across members (the reference's own "assuming
+    // uniform distribution" estimate premise, dsort.go:112)
+    def payload(i: Int): Array[Byte] =
+      (0 until 40).map(j =>
+        s"line-$i-$j base lorem ipsum dolor sit amet x${(i * 31 + j * 17) % 9973}")
+        .mkString("\n").getBytes("UTF-8")
+    val n = 3000
+    val members = (0 until n).map(i => (f"in-${i / 100}%03d.tar", f"m$i%05d", payload(i)))
+    def tgzSize(ms: Seq[(String, Array[Byte])]): Long = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.shards.TarWriter.withTar(bos) { t =>
+        ms.sortBy(_._1).foreach(m => graft.shards.TarWriter.putEntry(t, m._1, m._2)) }
+      graft.etl.GzipCodec.compress(bos.toByteArray).length.toLong
+    }
+    // phase-1 measurement corpus: per INPUT shard, on-disk .tar.gz size
+    // vs extracted payload bytes — the pairs addSizes() accumulates
+    val measured = members.groupBy(_._1).toSeq.map { case (shard, ms) =>
+      (shard, tgzSize(ms.map(m => (m._2, m._3))), ms.map(_._3.length.toLong).sum)
+    }.toDF("shard", "compressed", "extracted")
+    val ratioDf = DSort.compressionRatio(measured, col("compressed"), col("extracted"))
+    val ratio = ratioDf.head().getDouble(0)
+    assert(ratio > 0.05 && ratio < 0.9, s"unrealistic measured ratio $ratio")
+    val samplesDf = members.map(m => (m._2, m._3.length.toLong))
+      .toDF("sample_key", "size")
+    val target = 64 * 1024L
+    val packed = DSort.packShardsCompressed(
+      samplesDf.withColumn("_key", col("sample_key")),
+      Algorithm.Alphanumeric(), target, ratioDf)
+    // materialize each OUTPUT shard as a real .tar.gz, measure on-disk
+    val byKey = members.map(m => m._2 -> m._3).toMap
+    val outGroups = packed.select("shard_id", "sample_key").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    assert(outGroups.size >= 3, s"fixture too small: ${outGroups.size} output shards")
+    val diskSizes = outGroups.map { case (_, rows) =>
+      tgzSize(rows.map(r => { val k = r.getString(1); (k, byKey(k)) }).toSeq)
+    }
+    // every full shard (all but the last) lands near the COMPRESSED target
+    diskSizes.dropRight(1).foreach { s =>
+      assert(s > target * 7 / 10 && s < target * 13 / 10,
+        s"on-disk tgz size $s vs target $target (ratio=$ratio)")
+    }
+    // and the unadjusted raw-byte cap demonstrably undersizes every shard
+    // (the defect dsort.go:113-124 exists to fix)
+    val rawPacked = DSort.packShards(
+      samplesDf.withColumn("_key", col("sample_key")), Algorithm.Alphanumeric(), target)
+    val rawGroups = rawPacked.select("shard_id", "sample_key").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val rawDisk = rawGroups.map { case (_, rows) =>
+      tgzSize(rows.map(r => { val k = r.getString(1); (k, byKey(k)) }).toSeq)
+    }
+    rawDisk.foreach(s => assert(s < target * 6 / 10,
+      s"raw-cap shard unexpectedly near target: $s"))
+  }
 }
