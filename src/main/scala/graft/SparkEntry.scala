@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog._
-import graft.ops.DSort
+import graft.ops.{DSort, GetBatch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -681,6 +681,25 @@ object SparkEntry {
             lit(""), onlyObjName = false, missing = col("name").isNull).as("tar_name"),
           coalesce(col("obj_size"), lit(0L)).as("out_size"))
         .orderBy("_req_idx")
+    }),
+
+    // batched GetBatch iteration (python/aistore/pytorch/
+    // batch_iter_dataset.py:13-37 AISBatchIterDataset): source listing →
+    // consecutive max_batch_size=32 GetBatch requests in listing order;
+    // entries keep listing order inside each batch; final batch short.
+    // Payload bytes synthesized from the checksum (deterministic, SQL-
+    // replayable); every size%7==0 object dropped from the payload side →
+    // in-batch __404__ entries. One declarative plan, no driver loop.
+    "getbatch_batched" -> ((s, d) => {
+      val cat = DerivedCatalog.objects(s, d)
+      val listing = cat.where(col("bucket") === "bck1" && col("name").startsWith("flat/"))
+        .select(col("bucket"), col("name").as("objname"))
+      val payloads = cat.where(col("bucket") === "bck1" && col("size") % 7 =!= 0)
+        .select(col("bucket"), col("name").as("objname"),
+          encode(col("checksum"), "UTF-8").as("payload"))
+      GetBatch.batchedAssemble(listing, payloads, 32)
+        .select(col("batch_id"), col("seq"), col("tar_name"),
+          md5(col("payload")).as("payload_md5"), col("size"), col("missing"))
     }),
 
     // ------------------------------------------------------------------
@@ -3141,6 +3160,22 @@ object SparkEntry {
         |FROM requests r LEFT JOIN objects o ON r.objname = o.name
         |ORDER BY _req_idx""".stripMargin,
       OracleCte.objects, OracleCte.requests),
+
+    "getbatch_batched" -> o(
+      """SELECT pos // 32 AS batch_id, pos % 32 AS seq,
+        |  CASE WHEN p.objname IS NULL THEN '__404__/' || l.bucket || '/' || l.objname
+        |       ELSE l.bucket || '/' || l.objname END AS tar_name,
+        |  md5(coalesce(p.checksum, '')) AS payload_md5,
+        |  CAST(CASE WHEN p.objname IS NULL THEN 0 ELSE length(p.checksum) END AS BIGINT) AS size,
+        |  (p.objname IS NULL) AS missing
+        |FROM (SELECT bucket, name AS objname,
+        |        row_number() OVER (ORDER BY bucket, name) - 1 AS pos
+        |      FROM objects WHERE bucket = 'bck1' AND name LIKE 'flat/%') l
+        |LEFT JOIN (SELECT bucket, name AS objname, checksum
+        |           FROM objects WHERE bucket = 'bck1' AND size % 7 <> 0) p
+        |  USING (bucket, objname)
+        |ORDER BY batch_id, seq""".stripMargin,
+      OracleCte.objects),
 
     "sample_group" -> o(
       """SELECT sample_key, n_members, size, n_shards, first_member

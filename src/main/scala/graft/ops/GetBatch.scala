@@ -97,6 +97,56 @@ object GetBatch {
         .otherwise(col("payload")))
   }
 
+  /** GB1-iter — batched GetBatch iteration (reference
+    * `python/aistore/pytorch/batch_iter_dataset.py:13-37`,
+    * `AISBatchIterDataset.__iter__`/`_process_batch`): walk a source
+    * listing in order, accumulate `max_batch_size` objects, issue each
+    * chunk as ONE GetBatch request whose entries keep listing order,
+    * repeat until the listing is exhausted (the final batch may be
+    * short). Spark-first, the whole iteration is ONE declarative plan:
+    * listing positions come from the distributed prefix sum
+    * ([[DSort.globalCumsum]] — no single-task window), then
+    * `batch_id = pos DIV maxBatchSize`, `seq = pos % maxBatchSize`.
+    * Unlike [[assemble]] (one broadcast-bounded request batch), the
+    * composed iteration's "request side" is the whole listing — the
+    * payload join is deliberately un-hinted so AQE picks a shuffle join
+    * at catalog scale.
+    * @return one row per listed object: `batch_id, seq, tar_name,
+    *         payload, size, missing`, ordered (batch_id, seq). */
+  def batchedAssemble(listing: DataFrame, payloads: DataFrame, maxBatchSize: Int): DataFrame = {
+    require(maxBatchSize > 0, s"maxBatchSize must be positive: $maxBatchSize")
+    val numbered = DSort.globalCumsum(
+        listing.select("bucket", "objname"),
+        Seq(col("bucket").asc, col("objname").asc), lit(1L))
+      .withColumn("batch_id", expr(s"(`_cum` - 1) DIV $maxBatchSize"))
+      .withColumn("seq", pmod(col("_cum") - 1, lit(maxBatchSize.toLong)))
+      .drop("_cum")
+    val pay = payloads.select(col("bucket"), col("objname"), col("payload"))
+    numbered.join(pay, Seq("bucket", "objname"), "left_outer")
+      .withColumn("missing", col("payload").isNull)
+      .select(
+        col("batch_id"), col("seq"),
+        ObjNames.nameInArch(col("bucket"), col("objname"), lit(""),
+          onlyObjName = false, missing = col("missing")).as("tar_name"),
+        when(col("missing"), lit(Array.emptyByteArray)).otherwise(col("payload")).as("payload"),
+        when(col("missing"), lit(0L)).otherwise(length(col("payload")).cast("long")).as("size"),
+        col("missing"))
+      .orderBy("batch_id", "seq")
+  }
+
+  /** Write each batch from [[batchedAssemble]] as its own archive file
+    * (`_process_batch`'s one-request-one-archive shape) under `outDir`,
+    * entries in REQUEST order (`seq`), not name order — executor-side,
+    * one task per batch group, no driver loop over batches. */
+  def writeBatchArchives(batched: DataFrame, outDir: String,
+                         template: String = "batch-%06d.tar"): Unit =
+    TarWriter.writeShardsOrdered(
+      batched
+        .withColumn("shard_name", format_string(template, col("batch_id")))
+        .select(col("shard_name"), col("tar_name").as("member"),
+          col("payload"), col("seq")),
+      outDir, Seq(col("shard_name"), col("seq")))
+
   /** Stream the assembled batch as one archive (StreamingGet analog):
     * `toLocalIterator` pulls partitions lazily, memory stays bounded by
     * one partition. Entries are written in `_req_idx` order.

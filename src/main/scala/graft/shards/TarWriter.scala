@@ -4,7 +4,7 @@ import java.io.{BufferedOutputStream, OutputStream}
 import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** TAR shard writers (SURVEY O5 creation phase, GB4 archive, GB1
@@ -45,17 +45,26 @@ object TarWriter {
   /** Write `(shard_name, member, payload)` rows as TAR files under
     * `outDir`, one file per distinct shard_name, members sorted by name
     * within each shard. Executor-side, one pass, no driver involvement. */
-  def writeShards(df: DataFrame, outDir: String): Unit = {
+  def writeShards(df: DataFrame, outDir: String): Unit =
+    // name then SIZE: duplicate member names are legal in TAR (and the
+    // synthetic corpus contains them — the testdata lineitem does not
+    // enforce the TPC-H (orderkey, linenumber) PK), so the canonical
+    // layout needs a deterministic tie-break the offset oracle can
+    // mirror; same-name-same-size members are byte-identical payloads
+    // here, so no further key is needed
+    writeShardsOrdered(df, outDir,
+      Seq(col("shard_name"), col("member"), length(col("payload"))))
+
+  /** [[writeShards]] with a caller-chosen member order — GetBatch archives
+    * lay entries out in REQUEST order, not name order. `df` may carry
+    * extra columns referenced only by `order` (dropped before the write). */
+  def writeShardsOrdered(df: DataFrame, outDir: String, order: Seq[Column]): Unit = {
     val plan = df
-      .select(col("shard_name"), col("member"), col("payload"))
       .repartition(col("shard_name"))
-      // name then SIZE: duplicate member names are legal in TAR (and the
-      // synthetic corpus contains them — the testdata lineitem does not
-      // enforce the TPC-H (orderkey, linenumber) PK), so the canonical
-      // layout needs a deterministic tie-break the offset oracle can
-      // mirror; same-name-same-size members are byte-identical payloads
-      // here, so no further key is needed
-      .sortWithinPartitions(col("shard_name"), col("member"), length(col("payload")))
+      .sortWithinPartitions(order: _*)
+      // projection after the sort: preserves within-partition order (no
+      // exchange), drops the order-only columns
+      .select(col("shard_name"), col("member"), col("payload"))
     plan.foreachPartition { (rows: Iterator[Row]) =>
       val conf = new Configuration()
       var curShard: String = null

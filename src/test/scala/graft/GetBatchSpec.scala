@@ -99,4 +99,38 @@ class GetBatchSpec extends SparkSpec {
       .select("_req_idx", "size").as[(Long, Long)].collect().toMap
     assert(sizes == Map(0L -> 20L, 1L -> 4L, 2L -> 0L, 3L -> 10L, 4L -> 5L, 5L -> 4L, 6L -> 0L))
   }
+
+  test("batched iteration: fixed batch size in listing order, short tail, per-batch archives") {
+    // reference batch_iter_dataset.py: 11 objects, max_batch_size=4 →
+    // batches of 4, 4, 3; objects o03/o07 absent → in-batch __404__
+    val listing = (0 until 11).map(i => ("bck0", f"obj/o$i%02d"))
+      .toDF("bucket", "objname")
+    val pay = (0 until 11).filter(i => i != 3 && i != 7)
+      .map(i => ("bck0", f"obj/o$i%02d", "P" * (i + 1)))
+      .toDF("bucket", "objname", "p")
+      .select($"bucket", $"objname", $"p".cast("binary").as("payload"))
+    val got = GetBatch.batchedAssemble(listing, pay, 4).collect()
+    assert(got.length == 11)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0 until 11).map(i => (i / 4L, i % 4L)),
+      "batch_id/seq must follow listing order with a short final batch")
+    assert(got.filter(_.getBoolean(5)).map(_.getString(2)).toSeq ==
+      Seq("__404__/bck0/obj/o03", "__404__/bck0/obj/o07"))
+    assert(got.filter(!_.getBoolean(5)).map(_.getLong(4)).toSeq ==
+      (0 until 11).filter(i => i != 3 && i != 7).map(i => i + 1L))
+    // _process_batch: one archive per batch, entries laid out in REQUEST
+    // order — batch 0's __404__/o03 entry sits at position 3, though name
+    // order would put it first ('_' < 'b')
+    val dir = java.nio.file.Files.createTempDirectory("graft_gb_batched").toString
+    GetBatch.writeBatchArchives(GetBatch.batchedAssemble(listing, pay, 4), dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.toSeq == Seq("batch-000000.tar", "batch-000001.tar", "batch-000002.tar"))
+    val b0 = spark.read.format("tarmembers").load(s"$dir/batch-000000.tar")
+      .orderBy("offset").select("member").collect().map(_.getString(0)).toSeq
+    assert(b0 == Seq("bck0/obj/o00", "bck0/obj/o01", "bck0/obj/o02", "__404__/bck0/obj/o03"))
+    val b2 = spark.read.format("tarmembers").load(s"$dir/batch-000002.tar")
+      .orderBy("offset").select("member").collect().map(_.getString(0)).toSeq
+    assert(b2 == Seq("bck0/obj/o08", "bck0/obj/o09", "bck0/obj/o10"))
+  }
 }
