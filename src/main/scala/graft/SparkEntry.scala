@@ -2308,8 +2308,11 @@ object SparkEntry {
 
     // GB12 × §2.11: a GROWING manifest directory ingested availableNow,
     // batch numbering contiguous across epochs (partial batches complete
-    // across the boundary, odometer never restarts). Rows-only entry;
-    // stream/batch parity + the contiguity property in LhotseStreamSpec.
+    // across the boundary, odometer never restarts). Oracle-checked: the
+    // epoch fixture splits cuts by k%3 with within-epoch cut order, so the
+    // stream's arrival order is SQL-expressible as ORDER BY (k%3, cut_id)
+    // — the same batching arithmetic as lhotse_batches over that order.
+    // Stream/batch parity + the contiguity property in LhotseStreamSpec.
     "lhotse_stream" -> ((s, d) =>
       graft.streaming.LhotseStream.runBatches(s, lhotseEpochDir(s, d),
         batchSize = 100, outputTemplate = "cuts-{000001..999999}.tar",
@@ -5396,6 +5399,24 @@ object SparkEntry {
         |         ELSE 'flat/obj-' || printf('%08d', k) || '.dat' END AS objname
         |  FROM (SELECT o_orderkey AS k FROM orders)),
         |n AS (SELECT r.*, row_number() OVER (ORDER BY cut_id) AS rn FROM r)
+        |SELECT cut_id, bucket, objname,
+        |  (rn - 1) // 100 AS batch_id,
+        |  'cuts-' || printf('%06d', (rn - 1) // 100 + 1) || '.tar' AS shard_name
+        |FROM n ORDER BY cut_id""".stripMargin,
+
+    // same batching arithmetic as lhotse_batches, but over the STREAM's
+    // arrival order: the epoch fixture routes cut k to epoch k%3 (files
+    // arrive in mtime order), and each per-epoch micro-batch orders by
+    // cut_id — so the global consumption order is (k%3, cut_id)
+    "lhotse_stream" ->
+      """WITH r AS (
+        |  SELECT 'cut-' || printf('%08d', k) AS cut_id,
+        |    'bck' || CAST(k % 3 AS VARCHAR) AS bucket,
+        |    CASE WHEN k % 10 = 9 THEN 'shards/shard-' || printf('%05d', k) || '.tar'
+        |         ELSE 'flat/obj-' || printf('%08d', k) || '.dat' END AS objname,
+        |    k % 3 AS epoch
+        |  FROM (SELECT o_orderkey AS k FROM orders)),
+        |n AS (SELECT r.*, row_number() OVER (ORDER BY epoch, cut_id) AS rn FROM r)
         |SELECT cut_id, bucket, objname,
         |  (rn - 1) // 100 AS batch_id,
         |  'cuts-' || printf('%06d', (rn - 1) // 100 + 1) || '.tar' AS shard_name

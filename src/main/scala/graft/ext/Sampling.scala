@@ -192,10 +192,19 @@ object Sampling {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = weights.toDF(groupCol, "_wt")
-    docs
+    val avail = docs
       .groupBy(col(groupCol))
       .agg(sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("avail_tokens"))
-      .join(broadcast(w), Seq(groupCol))
+    // left join FROM the weight list: a weighted group with zero corpus
+    // documents must raise, not silently vanish from the plan — an
+    // inner join would drop its budget share and a consumer summing
+    // desired_tokens would get less than the budget with no signal
+    w.join(broadcast(avail), Seq(groupCol), "left_outer")
+      .withColumn("avail_tokens",
+        when(col("avail_tokens").isNull,
+          raise_error(concat(lit("mixturePlan: weighted group absent from corpus: "),
+            col(groupCol))))
+          .otherwise(col("avail_tokens")))
       .withColumn("desired_tokens", expr(s"(${budget}L * _wt) div ${den}L"))
       .withColumn("full_epochs", expr("desired_tokens div avail_tokens"))
       .withColumn("tail_rate_permille",

@@ -69,11 +69,16 @@ object RangeJoin {
     // short-circuit on facts (bucket -1 exists in no decomposed range).
     // The validity raise rides inside the bucket derivation itself so
     // column pruning can never elide it.
+    // null bounds raise like the other invalid shapes: sequence(null, …)
+    // yields null and explode would DROP the row — a null-bounded range
+    // silently losing matches is exactly the failure mode the lo<0/lo>hi
+    // raises exist to prevent
     val rb = ranges
       .withColumn("_graft_lo",
-        when(lo.isNotNull && (lo < 0 || lo > hi), raise_error(
+        when(lo.isNull || hi.isNull || lo < 0 || lo > hi, raise_error(
           concat(lit(s"rangeLookup: invalid interval [$loCol,$hiCol]=["),
-            lo.cast("string"), lit(","), hi.cast("string"), lit("]"))))
+            coalesce(lo.cast("string"), lit("null")), lit(","),
+            coalesce(hi.cast("string"), lit("null")), lit("]"))))
           .otherwise(lo))
       .withColumn("_graft_hi", hi)
       .withColumn("_graft_bkt",

@@ -299,25 +299,34 @@ object EventsStream {
 
     def decide(win: Seq[Long], v: Long): (Long, Boolean) = {
       val n = win.size.toLong
-      val s = win.sum
-      val q = win.map(x => x * x).sum
-      val d = v * n - s
-      (n, n >= minPrior && d * d > z.toLong * z * (n * q - s * s))
+      // BigInt: the z-test products wrap Long at |v| ≳ 3e9 — inside the
+      // bytes/object telemetry domain. Window is ≤ lookback values, so
+      // exact unbounded integers cost nothing and match the batch twin's
+      // DECIMAL(38,0) arithmetic (graft.ext.Anomaly.spikes).
+      val s = win.foldLeft(BigInt(0))(_ + _)
+      val q = win.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+      val d = BigInt(v) * n - s
+      (n, n >= minPrior && d * d > BigInt(z) * z * (q * n - s * s))
     }
-    // state: (pending (tsec, id, v), finalized trailing values, horizon)
+    // state: (pending (tsec, id, v), finalized trailing values, horizon,
+    // emission counter). The counter, not processing time, orders
+    // emissions: under AvailableNow two triggers can land in the same
+    // millisecond, and the max(struct(_seq, …)) snapshot tiebreak would
+    // then fall through to value/n_prior/is_spike and could prefer a
+    // stale provisional flag over the finalized one. A per-key monotonic
+    // counter makes "latest emission" exact.
     def update(userId: Long,
                events: Iterator[(Long, java.sql.Timestamp, Long, Long, Double)],
-               state: GroupState[(Seq[(Double, Long, Long)], Seq[Long], Double)])
+               state: GroupState[(Seq[(Double, Long, Long)], Seq[Long], Double, Long)])
         : Iterator[(Long, Long, Long, Long, Boolean, Long)] = {
-      val (pending0, win0, hor0) =
+      val (pending0, win0, hor0, seq) =
         state.getOption.getOrElse((Seq.empty[(Double, Long, Long)],
-          Seq.empty[Long], Double.MinValue))
+          Seq.empty[Long], Double.MinValue, 0L))
       val wm = state.getCurrentWatermarkMs() / 1000.0
       // below the finalized horizon = late-beyond-watermark → dropped
       val fresh = events.map(e => (e._5, e._3, e._4)).filter(_._1 >= hor0)
       val all = (pending0 ++ fresh).sortBy(t => (t._1, t._2))
       val (ripe, pending) = all.partition(_._1 <= wm)
-      val seq = state.getCurrentProcessingTimeMs()
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Boolean, Long)]()
       var win = win0
       for ((_, id, v) <- ripe) {
@@ -331,7 +340,7 @@ object EventsStream {
         out += ((userId, id, v, n, spike, seq))
         wp = (wp :+ v).takeRight(lookback)
       }
-      state.update((pending, win, math.max(hor0, wm)))
+      state.update((pending, win, math.max(hor0, wm), seq + 1))
       out.iterator
     }
     val flagged = stream.groupByKey(_._1)

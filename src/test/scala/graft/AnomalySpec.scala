@@ -62,4 +62,22 @@ class AnomalySpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(a == b)
   }
+
+  test("byte-scale values stay exact (no Long wrap) and the bound guards") {
+    // v² for v ≈ 3.1e9 wraps LongType negative: the old Long arithmetic
+    // made the rhs negative and flagged EVERYTHING; Decimal(38,0) stays
+    // exact in the advertised bytes/object domain
+    val base = 3100000000L
+    val pts = (0L until 8L).map(i => (1L, i, base + (i % 2) * 2L)) ++
+      Seq((1L, 8L, base), (1L, 9L, base + 1000000L))
+    val flags = run(pts)
+    assert(!flags(8L), "in-family value must not be a spike (Long wrap would flag it)")
+    assert(flags(9L), "+1e6 deviation over a ±1-variance baseline is a spike")
+    // beyond the documented exactness bound: raise, never silently wrap
+    val huge = (0L until 6L).map(i => (1L, i, 1L)) :+ (1L, 6L, 6000000000000000000L)
+    val e = intercept[Exception] { run(huge) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exact-arithmetic bound")), e.getMessage)
+  }
 }

@@ -70,10 +70,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(naivePlan.contains("BroadcastNestedLoopJoin") || naivePlan.contains("CartesianProduct"))
   }
 
-  test("invalid interval (lo > hi, negative lo) raises") {
+  test("invalid interval (lo > hi, negative lo, null bound) raises") {
     val bad1 = Seq((1L, 20L, 10L)).toDF("range_id", "lo", "hi")
     val bad2 = Seq((1L, -5L, 10L)).toDF("range_id", "lo", "hi")
-    for (bad <- Seq(bad1, bad2)) {
+    // null bounds would silently DROP matches (sequence(null,…) → null →
+    // explode discards the row) — they must raise like the other shapes
+    val bad3 = Seq((1L, Some(10L), Option.empty[Long])).toDF("range_id", "lo", "hi")
+    val bad4 = Seq((1L, Option.empty[Long], Some(10L))).toDF("range_id", "lo", "hi")
+    for (bad <- Seq(bad1, bad2, bad3, bad4)) {
       val e = intercept[Exception] {
         RangeJoin.lookup(facts, bad, "k").collect()
       }

@@ -176,4 +176,19 @@ class SamplingSpec extends SparkSpec {
     }
     assert(wins > 35 && wins < 55, s"A won $wins/60, expected ~45")
   }
+
+  test("mixturePlan: a weighted group absent from the corpus raises, not vanishes") {
+    import spark.implicits._
+    val corpus = Seq(("en", "a b c"), ("de", "x y")).toDF("lang", "text")
+    val ok = Sampling.mixturePlan(corpus, Seq("en" -> 2L, "de" -> 1L), budget = 300L)
+    assert(ok.count() == 2)
+    // an inner join would silently drop fr's budget share; the recipe
+    // asked for a group the corpus doesn't have → loud failure
+    val e = intercept[Exception] {
+      Sampling.mixturePlan(corpus, Seq("en" -> 2L, "fr" -> 1L), budget = 300L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("absent from corpus")), e.getMessage)
+  }
 }
