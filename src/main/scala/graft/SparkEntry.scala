@@ -3235,6 +3235,22 @@ object SparkEntry {
         |FROM samples ORDER BY shuffle_key, sample_key LIMIT 1000""".stripMargin,
       OracleCte.members, OracleCte.samples),
 
+    // EXACT xxhash64 replay in DuckDB SQL (graft.functions.XxhashSql):
+    // sample keys are fixed 11-byte ASCII, so Spark's
+    // xxhash64(sample_key, 42) transcribes to mod-2^64 HUGEINT
+    // arithmetic with lateral column aliases — upgrading this entry from
+    // rows-only to a full hash-checked oracle
+    "dsort_shuffle_fast_top" -> {
+      val (ctes, last, key) =
+        graft.functions.XxhashSql.stringThenLongSql("sample_key", 11, 42L, from = "samples")
+      o(
+        s"""SELECT sample_key, $key AS shuffle_key,
+           |  row_number() OVER (ORDER BY $key, sample_key) AS rn
+           |FROM $last
+           |ORDER BY shuffle_key, sample_key LIMIT 1000""".stripMargin,
+        (Seq(OracleCte.members, OracleCte.samples) ++ ctes): _*)
+    },
+
     "dsort_content_top" -> o(
       """SELECT s.sample_key, ckey,
         |  row_number() OVER (ORDER BY ckey, s.sample_key) AS rn

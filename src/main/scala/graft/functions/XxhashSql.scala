@@ -1,0 +1,124 @@
+package graft.functions
+
+/** DuckDB-SQL transcription of Spark's `xxhash64` (the XXH64 algorithm,
+  * `org.apache.spark.sql.catalyst.expressions.XXH64` in the public Spark
+  * source) for a fixed-width ASCII string column followed by a long
+  * literal — so the `dsort_shuffle_fast_top` oracle can recompute the
+  * EXACT 64-bit keys instead of settling for a rows-only check.
+  *
+  * Java's wrapping long arithmetic is replayed as unsigned mod-2^64
+  * HUGEINT arithmetic: multiplication splits the variable operand into
+  * 32-bit halves so no intermediate exceeds ~2^97 (HUGEINT holds 2^127),
+  * rotations/shifts become multiply/divide by powers of two, and xor is
+  * DuckDB's `xor()` (defined on HUGEINT). Every intermediate is its own
+  * chained CTE (`SELECT *, expr AS xN FROM prev`): DuckDB expands
+  * LATERAL column aliases by macro substitution, so a same-SELECT alias
+  * chain whose steps reference their predecessor twice explodes
+  * exponentially in the binder (measured: 40 chained aliases never
+  * finish) — per-step CTEs keep the expansion linear because each alias
+  * is a real column of the previous relation.
+  *
+  * Scope: string length < 32 bytes (no 32-byte stripe accumulators) and
+  * single-byte (ASCII) characters — exactly the fixed-format sample keys
+  * (`s%07d_%02d`, 11 bytes) this oracle needs. Both limits are asserted.
+  */
+object XxhashSql {
+  private val M  = BigInt(2).pow(64)
+  private val P1 = BigInt("11400714785074694791") // 0x9E3779B185EBCA87
+  private val P2 = BigInt("14029467366897019727") // 0xC2B2AE3D27D4EB4F
+  private val P3 = BigInt("1609587929392839161")  // 0x165667B19E3779F9
+  private val P4 = BigInt("9650029242287828579")  // 0x85EBCA77C2B2AE63
+  private val P5 = BigInt("2870177450012600261")  // 0x27D4EB2F165667C5
+
+  private def u64(x: BigInt): BigInt = x.mod(M)
+
+  private final class Gen(prefix: String, from: String) {
+    val ctes = scala.collection.mutable.ListBuffer[String]()
+    private var n = 0
+    def lastTable: String = if (n == 0) from else s"${prefix}t${n - 1}"
+    def step(expr: String): String = {
+      val a = s"${prefix}$n"
+      ctes += s"${prefix}t$n AS (SELECT *, $expr AS $a FROM $lastTable)"
+      n += 1; a
+    }
+    /** (a * b) mod 2^64 for alias `a`, constant `b` — 32-bit split keeps
+      * every term under 2^97. */
+    def mulC(a: String, b: BigInt): String =
+      step(s"((($a % 4294967296) * $b + (($a // 4294967296) * $b % 4294967296) * 4294967296) % $M)")
+    def rotl(x: String, r: Int): String =
+      step(s"((($x * ${BigInt(2).pow(r)}) + ($x // ${BigInt(2).pow(64 - r)})) % $M)")
+    def xor(a: String, b: String): String = step(s"xor($a, $b)")
+    def xorShr(x: String, sh: Int): String =
+      step(s"xor($x, $x // ${BigInt(2).pow(sh)})")
+    def addC(a: String, c: BigInt): String = step(s"(($a + $c) % $M)")
+  }
+
+  /** fmix / avalanche on an alias. */
+  private def fmix(g: Gen, h0: String): String = {
+    var h = g.xorShr(h0, 33)
+    h = g.mulC(h, P2)
+    h = g.xorShr(h, 29)
+    h = g.mulC(h, P3)
+    g.xorShr(h, 32)
+  }
+
+  /** Constant-folded XXH64.hashLong(input, seed) where BOTH are known at
+    * generation time is not needed; this folds only `rotl31(input*P2)*P1`
+    * (the input-derived round), leaving the seed-dependent part to SQL. */
+  private def longRoundConst(input: Long): BigInt = {
+    val t1 = u64(BigInt(input).mod(M) * P2)
+    val r = u64((t1 * BigInt(2).pow(31)) + (t1 / BigInt(2).pow(33)))
+    // (r * P1) mod 2^64
+    u64(r * P1)
+  }
+
+  /** Chained-CTE SQL computing
+    * `xxhash64(stringCol, CAST(longVal AS BIGINT))` with Spark's default
+    * initial seed 42, for a string column of EXACTLY `len` ASCII bytes.
+    *
+    * @param from the relation (CTE name) holding `stringCol`
+    * @return (cteList, lastCteName, finalAlias) — append `cteList` to the
+    *         WITH clause after `from`'s definition and read
+    *         `finalAlias` from `lastCteName` as the signed BIGINT hash. */
+  def stringThenLongSql(stringCol: String, len: Int, longVal: Long, from: String,
+                        aliasPrefix: String = "_xx"): (Seq[String], String, String) = {
+    require(len > 0 && len < 32, s"stripe-free XXH64 transcription needs 0 < len < 32: $len")
+    val g = new Gen(aliasPrefix, from)
+    def byte(i: Int): String = // 1-based position, ASCII only
+      s"CAST(ascii(substr($stringCol, ${i + 1}, 1)) AS HUGEINT)"
+    // ---- hashUnsafeBytes(stringCol, seed=42) ----
+    var h = g.step(s"CAST(${u64(BigInt(42) + P5 + len)} AS HUGEINT)")
+    var off = 0
+    while (off + 8 <= len) {
+      val terms = (0 until 8).map(j =>
+        if (j == 0) byte(off) else s"${byte(off + j)} * ${BigInt(256).pow(j)}")
+      val k1 = g.step(s"(${terms.mkString(" + ")})")
+      val t = g.mulC(g.rotl(g.mulC(k1, P2), 31), P1)
+      h = g.xor(h, t)
+      h = g.addC(g.mulC(g.rotl(h, 27), P1), P4)
+      off += 8
+    }
+    if (off + 4 <= len) {
+      val terms = (0 until 4).map(j =>
+        if (j == 0) byte(off) else s"${byte(off + j)} * ${BigInt(256).pow(j)}")
+      val k = g.step(s"(${terms.mkString(" + ")})")
+      h = g.xor(h, g.mulC(k, P1))
+      h = g.addC(g.mulC(g.rotl(h, 23), P2), P3)
+      off += 4
+    }
+    while (off < len) {
+      h = g.xor(h, g.step(s"((${byte(off)} * $P5) % $M)"))
+      h = g.mulC(g.rotl(h, 11), P1)
+      off += 1
+    }
+    h = fmix(g, h)
+    // ---- hashLong(longVal, seed=h) ----
+    var lh = g.addC(h, P5 + 8)
+    lh = g.xor(lh, g.step(s"CAST(${longRoundConst(longVal)} AS HUGEINT)"))
+    lh = g.addC(g.mulC(g.rotl(lh, 27), P1), P4)
+    lh = fmix(g, lh)
+    val signed = g.step(
+      s"CAST(CASE WHEN $lh >= ${BigInt(2).pow(63)} THEN $lh - $M ELSE $lh END AS BIGINT)")
+    (g.ctes.toSeq, g.lastTable, signed)
+  }
+}
