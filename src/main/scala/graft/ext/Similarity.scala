@@ -413,6 +413,11 @@ object Similarity {
     array(cb.indices.map(lutSub): _*)
   }
 
+  /** Measured recall@10 vs brute force at sf1 gate parameters
+    * (PERF.md §ANN-recall): 0.75 with 64 codewords / rerankFactor 32;
+    * 0.12 with the old 16/4. The residual gap is the SAMPLED (untrained)
+    * codebook — k-means-trained codewords would close most of it at the
+    * cost of an iterative oracle. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, codewords: DataFrame,
              m: Int, k: Int, rerankFactor: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -444,7 +449,10 @@ object Similarity {
     * 100 TB this is THE ANN memory/bandwidth shape: the per-cell scan
     * touches m code bytes per vector (not 4·dim), and the cell bound
     * cuts the scan to nprobe/#cells of the corpus — both reductions
-    * compose multiplicatively.
+    * compose multiplicatively. Measured recall@10 vs brute force at sf1
+    * gate parameters (PERF.md §ANN-recall): 0.70 (nprobe=16, 64
+    * codewords, rerank 32); so does the recall loss — probe (~0.81
+    * ceiling from the IVF stage) × ADC (~0.87 relative).
     *
     * Same determinism contracts as [[assignCells]] (unrounded argmin,
     * ties → lowest cell) and [[pqTopK]] (integer ADC LUTs), so the whole
@@ -496,6 +504,10 @@ object Similarity {
     Similarity.centroids(
       assignCells(corpus, centroids, idCol, vecCol), "cell_id", "_cv")
 
+  /** Measured recall@10 vs brute force at sf1 gate parameters
+    * (PERF.md §ANN-recall): 0.81 at nprobe=16 of ~128 strided cells
+    * (12.5% scan/query); 0.46 at nprobe=4. The recall-preferred
+    * approximate path. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -522,14 +534,36 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
-  /** ANN via sign-LSH: queries probe only their bucket. Recall < 1 by
-    * construction; verify-stage reranks candidates with exact cosine. */
+  /** ANN via sign-LSH with multi-probe: each query probes its own bucket
+    * plus `probes - 1` single-bit-flip neighbors (the standard multi-probe
+    * LSH recall lever — a sign bit near the hyperplane is the likeliest
+    * to disagree between true neighbors, so flipping one bit recovers
+    * most of the loss without more tables). Recall < 1 by construction;
+    * verify-stage reranks candidates with exact cosine. Measured at sf1
+    * gate parameters (PERF.md §ANN-recall): probes=1 → 0.26 recall@10,
+    * probes=5 (all Hamming-1 neighbors of a 4-bit bucket) → 0.66; the
+    * residual gap is inherent to 4-bit sign-LSH — recall-critical callers
+    * should prefer ivfTopK (0.81) or quantizedTopK (exact).
+    * Scan fraction is probes/2^bits of the corpus per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int,
+              probes: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probes >= 1 && probes <= bits + 1,
+      s"probes must be in [1, bits+1]: probes=$probes bits=$bits")
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
       signLshBucket(col(vecCol), bits, dim).as("_bucket"))
+    // buckets are '0'/'1' STRING sign patterns — probe neighbors come
+    // from flipping one pattern CHARACTER (an integer xor on the string
+    // would coerce to the decimal rendering and flip the wrong thing)
+    def flipAt(b: Column, j: Int): Column = concat(
+      substring(b, 1, j - 1),
+      when(substring(b, j, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(b, j + 1, bits - j))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      signLshBucket(col(vecCol), bits, dim).as("_bucket"))
+        signLshBucket(col(vecCol), bits, dim).as("_qb"))
+      .withColumn("_bucket", explode(array((0 until probes).map(i =>
+        if (i == 0) col("_qb") else flipAt(col("_qb"), bits - i + 1)): _*)))
+      .drop("_qb")
     val scored = c.join(broadcast(q), Seq("_bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("_qv"), col("_cv")), 4))
