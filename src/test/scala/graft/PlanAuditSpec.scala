@@ -25,6 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     "dsir_weights", "quality_unigram_nll", "quality_bigram_nll",
     "quality_nb_classifier", "quality_agreement", "bm25_topk", "q22_dormant_customers",
     "lhotse_batches",
+    "dsort_tgz_pack",           // 1-row compression-ratio frame cross-joined
+    // (measured, broadcast-by-contract — DSort.packShardsCompressed)
     // ---- template/range expansion joined on a non-equi name condition
     // (the expansion side is index-small by the template contract):
     "template_expand", "template_expand_alpha", "sel_template_join",
