@@ -702,6 +702,22 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"), col("size"), col("missing"))
     }),
 
+    // multi-worker round-robin split + per-worker batching
+    // (base_iter_dataset.py:66-84 _get_worker_iter_info islice semantics
+    // composed with batch_iter_dataset): worker w takes listing positions
+    // w, w+4, w+8, …; each worker batches its slice independently
+    "getbatch_workers" -> ((s, d) => {
+      val cat = DerivedCatalog.objects(s, d)
+      val listing = cat.where(col("bucket") === "bck1" && col("name").startsWith("flat/"))
+        .select(col("bucket"), col("name").as("objname"))
+      val payloads = cat.where(col("bucket") === "bck1" && col("size") % 7 =!= 0)
+        .select(col("bucket"), col("name").as("objname"),
+          encode(col("checksum"), "UTF-8").as("payload"))
+      GetBatch.batchedAssembleWorkers(listing, payloads, 32, numWorkers = 4)
+        .select(col("worker_id"), col("batch_id"), col("seq"), col("tar_name"),
+          col("size"), col("missing"))
+    }),
+
     // ------------------------------------------------------------------
     // dSort / ishard record pipeline (SURVEY GB2, GB3, O4, O5, J4, J5, A3)
     // ------------------------------------------------------------------
@@ -3191,6 +3207,22 @@ object SparkEntry {
         |           FROM objects WHERE bucket = 'bck1' AND size % 7 <> 0) p
         |  USING (bucket, objname)
         |ORDER BY batch_id, seq""".stripMargin,
+      OracleCte.objects),
+
+    "getbatch_workers" -> o(
+      """SELECT pos % 4 AS worker_id,
+        |  (pos // 4) // 32 AS batch_id, (pos // 4) % 32 AS seq,
+        |  CASE WHEN p.objname IS NULL THEN '__404__/' || l.bucket || '/' || l.objname
+        |       ELSE l.bucket || '/' || l.objname END AS tar_name,
+        |  CAST(CASE WHEN p.objname IS NULL THEN 0 ELSE length(p.checksum) END AS BIGINT) AS size,
+        |  (p.objname IS NULL) AS missing
+        |FROM (SELECT bucket, name AS objname,
+        |        row_number() OVER (ORDER BY bucket, name) - 1 AS pos
+        |      FROM objects WHERE bucket = 'bck1' AND name LIKE 'flat/%') l
+        |LEFT JOIN (SELECT bucket, name AS objname, checksum
+        |           FROM objects WHERE bucket = 'bck1' AND size % 7 <> 0) p
+        |  USING (bucket, objname)
+        |ORDER BY worker_id, batch_id, seq""".stripMargin,
       OracleCte.objects),
 
     "sample_group" -> o(

@@ -134,6 +134,44 @@ object GetBatch {
       .orderBy("batch_id", "seq")
   }
 
+  /** Multi-worker iteration split composed with batching (reference
+    * `python/aistore/pytorch/base_iter_dataset.py:66-84`
+    * `_get_worker_iter_info` + `batch_iter_dataset.py` `__iter__`):
+    * PyTorch DataLoader workers round-robin the listing by position —
+    * worker w takes positions w, w+W, w+2W, … (`islice(it, id, None,
+    * num_workers)` semantics) — and each worker then accumulates
+    * `max_batch_size` batches over ITS slice independently. One
+    * declarative plan: the global prefix-sum position, then pure
+    * arithmetic — at cluster scale the worker split is a COLUMN, not a
+    * re-shuffle per worker.
+    * @return `worker_id, batch_id, seq, tar_name, payload, size,
+    *         missing`, ordered (worker_id, batch_id, seq). */
+  def batchedAssembleWorkers(listing: DataFrame, payloads: DataFrame,
+                             maxBatchSize: Int, numWorkers: Int): DataFrame = {
+    require(maxBatchSize > 0, s"maxBatchSize must be positive: $maxBatchSize")
+    require(numWorkers > 0, s"numWorkers must be positive: $numWorkers")
+    val numbered = DSort.globalCumsum(
+        listing.select("bucket", "objname"),
+        Seq(col("bucket").asc, col("objname").asc), lit(1L))
+      .withColumn("_pos", col("_cum") - 1)
+      .withColumn("worker_id", pmod(col("_pos"), lit(numWorkers.toLong)))
+      .withColumn("_wpos", expr(s"`_pos` DIV $numWorkers"))
+      .withColumn("batch_id", expr(s"`_wpos` DIV $maxBatchSize"))
+      .withColumn("seq", pmod(col("_wpos"), lit(maxBatchSize.toLong)))
+      .drop("_cum", "_pos", "_wpos")
+    val pay = payloads.select(col("bucket"), col("objname"), col("payload"))
+    numbered.join(pay, Seq("bucket", "objname"), "left_outer")
+      .withColumn("missing", col("payload").isNull)
+      .select(
+        col("worker_id"), col("batch_id"), col("seq"),
+        ObjNames.nameInArch(col("bucket"), col("objname"), lit(""),
+          onlyObjName = false, missing = col("missing")).as("tar_name"),
+        when(col("missing"), lit(Array.emptyByteArray)).otherwise(col("payload")).as("payload"),
+        when(col("missing"), lit(0L)).otherwise(length(col("payload")).cast("long")).as("size"),
+        col("missing"))
+      .orderBy("worker_id", "batch_id", "seq")
+  }
+
   /** Write each batch from [[batchedAssemble]] as its own archive file
     * (`_process_batch`'s one-request-one-archive shape) under `outDir`,
     * entries in REQUEST order (`seq`), not name order — executor-side,

@@ -133,4 +133,29 @@ class GetBatchSpec extends SparkSpec {
       .orderBy("offset").select("member").collect().map(_.getString(0)).toSeq
     assert(b2 == Seq("bck0/obj/o08", "bck0/obj/o09", "bck0/obj/o10"))
   }
+
+  test("multi-worker split: islice round-robin, per-worker independent batching") {
+    // 11 objects, 3 workers, batch size 2: worker w sees positions
+    // w, w+3, w+6, … — exactly islice(it, w, None, 3); each worker
+    // batches ITS slice, so worker 0 (4 items) has batches [2,2],
+    // workers 1-2 (4 and 3 items) have [2,2] and [2,1]
+    val listing = (0 until 11).map(i => ("bck0", f"obj/o$i%02d")).toDF("bucket", "objname")
+    val pay = (0 until 11).map(i => ("bck0", f"obj/o$i%02d", "P"))
+      .toDF("bucket", "objname", "p")
+      .select($"bucket", $"objname", $"p".cast("binary").as("payload"))
+    val got = GetBatch.batchedAssembleWorkers(listing, pay, maxBatchSize = 2, numWorkers = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 11)
+    def name(pos: Int) = f"bck0/obj/o$pos%02d"
+    // islice semantics: worker w, within-worker index j → position w + 3j
+    got.foreach { case (w, b, s, tn) =>
+      val j = b * 2 + s
+      assert(tn == name((w + 3 * j).toInt), s"worker $w batch $b seq $s got $tn")
+    }
+    val perWorker = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perWorker == Map(0L -> 4, 1L -> 4, 2L -> 3))
+    // worker 2's final batch is the only short one
+    val shortBatches = got.groupBy(t => (t._1, t._2)).filter(_._2.length < 2).keys.toSet
+    assert(shortBatches == Set((2L, 1L)))
+  }
 }
