@@ -702,6 +702,19 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"), col("size"), col("missing"))
     }),
 
+    // WebDataset shard reader (python/aistore/pytorch/shard_reader.py
+    // AISShardReader): per-(shard, basename) sample content dicts keyed
+    // by extension, with the ZeroDict contract — every sample carries
+    // EVERY extension observed so far (cumulative over shards in
+    // iteration order; first-observing shard = min shard per ext),
+    // zero-filled (b"") where the sample lacks that file. Flattened to
+    // (shard, basename, ext, content_md5, zero_filled) rows; duplicate
+    // same-name members are byte-identical in this corpus (TarWriter
+    // contract) so the min-digest agg is the value itself.
+    "shard_reader_samples" -> ((s, d) =>
+      shards.ShardReader.samples(shards.TarFixtures.read(s, d))
+        .orderBy("shard", "basename", "ext")),
+
     // multi-worker round-robin split + per-worker batching
     // (base_iter_dataset.py:66-84 _get_worker_iter_info islice semantics
     // composed with batch_iter_dataset): worker w takes listing positions
@@ -3208,6 +3221,22 @@ object SparkEntry {
         |  USING (bucket, objname)
         |ORDER BY batch_id, seq""".stripMargin,
       OracleCte.objects),
+
+    "shard_reader_samples" -> o(
+      """SELECT s.shard, s.sample_key AS basename, k.ext,
+        |  coalesce(t.cmd5, md5('')) AS content_md5,
+        |  (t.cmd5 IS NULL) AS zero_filled
+        |FROM (SELECT DISTINCT shard, sample_key FROM tarfix) s
+        |JOIN (SELECT sh.shard, fs.ext
+        |      FROM (SELECT DISTINCT shard FROM tarfix) sh
+        |      JOIN (SELECT ext, min(shard) AS first_shard FROM tarfix GROUP BY ext) fs
+        |        ON fs.first_shard <= sh.shard) k
+        |  USING (shard)
+        |LEFT JOIN (SELECT shard, sample_key, ext, min(md5(payload_str)) AS cmd5
+        |           FROM tarfix GROUP BY 1, 2, 3) t
+        |  ON t.shard = s.shard AND t.sample_key = s.sample_key AND t.ext = k.ext
+        |ORDER BY s.shard, basename, k.ext""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
 
     "getbatch_workers" -> o(
       """SELECT pos % 4 AS worker_id,

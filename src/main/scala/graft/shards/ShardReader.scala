@@ -1,0 +1,47 @@
+package graft.shards
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WebDataset shard reader (reference
+  * `python/aistore/pytorch/shard_reader.py` AISShardReader): samples are
+  * the per-(shard, basename) groups of a member table, each carrying a
+  * content dict keyed by file extension.
+  *
+  * The subtle contract is the reference's ZeroDict: so the default
+  * DataLoader collate never fails, every yielded sample contains EVERY
+  * extension observed SO FAR in the iteration — cumulative across shards
+  * in iteration order (each shard's pre-pass adds its member types to
+  * the instance-level observed set) — zero-filled (`b""`) where the
+  * sample lacks that file. Declaratively: ext e belongs to the key set
+  * of shard S iff `min(shard containing e) <= S` in shard order.
+  *
+  * Scale shape: the key-set derivation is (distinct shards) ⨯ (distinct
+  * exts) — both index-small — via a broadcast non-equi join (declared
+  * BNLJ); the member table itself is touched by one groupBy for the
+  * per-sample digests and one distinct for the sample list, both
+  * partial-agg'd, and payload bytes reduce map-side to md5.
+  */
+object ShardReader {
+
+  /** Flatten sample content dicts to rows.
+    * @param members columns `shard, sample_key, ext, payload` (binary)
+    * @return `(shard, basename, ext, content_md5, zero_filled)` — one
+    *         row per sample × observed-so-far ext; duplicate same-name
+    *         members must be byte-identical (TarWriter contract), so the
+    *         min-digest agg is the value itself. */
+  def samples(members: DataFrame): DataFrame = {
+    val firstShard = members.groupBy("ext").agg(min("shard").as("_first_shard"))
+    val keyset = members.select("shard").distinct()
+      .join(broadcast(firstShard), col("_first_shard") <= col("shard"))
+      .select("shard", "ext")
+    val contents = members.groupBy("shard", "sample_key", "ext")
+      .agg(min(md5(col("payload"))).as("_md5"))
+    members.select("shard", "sample_key").distinct()
+      .join(keyset, Seq("shard"))
+      .join(contents, Seq("shard", "sample_key", "ext"), "left_outer")
+      .select(col("shard"), col("sample_key").as("basename"), col("ext"),
+        coalesce(col("_md5"), lit("d41d8cd98f00b204e9800998ecf8427e")).as("content_md5"),
+        col("_md5").isNull.as("zero_filled"))
+  }
+}

@@ -27,6 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "lhotse_batches",
     "dsort_tgz_pack",           // 1-row compression-ratio frame cross-joined
     // (measured, broadcast-by-contract — DSort.packShardsCompressed)
+    "shard_reader_samples",     // (distinct shards) x (distinct exts)
+    // cumulative-keyset derivation — both sides index-small (ShardReader)
     // ---- template/range expansion joined on a non-equi name condition
     // (the expansion side is index-small by the template contract):
     "template_expand", "template_expand_alpha", "sel_template_join",

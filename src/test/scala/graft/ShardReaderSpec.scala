@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.shards.ShardReader
+
+/** AISShardReader's ZeroDict contract (`shard_reader.py`): every sample
+  * carries every extension observed so far (cumulative over shards in
+  * iteration order), zero-filled where absent — never fewer, never keys
+  * from shards that come later. */
+class ShardReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def members(rows: (String, String, String, String)*) =
+    rows.toSeq.toDF("shard", "sample_key", "ext", "p")
+      .select($"shard", $"sample_key", $"ext", $"p".cast("binary").as("payload"))
+
+  test("cumulative observed keys: earlier shards never see later-introduced exts") {
+    // shard A introduces jpg; shard B introduces cls; shard C adds nothing new
+    val m = members(
+      ("A.tar", "s1", "jpg", "P1"),
+      ("A.tar", "s2", "jpg", "P2"),
+      ("B.tar", "s3", "jpg", "P3"), ("B.tar", "s3", "cls", "C3"),
+      ("B.tar", "s4", "cls", "C4"),
+      ("C.tar", "s5", "jpg", "P5"))
+    val got = ShardReader.samples(m)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getString(3), r.getBoolean(4)))).toMap
+    // shard A samples: jpg only (cls not yet observed)
+    assert(got.keys.filter(_._1 == "A.tar").map(_._3).toSet == Set("jpg"))
+    assert(!got(("A.tar", "s1", "jpg"))._2)
+    // shard B: both keys; s4 lacks jpg → zero-filled with the empty md5
+    assert(got.keys.filter(k => k._1 == "B.tar" && k._2 == "s4").map(_._3).toSet ==
+      Set("jpg", "cls"))
+    assert(got(("B.tar", "s4", "jpg")) ==
+      ("d41d8cd98f00b204e9800998ecf8427e", true))
+    assert(!got(("B.tar", "s4", "cls"))._2)
+    // shard C: still both keys (observed set never shrinks)
+    assert(got.keys.filter(k => k._1 == "C.tar" && k._2 == "s5").map(_._3).toSet ==
+      Set("jpg", "cls"))
+    assert(got(("C.tar", "s5", "cls"))._2)
+  }
+
+  test("content digests match the payload; duplicates collapse to one row") {
+    val m = members(
+      ("A.tar", "s1", "jpg", "PAYLOAD"),
+      ("A.tar", "s1", "jpg", "PAYLOAD")) // same-name duplicate, byte-identical
+    val got = ShardReader.samples(m).collect()
+    assert(got.length == 1)
+    val md5Expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("PAYLOAD".getBytes).map("%02x".format(_)).mkString
+    assert(got.head.getString(3) == md5Expected)
+  }
+}
