@@ -45,6 +45,11 @@ object Graph {
                scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen && scale > 0,
       s"bad params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
+    // Overflow bound (the Anomaly lesson, checked here proactively): a
+    // node's score is at most the total mass n·scale, and the hottest
+    // product is score·dampNum — Long-safe while n < 2^63/(scale·dampDen)
+    // ≈ 9.2e9 nodes at the defaults. CommonCrawl-scale domain graphs are
+    // ~1e8; raise `scale` only with a matching node-count budget.
     val edges = edgesRaw
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
