@@ -702,6 +702,23 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"), col("size"), col("missing"))
     }),
 
+    // §2.11 × batch_iter: a GROWING listing directory ingested
+    // availableNow, each file an epoch of freshly landed objects; batch
+    // numbering contiguous ACROSS epochs (partial batches complete over
+    // the boundary, ids never restart — one long of driver state into
+    // batchedAssemble's startAt). Oracle: arrival order is
+    // ((k DIV 3) % 3, bucket, name) — SQL-expressible like lhotse_stream.
+    "getbatch_stream" -> ((s, d) => {
+      val payloads = DerivedCatalog.objects(s, d)
+        .where(col("bucket") === "bck1" && col("size") % 7 =!= 0)
+        .select(col("bucket"), col("name").as("objname"),
+          encode(col("checksum"), "UTF-8").as("payload"))
+      graft.streaming.GetBatchStream.runBatches(s, getbatchEpochDir(s, d), payloads, 32)
+        .select(col("batch_id"), col("seq"), col("tar_name"),
+          md5(col("payload")).as("payload_md5"), col("size"), col("missing"))
+        .orderBy("batch_id", "seq")
+    }),
+
     // WebDataset shard reader (python/aistore/pytorch/shard_reader.py
     // AISShardReader): per-(shard, basename) sample content dicts keyed
     // by extension, with the ZeroDict contract — every sample carries
@@ -2536,6 +2553,40 @@ object SparkEntry {
   private val eventsStreamTs: DataFrame => DataFrame =
     df => df.withColumn("ts", Tables.normalizeTs(df.schema("ts").dataType))
 
+  /** 3-epoch LISTING directory for `getbatch_stream`: the bck1 `flat/`
+    * names split by `(obj_id DIV 3) % 3` (obj ids in bck1 are ≡1 mod 3,
+    * so a plain %3 would put everything in one epoch), one text file per
+    * epoch with ascending mtimes, lines sorted — the growing-`ls`
+    * manifest a continuous packer tails. */
+  private def getbatchEpochDir(s: SparkSession, d: String): String = {
+    val dir = "/tmp/graft_gbstream_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val marker = new java.io.File(dir, "_GRAFT_DONE")
+    this.synchronized {
+      if (!marker.exists()) {
+        new java.io.File(dir).mkdirs()
+        val l = DerivedCatalog.objects(s, d)
+          .where(col("bucket") === "bck1" && col("name").startsWith("flat/"))
+          .select(concat(col("bucket"), lit("/"), col("name")).as("value"),
+            (regexp_extract(col("name"), "obj-(\\d+)", 1).cast("long")).as("_k"))
+        (0 until 3).foreach { e =>
+          val stage = dir + s"_stage$e"
+          l.where(expr("(_k div 3) % 3") === e).sort("value").select("value")
+            .coalesce(1).write.mode("overwrite").text(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          val dst = new java.io.File(dir, f"epoch-$e%02d.txt")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1000000000L + e * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+        }
+        marker.createNewFile()
+      }
+    }
+    dir
+  }
+
   private def lhotseEpochDir(s: SparkSession, d: String): String = {
     val dir = "/tmp/graft_lhotse_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
     val marker = new java.io.File(dir, "_GRAFT_DONE")
@@ -3216,6 +3267,24 @@ object SparkEntry {
         |FROM (SELECT bucket, name AS objname,
         |        row_number() OVER (ORDER BY bucket, name) - 1 AS pos
         |      FROM objects WHERE bucket = 'bck1' AND name LIKE 'flat/%') l
+        |LEFT JOIN (SELECT bucket, name AS objname, checksum
+        |           FROM objects WHERE bucket = 'bck1' AND size % 7 <> 0) p
+        |  USING (bucket, objname)
+        |ORDER BY batch_id, seq""".stripMargin,
+      OracleCte.objects),
+
+    "getbatch_stream" -> o(
+      """SELECT pos // 32 AS batch_id, pos % 32 AS seq,
+        |  CASE WHEN p.objname IS NULL THEN '__404__/' || l.bucket || '/' || l.objname
+        |       ELSE l.bucket || '/' || l.objname END AS tar_name,
+        |  md5(coalesce(p.checksum, '')) AS payload_md5,
+        |  CAST(CASE WHEN p.objname IS NULL THEN 0 ELSE length(p.checksum) END AS BIGINT) AS size,
+        |  (p.objname IS NULL) AS missing
+        |FROM (SELECT bucket, objname,
+        |        row_number() OVER (ORDER BY (k // 3) % 3, bucket, objname) - 1 AS pos
+        |      FROM (SELECT bucket, name AS objname,
+        |              CAST(regexp_extract(name, 'obj-(\d+)', 1) AS BIGINT) AS k
+        |            FROM objects WHERE bucket = 'bck1' AND name LIKE 'flat/%')) l
         |LEFT JOIN (SELECT bucket, name AS objname, checksum
         |           FROM objects WHERE bucket = 'bck1' AND size % 7 <> 0) p
         |  USING (bucket, objname)

@@ -113,14 +113,21 @@ object GetBatch {
     * at catalog scale.
     * @return one row per listed object: `batch_id, seq, tar_name,
     *         payload, size, missing`, ordered (batch_id, seq). */
-  def batchedAssemble(listing: DataFrame, payloads: DataFrame, maxBatchSize: Int): DataFrame = {
+  def batchedAssemble(listing: DataFrame, payloads: DataFrame, maxBatchSize: Int,
+                      startAt: Long = 0L): DataFrame = {
     require(maxBatchSize > 0, s"maxBatchSize must be positive: $maxBatchSize")
+    require(startAt >= 0, s"startAt must be non-negative: $startAt")
+    // startAt offsets the global position — the cross-epoch continuation
+    // for the streaming face ([[graft.streaming.GetBatchStream]]): a
+    // partial batch at an epoch boundary is completed by the next
+    // epoch's first objects, and batch ids never restart.
     val numbered = DSort.globalCumsum(
         listing.select("bucket", "objname"),
         Seq(col("bucket").asc, col("objname").asc), lit(1L))
-      .withColumn("batch_id", expr(s"(`_cum` - 1) DIV $maxBatchSize"))
-      .withColumn("seq", pmod(col("_cum") - 1, lit(maxBatchSize.toLong)))
-      .drop("_cum")
+      .withColumn("_pos", col("_cum") - 1 + startAt)
+      .withColumn("batch_id", expr(s"`_pos` DIV $maxBatchSize"))
+      .withColumn("seq", pmod(col("_pos"), lit(maxBatchSize.toLong)))
+      .drop("_cum", "_pos")
     val pay = payloads.select(col("bucket"), col("objname"), col("payload"))
     numbered.join(pay, Seq("bucket", "objname"), "left_outer")
       .withColumn("missing", col("payload").isNull)

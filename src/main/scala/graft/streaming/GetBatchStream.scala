@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.GetBatch
+
+/** Continuous-ingest composition of the batched GetBatch iteration
+  * (`python/aistore/pytorch/batch_iter_dataset.py`) with the streaming
+  * extension (SURVEY §2.11), the same shape as [[LhotseStream]]: a
+  * LISTING directory that grows over time — each new file is an epoch of
+  * freshly landed object names — ingested as a Structured Streaming file
+  * source, with batch numbering GLOBALLY CONTIGUOUS across epochs.
+  *
+  * The load-bearing invariant (the reference's single lazily-consumed
+  * iterator, transplanted): a partial batch at an epoch boundary is
+  * COMPLETED by the next epoch's first objects, and `batch_id` never
+  * restarts — carried as one long of driver state (objects consumed so
+  * far) threaded into [[GetBatch.batchedAssemble]]'s `startAt`. Each
+  * epoch's work stays the same distributed prefix-sum batching; the only
+  * cross-epoch dependency is scalar.
+  *
+  * Listing files are text, one `bucket/objname` per line (the `ls`
+  * manifest shape). Payload resolution happens per epoch against the
+  * static `payloads` side — a stream-static left join, no state.
+  */
+object GetBatchStream {
+
+  /** Drive the listing directory to exhaustion with availableNow (epoch
+    * per file via maxFilesPerTrigger=1, arrival order = file order) and
+    * return the unioned resolved-batch table — `batch_id, seq, tar_name,
+    * payload, size, missing`. */
+  def runBatches(spark: SparkSession, listingDir: String, payloads: DataFrame,
+                 maxBatchSize: Int): DataFrame = {
+    var consumed = 0L
+    var acc: Option[DataFrame] = None
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(listingDir)
+      .writeStream
+      .queryName("getbatch_ingest")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (epoch: DataFrame, _: Long) =>
+        val listing = epoch
+          .select(
+            substring_index(col("value"), "/", 1).as("bucket"),
+            expr("substring(value, instr(value, '/') + 1)").as("objname"))
+          .where(col("objname") =!= "")
+        val out = GetBatch.batchedAssemble(listing, payloads, maxBatchSize,
+          startAt = consumed).localCheckpoint()
+        consumed += out.count()
+        acc = Some(acc.fold(out)(_.unionByName(out).localCheckpoint()))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    acc.getOrElse(spark.emptyDataFrame)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GetBatch
+import graft.streaming.GetBatchStream
+
+/** Streaming batched-GetBatch ingest (§2.11 × batch_iter_dataset): over
+  * the same listing files, the epoch-by-epoch stream must equal the
+  * one-shot batch run — batch ids globally contiguous, partial batches
+  * completed ACROSS epoch boundaries, numbering never restarting. */
+class GetBatchStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEpochs(epochs: Seq[Seq[String]]): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gb_stream").toFile
+    epochs.zipWithIndex.foreach { case (lines, e) =>
+      val f = new java.io.File(dir, f"epoch-$e%02d.txt")
+      java.nio.file.Files.writeString(f.toPath, lines.mkString("", "\n", "\n"))
+      f.setLastModified(1000000000L + e * 60000L)
+    }
+    dir
+  }
+
+  private def pay(n: Int) = (0 until n)
+    .map(i => ("bck0", f"obj/o$i%02d", "P" * (i + 1)))
+    .toDF("bucket", "objname", "p")
+    .select($"bucket", $"objname", $"p".cast("binary").as("payload"))
+
+  test("stream == one-shot batch; partial batches complete across epoch boundaries") {
+    // epochs of 7/5/8 objects with batchSize 4: no epoch boundary aligns
+    // with a batch boundary — batches 1, 2 and 4 each span two epochs
+    def line(i: Int) = f"bck0/obj/o$i%02d"
+    val dir = writeEpochs(Seq(0 until 7, 7 until 12, 12 until 20).map(_.map(line)))
+    val streamed = GetBatchStream.runBatches(spark, dir.getAbsolutePath, pay(20), 4)
+      .select("batch_id", "seq", "tar_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._3)
+    val oneShot = GetBatch.batchedAssemble(
+        (0 until 20).map(i => ("bck0", f"obj/o$i%02d")).toDF("bucket", "objname"),
+        pay(20), 4)
+      .select("batch_id", "seq", "tar_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._3)
+    assert(streamed.toSeq == oneShot.toSeq)
+    // the boundary-spanning batch really mixes epochs: o07 (epoch 1)
+    // completes batch 1 started by o04..o06 (epoch 0)
+    val batch1 = streamed.filter(_._1 == 1L).map(_._3).sorted.toSeq
+    assert(batch1 == Seq("bck0/obj/o04", "bck0/obj/o05", "bck0/obj/o06", "bck0/obj/o07"))
+  }
+
+  test("misses resolve per epoch against the static payload side") {
+    def line(i: Int) = f"bck0/obj/o$i%02d"
+    val dir = writeEpochs(Seq(0 until 3, 3 until 6).map(_.map(line)))
+    // payloads only for even ids → odd ids are in-batch __404__ entries
+    val p = (0 until 6 by 2).map(i => ("bck0", f"obj/o$i%02d", "X"))
+      .toDF("bucket", "objname", "p")
+      .select($"bucket", $"objname", $"p".cast("binary").as("payload"))
+    val got = GetBatchStream.runBatches(spark, dir.getAbsolutePath, p, 4)
+      .select("tar_name", "missing")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).sortBy(_._1)
+    assert(got.count(_._2) == 3)
+    assert(got.filter(_._2).map(_._1).toSeq ==
+      Seq("__404__/bck0/obj/o01", "__404__/bck0/obj/o03", "__404__/bck0/obj/o05"))
+  }
+}
