@@ -593,6 +593,15 @@ object SparkEntry {
         DerivedCatalog.objects(s, d).where(col("size") > 40000000L), 4194304L)
         .orderBy("name", "chunk_id")),
 
+    // parallel-download schedule (sdk/obj/content_iterator/parallel.py):
+    // blob chunk ranges + ring-buffer slot assignment, workers clamped
+    // to the chunk count per object. Mixed sizes exercise both the
+    // clamped (n_chunks < W) and modular (n_chunks > W) slot paths.
+    "parallel_ranges" -> ((s, d) =>
+      ops.BlobChunks.parallelPlan(
+        DerivedCatalog.objects(s, d).where(col("size") > 20000000L), 8388608L, numWorkers = 6)
+        .orderBy("name", "chunk_id")),
+
     // Prefetch blob-threshold routing (api/apc/multiobj.go:83-92,
     // xact/xs/prefetch.go:214-218): per-object decision table — blob
     // (chunked) at/above the threshold, single cold GET below it
@@ -3141,6 +3150,16 @@ object SparkEntry {
         |  least(4194304, size - "offset") AS length
         |FROM (SELECT name, size, unnest(generate_series(0, size - 1, 4194304)) AS "offset"
         |      FROM objects WHERE size > 40000000)
+        |ORDER BY name, chunk_id""".stripMargin,
+      OracleCte.objects),
+
+    "parallel_ranges" -> o(
+      """SELECT name, "offset" // 8388608 AS chunk_id, "offset",
+        |  least(8388608, size - "offset") AS length,
+        |  least(6, (size + 8388608 - 1) // 8388608) AS n_slots,
+        |  ("offset" // 8388608) % least(6, (size + 8388608 - 1) // 8388608) AS slot
+        |FROM (SELECT name, size, unnest(generate_series(0, size - 1, 8388608)) AS "offset"
+        |      FROM objects WHERE size > 20000000)
         |ORDER BY name, chunk_id""".stripMargin,
       OracleCte.objects),
 

@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   * executor-side.
   */
 object BlobChunks {
+
+  /** Parallel-download schedule (reference
+    * `python/aistore/sdk/obj/content_iterator/parallel.py:161-298`
+    * ParallelContentIterator): the [[plan]] ranges plus the ring-buffer
+    * slot each chunk lands in — `slot = chunk_id % num_slots` with
+    * `num_slots = min(numWorkers, n_chunks)` per object (workers are
+    * clamped so a small object never allocates idle slots), chunks
+    * yielded in chunk_id order. Adds `n_slots, slot`. */
+  def parallelPlan(objects: DataFrame, chunkSize: Long, numWorkers: Int): DataFrame = {
+    require(numWorkers >= 2, s"`num_workers` must be at least 2: $numWorkers")
+    objects
+      .where(col("size") > 0)
+      .select(
+        col("name"), col("size"),
+        explode(sequence(lit(0L), col("size") - 1, lit(chunkSize))).as("offset"))
+      .select(
+        col("name"),
+        (col("offset") / chunkSize).cast("long").as("chunk_id"),
+        col("offset"),
+        least(lit(chunkSize), col("size") - col("offset")).as("length"),
+        least(lit(numWorkers.toLong),
+          expr(s"(size + ${chunkSize}L - 1) DIV ${chunkSize}L")).as("n_slots"))
+      .withColumn("slot", pmod(col("chunk_id"), col("n_slots")))
+  }
+
   def plan(objects: DataFrame, chunkSize: Long): DataFrame =
     objects
       .where(col("size") > 0)
