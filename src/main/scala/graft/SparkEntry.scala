@@ -890,6 +890,30 @@ object SparkEntry {
         .select("sample_key", "n_matches", "out_template")
         .orderBy("sample_key")),
 
+    // EKMMissingKey reaction knob (dsort.go:757-766 -> manager.go react),
+    // warn mode: per-record lookup-error flag (sum = Metrics.Warnings);
+    // abort/ignore modes covered by DSortSpec
+    "ekm_missing_policy" -> ((s, d) =>
+      DSort.ekmAssignChecked(DSort.samples(DerivedCatalog.members(s, d)), Seq(
+        "^s000[0-4].*" -> "low-%03d.tar",
+        "^s0000[0-9].*" -> "dup-%d.tar",
+        "^s000[5-9].*" -> "mid-%03d.tar"), "warn")
+        .select("sample_key", "n_matches", "out_template", "ekm_missing")
+        .orderBy("sample_key")),
+
+    // MissingShards reaction knob (dsort.go:1005-1012 shard.do), warn
+    // mode: requested-shard decision table — every 50th real shard plus
+    // synthetic ghosts that exist nowhere; abort/ignore in DSortSpec
+    "dsort_missing_shards" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val real = orders.where(col("o_orderkey") % 50 === 0)
+        .select(format_string("shards/shard-%05d.tar", col("o_orderkey")).as("shard"))
+      val ghosts = orders.where(col("o_orderkey") % 997 === 0)
+        .select(format_string("shards/ghost-%05d.tar", col("o_orderkey")).as("shard"))
+      DSort.missingShards(real.unionByName(ghosts),
+        DerivedCatalog.members(s, d), "warn").orderBy("shard")
+    }),
+
     // EKM from FILE (ext/dsort/dsort.go:646 parseEKMFile): the same
     // assignment, but the rules come from real on-disk fixtures — a JSON
     // EKM and a TAB-separated ordering file that must parse to the same
@@ -3472,6 +3496,35 @@ object SparkEntry {
         |  END AS out_template
         |FROM samples ORDER BY sample_key""".stripMargin,
       OracleCte.members, OracleCte.samples),
+
+    "ekm_missing_policy" -> o(
+      """SELECT sample_key, n_matches, out_template,
+        |  (n_matches <> 1) AS ekm_missing
+        |FROM (SELECT sample_key,
+        |  CAST((CASE WHEN regexp_matches(sample_key, '^s000[0-4].*') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(sample_key, '^s0000[0-9].*') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(sample_key, '^s000[5-9].*') THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+        |  CASE WHEN (CASE WHEN regexp_matches(sample_key, '^s000[0-4].*') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(sample_key, '^s0000[0-9].*') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(sample_key, '^s000[5-9].*') THEN 1 ELSE 0 END) = 1
+        |    THEN (CASE WHEN regexp_matches(sample_key, '^s000[0-4].*') THEN 'low-%03d.tar'
+        |               WHEN regexp_matches(sample_key, '^s0000[0-9].*') THEN 'dup-%d.tar'
+        |               ELSE 'mid-%03d.tar' END)
+        |  END AS out_template
+        |FROM samples)
+        |ORDER BY sample_key""".stripMargin,
+      OracleCte.members, OracleCte.samples),
+
+    "dsort_missing_shards" -> o(
+      """SELECT r.shard, (ex.shard IS NULL) AS missing
+        |FROM (SELECT printf('shards/shard-%05d.tar', o_orderkey) AS shard
+        |      FROM orders WHERE o_orderkey % 50 = 0
+        |      UNION ALL
+        |      SELECT printf('shards/ghost-%05d.tar', o_orderkey)
+        |      FROM orders WHERE o_orderkey % 997 = 0) r
+        |LEFT JOIN (SELECT DISTINCT shard FROM members) ex ON ex.shard = r.shard
+        |ORDER BY r.shard""".stripMargin,
+      OracleCte.members),
 
     "ekm_file_assign" -> o(
       """SELECT sample_key,

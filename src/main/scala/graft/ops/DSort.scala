@@ -390,4 +390,64 @@ object DSort {
           raise_error(concat(lit("EKM: record matches "), col("n_matches").cast("string"),
             lit(" rules (expected exactly 1): "), col("sample_key"))))
           .otherwise(col("out_template")))
+
+  /** [[ekmAssign]] with the `EKMMissingKey` reaction knob
+    * (`ext/dsort/dsort.go:757-766` → `manager.go:702-717` react): a
+    * record whose key resolves to no single template is a LOOKUP ERROR,
+    * and the job reacts per policy —
+    *  - `abort`: raise naming the key (the dsort job aborts);
+    *  - `warn`: pass-through + an `ekm_missing` flag per record — the
+    *    per-record Metrics.Warnings entry; the record still routes
+    *    nowhere (`out_template` stays null, packing excludes it);
+    *  - `ignore`: pass-through, unroutable records silently excluded.
+    * Same single scan as [[ekmAssign]] in every mode. */
+  def ekmAssignChecked(samplesDf: DataFrame, rules: Seq[(String, String)],
+                       onMissing: String): DataFrame = {
+    val a = ekmAssign(samplesDf, rules)
+    onMissing match {
+      case "abort" =>
+        a.withColumn("out_template",
+          when(col("n_matches") =!= 1,
+            raise_error(concat(lit("dsort: error on lookup record '"), col("sample_key"),
+              lit("' in external key map: "), col("n_matches").cast("string"),
+              lit(" rules matched"))))
+            .otherwise(col("out_template")))
+      case "warn" => a.withColumn("ekm_missing", col("n_matches") =!= 1)
+      case "ignore" => a
+      case other => throw new IllegalArgumentException(
+        s"unknown EKMMissingKey reaction '$other' (abort|warn|ignore)")
+    }
+  }
+
+  /** `MissingShards` reaction (`ext/dsort/dsort.go:1005-1012` shard.do →
+    * react): an input shard named in the request that does not exist in
+    * the corpus. The requested list joins the distinct shard names of
+    * the member table (both index-small relative to the member rows —
+    * the existence probe is a broadcast of the REQUEST side against a
+    * partial-agg distinct, never a scan of member payloads):
+    *  - `abort`: raise naming the first missing shard;
+    *  - `warn`: decision table with a `missing` flag per requested shard
+    *    (the Metrics.Warnings entries);
+    *  - `ignore`: missing shards silently dropped — the surviving list
+    *    is exactly the shards extraction will read. */
+  def missingShards(requested: DataFrame, members: DataFrame, react: String): DataFrame = {
+    val existing = members.select(col("shard")).distinct()
+      .withColumn("_exists", lit(true))
+    val checked = requested.select(col("shard"))
+      .join(existing, Seq("shard"), "left_outer")
+      .withColumn("missing", col("_exists").isNull)
+      .drop("_exists")
+    react match {
+      case "abort" =>
+        checked.withColumn("missing",
+          when(col("missing"),
+            raise_error(concat(lit("dsort: shard.do: '"), col("shard"),
+              lit("' does not exist"))))
+            .otherwise(col("missing")))
+      case "warn" => checked
+      case "ignore" => checked.where(!col("missing")).drop("missing")
+      case other => throw new IllegalArgumentException(
+        s"unknown MissingShards reaction '$other' (abort|warn|ignore)")
+    }
+  }
 }

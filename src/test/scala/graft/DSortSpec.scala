@@ -202,6 +202,38 @@ class DSortSpec extends SparkSpec {
     }
   }
 
+  test("EKMMissingKey / MissingShards reactions: abort raises, warn flags, ignore drops") {
+    import spark.implicits._
+    val rules = Seq("^a.*" -> "A-%d.tar")
+    val keys = Seq(("a1", 10L), ("zz", 20L)).toDF("sample_key", "size")
+    // EKMMissingKey
+    val e = intercept[Exception] {
+      DSort.ekmAssignChecked(keys, rules, "abort").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("external key map")), e.getMessage)
+    val warned = DSort.ekmAssignChecked(keys, rules, "warn")
+      .collect().map(r => r.getAs[String]("sample_key") -> r.getAs[Boolean]("ekm_missing")).toMap
+    assert(warned == Map("a1" -> false, "zz" -> true))
+    assert(DSort.ekmAssignChecked(keys, rules, "ignore").columns.toSeq ==
+      DSort.ekmAssign(keys, rules).columns.toSeq)
+    intercept[IllegalArgumentException] { DSort.ekmAssignChecked(keys, rules, "retry") }
+    // MissingShards
+    val m = Seq(("sh-a.tar", "x", "x", 1L)).toDF("shard", "member", "sample_key", "size")
+    val req = Seq("sh-a.tar", "sh-GONE.tar").toDF("shard")
+    val e2 = intercept[Exception] {
+      DSort.missingShards(req, m, "abort").collect()
+    }
+    assert(msgs(e2).exists(_.contains("does not exist")), e2.getMessage)
+    val w2 = DSort.missingShards(req, m, "warn")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(w2 == Map("sh-a.tar" -> false, "sh-GONE.tar" -> true))
+    assert(DSort.missingShards(req, m, "ignore")
+      .collect().map(_.getString(0)).toSeq == Seq("sh-a.tar"))
+    intercept[IllegalArgumentException] { DSort.missingShards(req, m, "retry") }
+  }
+
   test("EKM strict raises on ambiguous match") {
     import spark.implicits._
     val two = Seq("s0000001_01").toDF("sample_key").withColumn("size", lit(1L))
