@@ -260,9 +260,12 @@ object DSort {
     * (`manager.go:211-212`). One row out of one aggregate — broadcastable
     * at any corpus size. */
   def compressionRatio(shards: DataFrame, compressedSize: Column, extractedSize: Column): DataFrame =
+    // coalesce: sum() over ZERO measured shards is null, and 1 + null
+    // would silently null the ratio (and every downstream shard_id) —
+    // the empty corpus must yield exactly the reference's 1/1 seed
     shards.agg(
-      ((lit(1L) + sum(least(compressedSize, extractedSize))) /
-        (lit(1L) + sum(extractedSize))).as("_ratio"))
+      ((lit(1L) + coalesce(sum(least(compressedSize, extractedSize)), lit(0L))) /
+        (lit(1L) + coalesce(sum(extractedSize), lit(0L)))).as("_ratio"))
 
   /** O5 with compression adjustment (`ext/dsort/dsort.go:113-124` phase 3):
     * when output shards are compressed, the reference scales the packing

@@ -140,6 +140,28 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ext.Anomaly.spikes(noEvents, col("v")).count() == 0)
   }
 
+  test("round-4 operators on empty inputs: empty results, not errors") {
+    val noListing = Seq.empty[(String, String)].toDF("bucket", "objname")
+    val noPay = Seq.empty[(String, String, Array[Byte])].toDF("bucket", "objname", "payload")
+    assert(graft.ops.GetBatch.batchedAssemble(noListing, noPay, 32).count() == 0)
+    assert(graft.ops.GetBatch.batchedAssembleWorkers(noListing, noPay, 32, 4).count() == 0)
+    val noTarMembers = Seq.empty[(String, String, String, Array[Byte])]
+      .toDF("shard", "sample_key", "ext", "payload")
+    assert(graft.shards.ShardReader.samples(noTarMembers).count() == 0)
+    val noObjects = Seq.empty[(String, Long)].toDF("name", "size")
+    assert(graft.ops.BlobChunks.parallelPlan(noObjects, 1024L, 4).count() == 0)
+    val noShards = Seq.empty[String].toDF("shard")
+    assert(DSort.missingShards(noShards, noMembers, "warn").count() == 0)
+    // compression ratio of an empty measurement corpus = the seeded 1/1
+    val ratio = DSort.compressionRatio(
+      Seq.empty[(Long, Long)].toDF("compressed", "extracted"),
+      col("compressed"), col("extracted"))
+    assert(ratio.head().getDouble(0) == 1.0)
+    val ss = DSort.withSortKey(DSort.samples(noMembers), DSort.Algorithm.Alphanumeric())
+    assert(DSort.packShardsCompressed(ss, DSort.Algorithm.Alphanumeric(), 1000L, ratio)
+      .count() == 0)
+  }
+
   test("repetition stats on sub-n-gram docs emit nulls, not errors") {
     val out = TextAnalysis.repetitionStats(
         Seq((1L, "single"), (2L, "two words"), (3L, "")).toDF("doc_id", "text"))
