@@ -31,13 +31,18 @@ object ShardReader {
     *         members must be byte-identical (TarWriter contract), so the
     *         min-digest agg is the value itself. */
   def samples(members: DataFrame): DataFrame = {
-    val firstShard = members.groupBy("ext").agg(min("shard").as("_first_shard"))
-    val keyset = members.select("shard").distinct()
-      .join(broadcast(firstShard), col("_first_shard") <= col("shard"))
-      .select("shard", "ext")
+    // ONE pass over the member table reduces payloads map-side to
+    // digests; checkpointed because the sample list, the keyset
+    // derivation, and the content join all read it — without
+    // materialization the payload-bearing scan runs three times
     val contents = members.groupBy("shard", "sample_key", "ext")
       .agg(min(md5(col("payload"))).as("_md5"))
-    members.select("shard", "sample_key").distinct()
+      .localCheckpoint()
+    val firstShard = contents.groupBy("ext").agg(min("shard").as("_first_shard"))
+    val keyset = contents.select("shard").distinct()
+      .join(broadcast(firstShard), col("_first_shard") <= col("shard"))
+      .select("shard", "ext")
+    contents.select("shard", "sample_key").distinct()
       .join(keyset, Seq("shard"))
       .join(contents, Seq("shard", "sample_key", "ext"), "left_outer")
       .select(col("shard"), col("sample_key").as("basename"), col("ext"),
