@@ -279,8 +279,15 @@ object DSort {
                            ratio: DataFrame,
                            nameTemplate: String = "out-shard-%06d.tar.gz"): DataFrame = {
     val order = keyOrder(alg)
+    // materialize the 1-row ratio before the cross join: denseShardIds
+    // reads the packed frame in TWO branches (distinct ids + join-back),
+    // and without this the ratio's FULL member-table aggregate re-plans
+    // and re-executes once per branch (seen in the PlanDump: the ratio
+    // scan+agg subtree appeared twice) — the cumsum side is already
+    // protected by globalCumsum's own checkpoints
+    val ratioMat = ratio.localCheckpoint()
     val raw = globalCumsum(samplesWithKey, order, col("size"))
-      .crossJoin(broadcast(ratio))
+      .crossJoin(broadcast(ratioMat))
       .withColumn("shard_id",
         floor((col("_cum") - col("size")) / (lit(outputShardSize.toDouble) / col("_ratio"))))
     denseShardIds(raw, Nil)
