@@ -757,6 +757,43 @@ object SparkEntry {
           col("size"), col("missing"))
     }),
 
+    // SDK dataset assembly (sdk/dataset/dataset_config.py write_shards,
+    // skip_missing=True): primary img.jpg + secondary meta.json joined by
+    // stem + computed cls label; missing = Python-falsy (absent file,
+    // empty payload, label 0); __key__ numbers ALL samples (skips leave
+    // gaps — generate_dataset enumerates before write_shards filters);
+    // shards pack 100 consecutive WRITTEN samples, %03d naming from
+    // len(str(maxcount)). See ops.DatasetBuild.
+    "dataset_shards" -> ((s, d) => {
+      import graft.ops.DatasetBuild._
+      assemble(datasetFiles(s, d),
+        DataAttr("ds/img", "img", "jpg"), Seq(DataAttr("ds/meta", "meta", "json")),
+        Seq(LabelAttr("cls",
+          c => regexp_extract(c, "(\\d+)", 1).cast("int") % 10,
+          c => c.isNull || c === 0)),
+        maxCount = 100, skipMissing = true)
+        .select(col("__key__"), col("shard"), col("stem"),
+          col("img"), col("meta"), col("cls"))
+        .orderBy("stem")
+    }),
+
+    // same assembly, skip_missing=False: incomplete samples kept with
+    // their present attributes only; the missing list (declaration
+    // order: img.jpg, meta.json, cls) is the caller's audit trail
+    "dataset_missing_audit" -> ((s, d) => {
+      import graft.ops.DatasetBuild._
+      assemble(datasetFiles(s, d),
+        DataAttr("ds/img", "img", "jpg"), Seq(DataAttr("ds/meta", "meta", "json")),
+        Seq(LabelAttr("cls",
+          c => regexp_extract(c, "(\\d+)", 1).cast("int") % 10,
+          c => c.isNull || c === 0)),
+        maxCount = 100, skipMissing = false)
+        .select(col("__key__"), col("shard"), col("stem"), col("cls"),
+          array_join(col("missing"), ",").as("missing_csv"),
+          size(col("missing")).as("n_missing"))
+        .orderBy("stem")
+    }),
+
     // ------------------------------------------------------------------
     // dSort / ishard record pipeline (SURVEY GB2, GB3, O4, O5, J4, J5, A3)
     // ------------------------------------------------------------------
@@ -2713,6 +2750,26 @@ object SparkEntry {
             |    1, cast(120 + (((o_orderkey*31 + i*i*7) % 24) * 29) % 113 as int))), '')"""
             .stripMargin).as("payload_str"))
 
+  /** Attribute-file listing for the SDK dataset assembly
+    * ([[graft.ops.DatasetBuild]]): one primary image per part key
+    * (payload = md5 prefix, always non-empty), a meta json present for
+    * k%7≠0 only and EMPTY for k%11=0 (exists-but-falsy — the reference's
+    * `if not data` treats it as missing). Must stay in lockstep with
+    * [[OracleCte.dsfiles]]. */
+  private def datasetFiles(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.load(s, d, "part")
+    val stem = concat(lit("sample-"), functions.Fmt.pad0(col("p_partkey"), 8))
+    val img = p.select(lit("ds/img").as("path"), stem.as("stem"), lit("jpg").as("ext"),
+      expr("substring(md5(concat('img:', cast(p_partkey as string))), 1, cast(8 + p_partkey % 9 as int))")
+        .as("payload"))
+    val meta = p.where(col("p_partkey") % 7 =!= 0)
+      .select(lit("ds/meta").as("path"), stem.as("stem"), lit("json").as("ext"),
+        when(col("p_partkey") % 11 === 0, lit(""))
+          .otherwise(concat(lit("{\"k\":"), (col("p_partkey") % 97).cast("string"), lit("}")))
+          .as("payload"))
+    img.unionByName(meta)
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3349,6 +3406,47 @@ object SparkEntry {
         |  ON t.shard = s.shard AND t.sample_key = s.sample_key AND t.ext = k.ext
         |ORDER BY s.shard, basename, k.ext""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
+
+    "dataset_shards" -> o(
+      """SELECT 'sample_' || printf('%03d', idx) AS __key__,
+        |  'dataset-' || printf('%03d', wrank // 100) || '.tar' AS shard,
+        |  stem, img, meta, cls
+        |FROM (
+        |  SELECT *, row_number() OVER (ORDER BY stem) - 1 AS wrank
+        |  FROM (
+        |    SELECT i.stem, i.payload AS img, m.payload AS meta,
+        |      CAST(regexp_extract(i.stem, '(\d+)', 1) AS INT) % 10 AS cls,
+        |      row_number() OVER (ORDER BY i.stem) - 1 AS idx
+        |    FROM (SELECT * FROM dsfiles WHERE path = 'ds/img' AND ext = 'jpg') i
+        |    LEFT JOIN (SELECT * FROM dsfiles WHERE path = 'ds/meta' AND ext = 'json') m
+        |      USING (stem))
+        |  WHERE img IS NOT NULL AND img <> ''
+        |    AND meta IS NOT NULL AND meta <> '' AND cls <> 0)
+        |ORDER BY stem""".stripMargin,
+      OracleCte.dsfiles),
+
+    "dataset_missing_audit" -> o(
+      """SELECT 'sample_' || printf('%03d', idx) AS __key__,
+        |  'dataset-' || printf('%03d', idx // 100) || '.tar' AS shard,
+        |  stem,
+        |  CASE WHEN cls0 = 0 THEN NULL ELSE cls0 END AS cls,
+        |  coalesce(array_to_string(miss, ','), '') AS missing_csv,
+        |  CAST(len(miss) AS INT) AS n_missing
+        |FROM (
+        |  SELECT *, list_filter([
+        |      CASE WHEN img IS NULL OR img = '' THEN stem || ' - img.jpg' END,
+        |      CASE WHEN meta IS NULL OR meta = '' THEN stem || ' - meta.json' END,
+        |      CASE WHEN cls0 = 0 THEN stem || ' - cls' END
+        |    ], x -> x IS NOT NULL) AS miss
+        |  FROM (
+        |    SELECT i.stem, i.payload AS img, m.payload AS meta,
+        |      CAST(regexp_extract(i.stem, '(\d+)', 1) AS INT) % 10 AS cls0,
+        |      row_number() OVER (ORDER BY i.stem) - 1 AS idx
+        |    FROM (SELECT * FROM dsfiles WHERE path = 'ds/img' AND ext = 'jpg') i
+        |    LEFT JOIN (SELECT * FROM dsfiles WHERE path = 'ds/meta' AND ext = 'json') m
+        |      USING (stem)))
+        |ORDER BY stem""".stripMargin,
+      OracleCte.dsfiles),
 
     "getbatch_workers" -> o(
       """SELECT pos % 4 AS worker_id,

@@ -301,6 +301,20 @@ object OracleCte {
       |  GROUP BY 1
       |)""".stripMargin
 
+  /** Attribute-file listing for the SDK dataset assembly — mirrors
+    * `SparkEntry.datasetFiles`. */
+  val dsfiles: String =
+    """dsfiles AS (
+      |  SELECT 'ds/img' AS path, printf('sample-%08d', p_partkey) AS stem, 'jpg' AS ext,
+      |    substr(md5('img:' || CAST(p_partkey AS VARCHAR)), 1, CAST(8 + p_partkey % 9 AS INT)) AS payload
+      |  FROM part
+      |  UNION ALL
+      |  SELECT 'ds/meta', printf('sample-%08d', p_partkey), 'json',
+      |    CASE WHEN p_partkey % 11 = 0 THEN ''
+      |         ELSE '{"k":' || CAST(p_partkey % 97 AS VARCHAR) || '}' END
+      |  FROM part WHERE p_partkey % 7 <> 0
+      |)""".stripMargin
+
   /** Compose a WITH clause from the given CTE bodies + a query. */
   def sql(query: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + query

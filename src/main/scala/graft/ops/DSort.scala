@@ -179,6 +179,39 @@ object DSort {
   def groupedCumsum(df: DataFrame, groups: Seq[String], order: Seq[Column], value: Column): DataFrame =
     cumsumAndOffsets(df, groups, order, value)._1
 
+  /** Two-counter variant of [[globalCumsum]]: inclusive prefix sums of
+    * `v1` → `_cum1` and `v2` → `_cum2` over the same (`order`) in ONE
+    * range-partition pass. For callers that need both "position among
+    * all rows" and "position among a filtered subset" (e.g. dataset
+    * assembly: `__key__` numbers every sample, the shard id only the
+    * written ones) without paying the shuffle + checkpoints twice.
+    * Same machinery as [[cumsumAndOffsets]] — see there for why both
+    * checkpoints are load-bearing. */
+  def globalCumsum2(df: DataFrame, order: Seq[Column], v1: Column, v2: Column): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = df.localCheckpoint()
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted
+      .withColumn("_lcum1", sum(v1).over(w))
+      .withColumn("_lcum2", sum(v2).over(w))
+    val offW = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted
+      .groupBy(col("_pid")).agg(sum(v1).as("_ptot1"), sum(v2).as("_ptot2"))
+      .withColumn("_offset1", coalesce(sum("_ptot1").over(offW), lit(0L)))
+      .withColumn("_offset2", coalesce(sum("_ptot2").over(offW), lit(0L)))
+    local
+      .join(broadcast(offsets.select(col("_pid"), col("_offset1"), col("_offset2"))), Seq("_pid"))
+      .withColumn("_cum1", col("_lcum1") + col("_offset1"))
+      .withColumn("_cum2", col("_lcum2") + col("_offset2"))
+      .drop("_pid", "_lcum1", "_lcum2", "_offset1", "_offset2")
+  }
+
   /** [[groupedCumsum]] plus its per-(partition, group) offsets table —
     * `(_pid, groups*, _ptot, _offset)`, ≤ #partitions + #groups rows.
     * Callers that need only an aggregate of the cumsum (total size, max

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SDK dataset assembly — reference `python/aistore/sdk/dataset/
+  * dataset_config.py:34-116` (DatasetConfig.write_shards /
+  * generate_dataset), `data_attribute.py:27-43` (file-backed attribute,
+  * dict key = `name.ext`, data looked up as `<path>/<stem>.<ext>`),
+  * `label_attribute.py:10-35` (computed attribute, dict key = `name`,
+  * value = `label_identifier(stem)`).
+  *
+  * Semantics replicated exactly:
+  *   - samples are the PRIMARY attribute's files, one per filename stem;
+  *     every secondary attribute / label resolves BY STEM;
+  *   - an attribute is MISSING when its value is falsy (the reference's
+  *     `if not data`): absent file, empty payload, empty label string —
+  *     and, faithfully to Python truthiness, a numeric label of 0 (see
+  *     [[LabelAttr.falsy]]). Each miss is recorded as `"<stem> - <key>"`
+  *     in attribute declaration order (primary first);
+  *   - `__key__` = `'sample_%0Nd' % index` with `N = len(str(maxCount))`
+  *     (`dataset_config.py:108-116`), where `index` enumerates ALL
+  *     primary files: `generate_dataset` numbers BEFORE `write_shards`
+  *     filters, so with skipMissing=true a skipped sample still consumes
+  *     its index and the written `__key__` sequence has gaps;
+  *   - skipMissing=true drops incomplete samples; false keeps them with
+  *     their present attributes only (`write_shards` skip_missing knob);
+  *   - `shard` = `'<pattern>-%0Nd.tar' % (writtenRank / maxCount)`: the
+  *     webdataset ShardWriter packs maxCount consecutive WRITTEN samples
+  *     per shard, shard-index width = the same N.
+  *
+  * One documented divergence: the reference iterates `Path.glob`, whose
+  * order is filesystem-dependent; this operator pins stem order (sorted
+  * ascending) so the assembly is deterministic — at lake scale
+  * "whatever order the FS returns" is not reproducible anyway.
+  *
+  * Scale shape: attribute resolution is a per-stem hash left-join
+  * (shuffle carries one row per attribute file; callers with large
+  * payloads pre-digest them); sample numbering is
+  * [[DSort.globalCumsum2]]'s range-partition prefix sum — the index and
+  * the written-rank ride ONE shuffle, and no single-task window appears
+  * anywhere in the plan.
+  */
+object DatasetBuild {
+
+  /** File-backed attribute (`data_attribute.py`): dict key `name.ext`,
+    * value = payload of `<path>/<stem>.<ext>`. */
+  case class DataAttr(path: String, name: String, ext: String) {
+    def key: String = s"$name.$ext"
+  }
+
+  /** Computed label (`label_attribute.py`): dict key `name`, value
+    * derived from the stem. `falsy` mirrors Python truthiness for the
+    * label's type — default covers null/empty-string; numeric labels
+    * where 0 must count as missing pass `c => c.isNull || c === 0`. */
+  case class LabelAttr(name: String, value: Column => Column,
+                       falsy: Column => Column = c => c.isNull || c.cast("string") === "") {
+    def key: String = name
+  }
+
+  /** Assemble samples from an attribute-file listing.
+    *
+    * @param files listing with columns (path, stem, ext, payload:string);
+    *              payload may be a digest — the operator only tests
+    *              falsiness and passes it through
+    * @return one row per emitted sample: `__key__`, `shard`, `stem`,
+    *         one column per attribute (named by `DataAttr.name` /
+    *         `LabelAttr.name`, null when missing), `missing`
+    *         (array&lt;string&gt; of `"<stem> - <key>"` audit entries)
+    */
+  def assemble(files: DataFrame, primary: DataAttr, secondaries: Seq[DataAttr],
+               labels: Seq[LabelAttr], maxCount: Int, skipMissing: Boolean,
+               pattern: String = "dataset"): DataFrame = {
+    require(maxCount > 0, s"maxCount must be positive, got $maxCount")
+    def attrFiles(a: DataAttr, alias: String): DataFrame =
+      files.where(col("path") === a.path && col("ext") === a.ext)
+        .select(col("stem"), col("payload").as(alias))
+
+    val prim = attrFiles(primary, "_a0")
+    val joined = secondaries.zipWithIndex.foldLeft(prim) { case (df, (a, i)) =>
+      df.join(attrFiles(a, s"_a${i + 1}"), Seq("stem"), "left")
+    }
+    val withLabels = labels.zipWithIndex.foldLeft(joined) { case (df, (l, i)) =>
+      df.withColumn(s"_l$i", l.value(col("stem")))
+    }
+
+    // (column, dict key, falsy test) in declaration order — primary
+    // first, then secondaries, then labels, exactly the reference's
+    // `[primary_attribute] + secondary_attributes` walk.
+    def bytesFalsy(c: Column): Column = c.isNull || length(c) === 0
+    val attrs: Seq[(String, Column, Column)] =
+      (primary +: secondaries).zipWithIndex.map { case (a, i) =>
+        (a.name, col(s"_a$i"), bytesFalsy(col(s"_a$i")))
+      } ++ labels.zipWithIndex.map { case (l, i) =>
+        (l.name, col(s"_l$i"), l.falsy(col(s"_l$i")))
+      }
+    val keys: Seq[String] = (primary +: secondaries).map(_.key) ++ labels.map(_.key)
+    val missingEntries = attrs.zip(keys).map { case ((_, _, falsy), key) =>
+      when(falsy, concat(col("stem"), lit(s" - $key")))
+    }
+    val flagged = withLabels
+      .withColumn("missing", filter(array(missingEntries: _*), x => x.isNotNull))
+      .withColumn("_w",
+        (lit(!skipMissing) || size(col("missing")) === 0).cast("long"))
+
+    // One range-partition pass numbers every sample (__key__ index) AND
+    // the written subset (shard rank) — the skip decision must not
+    // disturb the index, per generate_dataset's enumerate-then-filter.
+    val numbered = DSort.globalCumsum2(
+      flagged, Seq(col("stem").asc), lit(1L), col("_w"))
+    val width = maxCount.toString.length
+    def pad(c: Column): Column = graft.functions.Fmt.pad0(c, width)
+    val shardIdx = expr(s"CAST((_cum2 - 1) DIV $maxCount AS BIGINT)")
+    val out = numbered
+      .withColumn("__key__", concat(lit("sample_"), pad(col("_cum1") - 1)))
+      .withColumn("shard",
+        concat(lit(pattern + "-"), pad(shardIdx), lit(".tar")))
+      .where(col("_w") === 1)
+    val attrCols = attrs.map { case (name, c, falsy) =>
+      when(!falsy, c).as(name)
+    }
+    out.select(col("__key__") +: col("shard") +: col("stem") +:
+      attrCols :+ col("missing"): _*)
+  }
+}

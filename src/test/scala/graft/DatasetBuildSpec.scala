@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DatasetBuild
+import graft.ops.DatasetBuild.{DataAttr, LabelAttr}
+
+/** SDK dataset assembly invariants from
+  * `python/aistore/sdk/dataset/dataset_config.py` +
+  * `data_attribute.py` + `label_attribute.py`:
+  * enumerate-then-filter `__key__` numbering (skips leave gaps),
+  * Python-falsy missing detection (absent file, empty payload, zero
+  * numeric label), declaration-order missing lists, `%0Nd` width from
+  * `len(str(maxcount))`, count-based shard cuts over WRITTEN samples
+  * only, and skip_missing=False keeping incomplete samples. */
+class DatasetBuildSpec extends SparkSpec {
+  import spark.implicits._
+
+  // stems s0..s9; img present for all but s5; img EMPTY for s6; meta
+  // absent for s3; label (last digit % 3) falsy-zero for s0,s3,s6,s9
+  private def files = {
+    val imgs = (0 to 9).filter(_ != 5).map { i =>
+      ("ds/img", s"s$i", "jpg", if (i == 6) "" else s"IMG$i")
+    }
+    val metas = (0 to 9).filter(_ != 3).map { i =>
+      ("ds/meta", s"s$i", "json", s"M$i")
+    }
+    (imgs ++ metas).toDF("path", "stem", "ext", "payload")
+  }
+
+  private val img = DataAttr("ds/img", "img", "jpg")
+  private val meta = DataAttr("ds/meta", "meta", "json")
+  private val cls = LabelAttr("cls",
+    c => substring(c, 2, 8).cast("int") % 3,
+    c => c.isNull || c === 0)
+
+  // samples are the PRIMARY attribute's glob: s5 (no img file) never
+  // appears at all; incomplete = s0/s3/s6/s9 (cls==0 or missing attr)
+  test("skip_missing=true: index gaps prove enumerate-then-filter") {
+    val out = DatasetBuild.assemble(files, img, Seq(meta), Seq(cls),
+      maxCount = 3, skipMissing = true).orderBy("stem").collect()
+    // primary glob order: s0,s1,s2,s3,s4,s6,s7,s8,s9 (s5 has no img)
+    // → indices 0..8; written = s1,s2,s4,s7,s8 (s0,s9 cls=0; s3 no
+    // meta; s6 empty img) at indices 1,2,4,6,7
+    assert(out.map(_.getAs[String]("stem")).toSeq ==
+      Seq("s1", "s2", "s4", "s7", "s8"))
+    assert(out.map(_.getAs[String]("__key__")).toSeq ==
+      Seq("sample_1", "sample_2", "sample_4", "sample_6", "sample_7"))
+    // maxCount=3 → width 1; shards pack written ranks 0,1,2 | 3,4
+    assert(out.map(_.getAs[String]("shard")).toSeq ==
+      Seq("dataset-0.tar", "dataset-0.tar", "dataset-0.tar",
+        "dataset-1.tar", "dataset-1.tar"))
+    assert(out.forall(r => r.getSeq[String](r.fieldIndex("missing")).isEmpty))
+  }
+
+  test("skip_missing=false keeps incomplete samples; missing list is in declaration order") {
+    val out = DatasetBuild.assemble(files, img, Seq(meta), Seq(cls),
+      maxCount = 100, skipMissing = false).orderBy("stem").collect()
+    assert(out.length == 9) // every primary file, s5 still absent
+    val byStem = out.map(r => r.getAs[String]("stem") -> r).toMap
+    // s6: empty img payload AND cls==0 — both recorded, img first
+    assert(byStem("s6").getSeq[String](byStem("s6").fieldIndex("missing")).toSeq ==
+      Seq("s6 - img.jpg", "s6 - cls"))
+    // s3: meta file absent AND cls = 3 % 3 = 0 — both recorded
+    assert(byStem("s3").getSeq[String](byStem("s3").fieldIndex("missing")).toSeq ==
+      Seq("s3 - meta.json", "s3 - cls"))
+    assert(byStem("s0").getSeq[String](byStem("s0").fieldIndex("missing")).toSeq == Seq("s0 - cls"))
+    // present attributes pass through; falsy ones are null
+    assert(byStem("s6").isNullAt(byStem("s6").fieldIndex("img")))
+    assert(byStem("s3").getAs[String]("img") == "IMG3")
+    assert(byStem("s3").isNullAt(byStem("s3").fieldIndex("meta")))
+    assert(byStem("s0").isNullAt(byStem("s0").fieldIndex("cls")))
+    assert(byStem("s1").getAs[Int]("cls") == 1)
+    // no skips → written rank == index, keys gapless, width from "100"
+    assert(byStem("s0").getAs[String]("__key__") == "sample_000")
+    assert(byStem("s9").getAs[String]("__key__") == "sample_008")
+    assert(out.forall(_.getAs[String]("shard") == "dataset-000.tar"))
+  }
+
+  test("key width widens past maxCount like printf %0Nd (no truncation)") {
+    val many = (0 to 11).map(i => ("p", f"s$i%02d", "x", "D")).toDF("path", "stem", "ext", "payload")
+    val out = DatasetBuild.assemble(many, DataAttr("p", "d", "x"), Nil, Nil,
+      maxCount = 2, skipMissing = true).orderBy("stem").collect()
+    // width = len("2") = 1; indices 10,11 print un-truncated
+    assert(out.map(_.getAs[String]("__key__")).toSeq.take(3) ==
+      Seq("sample_0", "sample_1", "sample_2"))
+    assert(out.map(_.getAs[String]("__key__")).toSeq.takeRight(2) ==
+      Seq("sample_10", "sample_11"))
+    assert(out.map(_.getAs[String]("shard")).distinct.length == 6) // 12/2
+    assert(out.last.getAs[String]("shard") == "dataset-5.tar")
+  }
+
+  test("empty input assembles to zero samples, not an error") {
+    val out = DatasetBuild.assemble(files.where(lit(false)), img, Seq(meta),
+      Seq(cls), maxCount = 10, skipMissing = true)
+    assert(out.count() == 0)
+  }
+}
