@@ -60,4 +60,56 @@ class LoaderEndToEndSpec extends SparkSpec {
       .digest(payload(0).getBytes).map("%02x".format(_)).mkString
     assert(d0 == md5Expected)
   }
+
+  // SDK dataset assembly → REAL webdataset tars: members named
+  // `<__key__>.<dict key>` (the ShardWriter convention), maxcount
+  // consecutive written samples per shard, missing attributes simply
+  // absent from the archive — then read back through tarmembers and
+  // reassembled by ShardReader into per-key sample dicts.
+  test("dataset assembly packs real webdataset tars; read-back reassembles samples") {
+    import graft.ops.DatasetBuild
+    import graft.ops.DatasetBuild.DataAttr
+    val n = 25
+    val files = ((0 until n).map(i => ("ds/img", f"t$i%02d", "jpg", s"I$i")) ++
+      (0 until n).filter(_ % 5 != 0).map(i => ("ds/meta", f"t$i%02d", "json", s"M$i")))
+      .toDF("path", "stem", "ext", "payload")
+    val asm = DatasetBuild.assemble(files,
+      DataAttr("ds/img", "img", "jpg"), Seq(DataAttr("ds/meta", "meta", "json")),
+      Nil, maxCount = 4, skipMissing = true)
+    // 25 primaries − 5 missing-meta = 20 written → 5 shards of exactly 4
+    val members =
+      asm.select(col("shard"), concat(col("__key__"), lit(".img.jpg")).as("member"),
+        col("img").cast("binary").as("payload"))
+      .unionByName(asm.where(col("meta").isNotNull)
+        .select(col("shard"), concat(col("__key__"), lit(".meta.json")).as("member"),
+          col("meta").cast("binary").as("payload")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ds_e2e").toString
+    TarWriter.writeShardsOrdered(
+      members.withColumn("shard_name", col("shard")),
+      dir, Seq(col("shard_name"), col("member")))
+
+    val back = spark.read.format("tarmembers").load(dir)
+    assert(back.count() == 40) // 20 samples × 2 attrs
+    assert(back.select("shard").distinct().count() == 5)
+    // every shard holds exactly maxCount=4 samples (complete ones only)
+    val perShard = back
+      .select(col("shard"), regexp_extract(col("member"), "(sample_\\d+)", 1).as("k"))
+      .groupBy("shard").agg(countDistinct("k").as("nk"))
+      .collect()
+    assert(perShard.forall(_.getLong(1) == 4))
+    // reassembly: every sample dict carries both exts, payloads intact
+    val samples = ShardReader.samples(
+      back.select(col("shard"),
+        regexp_extract(col("member"), "(sample_\\d+)", 1).as("sample_key"),
+        regexp_extract(col("member"), "sample_\\d+\\.(.+)$", 1).as("ext"),
+        col("payload")))
+    assert(samples.count() == 40)
+    assert(samples.where(col("zero_filled")).count() == 0)
+    // skipped stems (t00,t05,…) never reached an archive
+    val restored = back.select(col("payload").cast("string")).collect().map(_.getString(0)).toSet
+    (0 until n).filter(_ % 5 == 0).foreach(i => assert(!restored.contains(s"I$i")))
+    (0 until n).filter(_ % 5 != 0).foreach { i =>
+      assert(restored.contains(s"I$i") && restored.contains(s"M$i"))
+    }
+  }
 }
