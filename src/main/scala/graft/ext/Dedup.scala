@@ -257,9 +257,20 @@ object Dedup {
     cands
       .join(t.select(col("_id").as("doc_a"), col("_tx").as("_ta"), col("_ln").as("_la")), Seq("doc_a"))
       .join(t.select(col("_id").as("doc_b"), col("_tx").as("_tb"), col("_ln").as("_lb")), Seq("doc_b"))
-      .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
       .withColumn("max_len", greatest(col("_la"), col("_lb")))
-      .where(col("edit_dist") * simDen <= col("max_len") * simNum)
+      // free lower bound: edit_dist >= |len_a - len_b|, so a pair whose
+      // length gap alone breaks the threshold never runs the DP at all
+      .where(abs(col("_la") - col("_lb")) * simDen <= col("max_len") * simNum)
+      // banded DP: per-pair threshold k = floor(max_len·num/den); Spark's
+      // 3-arg levenshtein computes the exact distance when <= k (all
+      // survivors — dist <= floor(x) ⟺ dist·den <= max_len·num for
+      // integer dist) and early-exits to -1 when the band is blown, so
+      // near-dup candidates cost O(k·n) instead of O(n·m) and far pairs
+      // abandon after the first hopeless diagonal
+      .withColumn("_k", expr(s"CAST((max_len * $simNum) DIV $simDen AS INT)"))
+      .withColumn("edit_dist", expr("levenshtein(_ta, _tb, _k)").cast("long"))
+      .where(col("edit_dist") >= 0 &&
+        col("edit_dist") * simDen <= col("max_len") * simNum)
       .select("doc_a", "doc_b", "edit_dist", "max_len")
   }
 
