@@ -1330,6 +1330,17 @@ object SparkEntry {
         budget = 2000000L)
         .orderBy("lang")),
 
+    // Temperature mixture (XLM-R/mT5 α=1/2 balancing): weights DERIVED
+    // from the corpus's own per-language volumes via the exact integer
+    // square root — low-resource languages upsampled relative to the
+    // natural distribution, every group present (no fixed recipe), the
+    // whole plan integer-exact. en dominates the corpus (~half the
+    // docs), so flattening is visibly exercised against mixture_plan.
+    "mixture_temperature" -> ((s, d) =>
+      ext.Sampling.mixtureTemperature(Tables.load(s, d, "documents"),
+        budget = 2000000L)
+        .orderBy("lang")),
+
     // Encoding-health scan (ftfy signal): deterministic injected
     // artifacts — a replacement char every 7th doc, a BEL control every
     // 11th, Ã©-class mojibake every 13th, â€™-class every 17th; doc 0
@@ -4271,6 +4282,28 @@ object SparkEntry {
         |    AS tail_rate_permille
         |FROM t JOIN w ON t.lang = w.lang
         |ORDER BY t.lang""".stripMargin,
+
+    // exact isqrt replayed: floor of the double sqrt pinned by one
+    // comparison each way, then all-integer share arithmetic
+    "mixture_temperature" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY lang),
+        |w0 AS (SELECT lang, avail_tokens,
+        |  CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT) AS s0 FROM t),
+        |w AS (SELECT lang, avail_tokens,
+        |  CASE WHEN (s0+1)*(s0+1) <= avail_tokens THEN s0+1
+        |       WHEN s0*s0 > avail_tokens THEN s0-1
+        |       ELSE s0 END AS weight FROM w0),
+        |d AS (SELECT CAST(SUM(weight) AS BIGINT) AS den FROM w)
+        |SELECT lang, avail_tokens, weight,
+        |  CAST((2000000 * weight) // den AS BIGINT) AS desired_tokens,
+        |  CAST(((2000000 * weight) // den) // avail_tokens AS BIGINT) AS full_epochs,
+        |  CAST(((((2000000 * weight) // den) % avail_tokens) * 1000) // avail_tokens AS BIGINT)
+        |    AS tail_rate_permille
+        |FROM w, d
+        |ORDER BY lang""".stripMargin,
 
     // injections replayed arithmetically; detector patterns INTERPOLATED
     // from the same Scala constants the operator compiles — the two

@@ -211,4 +211,63 @@ object Sampling {
         expr("((desired_tokens % avail_tokens) * 1000) div avail_tokens"))
       .drop("_wt")
   }
+
+  /** Temperature-based mixture weights (the XLM-R / mT5 language-balancing
+    * rule, Conneau et al. 2020 §3.1 / Xue et al. 2021 §3.2): sample group
+    * g with probability p_g ∝ n_g^α, flattening the natural size
+    * distribution so low-resource groups are upsampled. Implemented at
+    * α = 1/2 — inside the published 0.2–0.7 range — because n^(1/2) has an
+    * EXACT integer form: weight = isqrt(n) (floor square root; the double
+    * sqrt is corrected by one comparison each way), so shares, epochs and
+    * rates stay bit-deterministic across engines and partitionings like
+    * the rest of the sampling family. Counts above 2^52 leave the range
+    * where the double argument is exact, so they raise loudly rather
+    * than round silently (a 100 TB text corpus is ~2.5e13 tokens — three
+    * orders of magnitude inside the bound).
+    *
+    * Unlike [[mixturePlan]] the weights are DERIVED from the corpus, so
+    * there is no absent-group case; groups emerge from one partial-agg'd
+    * groupBy and the Σweight denominator is a 1-row broadcast
+    * (declared-BNLJ family). Output mirrors mixturePlan's plan shape:
+    * `group, avail_tokens, weight, desired_tokens, full_epochs,
+    * tail_rate_permille`. */
+  def mixtureTemperature(docs: DataFrame, budget: Long,
+                         groupCol: String = "lang", textCol: String = "text"): DataFrame =
+    mixtureTemperatureFromAvail(
+      docs.groupBy(col(groupCol))
+        .agg(sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("avail_tokens")),
+      budget, groupCol)
+
+  /** [[mixtureTemperature]] over a pre-aggregated
+    * `(group, avail_tokens)` frame — the testable core carrying the
+    * isqrt weight, the exactness guard, and the share arithmetic. */
+  private[graft] def mixtureTemperatureFromAvail(avail0: DataFrame, budget: Long,
+                                                 groupCol: String): DataFrame = {
+    require(budget > 0, s"bad budget: $budget")
+    val exactBound = 1L << 52
+    val avail = avail0
+      .withColumn("avail_tokens",
+        when(col("avail_tokens") > exactBound,
+          raise_error(concat(
+            lit(s"mixtureTemperature: avail_tokens beyond the 2^52 isqrt exactness bound for group "),
+            col(groupCol))))
+          .otherwise(col("avail_tokens")))
+    // isqrt: floor(sqrt(x)) off by at most one ulp either way for
+    // x <= 2^52; the two guarded comparisons pin the exact floor root
+    val s0 = floor(sqrt(col("avail_tokens").cast("double"))).cast("long")
+    val withW = avail
+      .withColumn("_s0", s0)
+      .withColumn("weight",
+        when((col("_s0") + 1) * (col("_s0") + 1) <= col("avail_tokens"), col("_s0") + 1)
+          .when(col("_s0") * col("_s0") > col("avail_tokens"), col("_s0") - 1)
+          .otherwise(col("_s0")))
+      .drop("_s0")
+    val den = withW.agg(sum("weight").as("_den"))
+    withW.crossJoin(broadcast(den))
+      .withColumn("desired_tokens", expr(s"(${budget}L * weight) div _den"))
+      .withColumn("full_epochs", expr("desired_tokens div avail_tokens"))
+      .withColumn("tail_rate_permille",
+        expr("((desired_tokens % avail_tokens) * 1000) div avail_tokens"))
+      .drop("_den")
+  }
 }

@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "dsir_weights", "quality_unigram_nll", "quality_bigram_nll",
     "quality_nb_classifier", "quality_agreement", "bm25_topk", "q22_dormant_customers",
     "lhotse_batches",
+    "mixture_temperature",      // 1-row Σweight denominator cross-joined
     "dsort_tgz_pack",           // 1-row compression-ratio frame cross-joined
     // (measured, broadcast-by-contract — DSort.packShardsCompressed)
     "shard_reader_samples",     // (distinct shards) x (distinct exts)

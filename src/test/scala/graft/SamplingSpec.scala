@@ -191,4 +191,48 @@ class SamplingSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("absent from corpus")), e.getMessage)
   }
+
+  test("mixtureTemperature: exact isqrt incl. double-rounding traps, flattening, conservation") {
+    import spark.implicits._
+    def isqrtVia(n: Long): Long =
+      // a one-group corpus with n literal tokens is unbuildable for
+      // large n; drive the operator's own core on a synthesized avail
+      Sampling.mixtureTemperatureFromAvail(
+        Seq(("g", n)).toDF("lang", "avail_tokens"), budget = 10L, groupCol = "lang")
+        .head().getAs[Long]("weight")
+    // boundaries and the 2^52-adjacent double-rounding traps
+    for ((n, want) <- Seq(1L -> 1L, 3L -> 1L, 4L -> 2L, 15L -> 3L, 16L -> 4L,
+      17L -> 4L, ((1L << 26) - 1) * ((1L << 26) - 1) -> ((1L << 26) - 1),
+      (1L << 52) -> (1L << 26), (1L << 52) - 1 -> ((1L << 26) - 1)))
+      assert(isqrtVia(n) == want, s"isqrt($n)")
+    // real tokenizer path: en 100 words/doc × 16 docs, de 1 word/doc × 4
+    val corpus = ((0 until 16).map(i => ("en", Seq.fill(100)("w").mkString(" "))) ++
+      (0 until 4).map(i => ("de", "w"))).toDF("lang", "text")
+    val plan = Sampling.mixtureTemperature(corpus, budget = 840L)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("avail_tokens"), r.getAs[Long]("weight"),
+          r.getAs[Long]("desired_tokens"))).toMap
+    assert(plan("en") == ((1600L, 40L, 800L)), plan("en").toString)
+    assert(plan("de") == ((4L, 2L, 40L)), plan("de").toString)
+    // flattening: natural share en=400:1 de; temperature share 20:1 —
+    // strictly less extreme, and Σ desired ≤ budget (floor conservation)
+    assert(800.0 / 40.0 < 1600.0 / 4.0)
+    assert(plan.values.map(_._3).sum <= 840L)
+  }
+
+  test("mixtureTemperature: counts beyond the 2^52 exactness bound raise loudly") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Sampling.mixtureTemperatureFromAvail(
+        Seq(("en", (1L << 52) + 1)).toDF("lang", "avail_tokens"),
+        budget = 10L, groupCol = "lang").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("isqrt exactness bound")), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureTemperature(
+        Seq(("en", "a b c")).toDF("lang", "text"), budget = 0L)
+    }
+  }
 }
