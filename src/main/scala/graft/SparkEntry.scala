@@ -1341,6 +1341,17 @@ object SparkEntry {
         budget = 2000000L)
         .orderBy("lang")),
 
+    // UniMax allocation (epoch-capped waterfilling, Chung et al. 2023):
+    // budget/maxEpochs chosen so BOTH branches live at the oracle
+    // scale — the four low-resource langs saturate their 2-epoch caps,
+    // en (half the corpus) splits the remainder uncapped; at larger sf
+    // the uniform shares bind instead, like mixture_plan's documented
+    // branch flip across scales.
+    "mixture_unimax" -> ((s, d) =>
+      ext.Sampling.mixtureUnimax(Tables.load(s, d, "documents"),
+        budget = 40000L, maxEpochs = 2L)
+        .orderBy("lang")),
+
     // Encoding-health scan (ftfy signal): deterministic injected
     // artifacts — a replacement char every 7th doc, a BEL control every
     // 11th, Ã©-class mojibake every 13th, â€™-class every 17th; doc 0
@@ -4303,6 +4314,34 @@ object SparkEntry {
         |  CAST(((((2000000 * weight) // den) % avail_tokens) * 1000) // avail_tokens AS BIGINT)
         |    AS tail_rate_permille
         |FROM w, d
+        |ORDER BY lang""".stripMargin,
+
+    // the sequential waterfill replayed as a recursive CTE: row rn
+    // consumes min(cap, b_rem // groups_remaining) from the running
+    // budget, exactly the paper's ascending-size walk
+    "mixture_unimax" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY lang),
+        |s AS (SELECT lang, avail,
+        |  CAST(row_number() OVER (ORDER BY avail, lang) AS BIGINT) AS rn,
+        |  CAST(COUNT(*) OVER () AS BIGINT) AS nl FROM t),
+        |a AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(40000 AS BIGINT) AS b_rem,
+        |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS avail,
+        |    CAST(NULL AS BIGINT) AS alloc, FALSE AS capped
+        |  UNION ALL
+        |  SELECT s.rn,
+        |    a.b_rem - least(2 * s.avail, a.b_rem // (s.nl - s.rn + 1)),
+        |    s.lang, s.avail,
+        |    least(2 * s.avail, a.b_rem // (s.nl - s.rn + 1)),
+        |    2 * s.avail <= a.b_rem // (s.nl - s.rn + 1)
+        |  FROM a JOIN s ON s.rn = a.rn + 1)
+        |SELECT lang, avail AS avail_tokens, alloc AS alloc_tokens, capped,
+        |  CAST(alloc // avail AS BIGINT) AS full_epochs,
+        |  CAST(((alloc % avail) * 1000) // avail AS BIGINT) AS tail_rate_permille
+        |FROM a WHERE rn >= 1
         |ORDER BY lang""".stripMargin,
 
     // injections replayed arithmetically; detector patterns INTERPOLATED

@@ -270,4 +270,58 @@ object Sampling {
         expr("((desired_tokens % avail_tokens) * 1000) div avail_tokens"))
       .drop("_den")
   }
+
+  /** UniMax budget allocation (Chung et al., ICLR 2023, Algorithm 1 —
+    * the epoch-capped waterfilling that superseded temperature
+    * sampling): walk groups by ascending corpus size; each takes
+    * `min(maxEpochs·n_g, remaining_budget div remaining_groups)` —
+    * small groups saturate their epoch cap, the rest split what's left
+    * uniformly. Every step is integer (the paper's real division floors
+    * here so the allocation is bit-deterministic); caps are computed in
+    * BigInt so `maxEpochs·n_g` cannot wrap.
+    *
+    * The corpus-sized work is the per-group token aggregation; the
+    * waterfill itself runs on the collected per-group frame — groups
+    * are languages/domains, index-small by the same planner contract as
+    * [[mixturePlan]]'s weight recipe (a 5000-language corpus is a
+    * 5000-row loop). Ties in corpus size break on the group name so the
+    * sequential order is total.
+    *
+    * Output per group: `avail_tokens, alloc_tokens, capped,
+    * full_epochs, tail_rate_permille` — the same downstream plan shape
+    * as the other mixture planners. Σ alloc ≤ budget always; when the
+    * whole corpus at maxEpochs fits the budget every group is capped
+    * and the leftover stays unallocated (the paper's behavior). */
+  def mixtureUnimax(docs: DataFrame, budget: Long, maxEpochs: Long,
+                    groupCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(budget > 0 && maxEpochs > 0,
+      s"bad plan inputs: budget=$budget maxEpochs=$maxEpochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs
+      .groupBy(col(groupCol))
+      .agg(sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("avail_tokens"))
+    // index-small planner frame (one row per language/domain) — the
+    // sequential recurrence b_rem -> b_rem - a_g is the algorithm; a
+    // driver loop over the tiny aggregate IS the scalable plan
+    val rows = avail.orderBy(col("avail_tokens").asc, col(groupCol).asc)
+      .select(col(groupCol).cast("string"), col("avail_tokens"))
+      .collect()
+    var bRem = BigInt(budget)
+    var lRem = rows.length
+    val alloc = rows.map { r =>
+      val g = r.getString(0)
+      val n = r.getLong(1)
+      val cap = BigInt(maxEpochs) * n
+      val share = bRem / lRem
+      val a = (cap min share).toLong
+      bRem -= a
+      lRem -= 1
+      (g, n, a, cap <= share)
+    }
+    alloc.toSeq.toDF(groupCol, "avail_tokens", "alloc_tokens", "capped")
+      .withColumn("full_epochs", expr("alloc_tokens div avail_tokens"))
+      .withColumn("tail_rate_permille",
+        expr("((alloc_tokens % avail_tokens) * 1000) div avail_tokens"))
+  }
 }

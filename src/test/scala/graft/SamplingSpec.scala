@@ -220,6 +220,48 @@ class SamplingSpec extends SparkSpec {
     assert(plan.values.map(_._3).sum <= 840L)
   }
 
+  test("mixtureUnimax: ascending waterfill, caps bind small groups, floor drift exact") {
+    import spark.implicits._
+    // hand-computed: avails de=2, fr=5, en=100 (1 token per word).
+    // maxEpochs=2, budget=30. Walk ascending: de cap 4 < share 30/3=10
+    // → 4 (capped); fr cap 10 > share 26/2=13 → wait 26/2=13 > cap 10
+    // → fr takes 10 (capped); en: b_rem=16, share 16, cap 200 → 16.
+    val corpus = (Seq.fill(2)(("de", "w")) ++ Seq.fill(5)(("fr", "w")) ++
+      Seq.fill(100)(("en", "w"))).toDF("lang", "text")
+    val got = Sampling.mixtureUnimax(corpus, budget = 30L, maxEpochs = 2L)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("capped"))).toMap
+    assert(got == Map("de" -> ((4L, true)), "fr" -> ((10L, true)),
+      "en" -> ((16L, false))), got.toString)
+  }
+
+  test("mixtureUnimax: budget >= whole corpus at cap leaves leftover unallocated") {
+    import spark.implicits._
+    val corpus = Seq(("en", "a b"), ("de", "x")).toDF("lang", "text")
+    val got = Sampling.mixtureUnimax(corpus, budget = 1000L, maxEpochs = 3L)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("capped"),
+          r.getAs[Long]("full_epochs"))).toMap
+    // every group saturates maxEpochs; Σ alloc = 9 < budget
+    assert(got == Map("en" -> ((6L, true, 3L)), "de" -> ((3L, true, 3L))))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureUnimax(corpus, budget = 10L, maxEpochs = 0L)
+    }
+  }
+
+  test("mixtureUnimax: floor-division drift matches the sequential loop, conserves budget") {
+    import spark.implicits._
+    // three equal groups, budget 10: sequential shares 10/3=3, 7/2=3,
+    // 4/1=4 — NOT the closed-form 3/3/3; the last group absorbs the
+    // floor remainders
+    val corpus = (Seq.fill(9)(("a", "w")) ++ Seq.fill(9)(("b", "w")) ++
+      Seq.fill(9)(("c", "w"))).toDF("lang", "text")
+    val got = Sampling.mixtureUnimax(corpus, budget = 10L, maxEpochs = 5L)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 4L), got.toString)
+    assert(got.values.sum == 10L)
+  }
+
   test("mixtureTemperature: counts beyond the 2^52 exactness bound raise loudly") {
     import spark.implicits._
     val e = intercept[Exception] {
