@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // cap Tungsten pages (heuristic picks 1 GiB at 48g/32 cores → G1
+      // humongous-allocation thrash; see GraftSession.scala)
+      .config("spark.buffer.pageSize", "32m")
+      // fine-grained initial shuffles, AQE-coalesced reads — partition
+      // count scales with data volume (see GraftSession.scala)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
     val spark = (if (master.startsWith("local-cluster")) {
       val classesDir = new java.io.File(
         SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath

@@ -19,8 +19,27 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffles START fine-grained (256 map-output partitions) and AQE
+      // coalesces reads back to the advisory size — partition count then
+      // scales with DATA VOLUME instead of being pinned to core count.
+      // With the pin at 32, a sf100 sort-merge join put ~19M rows in
+      // each task's sorter; its pointer array alone needs ~0.5 GiB
+      // CONTIGUOUS (pageSize cannot cap it) and 32 concurrent ones
+      // starved the memory manager (UNABLE_TO_ACQUIRE_MEMORY). At 256
+      // initial partitions the same join runs ~2.4M rows/task; at sf0.1
+      // AQE coalesces the tiny partitions back so steady-state timing is
+      // unchanged. This is the 100 TB sizing rule: partitions sized by
+      // bytes (AQE advisory), never by a fixed count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark's page-size heuristic scales with heap/cores and at 48g/32
+      // picked 1 GiB pages: 32 concurrent humongous allocations thrash G1
+      // (GCLocker retry storms) and starved a sf100 sort-merge join to
+      // SparkOutOfMemoryError ("unable to acquire 65536 bytes"). Cap pages
+      // at 32 MiB — the granularity real clusters run at — so spill
+      // pressure degrades gracefully instead of failing allocation.
+      .config("spark.buffer.pageSize", "32m")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

@@ -18,6 +18,12 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // cap Tungsten pages (heuristic picks 1 GiB at 48g/32 cores → G1
+      // humongous-allocation thrash; see GraftSession.scala)
+      .config("spark.buffer.pageSize", "32m")
+      // fine-grained initial shuffles, AQE-coalesced reads — partition
+      // count scales with data volume (see GraftSession.scala)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
     // local-cluster executors are fresh JVMs launched from SPARK_HOME: they
     // need our compiled classes on their classpath (the driver's -cp is not
     // inherited) and the same java.base --add-opens flags Java 17 requires.
