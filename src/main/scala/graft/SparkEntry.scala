@@ -1459,6 +1459,48 @@ object SparkEntry {
       ext.TextAnalysis.secretScan(doc).orderBy("doc_id")
     }),
 
+    // License/SPDX detection (The Stack / StarCoder provenance gate):
+    // headers injected by doc_id arithmetic — two SPDX tags (Apache +
+    // GPL; FIRST occurrence in the file wins) and three phrase headers
+    // (MIT / GPL / BSD) exercising the declaration-order precedence and
+    // the copyleft → permissive=false rule. doc_id=0 carries everything.
+    "license_detect" -> ((s, d) => {
+      def inj(m: Int, frag: String) =
+        when(col("doc_id") % m === 0, lit(frag)).otherwise(lit(""))
+      val doc = Tables.load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), concat(
+          inj(5, "// SPDX-License-Identifier: Apache-2.0\n"),
+          inj(13, "/* SPDX-License-Identifier: GPL-3.0-or-later */ "),
+          inj(7, "Permission is hereby granted, free of charge, to deal. "),
+          inj(11, "under the GNU General Public License as published. "),
+          inj(17, "Redistribution and use in source and binary forms, ok. "),
+          col("text")).as("text"))
+      ext.TextAnalysis.licenseDetect(doc).orderBy("doc_id")
+    }),
+
+    // Per-source boilerplate strip (the CCNet/C4 chrome filter): every
+    // doc framed by a per-source NAV header (boilerplate wherever a
+    // source has >= minDocs docs) and a footer that is per-source chrome
+    // for most docs but a cross-source "rare" variant on doc_id%7=0 —
+    // whether THAT footer is boilerplate within a source depends on how
+    // many of its docs hit %7 at this scale, so both keep/strip branches
+    // stay live across sf.
+    "boilerplate_lines" -> ((s, d) => {
+      val doc = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(lit("NAV "), col("source"), lit("\n"), col("text"),
+            lit("\nFOOTER "), when(col("doc_id") % 7 === 0, lit("rare"))
+              .otherwise(col("source"))).as("text"))
+      ext.Dedup.boilerplateLines(doc).orderBy("doc_id")
+    }),
+
+    // Per-source top-5 bigram profile (corpus analytics / SEO-spam
+    // tripwire) over normalize()d tokens; ties to the smaller gram.
+    "domain_ngrams" -> ((s, d) =>
+      ext.TextAnalysis.domainNgrams(Tables.load(s, d, "documents"), k = 5)
+        .orderBy("source", "rank")),
+
     // HTML -> text extraction: each document wrapped in a full synthetic
     // page (head with entity-bearing title + style + script whose BODY
     // contains decoy tags, uppercase tags, nav boilerplate, a comment,
@@ -5075,6 +5117,83 @@ object SparkEntry {
          |      '$src', '$dst'),
          |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // patterns INTERPOLATED from the same Scala constants the operator
+    // compiles — byte-identical regex in both engines (the
+    // encoding_stats discipline)
+    "license_detect" -> {
+      val spdxP = ext.TextAnalysis.SpdxPattern
+      val cases = ext.TextAnalysis.LicensePhrases
+        .map { case (id, p) => s"WHEN regexp_matches(text, '$p') THEN '$id'" }
+        .mkString("\n         |       ")
+      s"""WITH d AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 5 = 0 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10) ELSE '' END) ||
+         |  (CASE WHEN doc_id % 13 = 0 THEN '/* SPDX-License-Identifier: GPL-3.0-or-later */ ' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN 'Permission is hereby granted, free of charge, to deal. ' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 11 = 0 THEN 'under the GNU General Public License as published. ' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 17 = 0 THEN 'Redistribution and use in source and binary forms, ok. ' ELSE '' END) ||
+         |  text AS text FROM documents),
+         |x AS (SELECT doc_id,
+         |  nullif(regexp_extract(text, '$spdxP', 1), '') AS spdx,
+         |  CASE $cases
+         |  END AS phrase_license FROM d)
+         |SELECT doc_id, spdx, phrase_license,
+         |  coalesce(spdx, phrase_license) AS license,
+         |  coalesce(spdx, phrase_license) IS NOT NULL AS has_license,
+         |  (coalesce(spdx, phrase_license) IS NOT NULL AND NOT
+         |    regexp_matches(coalesce(spdx, phrase_license),
+         |      '${ext.TextAnalysis.CopyleftPattern}')) AS permissive
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
+
+    // distinct-doc counting + line surgery replayed directly; string_agg
+    // skips the flagged lines (NULL branch), coalesce('') matches
+    // Spark's concat_ws over an all-removed doc
+    "boilerplate_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    'NAV ' || source || chr(10) || text || chr(10) || 'FOOTER ' ||
+        |      (CASE WHEN doc_id % 7 = 0 THEN 'rare' ELSE source END) AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, source, generate_subscripts(parts, 1) - 1 AS idx,
+        |    unnest(parts) AS line
+        |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS parts FROM d)),
+        |b AS (
+        |  SELECT source, line FROM l WHERE line <> ''
+        |  GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3),
+        |k AS (
+        |  SELECT l.doc_id, l.source, l.idx, l.line, b.line IS NOT NULL AS is_b
+        |  FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line)
+        |SELECT doc_id, any_value(source) AS source,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  md5(coalesce(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+        |    ORDER BY idx), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same normalize replay as text_normalize, 1-based DuckDB array
+    // indexing for the adjacent-pair grams
+    "domain_ngrams" -> {
+      val src = ext.TextAnalysis.AccentSrc
+      val dst = ext.TextAnalysis.AccentDst
+      s"""WITH d AS (
+         |  SELECT source, string_split(trim(regexp_replace(regexp_replace(
+         |    translate(lower(text), '$src', '$dst'),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ts
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, ts[i] || ' ' || ts[i + 1] AS gram
+         |  FROM d, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+         |  WHERE len(ts) >= 2),
+         |c AS (SELECT source, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+         |SELECT source, rank, gram, cnt FROM (
+         |  SELECT source, gram, cnt,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, gram ASC) AS BIGINT) AS rank
+         |  FROM c)
+         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
     },
 
     // top-20 vocab rebuilt with the same (freq desc, token asc) cut;

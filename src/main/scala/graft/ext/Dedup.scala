@@ -635,6 +635,59 @@ object Dedup {
         (struct(col("id"), col("line_idx")) === col("_first")).as("keep"))
   }
 
+  /** Per-domain boilerplate line removal (the CCNet/C4 refinement of
+    * [[lineDedup]]): a non-blank line whose exact content recurs in at
+    * least `minDocs` DISTINCT documents of the SAME source is chrome —
+    * nav bars, footers, cookie banners — and is stripped from EVERY
+    * document of that source (unlike [[lineDedup]], which keeps the
+    * globally-first occurrence); lines shared by fewer documents
+    * survive everywhere. Blank lines are structure, not boilerplate:
+    * never counted, never removed.
+    *
+    * Scale shape: the counting side reduces lines map-side to
+    * (source, line_md5, doc) digests — text never shuffles to decide
+    * what is boilerplate; the per-doc removal-index list (ints) joins
+    * back to the docs table and the line surgery is one local array
+    * filter per row (the [[removeSpans]] pattern). Output carries
+    * counts and the md5 of the rebuilt text, hash-checkable without
+    * moving text. */
+  def boilerplateLines(docs: DataFrame, minDocs: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       sourceCol: String = "source"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = docs
+      .select(col(idCol).as("_id"), col(sourceCol).as("_src"),
+        split(col(textCol), "\n").as("_ls"))
+      // posexplode_outer: the InferFiltersFromGenerate workaround
+      // documented at shingles()/lineDedup() — split() never yields an
+      // empty array, so outer is semantically identical
+      .select(col("_id"), col("_src"), posexplode_outer(col("_ls")))
+      .where(col("col") =!= "")
+      .select(col("_id"), col("_src"), col("pos").cast("long").as("_idx"),
+        md5(col("col").cast("binary")).as("_h"))
+    // exact distinct-doc count per (source, line): dedup to (src, h, id)
+    // first (partial-aggregates map-side) — never a count(DISTINCT)
+    // Expand over the corpus-sized line table
+    val boiler = lines.groupBy("_src", "_h", "_id").agg(count(lit(1)).as("_n"))
+      .groupBy("_src", "_h").agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") >= minDocs)
+      .select("_src", "_h")
+    val removeIdx = lines.join(boiler, Seq("_src", "_h"))
+      .groupBy("_id").agg(collect_list("_idx").as("_bi"))
+    docs.select(col(idCol), col(sourceCol), col(textCol))
+      .join(removeIdx, col(idCol) === col("_id"), "left")
+      .withColumn("_bi", coalesce(col("_bi"), array().cast("array<bigint>")))
+      .withColumn("_ls", split(col(textCol), "\n"))
+      .withColumn("_kept", expr(
+        "filter(transform(_ls, (l, i) -> struct(l AS l, CAST(i AS BIGINT) AS p)), " +
+          "x -> NOT array_contains(_bi, x.p))"))
+      .select(col(idCol), col(sourceCol),
+        size(col("_ls")).cast("long").as("n_lines"),
+        size(col("_bi")).cast("long").as("n_boiler"),
+        md5(expr("concat_ws('\n', transform(_kept, x -> x.l))").cast("binary"))
+          .as("clean_md5"))
+  }
+
   /** Incremental dedup: a NEW batch checked against an existing REFERENCE
     * corpus — the production shape of continuous ingestion (each crawl
     * snapshot dedups against everything already kept, not against

@@ -668,4 +668,86 @@ object TextAnalysis {
       round(expr("regr_slope(ln(cnt), ln(rank))"), 4).as("zipf_slope"),
       round(expr("regr_r2(ln(cnt), ln(rank))"), 4).as("zipf_r2"))
   }
+
+  /** SPDX tag extractor: the machine-readable license line
+    * (`SPDX-License-Identifier: Apache-2.0`). One capture group, no
+    * lookaround — identical under Java regex and RE2. */
+  private[graft] val SpdxPattern = "SPDX-License-Identifier:\\s*([0-9A-Za-z.+-]+)"
+
+  /** License-header phrase table (id, pattern): the canonical opening
+    * sentences of the common licenses, exactly the signals The
+    * Stack/StarCoder's permissive-license gate keys on when no SPDX tag
+    * exists. Declaration order IS the detection precedence. Literal
+    * alternation only — cross-engine-safe. */
+  private[graft] val LicensePhrases: Seq[(String, String)] = Seq(
+    "Apache-2.0" -> "Licensed under the Apache License, Version 2\\.0",
+    "MIT" -> "Permission is hereby granted, free of charge",
+    "BSD" -> "Redistribution and use in source and binary forms",
+    "MPL-2.0" -> "subject to the terms of the Mozilla Public License",
+    "GPL" -> "GNU (Lesser |Affero )?General Public License")
+
+  /** Copyleft detector over the resolved license id: GPL/AGPL/LGPL
+    * families (any version suffix) are non-permissive; everything else
+    * detected here is permissive. Anchored prefix match, no lookaround. */
+  private[graft] val CopyleftPattern = "^(GPL|AGPL|LGPL)"
+
+  /** Per-document license detection (The Stack / StarCoder provenance
+    * gate — code curation keeps permissively-licensed files only): the
+    * SPDX tag wins when present (first occurrence in the file), else the
+    * first phrase-table hit in declaration-order precedence; documents
+    * with neither get a NULL license and keep=false. `permissive` is
+    * false for the GPL family (incl. SPDX `GPL-3.0-or-later`-style ids)
+    * and true for every other detected license.
+    *
+    * One scan, zero shuffle, pure codegen (`regexp_extract` +
+    * `regexp_count` per phrase) — the [[secretScan]] scale shape. */
+  def licenseDetect(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val spdx = regexp_extract(col(textCol), SpdxPattern, 1)
+    val phrase = LicensePhrases.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (id, p)) =>
+        when(regexp_count(col(textCol), lit(p)) > 0, lit(id)).otherwise(acc)
+    }
+    df.select(col(idCol),
+        when(spdx =!= "", spdx).as("spdx"),
+        phrase.as("phrase_license"))
+      .withColumn("license", coalesce(col("spdx"), col("phrase_license")))
+      .withColumn("has_license", col("license").isNotNull)
+      .withColumn("permissive", col("has_license") &&
+        regexp_count(col("license"), lit(CopyleftPattern)) === 0)
+  }
+
+  /** Top-k bigrams per domain (corpus analytics: the per-source phrase
+    * profile that surfaces boilerplate, SEO spam, and topic drift in a
+    * crawl before any model sees it). Tokens come from [[normalize]] so
+    * the gram key is case/accent/punctuation-stable.
+    *
+    * Scale shape: the bigram explode partial-aggregates map-side, so the
+    * only corpus-sized shuffle carries (source, gram, partial count)
+    * rows; the rank window runs on the AGGREGATED per-source gram table
+    * (bounded by per-source vocabulary², not by corpus rows) — the
+    * standard two-phase distributed top-k. Ties break to the
+    * lexicographically-smallest gram for determinism. */
+  def domainNgrams(docs: DataFrame, k: Int = 5,
+                   sourceCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive: $k")
+    val grams = docs
+      .select(col(sourceCol).as("source"),
+        split(normalize(col(textCol)), " ").as("_ts"))
+      // sequence(1, 0) would be DESCENDING (Spark auto-steps -1), so the
+      // <2-token case must short-circuit to an empty gram list
+      .select(col("source"), explode_outer(when(size(col("_ts")) >= 2,
+        expr("transform(sequence(1, size(_ts) - 1), " +
+          "i -> concat(_ts[i-1], ' ', _ts[i]))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .where(col("gram").isNotNull && col("gram") =!= " ")
+    val counts = grams.groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+    counts.withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("cnt").desc, col("gram").asc)))
+      .where(col("rank") <= k)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("gram"), col("cnt"))
+  }
 }
