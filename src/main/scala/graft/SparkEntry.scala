@@ -1501,6 +1501,15 @@ object SparkEntry {
       ext.TextAnalysis.domainNgrams(Tables.load(s, d, "documents"), k = 5)
         .orderBy("source", "rank")),
 
+    // Z-order layout (lakehouse OPTIMIZE ZORDER BY): lineitem clustered
+    // by the Morton interleave of (l_orderkey, l_partkey); the per-file
+    // bounding rectangles ARE the pruning evidence — both dimensions
+    // stay tight per file, where a single-column sort leaves the second
+    // column spanning the full domain in every file.
+    "zorder_layout" -> ((s, d) =>
+      ops.Layout.zorderStats(li(s, d).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey").orderBy("file_id")),
+
     // HTML -> text extraction: each document wrapped in a full synthetic
     // page (head with entity-bearing title + style + script whose BODY
     // contains decoy tags, uppercase tags, nav boilerplate, a comment,
@@ -5194,6 +5203,31 @@ object SparkEntry {
          |      ORDER BY cnt DESC, gram ASC) AS BIGINT) AS rank
          |  FROM c)
          |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+    },
+
+    // the interleave |-chain is INTERPOLATED from the same generator the
+    // operator unrolls, so both engines compute the identical expression
+    "zorder_layout" -> {
+      val il = ops.Layout.interleaveSql(8)
+      s"""WITH mm AS (
+         |  SELECT CAST(min(l_orderkey) AS BIGINT) AS mina,
+         |    CAST(max(l_orderkey) AS BIGINT) AS maxa,
+         |    CAST(min(l_partkey) AS BIGINT) AS minb,
+         |    CAST(max(l_partkey) AS BIGINT) AS maxb
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey AS BIGINT) AS b,
+         |    CASE WHEN maxa > mina
+         |      THEN (CAST(l_orderkey AS BIGINT) - mina) * 255 // (maxa - mina)
+         |      ELSE 0 END AS sa,
+         |    CASE WHEN maxb > minb
+         |      THEN (CAST(l_partkey AS BIGINT) - minb) * 255 // (maxb - minb)
+         |      ELSE 0 END AS sb
+         |  FROM lineitem, mm),
+         |z AS (SELECT a, b, ($il) AS z FROM s)
+         |SELECT z * 16 // 65536 AS file_id, count(*) AS n,
+         |  min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // top-20 vocab rebuilt with the same (freq desc, token asc) cut;

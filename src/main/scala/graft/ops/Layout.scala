@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton curve) data layout — the lakehouse clustering step
+  * that makes MULTI-column scan pruning work at 100 TB: rows sorted by
+  * one column prune scans on that column only; rows clustered by the
+  * interleaved bits of two columns land each output file in a small
+  * rectangle of (a, b) space, so min/max footer stats prune scans
+  * filtered on EITHER column (Delta/Iceberg OPTIMIZE ZORDER BY; the
+  * curve itself is Morton 1966).
+  *
+  * All-integer pipeline, so file assignment is bit-deterministic across
+  * engines and partitionings:
+  *  1. one tiny min/max aggregate (1 row, broadcast) normalizes each
+  *     column to [0, 2^bits) by integer scaling
+  *     `((v - min) * (2^bits - 1)) div (max - min)` (constant columns
+  *     scale to 0);
+  *  2. the z-value interleaves the two scaled values bit by bit — the
+  *     loop is UNROLLED into a static `|`-chain of shift/mask terms, so
+  *     the whole computation stays in whole-stage codegen (no
+  *     higher-order-function lambda in the hot path);
+  *  3. `file_id = (z * files) div 2^(2*bits)` — equal-WIDTH cuts of the
+  *     curve (equal-count cuts would need a global quantile pass; width
+  *     cuts are the deterministic choice and the skew note belongs to
+  *     the caller's column selection).
+  *
+  * NULL in either column propagates to a NULL file_id (callers route
+  * nulls explicitly; silently binning them at 0 would corrupt pruning
+  * stats).
+  *
+  * Scale shape: one columnar min/max scan + one map-side z computation;
+  * [[zorderStats]] adds one partial-aggregated groupBy(file_id) —
+  * `files` output rows. Nothing global, nothing quadratic; the actual
+  * rewrite at production scale is `df.repartitionByRange(files, $"z")
+  * .sortWithinPartitions($"z")` over the same z column.
+  */
+object Layout {
+  /** Bit-interleave two pre-scaled non-negative ints (static unroll):
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. */
+  private def interleave(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** The same unrolled interleave as DuckDB SQL over columns named
+    * `sa`/`sb` — interpolated into the oracle so both engines compute
+    * the identical expression (the encoding_stats discipline). */
+  private[graft] def interleaveSql(bits: Int): String =
+    (0 until bits).map { i =>
+      s"((((sa >> $i) & 1) << ${2 * i}) | (((sb >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" | ")
+
+  /** Rows annotated with scaled coordinates, z-value, and file_id. */
+  def zorder(df: DataFrame, aCol: String, bCol: String,
+             bits: Int = 8, files: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20]: $bits")
+    require(files >= 1, s"files must be positive: $files")
+    val top = (1L << bits) - 1
+    val mm = df.agg(
+      min(col(aCol)).cast("long").as("_mina"), max(col(aCol)).cast("long").as("_maxa"),
+      min(col(bCol)).cast("long").as("_minb"), max(col(bCol)).cast("long").as("_maxb"))
+    // `div`, never `/`: Column./ is DOUBLE division, and exactness is
+    // the whole point of the integer pipeline
+    val scaled = df.crossJoin(broadcast(mm))
+      .withColumn("_sa", expr(s"CASE WHEN _maxa > _mina THEN " +
+        s"(CAST(`$aCol` AS BIGINT) - _mina) * $top DIV (_maxa - _mina) " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("_sb", expr(s"CASE WHEN _maxb > _minb THEN " +
+        s"(CAST(`$bCol` AS BIGINT) - _minb) * $top DIV (_maxb - _minb) " +
+        "ELSE CAST(0 AS BIGINT) END"))
+    scaled
+      .withColumn("z", interleave(col("_sa"), col("_sb"), bits))
+      .withColumn("file_id", expr(s"z * $files DIV ${1L << (2 * bits)}"))
+      .drop("_mina", "_maxa", "_minb", "_maxb")
+  }
+
+  /** Per-file layout stats — the pruning evidence: each file's (a, b)
+    * bounding rectangle. A scan filtered on either column skips every
+    * file whose min/max range misses the predicate. */
+  def zorderStats(df: DataFrame, aCol: String, bCol: String,
+                  bits: Int = 8, files: Int = 16): DataFrame =
+    zorder(df, aCol, bCol, bits, files)
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min(col(aCol)).cast("long").as("min_a"), max(col(aCol)).cast("long").as("max_a"),
+        min(col(bCol)).cast("long").as("min_b"), max(col(bCol)).cast("long").as("max_b"))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+
+/** Per-domain boilerplate strip: distinct-doc counting scope, blank-line
+  * exemption, surgery correctness (md5 of the rebuilt text). */
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5s(s: String): String =
+    spark.range(1).select(md5(lit(s).cast("binary"))).head().getString(0)
+
+  test("a line shared by minDocs docs of one source is stripped from ALL of them") {
+    val docs = Seq(
+      (1L, "a", "NAV\nbody one"),
+      (2L, "a", "NAV\nbody two"),
+      (3L, "a", "NAV\nbody three")).toDF("doc_id", "source", "text")
+    val r = Dedup.boilerplateLines(docs, minDocs = 3).orderBy("doc_id").collect()
+    assert(r.forall(_.getAs[Long]("n_boiler") == 1L))
+    assert(r.map(_.getAs[String]("clean_md5")).toSeq ==
+      Seq(md5s("body one"), md5s("body two"), md5s("body three")))
+  }
+
+  test("counting is per-SOURCE: the same line across sources does not pool") {
+    val docs = Seq(
+      (1L, "a", "SHARED\nx"), (2L, "a", "SHARED\ny"),
+      (3L, "b", "SHARED\nz"), (4L, "b", "SHARED\nw"))
+      .toDF("doc_id", "source", "text")
+    // 2 docs per source < minDocs=3 even though 4 docs total share the line
+    val r = Dedup.boilerplateLines(docs, minDocs = 3).collect()
+    assert(r.forall(_.getAs[Long]("n_boiler") == 0L))
+  }
+
+  test("distinct-DOC counting: a line repeated inside one doc counts once") {
+    val docs = Seq(
+      (1L, "a", "DUP\nDUP\nDUP\nbody"), // 3 occurrences, 1 doc
+      (2L, "a", "other")).toDF("doc_id", "source", "text")
+    val r = Dedup.boilerplateLines(docs, minDocs = 3).collect()
+    assert(r.forall(_.getAs[Long]("n_boiler") == 0L))
+  }
+
+  test("blank lines are never boilerplate; an all-boiler doc hashes empty") {
+    val docs = Seq(
+      (1L, "a", "B\n\nB"), (2L, "a", "B\n\nB"), (3L, "a", "B\n\nB"))
+      .toDF("doc_id", "source", "text")
+    val r = Dedup.boilerplateLines(docs, minDocs = 3).orderBy("doc_id").collect()
+    // both B lines stripped from every doc; the blank middle line stays
+    assert(r.forall(_.getAs[Long]("n_boiler") == 2L))
+    assert(r.forall(_.getAs[String]("clean_md5") == md5s("")))
+    assert(r.forall(_.getAs[Long]("n_lines") == 3L))
+  }
+
+  test("occurrence-level removal: every copy inside a doc is removed") {
+    val docs = Seq(
+      (1L, "a", "B\nbody\nB"), (2L, "a", "B\nmid\nB"), (3L, "a", "B\nend\nB"))
+      .toDF("doc_id", "source", "text")
+    val r = Dedup.boilerplateLines(docs, minDocs = 3).orderBy("doc_id").collect()
+    assert(r.head.getAs[Long]("n_boiler") == 2L)
+    assert(r.head.getAs[String]("clean_md5") == md5s("body"))
+  }
+
+  test("minDocs below 2 raises") {
+    val docs = Seq((1L, "a", "x")).toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException](Dedup.boilerplateLines(docs, minDocs = 1))
+  }
+}

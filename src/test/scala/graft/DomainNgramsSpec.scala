@@ -1,0 +1,49 @@
+package graft
+
+import graft.ext.TextAnalysis
+
+/** Per-domain top-k bigram profile: adjacency, normalization, the k-cut,
+  * deterministic tie-breaks, and the <2-token degenerate cases. */
+class DomainNgramsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("adjacent pairs only, counted within their source") {
+    val docs = Seq(
+      (1L, "a", "x y z"),       // grams: "x y", "y z"
+      (2L, "a", "x y"),         // gram:  "x y"
+      (3L, "b", "x y")).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.domainNgrams(docs, k = 5)
+      .orderBy("source", "rank").collect()
+    val a = r.filter(_.getString(0) == "a").map(x => (x.getString(2), x.getLong(3)))
+    assert(a.toSeq == Seq(("x y", 2L), ("y z", 1L)))
+    val b = r.filter(_.getString(0) == "b").map(x => (x.getString(2), x.getLong(3)))
+    assert(b.toSeq == Seq(("x y", 1L)))
+  }
+
+  test("k cuts after rank k; ties break to the smaller gram") {
+    val docs = Seq((1L, "s", "b c a c b c a b")).toDF("doc_id", "source", "text")
+    // grams: b c, c a, a c, c b, b c, c a, a b → b c:2, c a:2, a b:1, a c:1, c b:1
+    val r = TextAnalysis.domainNgrams(docs, k = 3).orderBy("rank")
+      .select("gram", "cnt").as[(String, Long)].collect().toSeq
+    assert(r == Seq(("b c", 2L), ("c a", 2L), ("a b", 1L)))
+  }
+
+  test("grams come from normalize(): case, accents, punctuation fold together") {
+    val docs = Seq(
+      (1L, "s", "Café RED!"), (2L, "s", "cafe red")).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.domainNgrams(docs, k = 1).collect()
+    assert(r.length == 1 && r.head.getAs[String]("gram") == "cafe red"
+      && r.head.getAs[Long]("cnt") == 2L)
+  }
+
+  test("docs with fewer than two tokens produce no grams") {
+    val docs = Seq((1L, "s", "solo"), (2L, "s", ""), (3L, "s", "!!!"))
+      .toDF("doc_id", "source", "text")
+    assert(TextAnalysis.domainNgrams(docs, k = 5).count() == 0L)
+  }
+
+  test("k must be positive") {
+    val docs = Seq((1L, "s", "a b")).toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException](TextAnalysis.domainNgrams(docs, k = 0))
+  }
+}

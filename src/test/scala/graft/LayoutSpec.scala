@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Layout
+
+/** Z-order layout: interleave arithmetic, quadrant locality (the
+  * pruning property), degenerate columns, null propagation. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave is exact Morton: bit i of a at 2i, of b at 2i+1") {
+    // min=0 max=3 with bits=2 → scaling is the identity (v*3 div 3)
+    val df = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L))
+      .toDF("a", "b")
+    val z = Layout.zorder(df, "a", "b", bits = 2, files = 1)
+      .select("a", "b", "z").as[(Long, Long, Long)].collect().toMap2
+    assert(z((0L, 0L)) == 0L)
+    assert(z((3L, 0L)) == 5L)   // 0b0101
+    assert(z((0L, 3L)) == 10L)  // 0b1010
+    assert(z((3L, 3L)) == 15L)  // 0b1111
+    assert(z((2L, 1L)) == 6L)   // a=10 → 0100, b=01 → 0010
+  }
+
+  test("files are quadrants: an 8x8 grid in 4 files gives 4x4 rectangles") {
+    val grid = for (a <- 0L to 7L; b <- 0L to 7L) yield (a, b)
+    // bits=3, min=0, max=7 → identity scaling; z in [0,64), 4 files of 16
+    val stats = Layout.zorderStats(grid.toDF("a", "b"), "a", "b",
+      bits = 3, files = 4).orderBy("file_id").collect()
+    assert(stats.length == 4)
+    assert(stats.forall(_.getAs[Long]("n") == 16L))
+    // every file is a tight 4x4 rectangle — the two-column pruning
+    // property a single-column sort cannot give (its b-range would span
+    // the full 0..7 domain in every file)
+    assert(stats.forall(r => r.getAs[Long]("max_a") - r.getAs[Long]("min_a") == 3L))
+    assert(stats.forall(r => r.getAs[Long]("max_b") - r.getAs[Long]("min_b") == 3L))
+  }
+
+  test("constant column scales to 0; layout degrades to 1-D clustering") {
+    val df = (0L to 15L).map(i => (i, 42L)).toDF("a", "b")
+    val r = Layout.zorder(df, "a", "b", bits = 2, files = 2)
+      .select("_sb").distinct().as[Long].collect()
+    assert(r.toSeq == Seq(0L))
+  }
+
+  test("null coordinates propagate to a null file_id, never bin at 0") {
+    val df = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None))
+      .toDF("a", "b")
+    val got = Layout.zorder(df, "a", "b", bits = 2, files = 2)
+      .select("file_id").collect().map(r => Option(r.get(0)))
+    assert(got.count(_.isEmpty) == 2)
+  }
+
+  test("parameter guards") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException](Layout.zorder(df, "a", "b", bits = 0))
+    intercept[IllegalArgumentException](Layout.zorder(df, "a", "b", bits = 21))
+    intercept[IllegalArgumentException](Layout.zorder(df, "a", "b", files = 0))
+  }
+
+  private implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] =
+      rows.map { case (a, b, z) => (a, b) -> z }.toMap
+  }
+}

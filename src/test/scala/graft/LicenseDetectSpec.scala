@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.TextAnalysis
+
+/** License/SPDX detection: tag extraction, phrase precedence, copyleft
+  * mapping — the Stack-style provenance gate. */
+class LicenseDetectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def det(text: String) =
+    TextAnalysis.licenseDetect(Seq((1L, text)).toDF("doc_id", "text")).head()
+
+  test("SPDX tag extracted verbatim, first occurrence wins") {
+    val r = det("// SPDX-License-Identifier: Apache-2.0\ncode here")
+    assert(r.getAs[String]("spdx") == "Apache-2.0")
+    assert(r.getAs[String]("license") == "Apache-2.0")
+    assert(r.getAs[Boolean]("permissive"))
+    val two = det("# SPDX-License-Identifier: MIT\n# SPDX-License-Identifier: GPL-3.0-only")
+    assert(two.getAs[String]("spdx") == "MIT")
+  }
+
+  test("SPDX beats any phrase; GPL-family SPDX ids are non-permissive") {
+    val r = det("Permission is hereby granted, free of charge ... " +
+      "SPDX-License-Identifier: GPL-3.0-or-later")
+    assert(r.getAs[String]("license") == "GPL-3.0-or-later")
+    assert(r.getAs[String]("phrase_license") == "MIT")
+    assert(!r.getAs[Boolean]("permissive"))
+    assert(!det("SPDX-License-Identifier: LGPL-2.1-only").getAs[Boolean]("permissive"))
+    assert(!det("SPDX-License-Identifier: AGPL-3.0-only").getAs[Boolean]("permissive"))
+  }
+
+  test("phrase table fires in declaration-order precedence") {
+    val mitAndGpl = det("Permission is hereby granted, free of charge, and also " +
+      "the GNU General Public License text appears later")
+    assert(mitAndGpl.getAs[String]("license") == "MIT")
+    val apacheAndMit = det("Licensed under the Apache License, Version 2.0 plus " +
+      "Permission is hereby granted, free of charge")
+    assert(apacheAndMit.getAs[String]("license") == "Apache-2.0")
+  }
+
+  test("GPL phrase matches the Lesser/Affero variants and stays copyleft") {
+    for (v <- Seq("GNU General Public License", "GNU Lesser General Public License",
+        "GNU Affero General Public License")) {
+      val r = det(s"This file is under the $v as published by the FSF.")
+      assert(r.getAs[String]("license") == "GPL", v)
+      assert(!r.getAs[Boolean]("permissive"), v)
+    }
+  }
+
+  test("no detector fires: null license, keep=false semantics") {
+    val r = det("just ordinary prose with no legal header at all")
+    assert(r.getAs[String]("spdx") == null)
+    assert(r.getAs[String]("license") == null)
+    assert(!r.getAs[Boolean]("has_license"))
+    assert(!r.getAs[Boolean]("permissive"))
+  }
+
+  test("near-misses do not fire") {
+    // wrong version / truncated phrases
+    assert(det("Licensed under the Apache License, Version 1.1")
+      .getAs[String]("license") == null)
+    assert(det("Permission is hereby granted to some people only")
+      .getAs[String]("license") == null)
+    // SPDX label without a value yields no tag
+    assert(det("SPDX-License-Identifier: ").getAs[String]("spdx") == null)
+  }
+}
