@@ -28,6 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "mixture_temperature",      // 1-row Σweight denominator cross-joined
     "dsort_tgz_pack",           // 1-row compression-ratio frame cross-joined
     // (measured, broadcast-by-contract — DSort.packShardsCompressed)
+    "zorder_layout",            // 1-row min/max frame cross-joined
+    // (normalization bounds, broadcast-by-contract — ops.Layout.zorder)
     "shard_reader_samples",     // (distinct shards) x (distinct exts)
     // cumulative-keyset derivation — both sides index-small (ShardReader)
     // ---- template/range expansion joined on a non-equi name condition
