@@ -1510,6 +1510,22 @@ object SparkEntry {
       ops.Layout.zorderStats(li(s, d).select("l_orderkey", "l_partkey"),
         "l_orderkey", "l_partkey").orderBy("file_id")),
 
+    // Takedown propagation over an immutable sharded corpus: shard =
+    // doc_id % 50, so each shard holds exactly two sources ({s%20,
+    // (s+10)%20} under the round-robin source assignment). Opt-out
+    // domains src3/src7 → shards s%20 ∈ {3,7,13,17} repack; the
+    // explicit id list (every id ≡ 23 mod 50) clears shard 23's
+    // non-src3 half → delete; everything else skips. All three actions
+    // live at every sf.
+    "forget_repack" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val dom = docs.sparkSession.range(2)
+        .select(concat(lit("src"), (col("id") * 4 + 3).cast("string")).as("domain"))
+      val ids = docs.where(expr("doc_id % 50 = 23")).select(col("doc_id").as("id"))
+      ext.Forget.repackPlan(docs, dom, ids, expr("doc_id % 50"))
+        .orderBy("shard_id")
+    }),
+
     // HTML -> text extraction: each document wrapped in a full synthetic
     // page (head with entity-bearing title + style + script whose BODY
     // contains decoy tags, uppercase tags, nav boilerplate, a comment,
@@ -5229,6 +5245,23 @@ object SparkEntry {
          |  min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "forget_repack" ->
+      """WITH rm AS (
+        |  SELECT doc_id, doc_id % 50 AS shard_id,
+        |    (source IN ('src3', 'src7') OR doc_id % 50 = 23) AS is_rm
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN is_rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN is_rm THEN 0 ELSE 1 END) AS BIGINT) AS n_survive,
+        |  CASE WHEN sum(CASE WHEN is_rm THEN 1 ELSE 0 END) = 0 THEN 'skip'
+        |       WHEN sum(CASE WHEN is_rm THEN 0 ELSE 1 END) = 0 THEN 'delete'
+        |       ELSE 'repack' END AS action,
+        |  CASE WHEN sum(CASE WHEN is_rm THEN 0 ELSE 1 END) > 0
+        |       THEN md5(string_agg(CASE WHEN NOT is_rm
+        |         THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id))
+        |  END AS survivors_md5
+        |FROM rm GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // top-20 vocab rebuilt with the same (freq desc, token asc) cut;
     // permille is integer floor division in both engines

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Takedown / right-to-be-forgotten propagation over an immutable
+  * sharded corpus — the op every production training-data pipeline
+  * eventually needs: removal requests arrive as opt-out DOMAINS (robots
+  * retro-opt-out, DMCA) and as explicit DOC IDS (specific URLs), but
+  * the corpus is packed into immutable shard archives, so removal means
+  * REPACKING exactly the affected shards and nothing else.
+  *
+  * Output: one row per shard — total/removed/surviving counts, the
+  * action (`skip` = untouched, `repack` = rewrite survivors, `delete` =
+  * every member removed), and the md5 of the ordered surviving-id list
+  * (`skip` shards keep their digest too: it doubles as the
+  * dataset-card checksum after the operation; `delete` shards get
+  * NULL). A doc matched by BOTH request kinds is removed once — the
+  * flags OR together before counting.
+  *
+  * Scale shape: the domain list joins as a hash join on source (opt-out
+  * lists are small-to-millions — never a LIKE scan), the id list as a
+  * hash join on id; one partial-aggregated groupBy(shard) carries
+  * (shard, id, removed) — member payloads never move, and the shard
+  * archives themselves are only touched later, by rewriting the
+  * `repack` set. The plan is the cheap part; this op exists so the
+  * expensive part (rewriting shards) runs on the minimal set. */
+object Forget {
+  def repackPlan(docs: DataFrame, optOutDomains: DataFrame,
+                 removeIds: DataFrame, shardCol: Column,
+                 idCol: String = "doc_id",
+                 sourceCol: String = "source"): DataFrame = {
+    val dom = optOutDomains.select(col("domain").as("_dom")).distinct()
+      .withColumn("_dhit", lit(true))
+    val ids = removeIds.select(col("id").as("_rid")).distinct()
+      .withColumn("_ihit", lit(true))
+    docs.select(col(idCol).as("_id"), col(sourceCol).as("_src"),
+        shardCol.as("shard_id"))
+      .join(dom, col("_src") === col("_dom"), "left")
+      .join(ids, col("_id") === col("_rid"), "left")
+      .withColumn("_rm", coalesce(col("_dhit"), lit(false)) ||
+        coalesce(col("_ihit"), lit(false)))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("_rm"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("_rm"), 0L).otherwise(1L)).as("n_survive"),
+        // ordered digest of survivors (the shard_manifest discipline):
+        // in-group array sort, never a global order; numeric sort BEFORE
+        // the string cast so the oracle's ORDER BY id matches
+        md5(expr("concat_ws(',', transform(" +
+          "array_sort(collect_list(CASE WHEN NOT _rm THEN _id END)), " +
+          "x -> CAST(x AS STRING)))").cast("binary")).as("_digest"))
+      .select(col("shard_id"), col("n_total"), col("n_removed"), col("n_survive"),
+        when(col("n_removed") === 0, "skip")
+          .when(col("n_survive") === 0, "delete")
+          .otherwise("repack").as("action"),
+        when(col("n_survive") > 0, col("_digest")).as("survivors_md5"))
+  }
+}

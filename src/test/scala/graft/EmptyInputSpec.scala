@@ -162,6 +162,20 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-4-continuation operators on empty inputs: empty results, not errors") {
+    val noSrcDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(Dedup.boilerplateLines(noSrcDocs).count() == 0)
+    assert(TextAnalysis.licenseDetect(noDocs).count() == 0)
+    assert(TextAnalysis.domainNgrams(noSrcDocs).count() == 0)
+    val noCoords = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.ops.Layout.zorder(noCoords, "a", "b").count() == 0)
+    assert(graft.ops.Layout.zorderStats(noCoords, "a", "b").count() == 0)
+    val noShardDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "shard")
+    assert(graft.ext.Forget.repackPlan(noShardDocs,
+      Seq.empty[String].toDF("domain"), Seq.empty[Long].toDF("id"),
+      col("shard")).count() == 0)
+  }
+
   test("repetition stats on sub-n-gram docs emit nulls, not errors") {
     val out = TextAnalysis.repetitionStats(
         Seq((1L, "single"), (2L, "two words"), (3L, "")).toDF("doc_id", "text"))

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ext.Forget
+import org.apache.spark.sql.functions._
+
+/** Takedown repack planning: action branches, OR-of-request-kinds
+  * dedup, survivor digests, empty removal lists. */
+class ForgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a.com", 0L), (2L, "b.com", 0L),   // shard 0: repack (a.com out)
+    (3L, "b.com", 1L), (4L, "b.com", 1L),   // shard 1: skip
+    (5L, "a.com", 2L), (6L, "a.com", 2L)    // shard 2: delete
+  ).toDF("doc_id", "source", "shard")
+
+  private def plan(domains: Seq[String], ids: Seq[Long]) =
+    Forget.repackPlan(docs, domains.toDF("domain"), ids.toDF("id"), col("shard"))
+      .orderBy("shard_id").collect()
+
+  private def md5s(s: String): String =
+    spark.range(1).select(md5(lit(s).cast("binary"))).head().getString(0)
+
+  test("skip / repack / delete branches from a domain opt-out") {
+    val r = plan(Seq("a.com"), Seq.empty)
+    assert(r.map(_.getAs[String]("action")).toSeq == Seq("repack", "skip", "delete"))
+    assert(r(0).getAs[Long]("n_removed") == 1L && r(0).getAs[Long]("n_survive") == 1L)
+    assert(r(2).getAs[String]("survivors_md5") == null)
+    assert(r(0).getAs[String]("survivors_md5") == md5s("2"))
+    // a skip shard still carries its (unchanged) digest — the
+    // dataset-card checksum after the operation
+    assert(r(1).getAs[String]("survivors_md5") == md5s("3,4"))
+  }
+
+  test("explicit ids compose with domains; a doc hit by both counts once") {
+    val r = plan(Seq("a.com"), Seq(1L, 2L))
+    // shard 0: doc 1 hit by BOTH kinds, doc 2 by id → fully removed
+    assert(r(0).getAs[String]("action") == "delete")
+    assert(r(0).getAs[Long]("n_removed") == 2L)
+  }
+
+  test("empty removal lists: every shard skips with its digest intact") {
+    val r = plan(Seq.empty, Seq.empty)
+    assert(r.forall(_.getAs[String]("action") == "skip"))
+    assert(r.map(_.getAs[Long]("n_removed")).sum == 0L)
+  }
+
+  test("survivor digest orders ids numerically, not lexicographically") {
+    val wide = Seq((2L, "x", 0L), (10L, "x", 0L), (9L, "y", 0L))
+      .toDF("doc_id", "source", "shard")
+    val r = Forget.repackPlan(wide, Seq("y").toDF("domain"),
+      Seq.empty[Long].toDF("id"), col("shard")).head()
+    // numeric order 2,10 — a lexicographic sort would give "10,2"
+    assert(r.getAs[String]("survivors_md5") == md5s("2,10"))
+  }
+}
