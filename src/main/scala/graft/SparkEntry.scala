@@ -1526,6 +1526,15 @@ object SparkEntry {
         .orderBy("shard_id")
     }),
 
+    // The pruning win quantified: under a predicate on l_partkey ALONE
+    // (the [250‰, 310‰] slice of its domain, derived in-plan), the
+    // z-ordered layout's footer stats skip most files while the
+    // sorted-by-orderkey layout must read every file (each spans the
+    // full partkey domain).
+    "zorder_prune" -> ((s, d) =>
+      ops.Layout.pruneCompare(li(s, d).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey").orderBy("layout")),
+
     // HTML -> text extraction: each document wrapped in a full synthetic
     // page (head with entity-bearing title + style + script whose BODY
     // contains decoy tags, uppercase tags, nav boilerplate, a comment,
@@ -5244,6 +5253,42 @@ object SparkEntry {
          |SELECT z * 16 // 65536 AS file_id, count(*) AS n,
          |  min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "zorder_prune" -> {
+      val il = ops.Layout.interleaveSql(8)
+      s"""WITH mm AS (
+         |  SELECT CAST(min(l_orderkey) AS BIGINT) AS mina,
+         |    CAST(max(l_orderkey) AS BIGINT) AS maxa,
+         |    CAST(min(l_partkey) AS BIGINT) AS minb,
+         |    CAST(max(l_partkey) AS BIGINT) AS maxb
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey AS BIGINT) AS b,
+         |    CASE WHEN maxa > mina
+         |      THEN (CAST(l_orderkey AS BIGINT) - mina) * 255 // (maxa - mina)
+         |      ELSE 0 END AS sa,
+         |    CASE WHEN maxb > minb
+         |      THEN (CAST(l_partkey AS BIGINT) - minb) * 255 // (maxb - minb)
+         |      ELSE 0 END AS sb
+         |  FROM lineitem, mm),
+         |zf AS (
+         |  SELECT 'zorder' AS layout, ($il) * 16 // 65536 AS file_id,
+         |    count(*) AS n, min(b) AS min_b, max(b) AS max_b
+         |  FROM s GROUP BY 1, 2),
+         |af AS (
+         |  SELECT 'sorted_a' AS layout,
+         |    CASE WHEN maxa > mina THEN (a - mina) * 15 // (maxa - mina)
+         |         ELSE 0 END AS file_id,
+         |    count(*) AS n, min(b) AS min_b, max(b) AS max_b
+         |  FROM s, mm GROUP BY 1, 2),
+         |u AS (SELECT * FROM zf UNION ALL SELECT * FROM af),
+         |pred AS (SELECT minb + (maxb - minb) * 250 // 1000 AS lo,
+         |                minb + (maxb - minb) * 310 // 1000 AS hi FROM mm)
+         |SELECT layout, count(*) AS files_total,
+         |  CAST(sum(CASE WHEN min_b <= hi AND max_b >= lo THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+         |  CAST(sum(CASE WHEN min_b <= hi AND max_b >= lo THEN n ELSE 0 END) AS BIGINT) AS rows_read
+         |FROM u, pred GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "forget_repack" ->

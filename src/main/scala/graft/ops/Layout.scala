@@ -87,4 +87,46 @@ object Layout {
       .agg(count(lit(1)).as("n"),
         min(col(aCol)).cast("long").as("min_a"), max(col(aCol)).cast("long").as("max_a"),
         min(col(bCol)).cast("long").as("min_b"), max(col(bCol)).cast("long").as("max_b"))
+
+  /** The pruning win, quantified: lay the SAME rows out z-ordered vs
+    * sorted-by-`a` (equal-width cuts of the a-domain — what a
+    * single-column `ORDER BY a` layout gives), then count how many
+    * files a footer-stats scan must READ under a predicate on `b`
+    * alone. The predicate is a permille slice of the b-domain
+    * (`[min_b + range·loPm/1000, min_b + range·hiPm/1000]`), derived
+    * IN-PLAN from a broadcast 1-row bounds frame — no driver-side
+    * collect anywhere. Z-order files each cover a fraction of the
+    * b-domain, so most miss the slice; a-sorted files each span ALL of
+    * b, so none can be skipped. Output: one row per layout —
+    * (layout, files_total, files_hit, rows_read), integer-exact. */
+  def pruneCompare(df: DataFrame, aCol: String, bCol: String,
+                   loPm: Int = 250, hiPm: Int = 310,
+                   bits: Int = 8, files: Int = 16): DataFrame = {
+    require(loPm >= 0 && hiPm <= 1000 && loPm <= hiPm,
+      s"permille slice must satisfy 0 <= lo <= hi <= 1000: [$loPm, $hiPm]")
+    val zStats = zorderStats(df, aCol, bCol, bits, files)
+      .withColumn("layout", lit("zorder"))
+    val mm = df.agg(
+      min(col(aCol)).cast("long").as("_mina"), max(col(aCol)).cast("long").as("_maxa"))
+    val aStats = df.crossJoin(broadcast(mm))
+      .withColumn("file_id", expr(s"CASE WHEN _maxa > _mina THEN " +
+        s"(CAST(`$aCol` AS BIGINT) - _mina) * ${files - 1} DIV (_maxa - _mina) " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min(col(aCol)).cast("long").as("min_a"), max(col(aCol)).cast("long").as("max_a"),
+        min(col(bCol)).cast("long").as("min_b"), max(col(bCol)).cast("long").as("max_b"))
+      .withColumn("layout", lit("sorted_a"))
+    val bb = df.agg(
+      min(col(bCol)).cast("long").as("_minb"), max(col(bCol)).cast("long").as("_maxb"))
+    zStats.unionByName(aStats)
+      .crossJoin(broadcast(bb))
+      .withColumn("_lo", expr(s"_minb + (_maxb - _minb) * $loPm DIV 1000"))
+      .withColumn("_hi", expr(s"_minb + (_maxb - _minb) * $hiPm DIV 1000"))
+      .withColumn("_hit", col("min_b") <= col("_hi") && col("max_b") >= col("_lo"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("files_hit"),
+        sum(when(col("_hit"), col("n")).otherwise(0L)).as("rows_read"))
+  }
 }

@@ -49,6 +49,23 @@ class LayoutSpec extends SparkSpec {
     assert(got.count(_.isEmpty) == 2)
   }
 
+  test("pruneCompare: a b-only slice skips z-order files but no sorted-a files") {
+    val grid = (for (a <- 0L to 15L; b <- 0L to 15L) yield (a, b)).toDF("a", "b")
+    // bits=4 → identity scaling on 0..15; 16 files; slice [250‰,310‰] of
+    // b = [3, 4] — a thin b-band
+    val r = graft.ops.Layout.pruneCompare(grid, "a", "b", bits = 4, files = 16)
+      .orderBy("layout").collect()
+    val sorted = r(0); val z = r(1)
+    assert(sorted.getAs[String]("layout") == "sorted_a")
+    // every a-sorted file spans the full b domain: nothing skips
+    assert(sorted.getAs[Long]("files_hit") == sorted.getAs[Long]("files_total"))
+    assert(sorted.getAs[Long]("rows_read") == 256L)
+    // z-order files cover b-quarters: only the quarter containing [3,4]
+    // (plus boundary) is read
+    assert(z.getAs[Long]("files_hit") < z.getAs[Long]("files_total"))
+    assert(z.getAs[Long]("rows_read") < 256L)
+  }
+
   test("parameter guards") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     intercept[IllegalArgumentException](Layout.zorder(df, "a", "b", bits = 0))

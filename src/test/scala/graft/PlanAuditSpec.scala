@@ -30,6 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     // (measured, broadcast-by-contract — DSort.packShardsCompressed)
     "zorder_layout",            // 1-row min/max frame cross-joined
     // (normalization bounds, broadcast-by-contract — ops.Layout.zorder)
+    "zorder_prune",             // same 1-row bounds frames ×3 (both
+    // layouts + the permille predicate — ops.Layout.pruneCompare)
     "shard_reader_samples",     // (distinct shards) x (distinct exts)
     // cumulative-keyset derivation — both sides index-small (ShardReader)
     // ---- template/range expansion joined on a non-equi name condition
