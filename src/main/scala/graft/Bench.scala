@@ -71,7 +71,14 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    // min-of-two over the SUCCESSFUL passes: a -1 (failed) pass must not
+    // shadow a succeeded retry (transient disk-full during a neighbor's
+    // spill marked two healthy sf100 queries failed this way); -1 only
+    // when BOTH passes failed.
+    val results = p1.map { case (k, v) =>
+      val v2 = p2.getOrElse(k, v)
+      k -> (if (v < 0) v2 else if (v2 < 0) v else math.min(v, v2))
+    }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver parses its captured log tail, which truncates from the

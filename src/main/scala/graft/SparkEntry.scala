@@ -1295,13 +1295,13 @@ object SparkEntry {
         (col("doc_id").as("vid") +: col("frame_idx") +:
           params(col("doc_id"), col("frame_idx")) :+ lit(0L).as("pert")): _*)
       val twins = frames.where(col("doc_id") % 20 === 0).select(
-        ((col("doc_id") + 1000000L).as("vid") +: col("frame_idx") +:
+        ((col("doc_id") + 10000000000000L).as("vid") +: col("frame_idx") +:
           params(col("doc_id"), col("frame_idx")) :+ lit(1L).as("pert")): _*)
       // clip-edits: frames 0-2 identical, frames 3-5 re-shot (gradient
       // param a shifted — a pure dd shift would leave the dHash
       // invariant) → exactly 500 permille, ON the threshold boundary
       val edits = frames.where(col("doc_id") % 25 === 0).select(
-        ((col("doc_id") + 2000000L).as("vid") +: col("frame_idx") +:
+        ((col("doc_id") + 20000000000000L).as("vid") +: col("frame_idx") +:
           Seq(when(col("frame_idx") >= 3, (col("doc_id") * 7 + col("frame_idx") + 50) % 251)
             .otherwise((col("doc_id") * 7 + col("frame_idx")) % 251).as("a"),
             ((col("doc_id") * 11 + col("frame_idx")) % 241).as("b"),
@@ -1938,7 +1938,7 @@ object SparkEntry {
       val docs0 = Tables.load(s, d, "documents").select("doc_id", "text")
       val corpus = docs0.unionByName(
         docs0.where(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + 10000000000000L).as("doc_id"),
             concat(col("text"), lit(" near dup tail")).as("text")))
       val scored = ext.TextAnalysis.qualityFeatures(ext.TextAnalysis.langId(corpus))
         .where(col("pred_lang") === "en" && col("quality_score") >= 0.5)
@@ -2450,7 +2450,7 @@ object SparkEntry {
       val base = docs.select(
         (col("doc_id").as("img_id") +: params(col("doc_id")) :+ lit(0L).as("pert")): _*)
       val twins = docs.where(col("doc_id") % 10 === 0).select(
-        ((col("doc_id") + 1000000L).as("img_id") +: params(col("doc_id")) :+
+        ((col("doc_id") + 10000000000000L).as("img_id") +: params(col("doc_id")) :+
           lit(1L).as("pert")): _*)
       val src = base.unionByName(twins)
         .withColumn("w", lit(45)).withColumn("h", lit(40))
@@ -2473,7 +2473,7 @@ object SparkEntry {
       val base = docs.select(
         (col("doc_id").as("img_id") +: params(col("doc_id")) :+ lit(0L).as("pert")): _*)
       val twins = docs.where(col("doc_id") % 50 === 0).select(
-        ((col("doc_id") + 1000000L).as("img_id") +: params(col("doc_id")) :+
+        ((col("doc_id") + 10000000000000L).as("img_id") +: params(col("doc_id")) :+
           lit(1L).as("pert")): _*)
       val src = base.unionByName(twins)
         .withColumn("w", lit(45)).withColumn("h", lit(40))
@@ -2581,12 +2581,12 @@ object SparkEntry {
     val docs = Tables.load(s, d, "documents").select("doc_id", "text")
     docs.unionByName(
       docs.where(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
+        .withColumn("doc_id", col("doc_id") + 10000000000000L))
   }
 
   /** FIXED-SIZE audit slice for the exact-Jaccard ground-truth entries
     * (dedup_jaccard / dedup_components / dedup_best_rep): every 10th
-    * doc, capped at base id < 100k (`% 1000000` keeps each injected
+    * doc, capped at base id < 100k (`% 1e13` keeps each injected
     * duplicate with its original). The exact self-join is a DECLARED
     * quadratic oracle baseline — its cost must not grow with the corpus,
     * and at sf10 the uncapped 10% slice (55k docs over the 31-word
@@ -2595,7 +2595,7 @@ object SparkEntry {
     * section). The LSH path ([[graft.ext.Dedup.nearDupMinhashLsh]],
     * corpus_prepare) is the scale path and stays uncapped. */
   private def auditSlice(corpus: DataFrame): DataFrame =
-    corpus.where(col("doc_id") % 10 === 0 && col("doc_id") % 1000000L < 100000L)
+    corpus.where(col("doc_id") % 10 === 0 && col("doc_id") % 10000000000000L < 100000L)
 
   /** The synthetic "new crawl" for the incremental-dedup entries: exact
     * re-fetches (ids +1e6), one-token-appended near-dups (+2e6, the
@@ -2603,12 +2603,12 @@ object SparkEntry {
     * novels (+3e6). Mirrors the `newdocs` CTE in the oracle. */
   private def crawlBatch(docs: DataFrame): DataFrame =
     docs.where(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 10000000000000L).as("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") % 10 === 5)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
+        .select((col("doc_id") + 20000000000000L).as("doc_id"),
           concat(col("text"), lit(" qqq")).as("text")))
       .unionByName(docs.where(col("doc_id") % 10 === 7)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
+        .select((col("doc_id") + 30000000000000L).as("doc_id"),
           concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text")))
 
   /** The fixed keyword-query set for `bm25_topk` — terms from the
@@ -3886,7 +3886,7 @@ object SparkEntry {
         |    ON nb.doc_id = i.doc_b)
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
       OracleCte.corpus, OracleCte.shingles,
-      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0 AND doc_id % 1000000 < 100000)"),
+      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0 AND doc_id % 10000000000000 < 100000)"),
 
     "dedup_minhash_lsh" -> o(
       """SELECT doc_a, doc_b, jaccard FROM (
@@ -3950,12 +3950,12 @@ object SparkEntry {
     // function of md5, so even false positives must agree
     "dedup_bloom" ->
       """WITH newdocs AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 10000000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id + 2000000 AS doc_id, text || ' qqq' AS text
+        |  SELECT doc_id + 20000000000000 AS doc_id, text || ' qqq' AS text
         |  FROM documents WHERE doc_id % 10 = 5
         |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id,
+        |  SELECT doc_id + 30000000000000 AS doc_id,
         |    array_to_string(list_reverse(string_split_regex(trim(text), '\s+')), ' ') AS text
         |  FROM documents WHERE doc_id % 10 = 7),
         |np AS (SELECT doc_id, md5(text) AS h FROM newdocs),
@@ -3986,7 +3986,7 @@ object SparkEntry {
     "dedup_components" -> OracleCte.sqlRecursive(
       "SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id ORDER BY doc_id",
       OracleCte.corpus, OracleCte.shingles,
-      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0 AND doc_id % 1000000 < 100000)",
+      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0 AND doc_id % 10000000000000 < 100000)",
       """pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT i.doc_a, i.doc_b,
@@ -4019,7 +4019,7 @@ object SparkEntry {
         |  FROM comp c JOIN qs ON qs.doc_id = c.doc_id)
         |WHERE rn = 1 ORDER BY component""".stripMargin,
       OracleCte.corpus, OracleCte.shingles,
-      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0 AND doc_id % 1000000 < 100000)",
+      "shf AS (SELECT * FROM sh WHERE doc_id % 10 = 0 AND doc_id % 10000000000000 < 100000)",
       """pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT i.doc_a, i.doc_b,
@@ -4306,11 +4306,11 @@ object SparkEntry {
         |         (v * 13 + fi) % 239 AS c, (v + fi * 17) % 256 AS d, 0 AS pert
         |  FROM frames
         |  UNION ALL
-        |  SELECT v + 1000000, fi, (v * 7 + fi) % 251, (v * 11 + fi) % 241,
+        |  SELECT v + 10000000000000, fi, (v * 7 + fi) % 251, (v * 11 + fi) % 241,
         |         (v * 13 + fi) % 239, (v + fi * 17) % 256, 1
         |  FROM frames WHERE v % 20 = 0
         |  UNION ALL
-        |  SELECT v + 2000000, fi,
+        |  SELECT v + 20000000000000, fi,
         |         (CASE WHEN fi >= 3 THEN v * 7 + fi + 50 ELSE v * 7 + fi END) % 251,
         |         (v * 11 + fi) % 241, (v * 13 + fi) % 239, (v + fi * 17) % 256, 0
         |  FROM frames WHERE v % 25 = 0),
@@ -5574,7 +5574,7 @@ object SparkEntry {
       """prep AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup tail' AS text
+        |  SELECT doc_id + 10000000000000 AS doc_id, text || ' near dup tail' AS text
         |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin,
       """scored2 AS (
         |  SELECT doc_id, text,
@@ -5895,7 +5895,7 @@ object SparkEntry {
         |  SELECT doc_id AS img_id, doc_id % 251 AS a, doc_id % 241 AS b,
         |         doc_id % 239 AS c, doc_id % 256 AS d, 0 AS pert FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, doc_id % 251, doc_id % 241, doc_id % 239,
+        |  SELECT doc_id + 10000000000000, doc_id % 251, doc_id % 241, doc_id % 239,
         |         doc_id % 256, 1 FROM documents WHERE doc_id % 10 = 0),
         |grid AS (SELECT by, bx
         |  FROM (SELECT unnest(range(0, 8)) AS by) ys
@@ -6174,7 +6174,7 @@ object SparkEntry {
        |         doc_id % 239 AS c, doc_id % 256 AS dd, 0 AS pert
        |  FROM documents WHERE doc_id % 10 = 0
        |  UNION ALL
-       |  SELECT doc_id + 1000000, doc_id % 251, doc_id % 241, doc_id % 239,
+       |  SELECT doc_id + 10000000000000, doc_id % 251, doc_id % 241, doc_id % 239,
        |         doc_id % 256, 1
        |  FROM documents WHERE doc_id % 50 = 0),
        |tt AS (SELECT * FROM (VALUES $tvals) AS t(j, k, tv)),
@@ -6212,12 +6212,12 @@ object SparkEntry {
 
   private lazy val incrementalDedupOracle: String =
       """WITH newdocs AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 10000000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id + 2000000 AS doc_id, text || ' qqq' AS text
+        |  SELECT doc_id + 20000000000000 AS doc_id, text || ' qqq' AS text
         |  FROM documents WHERE doc_id % 10 = 5
         |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id,
+        |  SELECT doc_id + 30000000000000 AS doc_id,
         |    array_to_string(list_reverse(string_split_regex(trim(text), '\s+')), ' ') AS text
         |  FROM documents WHERE doc_id % 10 = 7),
         |exact AS (

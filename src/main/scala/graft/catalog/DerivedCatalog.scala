@@ -256,7 +256,7 @@ object OracleCte {
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  SELECT doc_id + 10000000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
       |)""".stripMargin
 
   /** Distinct word-3-gram shingles over [[corpus]] — mirrors

@@ -69,13 +69,13 @@ class EditDedupSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(2) * 10 <= r.getLong(3)))
-    // every injected exact dup (doc_id + 1e6, docs with >= 3 words) must
+    // every injected exact dup (doc_id + 1e13, docs with >= 3 words) must
     // appear as a distance-0 pair with its source
     val exact = rows.filter(r => r.getLong(2) == 0L)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = Tables.load(spark, TestSpark.sf001, "documents")
       .where(col("doc_id") % 10 === 0 && size(split(trim(col("text")), "\\s+")) >= 3)
       .select("doc_id").as[Long].collect()
-    docs.foreach(id => assert(exact.contains((id, id + 1000000L)), s"missing dup pair for $id"))
+    docs.foreach(id => assert(exact.contains((id, id + 10000000000000L)), s"missing dup pair for $id"))
   }
 }

@@ -52,7 +52,7 @@ class ImageDhashSpec extends SparkSpec {
   test("every +1-intensity twin is recalled with hamming <= 1") {
     val out = SparkEntry.queries("image_dhash_neardup")(spark, TestSpark.sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val twins = out.filter { case (a, b, _) => b == a + 1000000L }
+    val twins = out.filter { case (a, b, _) => b == a + 10000000000000L }
     val docs = Tables.load(spark, TestSpark.sf001, "documents")
       .where(col("doc_id") % 10 === 0).count()
     assert(twins.length == docs, s"${twins.length} of $docs twins recalled")
