@@ -2204,6 +2204,13 @@ object SparkEntry {
       ext.TextAnalysis.fingerprint(Tables.load(s, d, "documents"))
         .orderBy("doc_id")),
 
+    // Tokenizer fertility table (the multilingual coverage diagnostic):
+    // BPE-ish tokens per 1000 words and chars per 1000 BPE tokens, per
+    // language — same token regexes as token_count_bpe by construction.
+    "token_fertility" -> ((s, d) =>
+      ext.TextAnalysis.tokenFertility(Tables.load(s, d, "documents"))
+        .orderBy("lang")),
+
     // BPE tokenizer training, step 1 at corpus scale: weighted
     // adjacent-pair counts over the word-frequency table (the one
     // corpus-sized pass; everything after is vocab-bounded)
@@ -5670,6 +5677,21 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "token_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(bpe) * 1000 // nullif(sum(ws), 0) AS BIGINT) AS fertility_permille,
+        |  CAST(sum(chars) * 1000 // nullif(sum(bpe), 0) AS BIGINT) AS chars_per_bpe_permille
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     // frequency-weighted adjacent char-pair counts over the word table —
     // BPE training's inner statistic rebuilt independently

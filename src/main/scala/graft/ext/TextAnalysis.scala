@@ -669,6 +669,34 @@ object TextAnalysis {
       round(expr("regr_r2(ln(cnt), ln(rank))"), 4).as("zipf_r2"))
   }
 
+  /** Tokenizer fertility per language — the multilingual-tokenizer
+    * coverage diagnostic (the mBERT/XLM-R-style table): a language
+    * whose text fragments into many sub-word tokens per word is
+    * under-served by the vocabulary and its effective context shrinks.
+    * Fertility = BPE-ish tokens per 1000 whitespace words; also chars
+    * per 1000 BPE tokens (compression). Token definitions are the SAME
+    * regex conventions as `token_count_bpe`, so the two surfaces can't
+    * drift. All-integer outputs (floor permille); a language with zero
+    * words yields NULL ratios (never a divide-by-zero), by contract.
+    * ONE partial-aggregated groupBy(lang) — counts reduce map-side,
+    * text never shuffles. */
+  def tokenFertility(docs: DataFrame, langCol: String = "lang",
+                     textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(langCol).as("lang"),
+        tokenCount(t).as("_ws"), bpeTokenCount(t).as("_bpe"),
+        length(t).cast("long").as("_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_ws").as("n_ws_tokens"),
+        sum("_bpe").as("n_bpe_tokens"),
+        sum("_chars").as("n_chars"))
+      .withColumn("fertility_permille",
+        expr("n_bpe_tokens * 1000 DIV nullif(n_ws_tokens, 0)"))
+      .withColumn("chars_per_bpe_permille",
+        expr("n_chars * 1000 DIV nullif(n_bpe_tokens, 0)"))
+  }
+
   /** SPDX tag extractor: the machine-readable license line
     * (`SPDX-License-Identifier: Apache-2.0`). One capture group, no
     * lookaround — identical under Java regex and RE2. */

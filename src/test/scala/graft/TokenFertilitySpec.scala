@@ -1,0 +1,51 @@
+package graft
+
+import graft.ext.TextAnalysis
+
+/** Tokenizer fertility: hand-computed counts, floor permille, the
+  * zero-word NULL contract, and agreement with token_count_bpe's
+  * conventions. */
+class TokenFertilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed fertility over a two-language frame") {
+    val docs = Seq(
+      (1L, "en", "hello world"),          // ws 2, bpe 2, chars 11
+      (2L, "en", "it's a test"),          // ws 3, bpe: it ' s a test = 5, chars 11
+      (3L, "de", "donaudampfschiff")      // ws 1, bpe 1, chars 16
+    ).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.tokenFertility(docs).orderBy("lang").collect()
+    val de = r(0); val en = r(1)
+    assert(en.getAs[Long]("n_ws_tokens") == 5L)
+    assert(en.getAs[Long]("n_bpe_tokens") == 7L)
+    assert(en.getAs[Long]("fertility_permille") == 1400L) // 7000 div 5
+    assert(de.getAs[Long]("fertility_permille") == 1000L)
+    assert(de.getAs[Long]("chars_per_bpe_permille") == 16000L)
+  }
+
+  test("permille is floor division, never rounded") {
+    val docs = Seq((1L, "x", "ab cd ef!")).toDF("doc_id", "lang", "text")
+    // ws 3, bpe 4 (ab, cd, ef, !) → 4000 div 3 = 1333
+    val r = TextAnalysis.tokenFertility(docs).head()
+    assert(r.getAs[Long]("fertility_permille") == 1333L)
+  }
+
+  test("counts agree with the token_count_bpe conventions") {
+    val docs = Seq((1L, "en", "a-b c2d  e")).toDF("doc_id", "lang", "text")
+    val f = TextAnalysis.tokenFertility(docs).head()
+    val direct = docs.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.bpeTokenCount($"text")).head()
+    assert(f.getAs[Long]("n_ws_tokens") == direct.getLong(0))
+    assert(f.getAs[Long]("n_bpe_tokens") == direct.getLong(1))
+  }
+
+  test("a language with zero BPE tokens yields NULL compression, not an error") {
+    // whitespace-only text: trim -> "" -> split yields one empty word
+    // (the documented split('') convention) but ZERO bpe tokens
+    val docs = Seq((1L, "zz", "   ")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.tokenFertility(docs).head()
+    assert(r.getAs[Long]("n_bpe_tokens") == 0L)
+    assert(r.isNullAt(r.fieldIndex("chars_per_bpe_permille")))
+  }
+}
