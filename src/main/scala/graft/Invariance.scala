@@ -1,0 +1,117 @@
+package graft
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Partition-invariance sweep: run every gate query under two deliberately
+  * different partitioning regimes (shuffle partition count, input split
+  * size, AQE advisory size) and compare an order-independent fingerprint
+  * of the two results.
+  *
+  * Why this exists: the DuckDB oracle gate proves each query correct under
+  * ONE partitioning. On a real cluster the partition count is a function
+  * of data volume and executor topology, and task retries / speculative
+  * execution re-run partitions in a different interleaving — so any result
+  * that depends on partition layout (an unstable tie-break under a window,
+  * a per-partition id leaking into output, a float aggregation compared
+  * too tightly) is a latent wrong-answer at scale that no single-config
+  * gate can see. This sweep is the cheap local proxy: if a query's result
+  * set survives a 32→7 shuffle-partition change and a 128 MB→1 MB input
+  * split change bit-identically (floats at the driver-compare's 6 dp), it
+  * has no partition-layout dependence for THIS input; a mismatch is a real
+  * defect to chase.
+  *
+  * Fingerprint = (row count, SUM of per-row xxhash64 as decimal(38,0),
+  * BIT_XOR of per-row hashes). Per-row hash is xxhash64 of the to_json of
+  * the row struct with columns sorted by name and every float rounded to
+  * 6 dp (mirroring tools/check.py::norm), maps converted to sorted entry
+  * arrays (map iteration order is build-order-dependent). Sum+xor+count
+  * together make an order-independent multiset fingerprint; the decimal
+  * sum cannot overflow below ~1e19 rows.
+  */
+object Invariance {
+  /** Canonicalize a column for fingerprinting: floats → round 6 (the
+    * driver-compare tolerance), arrays recurse, structs recurse field-wise,
+    * maps → array_sort(map_entries) so build order cannot leak in. */
+  def canon(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType => round(c.cast(DoubleType), 6)
+    case ArrayType(e, _)        => transform(c, x => canon(x, e))
+    case st: StructType =>
+      struct(st.fields.map(f => canon(c.getField(f.name), f.dataType).as(f.name)): _*)
+    case MapType(k, v, _) =>
+      array_sort(transform(map_entries(c), e =>
+        struct(canon(e.getField("key"), k).as("key"),
+               canon(e.getField("value"), v).as("value"))))
+    case _ => c
+  }
+
+  /** (rows, sum(hash) as decimal38, bit_xor(hash)) — order-independent. */
+  def fingerprint(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
+    val cols = df.schema.fields.sortBy(_.name)
+      .map(f => canon(col(f.name), f.dataType).as(f.name))
+    val row = df.select(xxhash64(to_json(struct(cols: _*))).as("h"))
+    val r = row.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("h").cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0))).as("s"),
+      coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
+    (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1), r.getLong(2))
+  }
+
+  // Two regimes a 100 TB cluster would actually span: coarse (the gate's
+  // defaults) vs fine (7 shuffle partitions, 1 MB input splits → every
+  // parquet file splits into many tasks, AQE coalesces to a small target).
+  private val regimeA = Seq(
+    "spark.sql.shuffle.partitions" -> "32",
+    "spark.sql.files.maxPartitionBytes" -> "134217728",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864")
+  private val regimeB = Seq(
+    "spark.sql.shuffle.partitions" -> "7",
+    "spark.sql.files.maxPartitionBytes" -> "1048576",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "11",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1048576")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.buffer.pageSize", "32m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try shards.TarFixtures.ensure(spark, sfDir) catch { case _: Throwable => }
+    try SparkEntry.queries.get("nbi_snapshot_listing").foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => }
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (k, _) => f(k) })
+    def run(name: String, fn: (SparkSession, String) => DataFrame,
+            regime: Seq[(String, String)]): Either[String, (Long, java.math.BigDecimal, Long)] = {
+      regime.foreach { case (k, v) => spark.conf.set(k, v) }
+      try Right(fingerprint(fn(spark, sfDir)))
+      catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      finally spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    var mismatches = 0
+    var errors = 0
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      (run(name, fn, regimeA), run(name, fn, regimeB)) match {
+        case (Right(a), Right(b)) if a == b => println(s"INV OK        $name rows=${a._1}")
+        case (Right(a), Right(b)) =>
+          mismatches += 1
+          println(s"INV MISMATCH  $name A=(${a._1},${a._2},${a._3}) B=(${b._1},${b._2},${b._3})")
+        case (ea, eb) =>
+          errors += 1
+          println(s"INV ERROR     $name a=${ea.left.toOption.getOrElse("ok")} b=${eb.left.toOption.getOrElse("ok")}")
+      }
+    }
+    println(s"INV SUMMARY queries=${selected.size} mismatches=$mismatches errors=$errors " +
+      (if (mismatches == 0 && errors == 0) "ALL INVARIANT" else "DEFECTS FOUND"))
+    spark.stop()
+    if (mismatches > 0 || errors > 0) sys.exit(1)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The fingerprint under the partition-invariance sweep (graft.Invariance)
+  * must itself be order- and partition-independent, sensitive to value
+  * changes, and apply the driver-compare float tolerance — otherwise the
+  * sweep would report phantom mismatches (or miss real ones).
+  */
+class InvarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint is identical across partition counts and row orders") {
+    val df = (1 to 500).map(i => (i, s"name$i", i * 0.1)).toDF("id", "name", "v")
+    val a = Invariance.fingerprint(df.repartition(1))
+    val b = Invariance.fingerprint(df.repartition(13).sortWithinPartitions(desc("name")))
+    assert(a == b)
+    assert(a._1 == 500L)
+  }
+
+  test("fingerprint detects a single changed value and a dropped row") {
+    val df = (1 to 100).map(i => (i, i * 2L)).toDF("id", "v")
+    val base = Invariance.fingerprint(df)
+    val changed = Invariance.fingerprint(
+      df.withColumn("v", when($"id" === 57, lit(999L)).otherwise($"v")))
+    val dropped = Invariance.fingerprint(df.filter($"id" =!= 57))
+    assert(base != changed)
+    assert(base != dropped)
+    assert(dropped._1 == 99L)
+  }
+
+  test("floats equal at 6 dp fingerprint equal; differing at 6 dp differ") {
+    val a = Seq((1, 1.0000000001), (2, 2.5)).toDF("id", "v")
+    val b = Seq((1, 1.0000000002), (2, 2.5)).toDF("id", "v")
+    val c = Seq((1, 1.0001), (2, 2.5)).toDF("id", "v")
+    assert(Invariance.fingerprint(a) == Invariance.fingerprint(b))
+    assert(Invariance.fingerprint(a) != Invariance.fingerprint(c))
+  }
+
+  test("map columns fingerprint independent of build order; arrays ordered") {
+    val m1 = spark.sql("SELECT 1 AS id, map('a', 1, 'b', 2) AS m")
+    val m2 = spark.sql("SELECT 1 AS id, map('b', 2, 'a', 1) AS m")
+    assert(Invariance.fingerprint(m1) == Invariance.fingerprint(m2))
+    val a1 = spark.sql("SELECT 1 AS id, array(1, 2) AS a")
+    val a2 = spark.sql("SELECT 1 AS id, array(2, 1) AS a")
+    assert(Invariance.fingerprint(a1) != Invariance.fingerprint(a2))
+  }
+
+  test("nested struct with floats canonicalized recursively") {
+    val s1 = spark.sql("SELECT named_struct('x', cast(1.0000000001 AS double), 'y', array(cast(2.0000000001 AS double))) AS s")
+    val s2 = spark.sql("SELECT named_struct('x', cast(1.0000000003 AS double), 'y', array(cast(2.0000000002 AS double))) AS s")
+    assert(Invariance.fingerprint(s1) == Invariance.fingerprint(s2))
+  }
+
+  test("empty result fingerprints cleanly (no null aggregates)") {
+    val df = (1 to 10).map(i => (i, s"x$i")).toDF("id", "v").filter($"id" > 100)
+    val fp = Invariance.fingerprint(df)
+    assert(fp._1 == 0L && fp._2.longValueExact() == 0L && fp._3 == 0L)
+  }
+}
