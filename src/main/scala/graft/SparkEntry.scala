@@ -1091,6 +1091,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // hash-with-args predefined transformer (ais/test/etl_test.go:
+    // 528-560): per-object standard XXH64 with the seed from etl_args;
+    // seed varies per row (mirroring the reference's per-request seed),
+    // and the oracle replays the FULL XXH64 bit arithmetic in SQL
+    "etl_hash_args" -> ((s, d) =>
+      DerivedCatalog.objects(s, d)
+        .where(col("bucket") === "bck2")
+        .select(col("name"), (col("size") % 1000).cast("long").as("seed"),
+          etl.Transforms.hashWithArgs(
+            encode(substring(col("checksum"), 1, 16), "UTF-8"),
+            col("name"), (col("size") % 1000).cast("string"))
+            .cast("string").as("hash_hex"))
+        .orderBy("name")),
+
+    // tar2tf (ais/test/etl_tar2tf_test.go, tools/tetl/etl.go:39): TAR of
+    // WebDataset samples -> TFRecord of tf.Example protos. Input = the
+    // SDK dataset-assembly file listing (multi-feature samples; json
+    // payload is EMPTY for k%11=0 — a zero-length BytesList value on the
+    // wire). example_md5 is BIT-EXACT: the oracle rebuilds the proto
+    // bytes in SQL (varint hex assembly over the closed-form layout) and
+    // md5s the same lowercase hex rendering. Framing CRCs are not
+    // SQL-computable; Tar2TfSpec pins them to the public crc32c test
+    // vector and a golden record.
+    "tar2tf_records" -> ((s, d) =>
+      etl.Tar2Tf.records(tar2tfMembers(s, d))
+        .select(col("shard"), col("sample_key"),
+          col("rec_index").cast("long").as("rec_index"),
+          col("n_features").cast("long").as("n_features"), col("exts"),
+          length(col("example")).cast("long").as("example_len"),
+          length(col("record")).cast("long").as("record_len"),
+          md5(lower(hex(col("example")))).as("example_md5"))
+        .orderBy("shard", "sample_key")),
+
+    // whole-object GET face: one TFRecord stream per shard; head_hex is
+    // the first record's u64le length header — the framing layout check
+    // that IS SQL-computable (CRC words are spec territory)
+    "tar2tf_stream" -> ((s, d) =>
+      etl.Tar2Tf.stream(etl.Tar2Tf.records(tar2tfMembers(s, d)))
+        .select(col("shard"), col("n_records"), col("stream_len"),
+          lower(hex(substring(col("tfrecord"), 1, 8))).as("head_hex"))
+        .orderBy("shard")),
+
     // A5 approx variant: HLL distincts (no oracle - algorithm-specific;
     // accuracy asserted against exact counts in ExtensionsSpec)
     "vocab_stats_approx" -> ((s, d) =>
@@ -2875,6 +2917,17 @@ object SparkEntry {
     img.unionByName(meta)
   }
 
+  /** tar2tf input: the dataset-assembly files as TAR members, sharded by
+    * stem number (a fixed modulo — the placement proxy; the semantics
+    * under test are per-shard sample grouping + proto encoding, not
+    * placement). Mirrored in the `tar2tf_*` oracle CTE `t2t_in`. */
+  private def tar2tfMembers(s: SparkSession, d: String): DataFrame =
+    datasetFiles(s, d).select(
+      format_string("t2t-%02d.tar",
+        regexp_extract(col("stem"), "(\\d+)", 1).cast("int") % 13).as("shard"),
+      col("stem").as("sample_key"), col("ext"),
+      encode(col("payload"), "UTF-8").as("payload"))
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3869,6 +3922,53 @@ object SparkEntry {
       """SELECT doc_id, md5(upper(text) || '!x') AS out_md5,
         |  CAST(length(text) + 2 AS BIGINT) AS out_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "etl_hash_args" -> {
+      val (ctes, last, h) = graft.functions.XxhashSql.stringSql(
+        "payload_str", 16, "seed", from = "hobj")
+      o(
+        s"""SELECT name, seed, lpad(lower(hex($h)), 16, '0') AS hash_hex
+           |FROM $last ORDER BY name""".stripMargin,
+        (Seq(OracleCte.objects,
+          """hobj AS (SELECT name, substr(checksum, 1, 16) AS payload_str,
+            |  CAST(size % 1000 AS BIGINT) AS seed
+            |FROM objects WHERE bucket = 'bck2')""".stripMargin) ++ ctes): _*)
+    },
+
+    "tar2tf_records" -> o(
+      """SELECT shard, sample_key,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sample_key) AS BIGINT) AS rec_index,
+        |  n_features, exts,
+        |  CAST(1 + (CASE WHEN features_len < 128 THEN 1 WHEN features_len < 16384 THEN 2 ELSE 3 END)
+        |       + features_len AS BIGINT) AS example_len,
+        |  CAST(17 + (CASE WHEN features_len < 128 THEN 1 WHEN features_len < 16384 THEN 2 ELSE 3 END)
+        |       + features_len AS BIGINT) AS record_len,
+        |  md5('0a' || (CASE WHEN features_len < 128 THEN lpad(lower(hex(features_len)),2,'0')
+        |       WHEN features_len < 16384 THEN lpad(lower(hex(features_len % 128 + 128)),2,'0')
+        |         || lpad(lower(hex(features_len // 128)),2,'0')
+        |       ELSE lpad(lower(hex(features_len % 128 + 128)),2,'0')
+        |         || lpad(lower(hex((features_len // 128) % 128 + 128)),2,'0')
+        |         || lpad(lower(hex(features_len // 16384)),2,'0') END)
+        |     || features_hex) AS example_md5
+        |FROM t2t_rec ORDER BY shard, sample_key""".stripMargin,
+      OracleCte.dsfiles, OracleCte.t2t),
+
+    "tar2tf_stream" -> o(
+      """SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(17 + (CASE WHEN features_len < 128 THEN 1
+        |                     WHEN features_len < 16384 THEN 2 ELSE 3 END)
+        |           + features_len) AS BIGINT) AS stream_len,
+        |  lpad(lower(hex(CAST(min_el % 256 AS INT))),2,'0')
+        |    || lpad(lower(hex(CAST(min_el // 256 AS INT))),2,'0')
+        |    || '000000000000' AS head_hex
+        |FROM t2t_rec
+        |JOIN (SELECT shard AS s2, 1 + (CASE WHEN features_len < 128 THEN 1
+        |                     WHEN features_len < 16384 THEN 2 ELSE 3 END)
+        |           + features_len AS min_el
+        |      FROM t2t_rec QUALIFY row_number() OVER (PARTITION BY shard ORDER BY sample_key) = 1) f
+        |  ON shard = f.s2
+        |GROUP BY shard, min_el ORDER BY shard""".stripMargin,
+      OracleCte.dsfiles, OracleCte.t2t),
 
     "dedup_exact" -> o(
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -315,6 +315,54 @@ object OracleCte {
       |  FROM part WHERE p_partkey % 7 <> 0
       |)""".stripMargin
 
+  /** tar2tf proto reconstruction — mirrors `graft.etl.Tar2Tf.records`
+    * over `SparkEntry.tar2tfMembers`. Must follow `dsfiles`. Rebuilds the
+    * exact `tf.Example` wire bytes as lowercase hex: every field in the
+    * Example→Features→map-entry→Feature→BytesList chain is tag
+    * `0x0a`/`0x12` + varint(len) + body, so the layout is closed-form in
+    * the (ext, payload) lengths. Varints here are ≤2 bytes (every length
+    * < 16384 for this corpus: payloads ≤ 16 chars); `t2t_rec.features_len`
+    * gets a 3-byte guard case in the consumer queries anyway. */
+  val t2t: String =
+    """t2t_in AS (
+      |  SELECT printf('t2t-%02d.tar', CAST(regexp_extract(stem, '(\d+)', 1) AS INT) % 13) AS shard,
+      |    stem AS sample_key, ext, payload,
+      |    CAST(length(payload) AS INT) AS vl, CAST(length(ext) AS INT) AS kl
+      |  FROM dsfiles
+      |),
+      |t2t_l AS (
+      |  SELECT *, 1 + (CASE WHEN vl < 128 THEN 1 ELSE 2 END) + vl AS bl FROM t2t_in
+      |),
+      |t2t_l2 AS (
+      |  SELECT *, 1 + (CASE WHEN bl < 128 THEN 1 ELSE 2 END) + bl AS fl FROM t2t_l
+      |),
+      |t2t_l3 AS (
+      |  SELECT *, (2 + kl) + 1 + (CASE WHEN fl < 128 THEN 1 ELSE 2 END) + fl AS me FROM t2t_l2
+      |),
+      |t2t_hex AS (
+      |  SELECT shard, sample_key, ext,
+      |    1 + (CASE WHEN me < 128 THEN 1 ELSE 2 END) + me AS entry_len,
+      |    '0a' || (CASE WHEN me < 128 THEN lpad(lower(hex(me)),2,'0')
+      |             ELSE lpad(lower(hex(me % 128 + 128)),2,'0') || lpad(lower(hex(me // 128)),2,'0') END)
+      |    || '0a' || lpad(lower(hex(kl)),2,'0') || lower(hex(encode(ext)))
+      |    || '12' || (CASE WHEN fl < 128 THEN lpad(lower(hex(fl)),2,'0')
+      |             ELSE lpad(lower(hex(fl % 128 + 128)),2,'0') || lpad(lower(hex(fl // 128)),2,'0') END)
+      |    || '0a' || (CASE WHEN bl < 128 THEN lpad(lower(hex(bl)),2,'0')
+      |             ELSE lpad(lower(hex(bl % 128 + 128)),2,'0') || lpad(lower(hex(bl // 128)),2,'0') END)
+      |    || '0a' || (CASE WHEN vl < 128 THEN lpad(lower(hex(vl)),2,'0')
+      |             ELSE lpad(lower(hex(vl % 128 + 128)),2,'0') || lpad(lower(hex(vl // 128)),2,'0') END)
+      |    || lower(hex(encode(payload))) AS entry_hex
+      |  FROM t2t_l3
+      |),
+      |t2t_rec AS (
+      |  SELECT shard, sample_key,
+      |    CAST(count(*) AS BIGINT) AS n_features,
+      |    string_agg(ext, ',' ORDER BY ext) AS exts,
+      |    CAST(sum(entry_len) AS INT) AS features_len,
+      |    string_agg(entry_hex, '' ORDER BY ext) AS features_hex
+      |  FROM t2t_hex GROUP BY 1, 2
+      |)""".stripMargin
+
   /** Compose a WITH clause from the given CTE bodies + a query. */
   def sql(query: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + query

@@ -59,6 +59,16 @@ object Transforms {
   val gzip: Transform = named("gzip")((p, _, _) => GzipCodec.compressUdf(p))
   val gunzip: Transform = named("gunzip")((p, _, _) => GzipCodec.decompressUdf(p))
 
+  /** hash-with-args (`tools/tetl/etl.go:43`, `ais/test/etl_test.go:
+    * 528-560`): payload → `%016x` of the standard XXH64(payload, seed),
+    * seed supplied per request via etl_args — per-ROW here, which is the
+    * general case (one inline GET = one row). Native seeded expression;
+    * the oracle replays the full XXH64 in SQL (XxhashSql.stringSql). */
+  val hashWithArgs: Transform = named("hash_with_args")((p, _, a) =>
+    lpad(org.apache.spark.sql.functions.lower(
+        hex(graft.functions.HashFunctions.xxh64Seeded(p, a.cast("long")))),
+      16, "0").cast("binary"))
+
   def named(n: String)(f: (Column, Column, Column) => Column): Transform = new Transform {
     def name: String = n
     def apply(p: Column, path: Column, args: Column): Column = f(p, path, args)
@@ -67,7 +77,8 @@ object Transforms {
   /** The registry (≅ etl init, `ext/etl/api.go`): init = add, inline/
     * offline look up by name. */
   val registry: Map[String, Transform] =
-    Seq(upper, lower, md5hex, suffix, pathPrefix, identity, gzip, gunzip)
+    Seq(upper, lower, md5hex, suffix, pathPrefix, identity, gzip, gunzip,
+        hashWithArgs)
       .map(t => t.name -> t).toMap
 
   /** U5 — inline ETL on the read path (`?etl_name=&etl_args=`): lazily

@@ -5,10 +5,10 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the minhash hot path (SURVEY §7.6
@@ -301,6 +301,45 @@ object MinhashBands {
   }
 }
 
+/** Standard XXH64 of a byte payload with a PER-ROW seed — the
+  * `hash-with-args` predefined transformer (`tools/tetl/etl.go:43`,
+  * `ais/test/etl_test.go:528-560`: the ETL hashes each object with
+  * `Checksum64S(data, seed)` where the seed arrives as `etl_args`).
+  * Spark's built-in `xxhash64` fixes the seed at plan time (constructor
+  * parameter) and composes multi-child hashes; this takes the seed as an
+  * ordinary child expression and delegates to the same public
+  * `XXH64.hashUnsafeBytes` kernel, so it IS the one-shot standard XXH64
+  * the reference computes. */
+case class XxHash64Seeded(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"xxh64_seeded expects (binary, bigint), got ($l, $r)")
+    }
+
+  override def nullSafeEval(data: Any, seed: Any): Any =
+    XxHash64Seeded.hash(data.asInstanceOf[Array[Byte]], seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, s) =>
+      s"${ev.value} = graft.functions.XxHash64Seeded$$.MODULE$$.hash($d, $s);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object XxHash64Seeded {
+  def hash(data: Array[Byte], seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      data, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, data.length, seed)
+}
+
 object HashFunctions {
   /** array<bigint> of the 4 unsigned 32-bit md5 lanes of `prefix:s`. */
   def md5Lanes(prefix: String, s: Column): Column =
@@ -319,4 +358,9 @@ object HashFunctions {
     * array — shingle → lane-min → band md5 folded into one native pass. */
   def minhashBands(words: Column, numHashes: Int, rowsPerBand: Int): Column =
     GraftShim.column(MinhashBands(GraftShim.expression(words), numHashes, rowsPerBand))
+
+  /** standard XXH64(data, seed) with a per-row seed column. */
+  def xxh64Seeded(data: Column, seed: Column): Column =
+    GraftShim.column(XxHash64Seeded(
+      GraftShim.expression(data), GraftShim.expression(seed)))
 }

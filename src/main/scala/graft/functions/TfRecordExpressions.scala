@@ -1,0 +1,244 @@
+package graft.functions
+
+import java.util.zip.CRC32C
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
+
+/** Native encoders for the tar2tf ETL surface
+  * (`ais/test/etl_tar2tf_test.go`: the reference's tar2tf transformer
+  * converts a TAR of WebDataset-style samples into a TFRecord stream of
+  * `tf.Example` protos, served whole or by byte range).
+  *
+  * Both target formats are public TensorFlow specifications:
+  *
+  *  - `tf.Example` (tensorflow/core/example/{example,feature}.proto):
+  *    `Example{ Features features = 1 }`, `Features{ map<string,Feature>
+  *    feature = 1 }`, `Feature{ BytesList bytes_list = 1 }`,
+  *    `BytesList{ repeated bytes value = 1 }`. Protobuf wire format:
+  *    every field here is tag `(field_num << 3) | 2` (length-delimited)
+  *    followed by a varint length — so a sample whose members become
+  *    single-value bytes features has a closed-form byte layout, which is
+  *    what lets the DuckDB oracle rebuild the exact proto bytes in SQL
+  *    (hex assembly + unhex) and hash-compare md5s (`tar2tf_records`).
+  *
+  *  - TFRecord framing (tensorflow/core/lib/io/record_writer.h): each
+  *    record is `uint64le length, uint32le masked_crc32c(length_bytes),
+  *    data, uint32le masked_crc32c(data)` where
+  *    `masked_crc = rotr15(crc32c(x)) + 0xa282ead8`. CRC32C (Castagnoli)
+  *    comes from `java.util.zip.CRC32C`; the spec pins the framing
+  *    against the standard `crc32c("123456789") = 0xE3069283` vector
+  *    independently of that class.
+  *
+  * Encoding is per-row imperative byte assembly, so it lives in a native
+  * expression (eval + codegen via static call) rather than a UDF,
+  * matching the repo's other expression families.
+  */
+case class TfExampleEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(BinaryType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"tf_example expects (array<string>, array<binary>), got ($l, $r)")
+  }
+
+  override def nullSafeEval(keys: Any, values: Any): Any =
+    TfExampleEncode.encode(keys.asInstanceOf[ArrayData], values.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (k, v) =>
+      s"${ev.value} = graft.functions.TfExampleEncode$$.MODULE$$.encode($k, $v);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TfExampleEncode {
+
+  /** Number of varint bytes for an unsigned value. */
+  def varintLen(n: Long): Int = {
+    var v = n; var c = 1
+    while (v >= 0x80L) { v >>>= 7; c += 1 }
+    c
+  }
+
+  private def putVarint(buf: Array[Byte], at: Int, n: Long): Int = {
+    var v = n; var i = at
+    while (v >= 0x80L) { buf(i) = ((v & 0x7f) | 0x80).toByte; v >>>= 7; i += 1 }
+    buf(i) = v.toByte
+    i + 1
+  }
+
+  /** Length-delimited field: tag byte + varint(len) + body-length. */
+  private def ldLen(bodyLen: Int): Int = 1 + varintLen(bodyLen) + bodyLen
+
+  /** Serialized `tf.Example` with one single-value BytesList feature per
+    * (key(i), value(i)), map entries emitted in array order (callers pass
+    * keys pre-sorted so the bytes are deterministic — protobuf map order
+    * is unspecified on the wire, so any fixed order is valid). */
+  def encode(keys: ArrayData, values: ArrayData): Array[Byte] = {
+    val n = keys.numElements()
+    require(values.numElements() == n,
+      s"tf_example: ${n} keys vs ${values.numElements()} values")
+    val kb = new Array[Array[Byte]](n)
+    val vb = new Array[Array[Byte]](n)
+    val entryLen = new Array[Int](n) // map-entry body length
+    var featuresLen = 0
+    var i = 0
+    while (i < n) {
+      require(!keys.isNullAt(i) && !values.isNullAt(i),
+        s"tf_example: null key/value at index $i")
+      kb(i) = keys.getUTF8String(i).getBytes
+      vb(i) = values.getBinary(i)
+      val bytesListLen = ldLen(vb(i).length)  // BytesList.value (field 1)
+      val featureLen = ldLen(bytesListLen)    // Feature.bytes_list (field 1)
+      entryLen(i) = ldLen(kb(i).length) +     // MapEntry.key (field 1)
+        ldLen(featureLen)                     // MapEntry.value (field 2)
+      featuresLen += ldLen(entryLen(i))       // Features.feature (field 1)
+      i += 1
+    }
+    val out = new Array[Byte](ldLen(featuresLen)) // Example.features (field 1)
+    var p = 0
+    out(p) = 0x0a; p = putVarint(out, p + 1, featuresLen)
+    i = 0
+    while (i < n) {
+      out(p) = 0x0a; p = putVarint(out, p + 1, entryLen(i))
+      out(p) = 0x0a; p = putVarint(out, p + 1, kb(i).length)
+      System.arraycopy(kb(i), 0, out, p, kb(i).length); p += kb(i).length
+      val bytesListLen = ldLen(vb(i).length)
+      out(p) = 0x12; p = putVarint(out, p + 1, ldLen(bytesListLen))
+      out(p) = 0x0a; p = putVarint(out, p + 1, bytesListLen)
+      out(p) = 0x0a; p = putVarint(out, p + 1, vb(i).length)
+      System.arraycopy(vb(i), 0, out, p, vb(i).length); p += vb(i).length
+      i += 1
+    }
+    assert(p == out.length, s"tf_example: wrote $p of ${out.length}")
+    out
+  }
+}
+
+/** TFRecord framing of one serialized record. */
+case class TfRecordFrame(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tfrecord_frame expects binary input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TfRecordFrame.frame(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TfRecordFrame$$.MODULE$$.frame($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TfRecordFrame {
+
+  /** TensorFlow's CRC mask: rotate right 15, add the masking constant. */
+  def maskedCrc32c(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new CRC32C
+    c.update(bytes, off, len)
+    val crc = c.getValue.toInt // CRC32C is 32-bit; low word of getValue
+    Integer.rotateRight(crc, 15) + 0xa282ead8
+  }
+
+  private def putIntLe(buf: Array[Byte], at: Int, v: Int): Unit = {
+    buf(at) = v.toByte
+    buf(at + 1) = (v >>> 8).toByte
+    buf(at + 2) = (v >>> 16).toByte
+    buf(at + 3) = (v >>> 24).toByte
+  }
+
+  /** `len u64le | masked_crc(len) u32le | data | masked_crc(data) u32le`. */
+  def frame(data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](data.length + 16)
+    val n = data.length.toLong
+    var i = 0
+    while (i < 8) { out(i) = ((n >>> (8 * i)) & 0xff).toByte; i += 1 }
+    putIntLe(out, 8, maskedCrc32c(out, 0, 8))
+    System.arraycopy(data, 0, out, 12, data.length)
+    putIntLe(out, 12 + data.length, maskedCrc32c(data, 0, data.length))
+    out
+  }
+}
+
+/** Single-allocation ordered concatenation of an `array<binary>` — the
+  * per-shard TFRecord stream assembly. The Column alternative
+  * (`aggregate(arr, X'', concat)`) copies the accumulator on every step:
+  * O(total²) bytes for a shard's worth of records. This is one length
+  * pass + one copy pass. */
+case class ConcatBinaryArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(BinaryType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"concat_binary expects array<binary>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ConcatBinaryArray.concatAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ConcatBinaryArray$$.MODULE$$.concatAll($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ConcatBinaryArray {
+  def concatAll(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      require(!arr.isNullAt(i), s"concat_binary: null element at $i")
+      total += arr.getBinary(i).length
+      i += 1
+    }
+    require(total <= Int.MaxValue - 16, s"concat_binary: $total bytes exceed one row")
+    val out = new Array[Byte](total.toInt)
+    var p = 0
+    i = 0
+    while (i < n) {
+      val b = arr.getBinary(i)
+      System.arraycopy(b, 0, out, p, b.length)
+      p += b.length
+      i += 1
+    }
+    out
+  }
+}
+
+object TfRecordFunctions {
+  /** Serialized tf.Example: one bytes feature per (key, value) pair. */
+  def tfExample(keys: Column, values: Column): Column =
+    GraftShim.column(TfExampleEncode(
+      GraftShim.expression(keys), GraftShim.expression(values)))
+
+  /** TFRecord framing (length + masked-crc32c header/footer). */
+  def tfRecordFrame(payload: Column): Column =
+    GraftShim.column(TfRecordFrame(GraftShim.expression(payload)))
+
+  /** Ordered single-allocation concat of array<binary>. */
+  def concatBinary(parts: Column): Column =
+    GraftShim.column(ConcatBinaryArray(GraftShim.expression(parts)))
+}

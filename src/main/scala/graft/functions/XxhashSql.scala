@@ -72,22 +72,25 @@ object XxhashSql {
     u64(r * P1)
   }
 
-  /** Chained-CTE SQL computing
-    * `xxhash64(stringCol, CAST(longVal AS BIGINT))` with Spark's default
-    * initial seed 42, for a string column of EXACTLY `len` ASCII bytes.
-    *
-    * @param from the relation (CTE name) holding `stringCol`
-    * @return (cteList, lastCteName, finalAlias) — append `cteList` to the
-    *         WITH clause after `from`'s definition and read
-    *         `finalAlias` from `lastCteName` as the signed BIGINT hash. */
-  def stringThenLongSql(stringCol: String, len: Int, longVal: Long, from: String,
-                        aliasPrefix: String = "_xx"): (Seq[String], String, String) = {
+  /** Chained-CTE SQL computing the standard `XXH64(stringCol, seed)` for
+    * a string column of EXACTLY `len` ASCII bytes, where `seed` is an
+    * arbitrary non-negative SQL expression over `from`'s columns (the
+    * `hash-with-args` transformer passes the seed per request as
+    * `etl_args`). Returns the UNSIGNED HUGEINT alias. */
+  def stringSql(stringCol: String, len: Int, seedExpr: String, from: String,
+                aliasPrefix: String = "_xx"): (Seq[String], String, String) = {
+    val g = genString(stringCol, len, seedExpr, from, aliasPrefix)
+    (g._1.ctes.toSeq, g._1.lastTable, g._2)
+  }
+
+  private def genString(stringCol: String, len: Int, seedExpr: String, from: String,
+                        aliasPrefix: String): (Gen, String) = {
     require(len > 0 && len < 32, s"stripe-free XXH64 transcription needs 0 < len < 32: $len")
     val g = new Gen(aliasPrefix, from)
     def byte(i: Int): String = // 1-based position, ASCII only
       s"CAST(ascii(substr($stringCol, ${i + 1}, 1)) AS HUGEINT)"
-    // ---- hashUnsafeBytes(stringCol, seed=42) ----
-    var h = g.step(s"CAST(${u64(BigInt(42) + P5 + len)} AS HUGEINT)")
+    // ---- hashUnsafeBytes(stringCol, seed) ----
+    var h = g.step(s"CAST(((CAST($seedExpr AS HUGEINT) + ${u64(P5 + BigInt(len))}) % $M) AS HUGEINT)")
     var off = 0
     while (off + 8 <= len) {
       val terms = (0 until 8).map(j =>
@@ -112,6 +115,20 @@ object XxhashSql {
       off += 1
     }
     h = fmix(g, h)
+    (g, h)
+  }
+
+  /** Chained-CTE SQL computing
+    * `xxhash64(stringCol, CAST(longVal AS BIGINT))` with Spark's default
+    * initial seed 42, for a string column of EXACTLY `len` ASCII bytes.
+    *
+    * @param from the relation (CTE name) holding `stringCol`
+    * @return (cteList, lastCteName, finalAlias) — append `cteList` to the
+    *         WITH clause after `from`'s definition and read
+    *         `finalAlias` from `lastCteName` as the signed BIGINT hash. */
+  def stringThenLongSql(stringCol: String, len: Int, longVal: Long, from: String,
+                        aliasPrefix: String = "_xx"): (Seq[String], String, String) = {
+    val (g, h) = genString(stringCol, len, "42", from, aliasPrefix)
     // ---- hashLong(longVal, seed=h) ----
     var lh = g.addC(h, P5 + 8)
     lh = g.xor(lh, g.step(s"CAST(${longRoundConst(longVal)} AS HUGEINT)"))

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, XxHash64Seeded}
+
+/** hash-with-args transformer (`tools/tetl/etl.go:43`): the seeded XXH64
+  * must be the STANDARD algorithm (the reference hashes with
+  * `onexxh.Checksum64S(data, seed)`), pinned here against the public
+  * empty-input vector and against Spark's built-in `xxhash64` (whose
+  * binary path is the same standard XXH64 at its fixed seed 42).
+  */
+class HashWithArgsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("public vector: XXH64(\"\", 0) = 0xEF46DB3751D8E999") {
+    assert(graft.functions.XxHash64Seeded.hash(Array.empty[Byte], 0L) ==
+      0xef46db3751d8e999L)
+  }
+
+  test("seed 42 agrees with Spark's built-in xxhash64 over binary") {
+    val df = (1 to 300)
+      .map(i => ("x" * (i % 37) + i.toString).getBytes("UTF-8"))
+      .toDF("payload")
+    val diff = df.select(
+        HashFunctions.xxh64Seeded(col("payload"), lit(42L)).as("a"),
+        xxhash64(col("payload")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+  }
+
+  test("distinct seeds give distinct hashes; transform formats %016x") {
+    val df = Seq(("payload-bytes", 7L, 991L)).toDF("s", "seed1", "seed2")
+      .select(encode(col("s"), "UTF-8").as("p"), col("seed1"), col("seed2"))
+    val r = df.select(
+      HashFunctions.xxh64Seeded(col("p"), col("seed1")).as("h1"),
+      HashFunctions.xxh64Seeded(col("p"), col("seed2")).as("h2"),
+      etl.Transforms.hashWithArgs(col("p"), lit("obj"), col("seed1").cast("string"))
+        .cast("string").as("hex")).head()
+    assert(r.getAs[Long]("h1") != r.getAs[Long]("h2"))
+    val hx = r.getAs[String]("hex")
+    assert(hx.length == 16 && hx == hx.toLowerCase)
+    assert(java.lang.Long.parseUnsignedLong(hx, 16) == r.getAs[Long]("h1"))
+  }
+}

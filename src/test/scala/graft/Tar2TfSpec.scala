@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TfExampleEncode, TfRecordFrame}
+
+/** tar2tf byte-level contract (ais/test/etl_tar2tf_test.go): the parts
+  * the DuckDB oracle cannot reach — CRC32C framing words and the
+  * decode-back semantics — pinned here against public constants and an
+  * INDEPENDENT minimal parser (separate code path from the encoder: it
+  * reads tags/varints; the encoder writes precomputed layouts).
+  */
+class Tar2TfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- independent minimal tf.Example / TFRecord parser ----------------
+
+  private class Reader(b: Array[Byte], var p: Int) {
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while ({ val x = b(p) & 0xff; p += 1; v |= (x & 0x7fL) << shift; shift += 7; (x & 0x80) != 0 }) ()
+      v
+    }
+    def bytes(n: Int): Array[Byte] = { val r = b.slice(p, p + n); p += n; r }
+    def u32le(): Long = {
+      val v = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      p += 4; v
+    }
+    def u64le(): Long = { var v = 0L; var i = 0; while (i < 8) { v |= (b(p + i) & 0xffL) << (8 * i); i += 1 }; p += 8; v }
+  }
+
+  /** Parse a serialized tf.Example into key -> first BytesList value. */
+  private def parseExample(bytes: Array[Byte]): Map[String, Seq[Byte]] = {
+    val r = new Reader(bytes, 0)
+    assert(r.varint() == 0x0a, "Example.features tag")
+    val featuresEnd = { val l = r.varint().toInt; r.p + l }
+    var out = Map.empty[String, Seq[Byte]]
+    while (r.p < featuresEnd) {
+      assert(r.varint() == 0x0a, "Features.feature map-entry tag")
+      val entryEnd = { val l = r.varint().toInt; r.p + l }
+      var key: String = null
+      var value: Seq[Byte] = null
+      while (r.p < entryEnd) {
+        r.varint() match {
+          case 0x0a => key = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case 0x12 => // Feature
+            val fEnd = { val l = r.varint().toInt; r.p + l }
+            assert(r.varint() == 0x0a, "Feature.bytes_list tag")
+            val blEnd = { val l = r.varint().toInt; r.p + l }
+            while (r.p < blEnd) {
+              assert(r.varint() == 0x0a, "BytesList.value tag")
+              value = r.bytes(r.varint().toInt).toSeq
+            }
+            assert(r.p == fEnd)
+          case t => fail(s"unexpected map-entry tag $t")
+        }
+      }
+      out += key -> value
+    }
+    assert(r.p == bytes.length, "trailing bytes after Features")
+    out
+  }
+
+  /** Parse a TFRecord stream into record payloads, checking both CRCs
+    * by recomputation. */
+  private def parseStream(blob: Array[Byte]): Seq[Array[Byte]] = {
+    val r = new Reader(blob, 0)
+    val recs = Seq.newBuilder[Array[Byte]]
+    while (r.p < blob.length) {
+      val start = r.p
+      val len = r.u64le()
+      val lenCrc = r.u32le()
+      assert((TfRecordFrame.maskedCrc32c(blob, start, 8) & 0xffffffffL) == lenCrc,
+        "length crc")
+      val data = r.bytes(len.toInt)
+      val dataCrc = r.u32le()
+      assert((TfRecordFrame.maskedCrc32c(data, 0, data.length) & 0xffffffffL) == dataCrc,
+        "data crc")
+      recs += data
+    }
+    recs.result()
+  }
+
+  // ---- golden bytes -----------------------------------------------------
+
+  test("tf.Example golden: features {cls -> '7'} byte-for-byte") {
+    val df = Seq(("x", Seq("cls"), Seq(Array('7'.toByte)))).toDF("id", "ks", "vs")
+      .select(graft.functions.TfRecordFunctions.tfExample(col("ks"), col("vs")).as("e"))
+    val got = df.head().getAs[Array[Byte]]("e")
+    // Example{features(1){ entry{ key(1)="cls", value(2)=Feature{
+    //   bytes_list(1)=BytesList{ value(1)="7" }}}}}
+    val want = Array[Int](
+      0x0a, 0x0e,                   // Example.features, len 14
+      0x0a, 0x0c,                   // map entry, len 12
+      0x0a, 0x03, 'c', 'l', 's',    // key "cls"
+      0x12, 0x05,                   // Feature, len 5
+      0x0a, 0x03,                   // bytes_list, len 3
+      0x0a, 0x01, '7'               // value "7"
+    ).map(_.toByte)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("TFRecord framing: masked CRC32C matches the public crc32c vector") {
+    // crc32c("123456789") = 0xE3069283 (Castagnoli check value, RFC 3720
+    // appendix). mask(c) = rotr(c, 15) + 0xa282ead8 — computed here from
+    // the constant, NOT via java.util.zip.CRC32C, so a wrong polynomial
+    // or a zlib-CRC32 mixup in the implementation fails this test.
+    val data = "123456789".getBytes("US-ASCII")
+    val framed = TfRecordFrame.frame(data)
+    assert(framed.length == data.length + 16)
+    // u64le length header
+    assert(framed.take(8).toSeq == Seq[Byte](9, 0, 0, 0, 0, 0, 0, 0))
+    // payload in place
+    assert(framed.slice(12, 12 + 9).toSeq == data.toSeq)
+    val expectedMasked = (Integer.rotateRight(0xe3069283, 15) + 0xa282ead8) & 0xffffffffL
+    val gotMasked = {
+      val o = 12 + 9
+      (framed(o) & 0xffL) | ((framed(o + 1) & 0xffL) << 8) |
+        ((framed(o + 2) & 0xffL) << 16) | ((framed(o + 3) & 0xffL) << 24)
+    }
+    assert(gotMasked == expectedMasked)
+  }
+
+  // ---- round trip over a real corpus -------------------------------------
+
+  test("stream round-trips through the independent parser") {
+    // multi-feature samples, a zero-length payload, and a >127-byte
+    // payload (2-byte varint path) in one corpus
+    val members = Seq(
+      ("s.tar", "a", "cls", "3".getBytes("UTF-8")),
+      ("s.tar", "a", "jpg", Array.fill(200)('x'.toByte)),
+      ("s.tar", "a", "json", Array.empty[Byte]),
+      ("s.tar", "b", "jpg", "bee".getBytes("UTF-8")),
+      ("t.tar", "c", "cls", "9".getBytes("UTF-8"))
+    ).toDF("shard", "sample_key", "ext", "payload")
+    val recs = etl.Tar2Tf.records(members)
+    val streams = etl.Tar2Tf.stream(recs).collect()
+      .map(r => r.getAs[String]("shard") -> r.getAs[Array[Byte]]("tfrecord")).toMap
+
+    val sParsed = parseStream(streams("s.tar")).map(parseExample)
+    assert(sParsed.size == 2)
+    // record order = sorted sample_key (the canonical tar member order)
+    assert(sParsed(0).keySet == Set("cls", "jpg", "json"))
+    assert(sParsed(0)("cls") == "3".getBytes("UTF-8").toSeq)
+    assert(sParsed(0)("jpg").length == 200)
+    assert(sParsed(0)("json").isEmpty)
+    assert(sParsed(1) == Map("jpg" -> "bee".getBytes("UTF-8").toSeq))
+    val tParsed = parseStream(streams("t.tar")).map(parseExample)
+    assert(tParsed == Seq(Map("cls" -> "9".getBytes("UTF-8").toSeq)))
+
+    // stream byte-slicing (TestETLTar2TFRanges): records parse back from
+    // the framed boundaries — prefix sums of record_len index the stream
+    val recRows = recs.where($"shard" === "s.tar").orderBy("rec_index")
+      .select(length($"record").cast("long")).as[Long].collect()
+    assert(recRows.sum == streams("s.tar").length)
+    val secondRecord = streams("s.tar").slice(recRows(0).toInt, streams("s.tar").length)
+    assert(parseStream(secondRecord).map(parseExample) == Seq(sParsed(1)))
+  }
+
+  test("encoder rejects ragged and null inputs") {
+    val ragged = intercept[Exception] {
+      Seq(1).toDF("i").select(graft.functions.TfRecordFunctions.tfExample(
+        array(lit("a"), lit("b")), array(lit(Array[Byte](1)))).as("e")).head()
+    }
+    assert(ragged.getMessage.contains("keys") || ragged.getCause != null)
+  }
+}
