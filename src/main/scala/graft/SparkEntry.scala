@@ -1133,6 +1133,23 @@ object SparkEntry {
           lower(hex(substring(col("tfrecord"), 1, 8))).as("head_hex"))
         .orderBy("shard")),
 
+    // tar2tf-filters (tools/tetl/etl.go:46-58): selections [png, cls]
+    // (json dropped, feature order = selection order) after conversions
+    // Decode→Rotate on png — REAL ImageIO grayscale PNG decode + 90°-CW
+    // raster rotation, both native expressions. The oracle replays the
+    // rotated pixels closed-form from the gradient-fixture formula, so
+    // example_md5 proves codec round-trip + rotation + selection order +
+    // proto bytes in one hash.
+    "tar2tf_filters" -> ((s, d) =>
+      etl.Tar2Tf.recordsFiltered(tar2tfFilterMembers(s, d),
+          selections = Seq("png", "cls"), decodeRotateExt = Some("png"))
+        .select(col("shard"), col("sample_key"),
+          col("rec_index").cast("long").as("rec_index"),
+          col("n_features").cast("long").as("n_features"), col("exts"),
+          length(col("example")).cast("long").as("example_len"),
+          md5(lower(hex(col("example")))).as("example_md5"))
+        .orderBy("shard", "sample_key")),
+
     // A5 approx variant: HLL distincts (no oracle - algorithm-specific;
     // accuracy asserted against exact counts in ExtensionsSpec)
     "vocab_stats_approx" -> ((s, d) =>
@@ -2928,6 +2945,28 @@ object SparkEntry {
       col("stem").as("sample_key"), col("ext"),
       encode(col("payload"), "UTF-8").as("payload"))
 
+  /** tar2tf-filters input corpus: real grayscale-gradient PNGs + cls
+    * labels + a json member the selection must drop. Mirrored in
+    * [[OracleCte.t2tf]] (the png payload in CLOSED FORM from the pixel
+    * formula — the PNG codec round-trip is what the Spark side adds). */
+  private def tar2tfFilterMembers(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.load(s, d, "part").select(
+      format_string("t2tf-%02d.tar", (col("p_partkey") % 11).cast("int")).as("shard"),
+      concat(lit("sample-"), functions.Fmt.pad0(col("p_partkey"), 8)).as("sample_key"),
+      (col("p_partkey") % 97).cast("long").as("a"),
+      (col("p_partkey") % 5 + 8).cast("int").as("w"),
+      (col("p_partkey") % 4 + 6).cast("int").as("h"),
+      (col("p_partkey") % 10).cast("string").as("cls"))
+    val png = ext.Multimodal.encodePngGradientFixture(base)
+      .select(col("shard"), col("sample_key"), lit("png").as("ext"), col("payload"))
+    val cls = base.select(col("shard"), col("sample_key"), lit("cls").as("ext"),
+      encode(col("cls"), "UTF-8").as("payload"))
+    val json = base.where(col("a") % 3 === 0)
+      .select(col("shard"), col("sample_key"), lit("json").as("ext"),
+        encode(lit("{\"drop\":1}"), "UTF-8").as("payload"))
+    png.unionByName(cls).unionByName(json)
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3952,6 +3991,22 @@ object SparkEntry {
         |     || features_hex) AS example_md5
         |FROM t2t_rec ORDER BY shard, sample_key""".stripMargin,
       OracleCte.dsfiles, OracleCte.t2t),
+
+    "tar2tf_filters" -> o(
+      """SELECT shard, sample_key,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sample_key) AS BIGINT) AS rec_index,
+        |  n_features, exts,
+        |  CAST(1 + (CASE WHEN features_len < 128 THEN 1 WHEN features_len < 16384 THEN 2 ELSE 3 END)
+        |       + features_len AS BIGINT) AS example_len,
+        |  md5('0a' || (CASE WHEN features_len < 128 THEN lpad(lower(hex(features_len)),2,'0')
+        |       WHEN features_len < 16384 THEN lpad(lower(hex(features_len % 128 + 128)),2,'0')
+        |         || lpad(lower(hex(features_len // 128)),2,'0')
+        |       ELSE lpad(lower(hex(features_len % 128 + 128)),2,'0')
+        |         || lpad(lower(hex((features_len // 128) % 128 + 128)),2,'0')
+        |         || lpad(lower(hex(features_len // 16384)),2,'0') END)
+        |     || features_hex) AS example_md5
+        |FROM t2tf_rec ORDER BY shard, sample_key""".stripMargin,
+      OracleCte.t2tf),
 
     "tar2tf_stream" -> o(
       """SELECT shard, CAST(count(*) AS BIGINT) AS n_records,

@@ -323,45 +323,101 @@ object OracleCte {
     * the (ext, payload) lengths. Varints here are ≤2 bytes (every length
     * < 16384 for this corpus: payloads ≤ 16 chars); `t2t_rec.features_len`
     * gets a 3-byte guard case in the consumer queries anyway. */
+  /** 1-or-2-byte varint as lowercase hex (every length this corpus
+    * produces is < 16384; `features_len` gets a 3-byte guard case in the
+    * consumer queries). */
+  private def vhex(n: String): String =
+    s"(CASE WHEN $n < 128 THEN lpad(lower(hex($n)),2,'0') " +
+      s"ELSE lpad(lower(hex($n % 128 + 128)),2,'0') || lpad(lower(hex($n // 128)),2,'0') END)"
+
+  /** Generic tf.Example hex-assembly chain over a relation
+    * `ent(shard, sample_key, sel, ext, kl, vl, val_hex)` — every field in
+    * the Example→Features→map-entry→Feature→BytesList chain is tag
+    * `0x0a`/`0x12` + varint(len) + body, so the wire bytes are
+    * closed-form in the lengths. Features emit in `sel` order. Produces
+    * CTEs ending in `<p>_rec(shard, sample_key, n_features, exts,
+    * features_len, features_hex)`. */
+  def tfExampleAsm(ent: String, p: String): String =
+    s"""${p}_l AS (
+       |  SELECT *, 1 + (CASE WHEN vl < 128 THEN 1 ELSE 2 END) + vl AS bl FROM $ent
+       |),
+       |${p}_l2 AS (
+       |  SELECT *, 1 + (CASE WHEN bl < 128 THEN 1 ELSE 2 END) + bl AS fl FROM ${p}_l
+       |),
+       |${p}_l3 AS (
+       |  SELECT *, (2 + kl) + 1 + (CASE WHEN fl < 128 THEN 1 ELSE 2 END) + fl AS me FROM ${p}_l2
+       |),
+       |${p}_hex AS (
+       |  SELECT shard, sample_key, sel, ext,
+       |    1 + (CASE WHEN me < 128 THEN 1 ELSE 2 END) + me AS entry_len,
+       |    '0a' || ${vhex("me")}
+       |    || '0a' || lpad(lower(hex(kl)),2,'0') || lower(hex(encode(ext)))
+       |    || '12' || ${vhex("fl")}
+       |    || '0a' || ${vhex("bl")}
+       |    || '0a' || ${vhex("vl")}
+       |    || val_hex AS entry_hex
+       |  FROM ${p}_l3
+       |),
+       |${p}_rec AS (
+       |  SELECT shard, sample_key,
+       |    CAST(count(*) AS BIGINT) AS n_features,
+       |    string_agg(ext, ',' ORDER BY sel) AS exts,
+       |    CAST(sum(entry_len) AS INT) AS features_len,
+       |    string_agg(entry_hex, '' ORDER BY sel) AS features_hex
+       |  FROM ${p}_hex GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** tar2tf proto reconstruction — mirrors `graft.etl.Tar2Tf.records`
+    * over `SparkEntry.tar2tfMembers` (feature order = sorted ext, so
+    * `sel` = `ext`). Must follow `dsfiles`. */
   val t2t: String =
-    """t2t_in AS (
+    """t2t_ent AS (
       |  SELECT printf('t2t-%02d.tar', CAST(regexp_extract(stem, '(\d+)', 1) AS INT) % 13) AS shard,
-      |    stem AS sample_key, ext, payload,
-      |    CAST(length(payload) AS INT) AS vl, CAST(length(ext) AS INT) AS kl
+      |    stem AS sample_key, ext AS sel, ext,
+      |    CAST(length(ext) AS INT) AS kl, CAST(length(payload) AS INT) AS vl,
+      |    lower(hex(encode(payload))) AS val_hex
       |  FROM dsfiles
+      |)""".stripMargin + ",\n" + tfExampleAsm("t2t_ent", "t2t")
+
+  /** tar2tf-filters reconstruction — mirrors
+    * `graft.etl.Tar2Tf.recordsFiltered(selections = png,cls,
+    * decodeRotateExt = png)` over `SparkEntry.tar2tfFilterMembers`: the
+    * png feature is the 90°-CW-rotated grayscale raster, replayed in
+    * CLOSED FORM from the gradient-fixture pixel formula
+    * `g(x,y) = (a + 3x + 5y + (x·y)%7) % 256`; rotated output index i
+    * (h wide, w tall) reads source (x = i·div·h, y = h-1-i%h). The json
+    * member is never generated here — the selection dropped it. */
+  val t2tf: String =
+    """t2tf_base AS (
+      |  SELECT printf('t2tf-%02d.tar', CAST(p_partkey % 11 AS INT)) AS shard,
+      |    printf('sample-%08d', p_partkey) AS sample_key,
+      |    CAST(p_partkey % 97 AS BIGINT) AS a,
+      |    CAST(p_partkey % 5 + 8 AS INT) AS w,
+      |    CAST(p_partkey % 4 + 6 AS INT) AS h,
+      |    CAST(p_partkey % 10 AS VARCHAR) AS cls
+      |  FROM part
       |),
-      |t2t_l AS (
-      |  SELECT *, 1 + (CASE WHEN vl < 128 THEN 1 ELSE 2 END) + vl AS bl FROM t2t_in
+      |t2tf_png AS (
+      |  SELECT shard, sample_key, 0 AS sel, 'png' AS ext,
+      |    CAST(3 AS INT) AS kl, CAST(w * h AS INT) AS vl,
+      |    string_agg(lpad(lower(hex(g)),2,'0'), '' ORDER BY i) AS val_hex
+      |  FROM (
+      |    SELECT *,
+      |      CAST((a + 3*(i // h) + 5*(h - 1 - (i % h))
+      |            + ((i // h) * (h - 1 - (i % h))) % 7) % 256 AS INT) AS g
+      |    FROM (SELECT b.*, unnest(generate_series(0, w*h - 1)) AS i
+      |          FROM t2tf_base b)
+      |  ) GROUP BY 1, 2, 3, 4, 5, 6
       |),
-      |t2t_l2 AS (
-      |  SELECT *, 1 + (CASE WHEN bl < 128 THEN 1 ELSE 2 END) + bl AS fl FROM t2t_l
+      |t2tf_cls AS (
+      |  SELECT shard, sample_key, 1 AS sel, 'cls' AS ext,
+      |    CAST(3 AS INT) AS kl, CAST(length(cls) AS INT) AS vl,
+      |    lower(hex(encode(cls))) AS val_hex
+      |  FROM t2tf_base
       |),
-      |t2t_l3 AS (
-      |  SELECT *, (2 + kl) + 1 + (CASE WHEN fl < 128 THEN 1 ELSE 2 END) + fl AS me FROM t2t_l2
-      |),
-      |t2t_hex AS (
-      |  SELECT shard, sample_key, ext,
-      |    1 + (CASE WHEN me < 128 THEN 1 ELSE 2 END) + me AS entry_len,
-      |    '0a' || (CASE WHEN me < 128 THEN lpad(lower(hex(me)),2,'0')
-      |             ELSE lpad(lower(hex(me % 128 + 128)),2,'0') || lpad(lower(hex(me // 128)),2,'0') END)
-      |    || '0a' || lpad(lower(hex(kl)),2,'0') || lower(hex(encode(ext)))
-      |    || '12' || (CASE WHEN fl < 128 THEN lpad(lower(hex(fl)),2,'0')
-      |             ELSE lpad(lower(hex(fl % 128 + 128)),2,'0') || lpad(lower(hex(fl // 128)),2,'0') END)
-      |    || '0a' || (CASE WHEN bl < 128 THEN lpad(lower(hex(bl)),2,'0')
-      |             ELSE lpad(lower(hex(bl % 128 + 128)),2,'0') || lpad(lower(hex(bl // 128)),2,'0') END)
-      |    || '0a' || (CASE WHEN vl < 128 THEN lpad(lower(hex(vl)),2,'0')
-      |             ELSE lpad(lower(hex(vl % 128 + 128)),2,'0') || lpad(lower(hex(vl // 128)),2,'0') END)
-      |    || lower(hex(encode(payload))) AS entry_hex
-      |  FROM t2t_l3
-      |),
-      |t2t_rec AS (
-      |  SELECT shard, sample_key,
-      |    CAST(count(*) AS BIGINT) AS n_features,
-      |    string_agg(ext, ',' ORDER BY ext) AS exts,
-      |    CAST(sum(entry_len) AS INT) AS features_len,
-      |    string_agg(entry_hex, '' ORDER BY ext) AS features_hex
-      |  FROM t2t_hex GROUP BY 1, 2
-      |)""".stripMargin
+      |t2tf_ent AS (
+      |  SELECT * FROM t2tf_png UNION ALL SELECT * FROM t2tf_cls
+      |)""".stripMargin + ",\n" + tfExampleAsm("t2tf_ent", "t2tf")
 
   /** Compose a WITH clause from the given CTE bodies + a query. */
   def sql(query: String, ctes: String*): String =

@@ -59,6 +59,53 @@ object Tar2Tf {
       .withColumn("record", tfRecordFrame(col("example")))
   }
 
+  /** tar2tf-filters (`tools/tetl/etl.go:46-58`): the transformer's spec
+    * json selects which member extensions become features
+    * (`"selections"`, feature order = selection order) and applies
+    * per-extension conversions first (`"conversions"`: Decode then
+    * Rotate on `ext_name`). Here Decode is a REAL pure-JDK grayscale PNG
+    * decode ([[graft.functions.PngDecodeGray]]) and Rotate the 90°-CW
+    * raster rotation — both native expressions, so the converted pixels
+    * never leave Tungsten rows. Samples with no selected member are
+    * dropped (they would encode as empty Examples — nothing selected
+    * them). */
+  def recordsFiltered(members: DataFrame, selections: Seq[String],
+                      decodeRotateExt: Option[String] = None): DataFrame = {
+    import graft.functions.ImageFunctions._
+    require(selections.nonEmpty, "tar2tf-filters: empty selection list")
+    val selIdx = selections.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (e, i)) =>
+        when(col("ext") === e, lit(i)).otherwise(acc) }
+    val sel = members
+      .where(col("ext").isin(selections: _*))
+      .withColumn("_sel", selIdx)
+    val converted = decodeRotateExt.fold(sel) { e =>
+      sel
+        .withColumn("_dec",
+          when(col("ext") === e, pngDecodeGray(col("payload"))))
+        .withColumn("payload",
+          when(col("ext") === e,
+            rotateGray90(col("_dec.pixels"), col("_dec.width"), col("_dec.height")))
+            .otherwise(col("payload")))
+        .drop("_dec")
+    }
+    converted
+      .groupBy(col("shard"), col("sample_key"))
+      .agg(sort_array(collect_list(
+        struct(col("_sel"), col("ext"), col("payload")))).as("fs"))
+      .select(
+        col("shard"), col("sample_key"),
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("sample_key")))
+          .as("rec_index"),
+        size(col("fs")).as("n_features"),
+        array_join(transform(col("fs"), f => f.getField("ext")), ",").as("exts"),
+        tfExample(
+          transform(col("fs"), f => f.getField("ext")),
+          transform(col("fs"), f => f.getField("payload"))).as("example"))
+      .withColumn("record", tfRecordFrame(col("example")))
+  }
+
   /** One row per shard: the complete TFRecord stream (every framed record
     * concatenated in `rec_index` order) — what a whole-object GET through
     * the transformer returns. Single-allocation assembly via the native

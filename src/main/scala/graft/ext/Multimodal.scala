@@ -109,6 +109,45 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Deterministic REAL-PNG grayscale gradient fixture: expects columns
+    * (`a`: long; `w`, `h`: int); replaces nothing, ADDS `payload` = an
+    * actual 8-bit-grayscale PNG (TYPE_BYTE_GRAY raster, ImageIO-encoded)
+    * with pixel
+    *
+    *   g(x, y) = (a + 3x + 5y + (x·y) % 7) % 256
+    *
+    * 8-bit gray PNG is lossless, so [[graft.functions.PngDecodeGray]]
+    * recovers exactly these samples — the closed form the tar2tf-filters
+    * oracle replays in SQL after the Rotate conversion. */
+  def encodePngGradientFixture(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField("payload", BinaryType))
+    val ai = df.schema.fieldIndex("a")
+    val (wi, hi) = (df.schema.fieldIndex("w"), df.schema.fieldIndex("h"))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val a = r.getLong(ai)
+        val (w, h) = (math.max(r.getInt(wi), 1), math.max(r.getInt(hi), 1))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((a + 3L * x + 5L * y + (x * y) % 7) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Attach decoded image metadata. Partition-batched mapPartitions over
     * the binary column — the Scala analog of `mapInPandas`: per-partition
     * setup cost amortized over the batch, constant memory. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -215,6 +215,113 @@ object PHash64 {
   }
 }
 
+/** REAL 8-bit-grayscale PNG decode via the JDK's ImageIO — the `Decode`
+  * conversion of the tar2tf-filters transformer (`tools/tetl/etl.go:
+  * 46-58`: `{"conversions":[{"type":"Decode","ext_name":"png"},
+  * {"type":"Rotate",...}]}`). Pure-JDK codec, no external library:
+  * ImageIO's PNG reader is mandated by the Java SE spec, and an 8-bit
+  * grayscale PNG decodes losslessly to its raster samples, so the
+  * decoded bytes are exactly the encoder's input pixels — which is what
+  * lets the DuckDB oracle replay them from the fixture's closed-form
+  * pixel formula. Non-grayscale images are luminance-converted by
+  * drawing onto a TYPE_BYTE_GRAY raster (the JDK's standard colorspace
+  * conversion); null for undecodable payloads.
+  *
+  * Returns struct(pixels binary row-major W×H, width int, height int).
+  */
+case class PngDecodeGray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("pixels", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_decode_gray expects binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    PngDecodeGray.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (InternalRow) graft.functions.PngDecodeGray$$.MODULE$$.decode($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PngDecodeGray {
+  def decode(bytes: Array[Byte]): InternalRow = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gr = g.createGraphics(); gr.drawImage(img, 0, 0, null); gr.dispose()
+        g
+      }
+    val out = new Array[Byte](w * h)
+    gray.getRaster.getDataElements(0, 0, w, h, out)
+    new GenericInternalRow(Array[Any](out, w, h))
+  }
+}
+
+/** 90°-clockwise rotation of a row-major grayscale buffer — the `Rotate`
+  * conversion. out(x', y') = in(x = y', y = h-1-x'); output dims (h, w).
+  * One allocation, one pass. */
+case class RotateGray90(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"rotate_gray_90 expects (binary, int, int), got $t")
+    }
+
+  override def nullSafeEval(p: Any, w: Any, h: Any): Any =
+    RotateGray90.rotate(p.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, w, h) =>
+      s"${ev.value} = graft.functions.RotateGray90$$.MODULE$$.rotate($p, $w, $h);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object RotateGray90 {
+  def rotate(p: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(p.length == w * h, s"rotate_gray_90: ${p.length} bytes for ${w}x$h")
+    val out = new Array[Byte](w * h)
+    // output is h wide, w tall; out[yo*h + xo] = in[(h-1-xo)*w + yo]
+    var yo = 0
+    while (yo < w) {
+      var xo = 0
+      while (xo < h) {
+        out(yo * h + xo) = p((h - 1 - xo) * w + yo)
+        xo += 1
+      }
+      yo += 1
+    }
+    out
+  }
+}
+
 object ImageFunctions {
   /** struct(hi, lo) dHash halves of a grayscale buffer column. */
   def dhash64(payload: Column, w: Column, h: Column): Column =
@@ -224,5 +331,14 @@ object ImageFunctions {
   /** struct(hi, lo) pHash halves of a grayscale buffer column. */
   def phash64(payload: Column, w: Column, h: Column): Column =
     GraftShim.column(PHash64(GraftShim.expression(payload),
+      GraftShim.expression(w), GraftShim.expression(h)))
+
+  /** struct(pixels, width, height): real ImageIO grayscale PNG decode. */
+  def pngDecodeGray(payload: Column): Column =
+    GraftShim.column(PngDecodeGray(GraftShim.expression(payload)))
+
+  /** 90°-clockwise rotation of a row-major gray buffer. */
+  def rotateGray90(pixels: Column, w: Column, h: Column): Column =
+    GraftShim.column(RotateGray90(GraftShim.expression(pixels),
       GraftShim.expression(w), GraftShim.expression(h)))
 }

@@ -157,6 +157,54 @@ class Tar2TfSpec extends SparkSpec {
     assert(parseStream(secondRecord).map(parseExample) == Seq(sParsed(1)))
   }
 
+  test("rotate golden 2x3, four rotations = identity") {
+    // input 2 wide, 3 tall, row-major: [a b / c d / e f]
+    // 90° CW → 3 wide, 2 tall: [e c a / f d b]
+    val in = Array[Byte](1, 2, 3, 4, 5, 6)
+    val r1 = graft.functions.RotateGray90.rotate(in, 2, 3)
+    assert(r1.toSeq == Seq[Byte](5, 3, 1, 6, 4, 2))
+    val r2 = graft.functions.RotateGray90.rotate(r1, 3, 2)
+    val r3 = graft.functions.RotateGray90.rotate(r2, 2, 3)
+    val r4 = graft.functions.RotateGray90.rotate(r3, 3, 2)
+    assert(r2.toSeq == Seq[Byte](6, 5, 4, 3, 2, 1)) // 180° = reverse
+    assert(r4.toSeq == in.toSeq)
+  }
+
+  test("real PNG round trip: gradient fixture encodes, ImageIO decodes the same samples") {
+    val base = Seq((7L, 11, 5)).toDF("a", "w", "h")
+    val png = ext.Multimodal.encodePngGradientFixture(base)
+    val dec = png.select(
+        graft.functions.ImageFunctions.pngDecodeGray(col("payload")).as("d"))
+      .select($"d.pixels", $"d.width", $"d.height").head()
+    assert(dec.getAs[Int]("width") == 11 && dec.getAs[Int]("height") == 5)
+    val px = dec.getAs[Array[Byte]]("pixels")
+    for (y <- 0 until 5; x <- 0 until 11)
+      assert((px(y * 11 + x) & 0xff) == ((7 + 3 * x + 5 * y + (x * y) % 7) % 256),
+        s"pixel ($x,$y)")
+  }
+
+  test("png decode returns null for non-image payloads") {
+    val r = Seq("not a png").toDF("s")
+      .select(graft.functions.ImageFunctions.pngDecodeGray(
+        encode(col("s"), "UTF-8")).as("d")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("recordsFiltered: selection drops unlisted exts, orders features by selection") {
+    val members = Seq(
+      ("s.tar", "a", "cls", "3".getBytes("UTF-8")),
+      ("s.tar", "a", "png", "P".getBytes("UTF-8")), // not decoded in this test
+      ("s.tar", "a", "json", "{}".getBytes("UTF-8")),
+      ("s.tar", "b", "json", "{}".getBytes("UTF-8")) // only unselected → dropped
+    ).toDF("shard", "sample_key", "ext", "payload")
+    val recs = etl.Tar2Tf.recordsFiltered(members, Seq("png", "cls"))
+      .orderBy("sample_key").collect()
+    assert(recs.length == 1)
+    assert(recs(0).getAs[String]("exts") == "png,cls") // selection order, not alpha
+    val parsed = parseExample(recs(0).getAs[Array[Byte]]("example"))
+    assert(parsed.keySet == Set("png", "cls"))
+  }
+
   test("encoder rejects ragged and null inputs") {
     val ragged = intercept[Exception] {
       Seq(1).toDF("i").select(graft.functions.TfRecordFunctions.tfExample(
