@@ -1150,6 +1150,34 @@ object SparkEntry {
           md5(lower(hex(col("example")))).as("example_md5"))
         .orderBy("shard", "sample_key")),
 
+    // parquet-parser predefined transformer (tools/tetl/etl.go:45,142):
+    // REAL parquet files written per bucket (tiny block size → multiple
+    // row groups), read back as opaque binary payloads, and parsed row
+    // by row from the bytes via parquet-mr. The oracle recomputes every
+    // JSON line and row index straight from the customer table — a
+    // hash-pass proves footer/row-group/record decoding end to end.
+    "etl_parquet_parse" -> ((s, d) => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_pqp_${math.abs(d.hashCode)}"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            (col("c_custkey") % 8).cast("int").as("bucket"))
+          .repartition(8, col("bucket"))
+          .sortWithinPartitions("bucket", "c_custkey")
+          .write.mode("overwrite")
+          .option("parquet.block.size", "16384")
+          .option("compression", "snappy")
+          .partitionBy("bucket").parquet(dir)
+      }
+      val files = s.read.format("binaryFile").load(dir + "/bucket=*")
+        .select(regexp_extract(col("path"), "bucket=(\\d+)", 1)
+          .cast("long").as("bucket"), col("content").as("payload"))
+      etl.ParquetParser.parse(files, nameCol = "bucket")
+        .select(col("bucket").cast("long").as("bucket"),
+          col("row_idx"), col("json"))
+        .orderBy("bucket", "row_idx")
+    }),
+
     // A5 approx variant: HLL distincts (no oracle - algorithm-specific;
     // accuracy asserted against exact counts in ExtensionsSpec)
     "vocab_stats_approx" -> ((s, d) =>
@@ -3991,6 +4019,13 @@ object SparkEntry {
         |     || features_hex) AS example_md5
         |FROM t2t_rec ORDER BY shard, sample_key""".stripMargin,
       OracleCte.dsfiles, OracleCte.t2t),
+
+    "etl_parquet_parse" ->
+      """SELECT CAST(c_custkey % 8 AS BIGINT) AS bucket,
+        |  CAST(row_number() OVER (PARTITION BY c_custkey % 8 ORDER BY c_custkey) - 1 AS BIGINT) AS row_idx,
+        |  printf('{"c_custkey":%d,"c_name":"%s","c_nationkey":%d}',
+        |         c_custkey, c_name, c_nationkey) AS json
+        |FROM customer ORDER BY bucket, row_idx""".stripMargin,
 
     "tar2tf_filters" -> o(
       """SELECT shard, sample_key,

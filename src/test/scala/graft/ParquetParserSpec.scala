@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** parquet-parser transformer (`tools/tetl/etl.go:45`): parsing parquet
+  * from a BINARY COLUMN (not a path) — footer, row groups, optional
+  * fields, escaping, and the loud-failure contract for unsupported leaf
+  * types.
+  */
+class ParquetParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFile(df: org.apache.spark.sql.DataFrame,
+                        blockSize: String): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("pqp_spec").toString
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", blockSize).parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+  }
+
+  private def writeAndRead(df: org.apache.spark.sql.DataFrame,
+                           blockSize: String = "1048576"): Array[Byte] =
+    java.nio.file.Files.readAllBytes(writeFile(df, blockSize).toPath)
+
+  test("round trip: rows in order, nulls as JSON null, quotes escaped") {
+    val df = Seq(
+      (1L, Some("""say "hi"\now"""), Some(2.5)),
+      (2L, None, None),
+      (3L, Some("plain"), Some(-0.5))
+    ).toDF("k", "s", "v").orderBy("k")
+    val rows = etl.ParquetParser.parsePayload(writeAndRead(df))
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L))
+    assert(rows(0)._2 == """{"k":1,"s":"say \"hi\"\\now","v":2.5}""")
+    assert(rows(1)._2 == """{"k":2,"s":null,"v":null}""")
+    assert(rows(2)._2 == """{"k":3,"s":"plain","v":-0.5}""")
+  }
+
+  test("row_idx is continuous across multiple row groups") {
+    val df = (1 to 5000).map(i => (i.toLong, "x" * 100)).toDF("k", "pad")
+      .orderBy("k")
+    val file = writeFile(df, blockSize = "16384")
+    // verify the fixture actually has >1 row group, else the test is vacuous
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration()))
+    val nGroups = try reader.getFooter.getBlocks.size finally reader.close()
+    assert(nGroups > 1, s"fixture produced only $nGroups row group(s)")
+    val rows = etl.ParquetParser.parsePayload(
+      java.nio.file.Files.readAllBytes(file.toPath))
+    assert(rows.size == 5000)
+    assert(rows.map(_._1) == (0L until 5000L))
+    assert(rows.head._2.startsWith("""{"k":1,"""))
+    assert(rows.last._2.startsWith("""{"k":5000,"""))
+  }
+
+  test("unsupported leaf type raises naming the field") {
+    val df = Seq((1, java.sql.Date.valueOf("2024-01-02"))).toDF("k", "dt")
+    val e = intercept[Exception] {
+      etl.ParquetParser.parsePayload(writeAndRead(df))
+    }
+    assert(e.getMessage.contains("dt"))
+  }
+
+  test("distributed parse: (name, payload) explodes to (name, row_idx, json)") {
+    val payload = writeAndRead(Seq((10L, "a"), (20L, "b")).toDF("k", "s").orderBy("k"))
+    val in = Seq(("f1", payload), ("f2", payload)).toDF("name", "payload")
+    val out = etl.ParquetParser.parse(in).orderBy("name", "row_idx").collect()
+    assert(out.length == 4)
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("f1", 0L), ("f1", 1L), ("f2", 0L), ("f2", 1L)))
+    assert(out(1).getString(2) == """{"k":20,"s":"b"}""")
+  }
+}
