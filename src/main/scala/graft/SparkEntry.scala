@@ -1124,6 +1124,27 @@ object SparkEntry {
           md5(lower(hex(col("example")))).as("example_md5"))
         .orderBy("shard", "sample_key")),
 
+    // TFRecord random-access index (the GB10 shard-index shape over the
+    // tar2tf output): offset = exclusive prefix sum of framed record
+    // lengths — the oracle recomputes it from the closed-form lengths
+    "tar2tf_index" -> ((s, d) =>
+      etl.Tar2Tf.index(etl.Tar2Tf.records(tar2tfMembers(s, d)))
+        .select(col("shard"), col("sample_key"),
+          col("rec_index").cast("long").as("rec_index"),
+          col("offset"), col("length"))
+        .orderBy("shard", "sample_key")),
+
+    // full encode→decode round trip as ONE plan: members → examples →
+    // framed stream → CRC-verified split → feature decode. The oracle
+    // recomputes the expected features straight from the source listing,
+    // so a hash-pass proves the reader inverts the writer exactly.
+    "tfrecord_read" -> ((s, d) =>
+      etl.Tar2Tf.read(etl.Tar2Tf.stream(etl.Tar2Tf.records(tar2tfMembers(s, d))))
+        .select(col("shard"), col("rec_index"), col("ext"),
+          md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast("long").as("payload_len"))
+        .orderBy("shard", "rec_index", "ext")),
+
     // whole-object GET face: one TFRecord stream per shard; head_hex is
     // the first record's u64le length header — the framing layout check
     // that IS SQL-computable (CRC words are spec territory)
@@ -4042,6 +4063,30 @@ object SparkEntry {
         |     || features_hex) AS example_md5
         |FROM t2tf_rec ORDER BY shard, sample_key""".stripMargin,
       OracleCte.t2tf),
+
+    "tar2tf_index" -> o(
+      """SELECT shard, sample_key,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sample_key) AS BIGINT) AS rec_index,
+        |  CAST(coalesce(sum(rl) OVER (PARTITION BY shard ORDER BY sample_key
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  CAST(rl AS BIGINT) AS length
+        |FROM (SELECT shard, sample_key,
+        |        17 + (CASE WHEN features_len < 128 THEN 1
+        |              WHEN features_len < 16384 THEN 2 ELSE 3 END) + features_len AS rl
+        |      FROM t2t_rec)
+        |ORDER BY shard, sample_key""".stripMargin,
+      OracleCte.dsfiles, OracleCte.t2t),
+
+    "tfrecord_read" -> o(
+      """SELECT shard,
+        |  CAST(dense_rank() OVER (PARTITION BY shard ORDER BY sample_key) AS BIGINT) AS rec_index,
+        |  ext, md5(payload) AS payload_md5,
+        |  CAST(length(payload) AS BIGINT) AS payload_len
+        |FROM (SELECT printf('t2t-%02d.tar', CAST(regexp_extract(stem, '(\d+)', 1) AS INT) % 13) AS shard,
+        |        stem AS sample_key, ext, payload
+        |      FROM dsfiles)
+        |ORDER BY shard, rec_index, ext""".stripMargin,
+      OracleCte.dsfiles),
 
     "tar2tf_stream" -> o(
       """SELECT shard, CAST(count(*) AS BIGINT) AS n_records,

@@ -106,6 +106,41 @@ object Tar2Tf {
       .withColumn("record", tfRecordFrame(col("example")))
   }
 
+  /** TFRecord READER — the inverse face: loaders consume TFRecord
+    * objects, so the engine must parse them too, not only produce them.
+    * One row per (record, feature): the stream de-frames through the
+    * CRC-VERIFYING native split (corruption raises naming record +
+    * offset — a training stream that decodes garbage silently is the
+    * exact failure the CRC words exist to stop), each payload decodes
+    * through the independent tag/varint walker. posexplode keeps the
+    * record number without re-deriving it. */
+  def read(streams: DataFrame): DataFrame =
+    streams
+      .select(col("shard"),
+        posexplode(tfRecordSplit(col("tfrecord"))).as(Seq("_pos", "example")))
+      .select(col("shard"), (col("_pos") + 1).cast("long").as("rec_index"),
+        explode(tfExampleFeatures(col("example"))).as("f"))
+      .select(col("shard"), col("rec_index"),
+        col("f.key").as("ext"), col("f.value").as("payload"))
+
+  /** Random-access index over a TFRecord stream — the GB10 shard-index
+    * shape (offset + length per member) applied to the tar2tf output:
+    * loaders seek to `offset` and read `length` bytes to get record
+    * `rec_index` without scanning the stream. Offsets are the exclusive
+    * prefix sum of framed record lengths in record order — one window
+    * per shard, no byte movement (the index is pure arithmetic over
+    * [[records]]). */
+  def index(records: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("rec_index"))
+    records.select(
+      col("shard"), col("sample_key"), col("rec_index"),
+      coalesce(
+        sum(length(col("record")).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("offset"),
+      length(col("record")).cast("long").as("length"))
+  }
+
   /** One row per shard: the complete TFRecord stream (every framed record
     * concatenated in `rec_index` order) — what a whole-object GET through
     * the transformer returns. Single-allocation assembly via the native

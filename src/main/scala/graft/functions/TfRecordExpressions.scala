@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType, StructField, StructType}
 
 /** Native encoders for the tar2tf ETL surface
   * (`ais/test/etl_tar2tf_test.go`: the reference's tar2tf transformer
@@ -178,6 +178,151 @@ object TfRecordFrame {
   }
 }
 
+/** Split a TFRecord stream into its record payloads (the reader side of
+  * the tar2tf surface): walks `len u64le | crc | data | crc` frames,
+  * VERIFIES both masked CRC32C words, and raises naming the record and
+  * offset on any mismatch or truncation — silent corruption in a
+  * training stream is the failure mode the CRCs exist to catch, so a
+  * reader that skips them is wrong. Returns `array<binary>` of the
+  * de-framed payloads in stream order (explode for one row per record).
+  */
+case class TfRecordSplit(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tfrecord_split expects binary input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TfRecordSplit.split(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TfRecordSplit$$.MODULE$$.split($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TfRecordSplit {
+  private def u32le(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  def split(blob: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var p = 0
+    var rec = 0
+    while (p < blob.length) {
+      require(p + 12 <= blob.length,
+        s"tfrecord_split: truncated header for record $rec at offset $p")
+      var len = 0L
+      var i = 0
+      while (i < 8) { len |= (blob(p + i) & 0xffL) << (8 * i); i += 1 }
+      require(len <= blob.length - p - 16,
+        s"tfrecord_split: record $rec at offset $p claims $len bytes past end")
+      require((TfRecordFrame.maskedCrc32c(blob, p, 8) & 0xffffffffL) == u32le(blob, p + 8),
+        s"tfrecord_split: length crc mismatch for record $rec at offset $p")
+      val data = java.util.Arrays.copyOfRange(blob, p + 12, p + 12 + len.toInt)
+      require((TfRecordFrame.maskedCrc32c(data, 0, data.length) & 0xffffffffL) ==
+        u32le(blob, p + 12 + len.toInt),
+        s"tfrecord_split: data crc mismatch for record $rec at offset $p")
+      out += data
+      p += 16 + len.toInt
+      rec += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** Decode a serialized `tf.Example` into its (key, bytes-value) features
+  * in wire order — the inverse of [[TfExampleEncode]] (single-value
+  * BytesList features; raises on other Feature kinds, which this engine
+  * never writes). Independent tag/varint walk, not a replay of the
+  * encoder's precomputed layout. */
+case class TfExampleFeatures(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", BinaryType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tf_example_features expects binary input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TfExampleFeatures.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TfExampleFeatures$$.MODULE$$.decode($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TfExampleFeatures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private final class R(val b: Array[Byte], var p: Int) {
+    def varint(): Long = {
+      var shift = 0; var v = 0L; var more = true
+      while (more) {
+        require(p < b.length, "tf_example_features: truncated varint")
+        val x = b(p) & 0xff; p += 1
+        v |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+      }
+      v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      require(p + n <= b.length, "tf_example_features: truncated field")
+      val r = java.util.Arrays.copyOfRange(b, p, p + n); p += n; r
+    }
+  }
+
+  def decode(example: Array[Byte]): GenericArrayData = {
+    val r = new R(example, 0)
+    // NB: r.varint() advances r.p, so every `end` must read the length
+    // FIRST (Scala evaluates `r.p + r.varint()` left to right — that
+    // form anchors the end to the pre-varint position and is wrong)
+    require(r.varint() == 0x0a, "tf_example_features: expected Example.features")
+    val featuresEnd = { val l = r.varint().toInt; r.p + l }
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    while (r.p < featuresEnd) {
+      require(r.varint() == 0x0a, "tf_example_features: expected map entry")
+      val entryEnd = { val l = r.varint().toInt; r.p + l }
+      var key: UTF8String = null
+      var value: Array[Byte] = null
+      while (r.p < entryEnd) {
+        r.varint() match {
+          case 0x0a => key = UTF8String.fromBytes(r.bytes(r.varint().toInt))
+          case 0x12 =>
+            val fEnd = { val l = r.varint().toInt; r.p + l }
+            val kind = r.varint()
+            require(kind == 0x0a,
+              s"tf_example_features: unsupported Feature kind tag $kind (only bytes_list)")
+            val blEnd = { val l = r.varint().toInt; r.p + l }
+            while (r.p < blEnd) {
+              require(r.varint() == 0x0a, "tf_example_features: expected BytesList.value")
+              value = r.bytes(r.varint().toInt)
+            }
+            require(r.p == fEnd, "tf_example_features: trailing Feature bytes")
+          case t => throw new IllegalArgumentException(
+            s"tf_example_features: unexpected map-entry tag $t")
+        }
+      }
+      require(key != null && value != null, "tf_example_features: incomplete entry")
+      out += InternalRow(key, value)
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Single-allocation ordered concatenation of an `array<binary>` — the
   * per-shard TFRecord stream assembly. The Column alternative
   * (`aggregate(arr, X'', concat)`) copies the accumulator on every step:
@@ -241,4 +386,12 @@ object TfRecordFunctions {
   /** Ordered single-allocation concat of array<binary>. */
   def concatBinary(parts: Column): Column =
     GraftShim.column(ConcatBinaryArray(GraftShim.expression(parts)))
+
+  /** array<binary> of de-framed record payloads (CRC-verified). */
+  def tfRecordSplit(stream: Column): Column =
+    GraftShim.column(TfRecordSplit(GraftShim.expression(stream)))
+
+  /** array<struct<key,value>> features of a serialized tf.Example. */
+  def tfExampleFeatures(example: Column): Column =
+    GraftShim.column(TfExampleFeatures(GraftShim.expression(example)))
 }

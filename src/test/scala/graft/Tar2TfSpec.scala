@@ -155,6 +155,19 @@ class Tar2TfSpec extends SparkSpec {
     assert(recRows.sum == streams("s.tar").length)
     val secondRecord = streams("s.tar").slice(recRows(0).toInt, streams("s.tar").length)
     assert(parseStream(secondRecord).map(parseExample) == Seq(sParsed(1)))
+
+    // random-access index: seeking to (offset, length) yields exactly
+    // record rec_index, standalone-parseable
+    val idx = etl.Tar2Tf.index(recs).orderBy("shard", "rec_index").collect()
+    for (r <- idx) {
+      val blob = streams(r.getAs[String]("shard"))
+      val off = r.getAs[Long]("offset").toInt
+      val len = r.getAs[Long]("length").toInt
+      val one = parseStream(blob.slice(off, off + len))
+      assert(one.size == 1, s"index row $r did not isolate one record")
+    }
+    assert(idx.map(r => r.getAs[Long]("offset") + r.getAs[Long]("length")).max ==
+      streams.values.map(_.length).max)
   }
 
   test("rotate golden 2x3, four rotations = identity") {
@@ -203,6 +216,40 @@ class Tar2TfSpec extends SparkSpec {
     assert(recs(0).getAs[String]("exts") == "png,cls") // selection order, not alpha
     val parsed = parseExample(recs(0).getAs[Array[Byte]]("example"))
     assert(parsed.keySet == Set("png", "cls"))
+  }
+
+  test("reader: read inverts records, and a flipped byte raises with record+offset") {
+    val members = Seq(
+      ("s.tar", "a", "cls", "3".getBytes("UTF-8")),
+      ("s.tar", "a", "jpg", Array.fill(150)('q'.toByte)),
+      ("s.tar", "b", "jpg", "bee".getBytes("UTF-8"))
+    ).toDF("shard", "sample_key", "ext", "payload")
+    val stream = etl.Tar2Tf.stream(etl.Tar2Tf.records(members))
+    val back = etl.Tar2Tf.read(stream)
+      .select($"shard", $"rec_index", $"ext", decode($"payload", "UTF-8").as("p"))
+      .orderBy("rec_index", "ext").collect()
+    assert(back.map(r => (r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, "cls"), (1L, "jpg"), (2L, "jpg")))
+    assert(back(0).getString(3) == "3" && back(2).getString(3) == "bee")
+
+    // corrupt one payload byte mid-stream → data-crc raise, loud
+    val blob = stream.where($"shard" === "s.tar").head().getAs[Array[Byte]]("tfrecord")
+    val corrupt = blob.clone(); corrupt(20) = (corrupt(20) ^ 0x01).toByte
+    val e = intercept[Exception] {
+      graft.functions.TfRecordSplit.split(corrupt)
+    }
+    assert(e.getMessage.contains("crc mismatch"))
+  }
+
+  test("feature decoder raises on non-bytes Feature kinds") {
+    // Feature{ int64_list(3) } instead of bytes_list(1): tag 0x1a
+    val example = Array[Int](
+      0x0a, 0x0b, 0x0a, 0x09, 0x0a, 0x01, 'k',
+      0x12, 0x04, 0x1a, 0x02, 0x08, 0x07).map(_.toByte)
+    val e = intercept[Exception] {
+      graft.functions.TfExampleFeatures.decode(example)
+    }
+    assert(e.getMessage.contains("unsupported Feature kind"))
   }
 
   test("encoder rejects ragged and null inputs") {
