@@ -5,8 +5,11 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{BigramBucketCounts, DHash64, FloatDotProduct, LineStats,
-  Md5Bucket, Md5Lanes, MinhashBands, NgramRepetition, NormalizeText, PHash64}
+import graft.functions.{BigramBucketCounts, ConcatBinaryArray, DHash64,
+  FloatDotProduct, LineStats, Md5Bucket, Md5Lanes, MinhashBands,
+  NgramRepetition, NormalizeText, PHash64, PngDecodeGray, RotateGray90,
+  TfExampleEncode, TfExampleFeatures, TfRecordFrame, TfRecordSplit,
+  XxHash64Seeded}
 
 /** SparkSessionExtensions entry point — makes the library's native
   * Catalyst expressions first-class SQL functions, so a pure-SQL user
@@ -115,6 +118,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3, s"phash64 takes 3 arguments, got ${children.length}")
         PHash64(children(0), children(1), children(2))
+      }))
+    def inject1(name: String, cls: Class[_], f: Expression => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name takes 1 argument, got ${children.length}")
+          f(children.head)
+        }))
+    def inject2(name: String, cls: Class[_], f: (Expression, Expression) => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$name takes 2 arguments, got ${children.length}")
+          f(children(0), children(1))
+        }))
+    // tar2tf / TFRecord family + seeded hash + image conversions
+    inject2("tf_example", classOf[TfExampleEncode], TfExampleEncode(_, _))
+    inject1("tfrecord_frame", classOf[TfRecordFrame], TfRecordFrame(_))
+    inject1("tfrecord_split", classOf[TfRecordSplit], TfRecordSplit(_))
+    inject1("tf_example_features", classOf[TfExampleFeatures], TfExampleFeatures(_))
+    inject1("concat_binary", classOf[ConcatBinaryArray], ConcatBinaryArray(_))
+    inject2("xxh64_seeded", classOf[XxHash64Seeded], XxHash64Seeded(_, _))
+    inject1("png_decode_gray", classOf[PngDecodeGray], PngDecodeGray(_))
+    ext.injectFunction((
+      FunctionIdentifier("rotate_gray_90"),
+      new ExpressionInfo(classOf[RotateGray90].getName, "rotate_gray_90"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"rotate_gray_90 takes 3 arguments, got ${children.length}")
+        RotateGray90(children(0), children(1), children(2))
       }))
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the minhash hot path (SURVEY §7.6
@@ -317,17 +317,21 @@ case class XxHash64Seeded(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      // int seeds widen here (AbstractDataType/ImplicitCastInputTypes is
+      // private[sql]; a literal 42 arriving as IntegerType is the common
+      // SQL-text case and refusing it would be pure friction)
+      case (BinaryType, LongType | IntegerType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"xxh64_seeded expects (binary, bigint), got ($l, $r)")
     }
 
   override def nullSafeEval(data: Any, seed: Any): Any =
-    XxHash64Seeded.hash(data.asInstanceOf[Array[Byte]], seed.asInstanceOf[Long])
+    XxHash64Seeded.hash(data.asInstanceOf[Array[Byte]],
+      seed.asInstanceOf[Number].longValue)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (d, s) =>
-      s"${ev.value} = graft.functions.XxHash64Seeded$$.MODULE$$.hash($d, $s);")
+      s"${ev.value} = graft.functions.XxHash64Seeded$$.MODULE$$.hash($d, (long) $s);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

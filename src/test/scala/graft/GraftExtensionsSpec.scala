@@ -28,6 +28,33 @@ class GraftExtensionsSpec extends SparkSpec {
       api.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("tar2tf family round-trips through plain SQL text") {
+    val r = spark.sql(
+      """SELECT transform(
+        |  tf_example_features(element_at(tfrecord_split(
+        |    concat_binary(array(
+        |      tfrecord_frame(tf_example(array('cls','jpg'),
+        |                     array(encode('7','UTF-8'), encode('pix','UTF-8')))),
+        |      tfrecord_frame(tf_example(array('cls'), array(encode('9','UTF-8'))))))), 2)),
+        |  f -> concat(f.key, '=', decode(f.value, 'UTF-8'))) AS second_rec,
+        |  lpad(lower(hex(xxh64_seeded(encode('', 'UTF-8'), 0))), 16, '0') AS h0
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("cls=9"))
+    assert(r.getString(1) == "ef46db3751d8e999") // public XXH64("",0) vector
+  }
+
+  test("png_decode_gray + rotate_gray_90 compose in SQL") {
+    import spark.implicits._
+    val png = ext.Multimodal.encodePngGradientFixture(
+      Seq((3L, 4, 2)).toDF("a", "w", "h"))
+    png.createOrReplaceTempView("png_ext_spec")
+    val r = spark.sql(
+      """SELECT d.width, d.height,
+        |  length(rotate_gray_90(d.pixels, d.width, d.height)) AS n
+        |FROM (SELECT png_decode_gray(payload) AS d FROM png_ext_spec)""".stripMargin).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((4, 2, 8)))
+  }
+
   test("arity is validated at resolution time") {
     val e = intercept[Exception] {
       spark.sql("SELECT float_dot(array(CAST(1 AS FLOAT)))").head()
