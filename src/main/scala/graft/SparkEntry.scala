@@ -1124,6 +1124,19 @@ object SparkEntry {
           md5(lower(hex(col("example")))).as("example_md5"))
         .orderBy("shard", "sample_key")),
 
+    // streaming face (§2.11 × tar2tf): shards land whole over 4 epochs;
+    // per-epoch conversion unions to EXACTLY the batch twin's output, so
+    // the same DuckDB oracle hash-checks continuous ingest end to end
+    "tar2tf_records_stream" -> ((s, d) =>
+      graft.streaming.Tar2TfStream.runRecords(s, tar2tfManifestDir(s, d))
+        .select(col("shard"), col("sample_key"),
+          col("rec_index").cast("long").as("rec_index"),
+          col("n_features").cast("long").as("n_features"), col("exts"),
+          length(col("example")).cast("long").as("example_len"),
+          length(col("record")).cast("long").as("record_len"),
+          md5(lower(hex(col("example")))).as("example_md5"))
+        .orderBy("shard", "sample_key")),
+
     // TFRecord random-access index (the GB10 shard-index shape over the
     // tar2tf output): offset = exclusive prefix sum of framed record
     // lengths — the oracle recomputes it from the closed-form lengths
@@ -3016,6 +3029,40 @@ object SparkEntry {
     png.unionByName(cls).unionByName(json)
   }
 
+  /** Epoch manifests for the tar2tf streaming face: 4 files, each the
+    * complete member set of 1/4 of the shards (shard number % 4 — a TAR
+    * lands whole, so the shard is the ingest atom). Lines
+    * `shard\tsample_key\text\tpayload`, mtime-ordered for deterministic
+    * file-source arrival. */
+  private def tar2tfManifestDir(s: SparkSession, d: String): String = {
+    val dir = "/tmp/graft_t2tstream_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val marker = new java.io.File(dir, "_GRAFT_DONE")
+    this.synchronized {
+      if (!marker.exists()) {
+        new java.io.File(dir).mkdirs()
+        val m = tar2tfMembers(s, d).select(
+          concat_ws("\t", col("shard"), col("sample_key"), col("ext"),
+            decode(col("payload"), "UTF-8")).as("value"),
+          regexp_extract(col("shard"), "t2t-(\\d+)", 1).cast("int").as("_sn"))
+        (0 until 4).foreach { e =>
+          val stage = dir + s"_stage$e"
+          m.where(col("_sn") % 4 === e).sort("value").select("value")
+            .coalesce(1).write.mode("overwrite").text(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          val dst = new java.io.File(dir, f"epoch-$e%02d.txt")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1000000000L + e * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+        }
+        marker.createNewFile()
+      }
+    }
+    dir
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4063,6 +4110,24 @@ object SparkEntry {
         |     || features_hex) AS example_md5
         |FROM t2tf_rec ORDER BY shard, sample_key""".stripMargin,
       OracleCte.t2tf),
+
+    "tar2tf_records_stream" -> o(
+      """SELECT shard, sample_key,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sample_key) AS BIGINT) AS rec_index,
+        |  n_features, exts,
+        |  CAST(1 + (CASE WHEN features_len < 128 THEN 1 WHEN features_len < 16384 THEN 2 ELSE 3 END)
+        |       + features_len AS BIGINT) AS example_len,
+        |  CAST(17 + (CASE WHEN features_len < 128 THEN 1 WHEN features_len < 16384 THEN 2 ELSE 3 END)
+        |       + features_len AS BIGINT) AS record_len,
+        |  md5('0a' || (CASE WHEN features_len < 128 THEN lpad(lower(hex(features_len)),2,'0')
+        |       WHEN features_len < 16384 THEN lpad(lower(hex(features_len % 128 + 128)),2,'0')
+        |         || lpad(lower(hex(features_len // 128)),2,'0')
+        |       ELSE lpad(lower(hex(features_len % 128 + 128)),2,'0')
+        |         || lpad(lower(hex((features_len // 128) % 128 + 128)),2,'0')
+        |         || lpad(lower(hex(features_len // 16384)),2,'0') END)
+        |     || features_hex) AS example_md5
+        |FROM t2t_rec ORDER BY shard, sample_key""".stripMargin,
+      OracleCte.dsfiles, OracleCte.t2t),
 
     "tar2tf_index" -> o(
       """SELECT shard, sample_key,

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Continuous-ingest face of the tar2tf transformer
+  * (`ais/test/etl_tar2tf_test.go` × SURVEY §2.11), same harness shape as
+  * [[GetBatchStream]]/[[LhotseStream]]: a member-manifest directory that
+  * grows over time, each file an epoch of freshly landed COMPLETE shards
+  * — a TAR lands whole, so the shard is the atomic ingest unit, which is
+  * what makes incremental conversion exact: per-shard `rec_index` is
+  * self-contained, no sample ever splits across epochs, and the union of
+  * per-epoch outputs is bit-identical to the batch twin on the full
+  * corpus (the gate runs the SAME DuckDB oracle over both).
+  *
+  * Manifest lines are `shard\tsample_key\text\tpayload` (payloads in
+  * this corpus are ASCII — md5 prefixes and tiny json). Each epoch runs
+  * the identical one-shuffle [[graft.etl.Tar2Tf.records]] plan on just
+  * its shards; there is NO cross-epoch state at all — the scalar driver
+  * state the batched-GetBatch stream needs does not exist here, because
+  * record numbering is per shard, not global.
+  */
+object Tar2TfStream {
+
+  /** Drive the manifest directory to exhaustion with availableNow
+    * (epoch per file) and return the unioned records table. */
+  def runRecords(spark: SparkSession, manifestDir: String): DataFrame = {
+    var acc: Option[DataFrame] = None
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(manifestDir)
+      .writeStream
+      .queryName("tar2tf_ingest")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (epoch: DataFrame, _: Long) =>
+        val f = split(col("value"), "\t")
+        val members = epoch
+          .where(col("value") =!= "")
+          .select(
+            f.getItem(0).as("shard"),
+            f.getItem(1).as("sample_key"),
+            f.getItem(2).as("ext"),
+            encode(coalesce(f.getItem(3), lit("")), "UTF-8").as("payload"))
+        val out = graft.etl.Tar2Tf.records(members).localCheckpoint()
+        acc = Some(acc.fold(out)(_.unionByName(out).localCheckpoint()))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    acc.getOrElse(spark.emptyDataFrame)
+  }
+}

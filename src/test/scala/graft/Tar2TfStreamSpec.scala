@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Streaming tar2tf: epoch-per-file ingest must union to EXACTLY the
+  * batch twin — shards are the ingest atom, so no cross-epoch state
+  * exists to get wrong; this pins the manifest round trip (tabs, empty
+  * payloads) and the per-epoch record numbering. */
+class Tar2TfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-epoch ingest equals the batch conversion bit-for-bit") {
+    val members = Seq(
+      ("a.tar", "s1", "cls", "1"), ("a.tar", "s1", "jpg", "xx"),
+      ("a.tar", "s2", "jpg", ""),                  // empty payload survives the manifest
+      ("b.tar", "t1", "cls", "9"), ("b.tar", "t9", "json", "{}")
+    ).toDF("shard", "sample_key", "ext", "p")
+      .select($"shard", $"sample_key", $"ext", encode($"p", "UTF-8").as("payload"))
+
+    val dir = java.nio.file.Files.createTempDirectory("t2ts_spec").toString
+    Seq("a.tar" -> 0, "b.tar" -> 1).foreach { case (shard, e) =>
+      val lines = members.where($"shard" === shard)
+        .select(concat_ws("\t", $"shard", $"sample_key", $"ext",
+          decode($"payload", "UTF-8"))).as[String].collect().sorted
+      val f = new java.io.File(dir, f"epoch-$e%02d.txt")
+      java.nio.file.Files.write(f.toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      f.setLastModified(1000000000L + e * 60000L)
+    }
+
+    val streamed = streaming.Tar2TfStream.runRecords(spark, dir)
+      .select($"shard", $"sample_key", $"rec_index", $"exts",
+        md5($"example").as("m"), md5($"record").as("r"))
+      .orderBy("shard", "sample_key").collect().toSeq
+    val batch = etl.Tar2Tf.records(members)
+      .select($"shard", $"sample_key", $"rec_index", $"exts",
+        md5($"example").as("m"), md5($"record").as("r"))
+      .orderBy("shard", "sample_key").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 4)
+    assert(streamed.map(_.getString(3)).toSet == Set("cls,jpg", "jpg", "cls", "json"))
+  }
+}
