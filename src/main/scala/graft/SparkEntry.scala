@@ -1137,6 +1137,32 @@ object SparkEntry {
           md5(lower(hex(col("example")))).as("example_md5"))
         .orderBy("shard", "sample_key")),
 
+    // file-sink E2E: records stream to REAL .tfrecord files on disk
+    // (never materializing a shard-sized blob), read back as opaque
+    // bytes, CRC-split and decoded — the same oracle as tfrecord_read
+    // then proves writer→filesystem→reader over actual files
+    "tar2tf_files" -> ((s, d) => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_t2tfiles_${math.abs(d.hashCode)}"
+      val marker = new java.io.File(dir, "_GRAFT_DONE")
+      this.synchronized {
+        if (!marker.exists()) {
+          new java.io.File(dir).mkdirs()
+          etl.Tar2Tf.writeFiles(etl.Tar2Tf.records(tar2tfMembers(s, d)), dir)
+          marker.createNewFile()
+        }
+      }
+      val streams = s.read.format("binaryFile").load(dir + "/*.tfrecord")
+        .select(
+          concat(regexp_extract(col("path"), "(t2t-\\d+)\\.tfrecord", 1),
+            lit(".tar")).as("shard"),
+          col("content").as("tfrecord"))
+      etl.Tar2Tf.read(streams)
+        .select(col("shard"), col("rec_index"), col("ext"),
+          md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast("long").as("payload_len"))
+        .orderBy("shard", "rec_index", "ext")
+    }),
+
     // TFRecord random-access index (the GB10 shard-index shape over the
     // tar2tf output): offset = exclusive prefix sum of framed record
     // lengths — the oracle recomputes it from the closed-form lengths
@@ -4141,6 +4167,17 @@ object SparkEntry {
         |      FROM t2t_rec)
         |ORDER BY shard, sample_key""".stripMargin,
       OracleCte.dsfiles, OracleCte.t2t),
+
+    "tar2tf_files" -> o(
+      """SELECT shard,
+        |  CAST(dense_rank() OVER (PARTITION BY shard ORDER BY sample_key) AS BIGINT) AS rec_index,
+        |  ext, md5(payload) AS payload_md5,
+        |  CAST(length(payload) AS BIGINT) AS payload_len
+        |FROM (SELECT printf('t2t-%02d.tar', CAST(regexp_extract(stem, '(\d+)', 1) AS INT) % 13) AS shard,
+        |        stem AS sample_key, ext, payload
+        |      FROM dsfiles)
+        |ORDER BY shard, rec_index, ext""".stripMargin,
+      OracleCte.dsfiles),
 
     "tfrecord_read" -> o(
       """SELECT shard,

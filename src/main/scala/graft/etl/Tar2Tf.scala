@@ -141,6 +141,41 @@ object Tar2Tf {
       length(col("record")).cast("long").as("length"))
   }
 
+  /** File sink — the 100 TB path ([[stream]]'s scaladoc): one
+    * `<shard>.tfrecord` file per input shard, framed records streamed to
+    * the filesystem in `rec_index` order WITHOUT ever materializing a
+    * shard-sized blob row. Same layout discipline as
+    * [[graft.shards.TarWriter.writeShardsOrdered]]: repartition by
+    * shard, sort within partitions, stream each partition's shards
+    * sequentially (a hash partition may carry several shards — the sort
+    * keeps each contiguous). */
+  def writeFiles(records: DataFrame, outDir: String): Unit = {
+    val plan = records
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("rec_index"))
+      .select(col("shard"), col("record"))
+    plan.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      var cur: String = null
+      var out: java.io.OutputStream = null
+      def closeCur(): Unit = if (out != null) { out.close(); out = null }
+      try {
+        rows.foreach { r =>
+          val shard = r.getString(0)
+          if (shard != cur) {
+            closeCur()
+            val p = new org.apache.hadoop.fs.Path(outDir,
+              shard.replaceAll("\\.tar$", "") + ".tfrecord")
+            out = new java.io.BufferedOutputStream(
+              p.getFileSystem(conf).create(p, true))
+            cur = shard
+          }
+          out.write(r.getAs[Array[Byte]](1))
+        }
+      } finally closeCur()
+    }
+  }
+
   /** One row per shard: the complete TFRecord stream (every framed record
     * concatenated in `rec_index` order) — what a whole-object GET through
     * the transformer returns. Single-allocation assembly via the native
