@@ -1163,6 +1163,21 @@ object SparkEntry {
         .orderBy("shard", "rec_index", "ext")
     }),
 
+    // the literal reference composition (TestETLTar2TFS3: PUT tar, GET
+    // through tar2tf): REAL tar bytes in via the DataSourceV2 member
+    // scan, tf.Example records out — S4 × GB19 end to end
+    "tar2tf_from_tars" -> ((s, d) =>
+      etl.Tar2Tf.records(
+        shards.TarFixtures.read(s, d)
+          .select(col("shard"), col("sample_key"), col("ext"), col("payload")))
+        .select(col("shard"), col("sample_key"),
+          col("rec_index").cast("long").as("rec_index"),
+          col("n_features").cast("long").as("n_features"), col("exts"),
+          length(col("example")).cast("long").as("example_len"),
+          length(col("record")).cast("long").as("record_len"),
+          md5(lower(hex(col("example")))).as("example_md5"))
+        .orderBy("shard", "sample_key")),
+
     // TFRecord random-access index (the GB10 shard-index shape over the
     // tar2tf output): offset = exclusive prefix sum of framed record
     // lengths — the oracle recomputes it from the closed-form lengths
@@ -4154,6 +4169,33 @@ object SparkEntry {
         |     || features_hex) AS example_md5
         |FROM t2t_rec ORDER BY shard, sample_key""".stripMargin,
       OracleCte.dsfiles, OracleCte.t2t),
+
+    "tar2tf_from_tars" -> {
+      val ent =
+        """t2tt_ent AS (
+          |  SELECT shard, sample_key, ext AS sel, ext,
+          |    CAST(length(ext) AS INT) AS kl, CAST(psize AS INT) AS vl,
+          |    lower(hex(encode(payload_str))) AS val_hex
+          |  FROM tarfix
+          |)""".stripMargin + ",\n" + OracleCte.tfExampleAsm("t2tt_ent", "t2tt")
+      o(
+        """SELECT shard, sample_key,
+          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sample_key) AS BIGINT) AS rec_index,
+          |  n_features, exts,
+          |  CAST(1 + (CASE WHEN features_len < 128 THEN 1 WHEN features_len < 16384 THEN 2 ELSE 3 END)
+          |       + features_len AS BIGINT) AS example_len,
+          |  CAST(17 + (CASE WHEN features_len < 128 THEN 1 WHEN features_len < 16384 THEN 2 ELSE 3 END)
+          |       + features_len AS BIGINT) AS record_len,
+          |  md5('0a' || (CASE WHEN features_len < 128 THEN lpad(lower(hex(features_len)),2,'0')
+          |       WHEN features_len < 16384 THEN lpad(lower(hex(features_len % 128 + 128)),2,'0')
+          |         || lpad(lower(hex(features_len // 128)),2,'0')
+          |       ELSE lpad(lower(hex(features_len % 128 + 128)),2,'0')
+          |         || lpad(lower(hex((features_len // 128) % 128 + 128)),2,'0')
+          |         || lpad(lower(hex(features_len // 16384)),2,'0') END)
+          |     || features_hex) AS example_md5
+          |FROM t2tt_rec ORDER BY shard, sample_key""".stripMargin,
+        OracleCte.members, OracleCte.tarfix, ent)
+    },
 
     "tar2tf_index" -> o(
       """SELECT shard, sample_key,

@@ -176,6 +176,23 @@ class EmptyInputSpec extends SparkSpec {
       col("shard")).count() == 0)
   }
 
+  test("transformer family on empty inputs: empty results, not errors") {
+    val noTarMembers = Seq.empty[(String, String, String, Array[Byte])]
+      .toDF("shard", "sample_key", "ext", "payload")
+    val recs = etl.Tar2Tf.records(noTarMembers)
+    assert(recs.count() == 0 && recs.columns.contains("record"))
+    assert(etl.Tar2Tf.stream(recs).count() == 0)
+    assert(etl.Tar2Tf.index(recs).count() == 0)
+    assert(etl.Tar2Tf.recordsFiltered(noTarMembers, Seq("png", "cls"),
+      decodeRotateExt = Some("png")).count() == 0)
+    val noStreams = Seq.empty[(String, Array[Byte])].toDF("shard", "tfrecord")
+    assert(etl.Tar2Tf.read(noStreams).count() == 0)
+    // an empty BLOB is a valid zero-record stream, not an error
+    assert(graft.functions.TfRecordSplit.split(Array.empty[Byte]).numElements() == 0)
+    val noFiles = Seq.empty[(String, Array[Byte])].toDF("name", "payload")
+    assert(etl.ParquetParser.parse(noFiles).count() == 0)
+  }
+
   test("repetition stats on sub-n-gram docs emit nulls, not errors") {
     val out = TextAnalysis.repetitionStats(
         Seq((1L, "single"), (2L, "two words"), (3L, "")).toDF("doc_id", "text"))
