@@ -1091,6 +1091,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the reference's own pipeline chains (etl_pipeline_test.go:57,104:
+    // MD5→Echo→MD5 across mixed comm types — comm type is physical
+    // there, identity here): registry-resolved composition, digest of a
+    // digest, exercising size-changing stages mid-pipeline
+    "etl_pipeline_md5" -> ((s, d) => {
+      val t = etl.Transforms.registry("md5hex") >> etl.Transforms.registry("identity") >>
+        etl.Transforms.registry("md5hex")
+      shards.TarFixtures.membersDf(s, d)
+        .withColumn("p", t(col("payload_str").cast("binary"), col("member"), lit("")))
+        .select(col("shard_name").as("shard"), col("member"),
+          col("p").cast("string").as("out_digest"))
+        .orderBy("shard", "member")
+    }),
+
     // hash-with-args predefined transformer (ais/test/etl_test.go:
     // 528-560): per-object standard XXH64 with the seed from etl_args;
     // seed varies per row (mirroring the reference's per-request seed),
@@ -4098,6 +4112,11 @@ object SparkEntry {
       """SELECT doc_id, md5(upper(text) || '!x') AS out_md5,
         |  CAST(length(text) + 2 AS BIGINT) AS out_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "etl_pipeline_md5" -> o(
+      """SELECT shard, member, md5(md5(payload_str)) AS out_digest
+        |FROM tarfix ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
 
     "etl_hash_args" -> {
       val (ctes, last, h) = graft.functions.XxhashSql.stringSql(
