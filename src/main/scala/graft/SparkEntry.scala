@@ -1177,6 +1177,33 @@ object SparkEntry {
         .orderBy("shard", "rec_index", "ext")
     }),
 
+    // the compressed on-disk form (tf.data compression='GZIP'): records
+    // stream through the deterministic gzip member straight to
+    // .tfrecord.gz files, read back, gunzipped, CRC-split, decoded —
+    // same source-recomputed oracle as the uncompressed sink
+    "tar2tf_files_gz" -> ((s, d) => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_t2tgz_${math.abs(d.hashCode)}"
+      val marker = new java.io.File(dir, "_GRAFT_DONE")
+      this.synchronized {
+        if (!marker.exists()) {
+          new java.io.File(dir).mkdirs()
+          etl.Tar2Tf.writeFiles(etl.Tar2Tf.records(tar2tfMembers(s, d)), dir,
+            gzip = true)
+          marker.createNewFile()
+        }
+      }
+      val streams = s.read.format("binaryFile").load(dir + "/*.tfrecord.gz")
+        .select(
+          concat(regexp_extract(col("path"), "(t2t-\\d+)\\.tfrecord\\.gz", 1),
+            lit(".tar")).as("shard"),
+          etl.GzipCodec.decompressUdf(col("content")).as("tfrecord"))
+      etl.Tar2Tf.read(streams)
+        .select(col("shard"), col("rec_index"), col("ext"),
+          md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast("long").as("payload_len"))
+        .orderBy("shard", "rec_index", "ext")
+    }),
+
     // the literal reference composition (TestETLTar2TFS3: PUT tar, GET
     // through tar2tf): REAL tar bytes in via the DataSourceV2 member
     // scan, tf.Example records out — S4 × GB19 end to end
@@ -4230,6 +4257,17 @@ object SparkEntry {
       OracleCte.dsfiles, OracleCte.t2t),
 
     "tar2tf_files" -> o(
+      """SELECT shard,
+        |  CAST(dense_rank() OVER (PARTITION BY shard ORDER BY sample_key) AS BIGINT) AS rec_index,
+        |  ext, md5(payload) AS payload_md5,
+        |  CAST(length(payload) AS BIGINT) AS payload_len
+        |FROM (SELECT printf('t2t-%02d.tar', CAST(regexp_extract(stem, '(\d+)', 1) AS INT) % 13) AS shard,
+        |        stem AS sample_key, ext, payload
+        |      FROM dsfiles)
+        |ORDER BY shard, rec_index, ext""".stripMargin,
+      OracleCte.dsfiles),
+
+    "tar2tf_files_gz" -> o(
       """SELECT shard,
         |  CAST(dense_rank() OVER (PARTITION BY shard ORDER BY sample_key) AS BIGINT) AS rec_index,
         |  ext, md5(payload) AS payload_md5,

@@ -107,4 +107,34 @@ object GzipCodec {
 
   val compressUdf: Column => Column = udf(compress _).apply(_)
   val decompressUdf: Column => Column = udf(decompress _).apply(_)
+
+  /** Streaming single-member gzip writer over `raw` — byte-identical
+    * layout to [[compress]] (pinned MTIME, BEST_SPEED, CRC32 + ISIZE
+    * trailer) but accumulating the trailer across writes instead of
+    * buffering the payload; `close()` finishes the member and closes
+    * `raw`. For file-sized streams (the `.tfrecord.gz` sink) where the
+    * per-row byte-array codec would hold whole shards on the heap. */
+  def stream(raw: java.io.OutputStream): java.io.OutputStream = {
+    raw.write(GzipHeader)
+    val deflater = new Deflater(Deflater.BEST_SPEED, /*nowrap=*/ true)
+    val dos = new DeflaterOutputStream(raw, deflater, 8192)
+    new java.io.OutputStream {
+      private val crc = new CRC32()
+      private var isize = 0L
+      override def write(b: Int): Unit = { dos.write(b); crc.update(b); isize += 1 }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        dos.write(b, off, len); crc.update(b, off, len); isize += len
+      }
+      override def close(): Unit = {
+        dos.finish()
+        deflater.end()
+        def le32(v: Long): Unit = {
+          raw.write((v & 0xff).toInt); raw.write(((v >> 8) & 0xff).toInt)
+          raw.write(((v >> 16) & 0xff).toInt); raw.write(((v >> 24) & 0xff).toInt)
+        }
+        le32(crc.getValue); le32(isize)
+        raw.close()
+      }
+    }
+  }
 }

@@ -149,7 +149,8 @@ object Tar2Tf {
     * shard, sort within partitions, stream each partition's shards
     * sequentially (a hash partition may carry several shards — the sort
     * keeps each contiguous). */
-  def writeFiles(records: DataFrame, outDir: String): Unit = {
+  def writeFiles(records: DataFrame, outDir: String,
+                 gzip: Boolean = false): Unit = {
     val plan = records
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("rec_index"))
@@ -164,10 +165,16 @@ object Tar2Tf {
           val shard = r.getString(0)
           if (shard != cur) {
             closeCur()
+            val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
             val p = new org.apache.hadoop.fs.Path(outDir,
-              shard.replaceAll("\\.tar$", "") + ".tfrecord")
-            out = new java.io.BufferedOutputStream(
+              shard.replaceAll("\\.tar$", "") + ext)
+            val raw = new java.io.BufferedOutputStream(
               p.getFileSystem(conf).create(p, true))
+            // .tfrecord.gz (tf.data compression='GZIP'): one gzip member
+            // per file, streamed — same deterministic RFC 1952 layout as
+            // GzipCodec (MTIME pinned to 0), CRC/ISIZE accumulated
+            // across writes rather than buffering the whole stream
+            out = if (gzip) GzipCodec.stream(raw) else raw
             cur = shard
           }
           out.write(r.getAs[Array[Byte]](1))

@@ -25,6 +25,28 @@ class GzipCodecSpec extends SparkSpec {
     }
   }
 
+  test("streaming writer is byte-identical to the array codec, chunked or not") {
+    samples.foreach { in =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = GzipCodec.stream(bos)
+      // write in awkward chunk sizes to exercise the accumulator paths
+      var p = 0
+      var step = 1
+      while (p < in.length) {
+        val n = math.min(step, in.length - p)
+        if (step % 3 == 0) (0 until n).foreach(i => out.write(in(p + i)))
+        else out.write(in, p, n)
+        p += n; step += 1
+      }
+      out.close()
+      assert(bos.toByteArray.toSeq == GzipCodec.compress(in).toSeq)
+    }
+    // empty stream: a valid zero-length member
+    val bos = new java.io.ByteArrayOutputStream()
+    GzipCodec.stream(bos).close()
+    assert(GzipCodec.decompress(bos.toByteArray).isEmpty)
+  }
+
   test("interop: standard GZIPOutputStream bytes decompress") {
     val in = "standard library payload".getBytes("UTF-8")
     val bos = new ByteArrayOutputStream()
