@@ -40,11 +40,26 @@ object Tar2Tf {
     * framing. Input: the tar member table (shard, member, sample_key,
     * ext, payload). Features are emitted key-sorted (protobuf map wire
     * order is unspecified; a fixed order keeps the bytes deterministic
-    * and lets the DuckDB oracle rebuild them exactly). */
-  def records(members: DataFrame): DataFrame = {
+    * and lets the DuckDB oracle rebuild them exactly).
+    *
+    * `withKey=true` adds the reference transformer's `__key__` feature:
+    * the sample key wrapped in literal double quotes — the exact bytes
+    * the golden fixture `ais/test/data/small-mnist-3.record` carries
+    * (`"mnist-3/10000"`, quotes included; Tar2TfGoldenSpec pins this
+    * against the reference's own file). `__key__` sorts before every
+    * lowercase extension, so the key-sorted layout is preserved. */
+  def records(members: DataFrame, withKey: Boolean = false): DataFrame = {
     val bySample = members
       .groupBy(col("shard"), col("sample_key"))
       .agg(sort_array(collect_list(struct(col("ext"), col("payload")))).as("fs"))
+      .withColumn("fs",
+        if (!withKey) col("fs")
+        else concat(
+          array(struct(
+            lit("__key__").as("ext"),
+            encode(concat(lit("\""), col("sample_key"), lit("\"")), "UTF-8")
+              .as("payload"))),
+          col("fs")))
     bySample
       .select(
         col("shard"), col("sample_key"),
