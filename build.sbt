@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to sbt's stdout, NOT through the sbt
+// logger: the driver parses the bench marker line from the captured log
+// tail, and the logger's "[info] " prefix breaks a line-level JSON parse
+// (five rounds of BENCH_r{N}.json came back `parsed: null` this way).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
