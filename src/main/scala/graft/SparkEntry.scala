@@ -1138,6 +1138,21 @@ object SparkEntry {
           md5(lower(hex(col("example")))).as("example_md5"))
         .orderBy("shard", "sample_key")),
 
+    // the transformer's own output shape (TestETLTar2TFS3's golden
+    // carries a quoted __key__ feature per record): same corpus as
+    // tar2tf_records with withKey=true — the oracle rebuilds the extra
+    // map entry's wire bytes too. Byte parity with the reference's own
+    // fixture file is Tar2TfGoldenSpec.
+    "tar2tf_records_key" -> ((s, d) =>
+      etl.Tar2Tf.records(tar2tfMembers(s, d), withKey = true)
+        .select(col("shard"), col("sample_key"),
+          col("rec_index").cast("long").as("rec_index"),
+          col("n_features").cast("long").as("n_features"), col("exts"),
+          length(col("example")).cast("long").as("example_len"),
+          length(col("record")).cast("long").as("record_len"),
+          md5(lower(hex(col("example")))).as("example_md5"))
+        .orderBy("shard", "sample_key")),
+
     // streaming face (§2.11 × tar2tf): shards land whole over 4 epochs;
     // per-epoch conversion unions to EXACTLY the batch twin's output, so
     // the same DuckDB oracle hash-checks continuous ingest end to end
@@ -4174,6 +4189,24 @@ object SparkEntry {
         |     || features_hex) AS example_md5
         |FROM t2t_rec ORDER BY shard, sample_key""".stripMargin,
       OracleCte.dsfiles, OracleCte.t2t),
+
+    "tar2tf_records_key" -> o(
+      """SELECT shard, sample_key,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sample_key) AS BIGINT) AS rec_index,
+        |  n_features, exts,
+        |  CAST(1 + (CASE WHEN features_len < 128 THEN 1 WHEN features_len < 16384 THEN 2 ELSE 3 END)
+        |       + features_len AS BIGINT) AS example_len,
+        |  CAST(17 + (CASE WHEN features_len < 128 THEN 1 WHEN features_len < 16384 THEN 2 ELSE 3 END)
+        |       + features_len AS BIGINT) AS record_len,
+        |  md5('0a' || (CASE WHEN features_len < 128 THEN lpad(lower(hex(features_len)),2,'0')
+        |       WHEN features_len < 16384 THEN lpad(lower(hex(features_len % 128 + 128)),2,'0')
+        |         || lpad(lower(hex(features_len // 128)),2,'0')
+        |       ELSE lpad(lower(hex(features_len % 128 + 128)),2,'0')
+        |         || lpad(lower(hex((features_len // 128) % 128 + 128)),2,'0')
+        |         || lpad(lower(hex(features_len // 16384)),2,'0') END)
+        |     || features_hex) AS example_md5
+        |FROM t2tk_rec ORDER BY shard, sample_key""".stripMargin,
+      OracleCte.dsfiles, OracleCte.t2tk),
 
     "etl_parquet_parse" ->
       """SELECT CAST(c_custkey % 8 AS BIGINT) AS bucket,

@@ -379,6 +379,29 @@ object OracleCte {
       |  FROM dsfiles
       |)""".stripMargin + ",\n" + tfExampleAsm("t2t_ent", "t2t")
 
+  /** tar2tf with the transformer's `__key__` feature — mirrors
+    * `graft.etl.Tar2Tf.records(withKey = true)`: one extra map entry per
+    * sample, key `__key__`, value the sample key wrapped in literal
+    * double quotes (the golden fixture's exact convention,
+    * `Tar2TfGoldenSpec`), PREPENDED to the key-sorted member features
+    * (`sel = ''` sorts before every extension). Gate keys are
+    * `sample-%08d` — quote/backslash escaping is inert here (pinned by
+    * the spec instead). Must follow `dsfiles`. */
+  val t2tk: String =
+    """t2tk_ent AS (
+      |  SELECT printf('t2t-%02d.tar', CAST(regexp_extract(stem, '(\d+)', 1) AS INT) % 13) AS shard,
+      |    stem AS sample_key, ext AS sel, ext,
+      |    CAST(length(ext) AS INT) AS kl, CAST(length(payload) AS INT) AS vl,
+      |    lower(hex(encode(payload))) AS val_hex
+      |  FROM dsfiles
+      |  UNION ALL
+      |  SELECT DISTINCT printf('t2t-%02d.tar', CAST(regexp_extract(stem, '(\d+)', 1) AS INT) % 13),
+      |    stem, '' AS sel, '__key__' AS ext,
+      |    CAST(7 AS INT), CAST(length(stem) + 2 AS INT),
+      |    lower(hex(encode('"' || stem || '"')))
+      |  FROM dsfiles
+      |)""".stripMargin + ",\n" + tfExampleAsm("t2tk_ent", "t2tk")
+
   /** tar2tf-filters reconstruction — mirrors
     * `graft.etl.Tar2Tf.recordsFiltered(selections = png,cls,
     * decodeRotateExt = png)` over `SparkEntry.tar2tfFilterMembers`: the

@@ -45,9 +45,16 @@ object Tar2Tf {
     * `withKey=true` adds the reference transformer's `__key__` feature:
     * the sample key wrapped in literal double quotes — the exact bytes
     * the golden fixture `ais/test/data/small-mnist-3.record` carries
-    * (`"mnist-3/10000"`, quotes included; Tar2TfGoldenSpec pins this
-    * against the reference's own file). `__key__` sorts before every
-    * lowercase extension, so the key-sorted layout is preserved. */
+    * (`"mnist-3/10000"`, quotes included; [[graft.Tar2TfGoldenSpec]]
+    * compares this pipeline's output per-feature against the
+    * reference's own file). Embedded `"` and `\` in the key are
+    * backslash-escaped before quoting, Go-%q style, so the quoted bytes
+    * stay well-formed for any member name. The `__key__` entry is
+    * PREPENDED — a deterministic choice of feature order; the
+    * reference's own order is unspecified Go-map iteration order (the
+    * golden fixture interleaves `cls,img,__key__` and `__key__,img,cls`
+    * within one file), so equality is per-feature-map, never
+    * whole-record bytes. */
   def records(members: DataFrame, withKey: Boolean = false): DataFrame = {
     val bySample = members
       .groupBy(col("shard"), col("sample_key"))
@@ -57,7 +64,9 @@ object Tar2Tf {
         else concat(
           array(struct(
             lit("__key__").as("ext"),
-            encode(concat(lit("\""), col("sample_key"), lit("\"")), "UTF-8")
+            encode(concat(lit("\""),
+              regexp_replace(col("sample_key"), "([\"\\\\])", "\\\\$1"),
+              lit("\"")), "UTF-8")
               .as("payload"))),
           col("fs")))
     bySample

@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+/** Parity with the reference's OWN transformer output bytes — the one
+  * oracle in the gate that graft did not author. The reference ships the
+  * tar2tf transformer's input AND output for two cases
+  * (`ais/test/data/`, consumed by `TestETLTar2TFS3`
+  * (`ais/test/etl_tar2tf_test.go`) and the tar2tf-filters row of
+  * `ais/test/etl_test.go:379`):
+  *
+  *   - `small-mnist-3.tar`  → `small-mnist-3.record` (plain tar2tf:
+  *     every member a feature, plus the quoted `__key__` feature)
+  *   - `single-png-cls.tar` → `single-png-cls-transformed.tfrecord`
+  *     (tar2tf-filters, spec `tools/tetl/etl.go:46-58`: Decode+Rotate on
+  *     png, selections png,cls — and no `__key__`)
+  *
+  * Comparison is per-record CANONICALIZED FEATURE MAPS, matched by
+  * `__key__`, never whole-record bytes: the reference serializes Go map
+  * iteration order, which is nondeterministic — the golden file itself
+  * interleaves `cls,img,__key__` and `__key__,img,cls` between records.
+  * That is also how the reference compares its own records
+  * (`tfRecordsEqual`, `ais/test/etl_test.go:180` — sort by `__key__`,
+  * DeepEqual per example).
+  *
+  * The expected constants (record count, quoted keys, cls bytes, img
+  * md5s, frame lengths) were extracted from the fixture files with an
+  * independent out-of-JVM parser, so the golden side does not depend on
+  * any graft code path.
+  *
+  * Scope note for the filters case: the golden png feature is a 349×349
+  * 8-bit RGBA PNG — the container's image library rotated 256×256 by
+  * 30° WITH interpolation and re-encoded (envelope 256·(cos30°+sin30°)
+  * = 349.7 → 349). That library lives in the external ais-etl repo, not
+  * in the reference tree, so its pixels are not reproducible from
+  * public reference sources; this spec pins the golden's envelope
+  * (dims/depth/magic) and the exactly-reproducible parts (selection
+  * set, cls passthrough byte, framing CRCs), while graft's own
+  * Decode/Rotate conversion keeps its closed-form 90° golden in
+  * [[Tar2TfSpec]].
+  */
+class Tar2TfGoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dataDir = "/root/reference/ais/test/data"
+
+  private def md5hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+
+  // ---- independent minimal tf.Example parser (tags/varints only; a
+  // separate code path from both the encoder and the native decoder) ----
+  private def parseExample(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    var p = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while ({ val x = bytes(p) & 0xff; p += 1; v |= (x & 0x7fL) << shift; shift += 7; (x & 0x80) != 0 }) ()
+      v
+    }
+    assert(varint() == 0x0a, "Example.features tag")
+    val featuresEnd = { val l = varint().toInt; p + l }
+    var out = Map.empty[String, Array[Byte]]
+    while (p < featuresEnd) {
+      assert(varint() == 0x0a, "map-entry tag")
+      val entryEnd = { val l = varint().toInt; p + l }
+      var key: String = null
+      var value: Array[Byte] = null
+      while (p < entryEnd) {
+        varint() match {
+          case 0x0a =>
+            val l = varint().toInt; key = new String(bytes, p, l, "UTF-8"); p += l
+          case 0x12 =>
+            val fEnd = { val l = varint().toInt; p + l }
+            assert(varint() == 0x0a, "Feature.bytes_list tag")
+            val blEnd = { val l = varint().toInt; p + l }
+            while (p < blEnd) {
+              assert(varint() == 0x0a, "BytesList.value tag")
+              val l = varint().toInt; value = bytes.slice(p, p + l); p += l
+            }
+            assert(p == fEnd)
+          case t => fail(s"unexpected map-entry tag $t")
+        }
+      }
+      out += key -> value
+    }
+    out
+  }
+
+  /** Split a TFRecord stream through the NATIVE CRC-verifying splitter —
+    * reference-produced framing must satisfy graft's masked-CRC32C. */
+  private def nativeSplit(blob: Array[Byte]): Seq[Array[Byte]] =
+    graft.functions.TfRecordSplit.split(blob)
+      .array.toSeq.map(_.asInstanceOf[Array[Byte]])
+
+  private val mnistImgMd5 = Map(
+    "\"mnist-3/10000\"" -> ("7" , "7452f076a346315f6ae43c8b981400f6"),
+    "\"mnist-3/10001\"" -> ("3", "a02e33d0a9ad9fe26f3879ae8726acab"),
+    "\"mnist-3/10002\"" -> ("4", "29ff5b3627462dd7f17151af8de59cf3"))
+
+  test("small-mnist-3: records(withKey=true) matches the reference's own .record per-feature") {
+    val goldenBytes = Files.readAllBytes(Paths.get(dataDir, "small-mnist-3.record"))
+    // reference-produced framing passes graft's CRC check
+    val goldenRecs = nativeSplit(goldenBytes)
+    assert(goldenRecs.length == 3)
+    assert(goldenBytes.length == goldenRecs.map(_.length + 16).sum)
+    val golden: Map[String, Map[String, Array[Byte]]] =
+      goldenRecs.map(parseExample)
+        .map(m => new String(m("__key__"), "UTF-8") -> m).toMap
+    // the golden side against its independently-extracted constants
+    assert(golden.keySet == mnistImgMd5.keySet)
+    for ((k, (cls, imgMd5)) <- mnistImgMd5) {
+      val m = golden(k)
+      assert(m.keySet == Set("__key__", "cls", "img"))
+      assert(new String(m("cls"), "UTF-8") == cls)
+      assert(m("img").length == 3136 && md5hex(m("img")) == imgMd5)
+    }
+
+    // graft's pipeline over the reference's input tar: S4 member scan →
+    // records(withKey=true)
+    val members = spark.read.format("tarmembers")
+      .load(s"$dataDir/small-mnist-3.tar")
+      .select(col("shard"), col("sample_key"), col("ext"), col("payload"))
+    val recs = etl.Tar2Tf.records(members, withKey = true).collect()
+    assert(recs.length == 3)
+    for (r <- recs) {
+      val ours = parseExample(r.getAs[Array[Byte]]("example"))
+      val key = new String(ours("__key__"), "UTF-8")
+      val want = golden(key)
+      assert(ours.keySet == want.keySet, s"feature keys for $key")
+      for ((k, v) <- want)
+        assert(ours(k).sameElements(v), s"feature $k of $key differs from golden")
+      // feature order differs (ours deterministic, golden Go-map order)
+      // but total serialized size cannot: same entries, same varints
+      assert(r.getAs[Array[Byte]]("record").length == 3202 + 16)
+      // our framing parses back standalone through the CRC check
+      assert(nativeSplit(r.getAs[Array[Byte]]("record")).head
+        .sameElements(r.getAs[Array[Byte]]("example")))
+    }
+
+    // the read face decodes the reference's file to the same maps
+    val back = etl.Tar2Tf.read(
+        Seq(("small-mnist-3.record", goldenBytes)).toDF("shard", "tfrecord"))
+      .select(col("rec_index"), col("ext"), md5(col("payload")).as("m"),
+        col("payload"))
+      .collect()
+    assert(back.length == 9)
+    val byRec = back.groupBy(_.getAs[Long]("rec_index"))
+    for ((_, rows) <- byRec) {
+      val m = rows.map(r => r.getAs[String]("ext") -> r).toMap
+      assert(m.keySet == Set("__key__", "cls", "img"))
+      val key = new String(m("__key__").getAs[Array[Byte]]("payload"), "UTF-8")
+      assert(m("img").getAs[String]("m") == mnistImgMd5(key)._2)
+    }
+  }
+
+  test("single-png-cls: filters golden — selection set, cls passthrough, envelope") {
+    val goldenBytes =
+      Files.readAllBytes(Paths.get(dataDir, "single-png-cls-transformed.tfrecord"))
+    val goldenRecs = nativeSplit(goldenBytes)
+    assert(goldenRecs.length == 1)
+    val g = parseExample(goldenRecs.head)
+    // selections only — tar2tf-filters emits NO __key__
+    assert(g.keySet == Set("cls", "png"))
+    assert(g("cls").sameElements("1".getBytes("UTF-8")))
+    assert(g("png").length == 9460 &&
+      md5hex(g("png")) == "e3ff993f9da45ff286dd5682046ed293")
+    // golden png envelope: re-encoded PNG, 349×349 8-bit RGBA — the 30°
+    // interpolated-rotation bounding box of the 256×256 input
+    val png = g("png")
+    assert(png.take(8).sameElements(
+      Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)))
+    def be32(o: Int) = ((png(o) & 0xff) << 24) | ((png(o + 1) & 0xff) << 16) |
+      ((png(o + 2) & 0xff) << 8) | (png(o + 3) & 0xff)
+    assert(be32(16) == 349 && be32(20) == 349, "IHDR dims")
+    assert((png(24) & 0xff) == 8 && (png(25) & 0xff) == 6, "bit depth / RGBA")
+
+    // graft over the reference's input tar: the directory entry is not a
+    // member; selection keeps png,cls in selection order; cls passes
+    // through to the golden's exact byte; png (no conversion requested
+    // here — see scope note) is the input member verbatim
+    val members = spark.read.format("tarmembers")
+      .load(s"$dataDir/single-png-cls.tar")
+      .select(col("shard"), col("sample_key"), col("ext"), col("payload"))
+    val mrows = members.collect()
+    assert(mrows.length == 2)
+    val inPng = mrows.find(_.getAs[String]("ext") == "png").get
+      .getAs[Array[Byte]]("payload")
+    assert(inPng.length == 7792)
+    val recs = etl.Tar2Tf.recordsFiltered(members, Seq("png", "cls")).collect()
+    assert(recs.length == 1)
+    assert(recs.head.getAs[String]("exts") == "png,cls")
+    val ours = parseExample(recs.head.getAs[Array[Byte]]("example"))
+    assert(ours.keySet == g.keySet)
+    assert(ours("cls").sameElements(g("cls")))
+    assert(ours("png").sameElements(inPng))
+  }
+
+  test("__key__ quoting escapes embedded quotes and backslashes") {
+    val members = Seq(
+      ("s.tar", "a\"b\\c", "cls", "1".getBytes("UTF-8")))
+      .toDF("shard", "sample_key", "ext", "payload")
+    val r = etl.Tar2Tf.records(members, withKey = true).collect().head
+    val m = parseExample(r.getAs[Array[Byte]]("example"))
+    assert(new String(m("__key__"), "UTF-8") == "\"a\\\"b\\\\c\"")
+    assert(r.getAs[String]("exts") == "__key__,cls")
+  }
+}
