@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-level lineage-truncation policy.
+  *
+  * Iterative operators (dSort cumsum/packing, dedup connected
+  * components, PageRank, BPE rounds, streaming odometers) materialize
+  * intermediate frames to cap logical-plan growth. `localCheckpoint`
+  * does that with executor-resident blocks and a TRUNCATED lineage —
+  * fast, but one lost executor fails the whole job instead of
+  * recomputing, which is routine at 100 TB on spot/churning capacity.
+  * Reliable `checkpoint()` writes the blocks to a shared directory
+  * (HDFS/object store on a real cluster) so any executor can be lost
+  * and the stage recovers by re-reading checkpoint files.
+  *
+  * Policy (per session):
+  *   - `spark.graft.checkpoint = local | reliable` forces a mode;
+  *   - unset: `local` on `local[*]` masters (single JVM — executor loss
+  *     IS driver loss, recovery is moot and the fast path wins),
+  *     `reliable` on any distributed master (local-cluster, standalone,
+  *     YARN, K8s) — fault-tolerant out of the box where it matters;
+  *   - `spark.graft.checkpoint.dir` sets the reliable directory
+  *     (REQUIRED to be storage shared across executors on a multi-node
+  *     cluster); defaults to java.io.tmpdir/graft_ckpt_<appId>, which is
+  *     only correct single-machine (tests, local-cluster).
+  *
+  * Measured overhead and the executor-kill proof are in PERF.md
+  * ("Fault tolerance"); `graft.FaultCheck` reproduces both.
+  */
+object Ckpt {
+  def mode(s: SparkSession): String =
+    s.conf.getOption("spark.graft.checkpoint").getOrElse(
+      if (s.sparkContext.isLocal) "local" else "reliable")
+
+  private def ensureDir(s: SparkSession): Unit = synchronized {
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = s.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
+        s"${sys.props("java.io.tmpdir")}/graft_ckpt_${s.sparkContext.applicationId}")
+      s.sparkContext.setCheckpointDir(dir)
+    }
+  }
+
+  implicit final class StableOps(private val df: DataFrame) extends AnyVal {
+    /** Eager lineage-truncating materialization under the session
+      * policy: `localCheckpoint()` (executor blocks) or reliable
+      * `checkpoint()` (shared-directory files, survives executor
+      * loss). */
+    def stableCheckpoint(): DataFrame = {
+      val s = df.sparkSession
+      if (mode(s) == "reliable") { ensureDir(s); df.checkpoint() }
+      else df.localCheckpoint()
+    }
+  }
+}

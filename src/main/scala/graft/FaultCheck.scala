@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Executor-loss fault injection for the [[Ckpt]] policy (PERF.md
+  * "Fault tolerance"). Requires a multi-JVM master so an executor can
+  * die without taking the driver down:
+  *
+  * {{{
+  * SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  * SPARK_GRAFT_MASTER='local-cluster[2,8,8192]' \
+  *   tools/run_local.sh graft.FaultCheck /root/testdata/sf0.01
+  * }}}
+  *
+  * Phase 1 (negative control): `spark.graft.checkpoint=local` —
+  * localCheckpoint a shuffled frame, SIGKILL one executor JVM, consume.
+  * Expected: the job FAILS (blocks lost + lineage truncated = nothing
+  * to recompute from) — the exact 100 TB-cluster hazard VERDICT r4/r5
+  * flagged.
+  *
+  * Phase 2: `spark.graft.checkpoint=reliable` (the default on any
+  * distributed master) — same pipeline through `stableCheckpoint`,
+  * SIGKILL one executor, consume. Expected: the exact count, recovered
+  * from checkpoint files on shared storage.
+  *
+  * Phase 3: overhead — representative iterative gate queries
+  * (dedup_components: CC iterations; dsort_alpha_pack: cumsum packing)
+  * timed in both modes on the surviving cluster.
+  *
+  * Exit code 0 only if phase 1 fails as predicted AND phase 2 recovers.
+  */
+object FaultCheck {
+
+  /** Executor JVMs of THIS app: command is a java binary and the argv
+    * carries both the executor backend class and our runtime-generated
+    * applicationId (the appId guard keeps pattern-matching away from
+    * unrelated processes whose cmdline merely mentions Spark). */
+  private def executorProcs(appId: String): Seq[ProcessHandle] =
+    ProcessHandle.allProcesses().iterator().asScala.filter { ph =>
+      val info = ph.info()
+      val argv = info.arguments().map(_.toSeq).orElse(
+        info.commandLine().map(_.split(" ").toSeq).orElse(Nil))
+      argv.exists(_ == "org.apache.spark.executor.CoarseGrainedExecutorBackend") &&
+        argv.exists(_.contains(appId))
+    }.toSeq
+
+  private def killOne(spark: SparkSession): Long = {
+    val procs = executorProcs(spark.sparkContext.applicationId)
+    require(procs.nonEmpty, "no executor JVMs found — is the master local-cluster?")
+    val victim = procs.minBy(_.pid)
+    val pid = victim.pid
+    victim.destroyForcibly()
+    victim.onExit().join()
+    pid
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,8,8192]")
+    require(master.startsWith("local-cluster"),
+      s"FaultCheck needs executors in separate JVMs, got $master")
+    val classesDir = new java.io.File(
+      SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.extraClassPath", classesDir)
+      .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
+      // don't let the negative control burn 4 task retries per partition
+      // before surfacing the lost-block failure
+      .config("spark.task.maxFailures", "2")
+      .getOrCreate()
+    import Ckpt._
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def shuffled() = Tables.load(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"), count(lit(1)).as("n"))
+    val expected = shuffled().count()
+    println(s"[fault] baseline rows: $expected")
+
+    def waitForExecutors(n: Int): Unit = {
+      val deadline = System.nanoTime() + 120e9.toLong
+      // statusTracker counts the driver too on some backends; require n
+      // executor JVM processes instead — the thing we actually kill
+      while (executorProcs(spark.sparkContext.applicationId).size < n &&
+             System.nanoTime() < deadline) Thread.sleep(500)
+    }
+    waitForExecutors(2)
+
+    // ---- phase 1: negative control ------------------------------------
+    spark.conf.set("spark.graft.checkpoint", "local")
+    val localCk = shuffled().stableCheckpoint()
+    assert(localCk.count() == expected)
+    var pid = killOne(spark)
+    println(s"[fault] phase1: killed executor pid=$pid (mode=local)")
+    val phase1FailedAsPredicted =
+      try { val n = localCk.count(); println(s"[fault] phase1 UNEXPECTED success: $n"); false }
+      catch { case e: Throwable =>
+        println(s"[fault] phase1 failed as predicted: ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").linesIterator.nextOption().getOrElse("")}")
+        true
+      }
+    localCk.unpersist()
+
+    // ---- phase 2: reliable mode survives the same kill -----------------
+    // standalone workers relaunch a replacement executor; wait for 2
+    waitForExecutors(2)
+    spark.conf.set("spark.graft.checkpoint", "reliable")
+    val reliableCk = shuffled().stableCheckpoint()
+    assert(reliableCk.count() == expected)
+    pid = killOne(spark)
+    println(s"[fault] phase2: killed executor pid=$pid (mode=reliable)")
+    val phase2Recovered =
+      try { val n = reliableCk.count(); println(s"[fault] phase2 recovered: $n rows"); n == expected }
+      catch { case e: Throwable =>
+        println(s"[fault] phase2 UNEXPECTED failure: ${e.getMessage}"); false }
+
+    // ---- phase 3: overhead of reliable vs local on iterative queries ---
+    waitForExecutors(2)
+    def time(q: String, mode: String): Double = {
+      spark.conf.set("spark.graft.checkpoint", mode)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
+    }
+    for (q <- Seq("dedup_components", "dsort_alpha_pack")) {
+      time(q, "local") // warm (JIT, parquet footers) — discard
+      val l = time(q, "local"); val r = time(q, "reliable")
+      println(f"[fault] overhead $q: local=$l%.2fs reliable=$r%.2fs (${r / l}%.2fx)")
+    }
+
+    spark.stop()
+    val ok = phase1FailedAsPredicted && phase2Recovered
+    println(s"[fault] RESULT: ${if (ok) "PASS" else "FAIL"} " +
+      s"(phase1FailedAsPredicted=$phase1FailedAsPredicted phase2Recovered=$phase2Recovered)")
+    if (!ok) sys.exit(1)
+  }
+}

@@ -40,6 +40,12 @@ object GraftSession {
       // at 32 MiB — the granularity real clusters run at — so spill
       // pressure degrades gracefully instead of failing allocation.
       .config("spark.buffer.pageSize", "32m")
+      // Reliable-checkpoint files (Ckpt.stableCheckpoint on distributed
+      // masters) are deleted when their RDD is GC'd instead of
+      // accumulating until context stop — a long session running
+      // hundreds of iterative queries would otherwise leak checkpoint
+      // storage (35 stableCheckpoint sites × queries × epochs).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2171,7 +2172,7 @@ object SparkEntry {
       // consumer (ReuseExchange only dedupes branches within ONE plan).
       val clean = scored.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
         .select("doc_id", "text")
-        .localCheckpoint()
+        .stableCheckpoint()
       val pairs = ext.Dedup.nearDupMinhashLsh(clean, threshold = 0.8)
         .select("doc_a", "doc_b")
       val nonRep = ext.Dedup.connectedComponents(pairs)

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,7 +74,7 @@ object Bpe {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
     var vocab = wordFreqs(docs, textCol)
       .select(col("freq"), chars(col("word")).as("syms"))
-      .localCheckpoint()
+      .stableCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     var rank = 0
@@ -87,7 +88,7 @@ object Bpe {
         out += ((rank, l, r, c))
         vocab = vocab
           .withColumn("syms", applyMerge(col("syms"), l, r))
-          .localCheckpoint()
+          .stableCheckpoint()
         rank += 1
       }
     }

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -340,7 +341,7 @@ object Dedup {
         struct(col(idB).as("src"), col(idA).as("dst")))).as("_e"))
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .stableCheckpoint()
     // initial labels already fold in the direct neighborhood —
     // component₀(id) = min(id, min neighbor) — which is exactly what the
     // first loop iteration would compute from identity labels; starting
@@ -350,7 +351,7 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min("dst").as("_n"))
       .select(col("id"), least(col("id"), col("_n")).as("component"))
-      .localCheckpoint()
+      .stableCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -361,7 +362,7 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("component").as("_old"),
           least(col("component"), coalesce(col("_nbr"), col("component"))).as("component"))
-        .localCheckpoint()
+        .stableCheckpoint()
       changed = next.where(col("component") =!= col("_old")).count()
       labels = next.drop("_old")
       iter += 1
@@ -803,7 +804,7 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("_np"))
       .where(col("_np") === kHashes)
       .select(col("doc_id"), lit(true).as("bloom_candidate"))
-      .localCheckpoint()
+      .stableCheckpoint()
     val flagged = nw.join(broadcast(candidates), Seq("doc_id"), "left")
     // verify: candidates broadcast INTO the reference scan — min ref id
     // per matched hash rides a partial agg; the reference never shuffles

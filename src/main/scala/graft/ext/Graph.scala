@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -54,11 +55,11 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .stableCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .stableCheckpoint()
     val outdeg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     val base = scale - (scale * dampNum) / dampDen // teleport mass, integer
@@ -79,7 +80,7 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("in_mass"), lit(0L))).as("score"))
-        .localCheckpoint()
+        .stableCheckpoint()
     }
     scores
   }

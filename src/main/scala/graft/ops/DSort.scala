@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -190,11 +191,11 @@ object DSort {
   def globalCumsum2(df: DataFrame, order: Seq[Column], v1: Column, v2: Column): DataFrame = {
     val spark = df.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = df.localCheckpoint()
+    val parted = df.stableCheckpoint()
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .stableCheckpoint()
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted
@@ -228,7 +229,7 @@ object DSort {
     // plan (often an expensive groupBy) runs twice. Load-bearing even
     // for cheap codegen upstreams: skipping it for Lhotse's sub-second
     // manifest parse was MEASURED 2.1x slower at sf1 (14.5 -> 30.8 s).
-    val input = df.localCheckpoint()
+    val input = df.stableCheckpoint()
     // Second checkpoint pins the range partitioning: the plan below reads
     // `parted` in two branches (offset table + join-back), and without
     // materialization each branch re-plans the exchange — AQE may coalesce
@@ -239,7 +240,7 @@ object DSort {
       .repartitionByRange(n, fullOrder: _*)
       .sortWithinPartitions(fullOrder: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .stableCheckpoint()
     val localKeys = "_pid" +: groups
     val w = Window.partitionBy(localKeys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -318,7 +319,7 @@ object DSort {
     // and re-executes once per branch (seen in the PlanDump: the ratio
     // scan+agg subtree appeared twice) — the cumsum side is already
     // protected by globalCumsum's own checkpoints
-    val ratioMat = ratio.localCheckpoint()
+    val ratioMat = ratio.stableCheckpoint()
     val raw = globalCumsum(samplesWithKey, order, col("size"))
       .crossJoin(broadcast(ratioMat))
       .withColumn("shard_id",

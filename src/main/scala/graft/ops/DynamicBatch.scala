@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,7 +57,7 @@ object DynamicBatch {
         samples.select(col(nameCol).as("name"), col(sizeCol).cast("long").as("size")),
         Seq(col("name").asc), lit(1L))
       .select((col("_cum") - 1).as("pos"), col("name"), col("size"))
-      .localCheckpoint()
+      .stableCheckpoint()
 
     // ---- the sequential boundary scan (the reference's __iter__) ----
     val normalRanges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]

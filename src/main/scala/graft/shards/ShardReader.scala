@@ -1,5 +1,6 @@
 package graft.shards
 
+import graft.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -37,7 +38,7 @@ object ShardReader {
     // materialization the payload-bearing scan runs three times
     val contents = members.groupBy("shard", "sample_key", "ext")
       .agg(min(md5(col("payload"))).as("_md5"))
-      .localCheckpoint()
+      .stableCheckpoint()
     val firstShard = contents.groupBy("ext").agg(min("shard").as("_first_shard"))
     val keyset = contents.select("shard").distinct()
       .join(broadcast(firstShard), col("_first_shard") <= col("shard"))

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -79,7 +80,7 @@ object CatalogStream {
     * CatalogStreamSpec asserts parity with [[applyLog]]. */
   def runApplyStream(spark: SparkSession, mutationsDir: String, base: DataFrame): DataFrame = {
     val schema = spark.read.parquet(mutationsDir).schema
-    var state = init(base).localCheckpoint()
+    var state = init(base).stableCheckpoint()
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(mutationsDir)
@@ -89,7 +90,7 @@ object CatalogStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // localCheckpoint caps plan growth across epochs (the state
         // lineage would otherwise deepen by one join per batch)
-        state = step(state, batch).localCheckpoint()
+        state = step(state, batch).stableCheckpoint()
         ()
       }
       .start()

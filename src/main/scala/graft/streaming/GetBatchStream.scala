@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -47,9 +48,9 @@ object GetBatchStream {
             expr("substring(value, instr(value, '/') + 1)").as("objname"))
           .where(col("objname") =!= "")
         val out = GetBatch.batchedAssemble(listing, payloads, maxBatchSize,
-          startAt = consumed).localCheckpoint()
+          startAt = consumed).stableCheckpoint()
         consumed += out.count()
-        acc = Some(acc.fold(out)(_.unionByName(out).localCheckpoint()))
+        acc = Some(acc.fold(out)(_.unionByName(out).stableCheckpoint()))
         ()
       }
       .start()

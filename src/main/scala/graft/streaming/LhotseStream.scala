@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -47,9 +48,9 @@ object LhotseStream {
         // keeps stream == batch parity checkable
         val reqs = Lhotse.toRequests(Lhotse.parseCuts(epoch), sampleRate)
         val out = Lhotse.batches(reqs, Seq(col("cut_id").asc), batchSize,
-          outputTemplate, startAt = cutsSoFar).localCheckpoint()
+          outputTemplate, startAt = cutsSoFar).stableCheckpoint()
         cutsSoFar += out.count()
-        acc = Some(acc.fold(out)(_.unionByName(out).localCheckpoint()))
+        acc = Some(acc.fold(out)(_.unionByName(out).stableCheckpoint()))
         ()
       }
       .start()

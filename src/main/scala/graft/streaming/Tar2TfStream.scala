@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -42,8 +43,8 @@ object Tar2TfStream {
             f.getItem(1).as("sample_key"),
             f.getItem(2).as("ext"),
             encode(coalesce(f.getItem(3), lit("")), "UTF-8").as("payload"))
-        val out = graft.etl.Tar2Tf.records(members).localCheckpoint()
-        acc = Some(acc.fold(out)(_.unionByName(out).localCheckpoint()))
+        val out = graft.etl.Tar2Tf.records(members).stableCheckpoint()
+        acc = Some(acc.fold(out)(_.unionByName(out).stableCheckpoint()))
         ()
       }
       .start()
