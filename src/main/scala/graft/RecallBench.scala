@@ -58,22 +58,11 @@ object RecallBench {
       m = 8, k = k, nprobe = 16, rerankFactor = 32))
     recall("quantized", ext.Similarity.quantizedTopK(emb, queries, k = k))
 
-    // what k-means TRAINING buys over the strided sample (not a gate
-    // configuration — the oracle keeps sampled centroids so the SQL
-    // rebuild stays closed-form; this row quantifies the gap)
-    def trained(iters: Int): DataFrame = {
-      var c = emb.where(col("vec_id") % math.max(31L, n / 128L) === 0)
-        .select(col("vec_id"), col("embedding"))
-      for (_ <- 0 until iters) {
-        c = ext.Similarity.kmeansStep(emb, c)
-          .groupBy("cluster")
-          .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("l"))
-          .select(col("cluster").as("vec_id"),
-            expr("transform(l, x -> CAST(x.centroid AS FLOAT))").as("embedding"))
-          .localCheckpoint()
-      }
-      c
-    }
+    // what k-means TRAINING buys over the strided sample — the
+    // embed_knn_ivf_trained gate configuration (oracle unrolls the 3
+    // Lloyd rounds in SQL)
+    def trained(iters: Int): DataFrame = ext.Similarity.trainCentroids(
+      emb, emb.where(col("vec_id") % math.max(31L, n / 128L) === 0), iters)
     recall("ivf_km3", ext.Similarity.ivfTopK(emb, queries, centroids = trained(3), k = k, nprobe = 16))
     spark.stop()
   }

@@ -2267,14 +2267,15 @@ object SparkEntry {
           |ORDER BY vec_a""".stripMargin)
     }),
 
-    // IVF-bucketed ANN — scale path; rows-only check, agreement with
-    // brute force covered in ExtensionsSpec. The cell count is an INDEX
-    // PARAMETER (~128 cells), not a data-derived quantity: a fixed `% 31`
-    // stride made #cells grow with the corpus, so the broadcast-argmin
-    // assignment was O(n²/31) — measured ×14.4 at the sf0.1→sf1 scale
-    // step. The adaptive stride caps cells and keeps assignment one
-    // linear scan at any corpus size (at 100 TB you'd raise the cap to
-    // ~64k cells, still corpus-independent).
+    // IVF-bucketed ANN — scale path; hash-checked: the oracle rebuilds
+    // strided centroids, argmin cell assignment, the nprobe=16 probe
+    // set, and the exact-cosine rerank within probed cells. The cell
+    // count is an INDEX PARAMETER (~128 cells), not a data-derived
+    // quantity: a fixed `% 31` stride made #cells grow with the corpus,
+    // so the broadcast-argmin assignment was O(n²/31) — measured ×14.4
+    // at the sf0.1→sf1 scale step. The adaptive stride caps cells and
+    // keeps assignment one linear scan at any corpus size (at 100 TB
+    // you'd raise the cap to ~64k cells, still corpus-independent).
     "embed_knn_ivf" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       val stride = math.max(31L, emb.count() / 128L)
@@ -2288,8 +2289,9 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN — scale path; no SQL oracle (rows-only check),
-    // exactness covered by EmbeddingSpec against brute force.
+    // LSH-bucketed ANN — scale path; hash-checked: the md5-derived ±1
+    // planes, the sign-bit bucket strings, the Hamming-1 multi-probe
+    // expansion, and the exact-cosine rerank are all closed-form in SQL.
     "embed_knn_lsh" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       // probes=5 (own bucket + every Hamming-1 neighbor): measured at sf1
@@ -2298,6 +2300,23 @@ object SparkEntry {
       ext.Similarity.lshTopK(emb,
         emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
         k = 5, bits = 4, dim = 64, probes = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF with TRAINED centroids — the measured-best recall
+    // configuration (0.93@10 at sf1 vs 0.81 for the raw strided sample,
+    // same nprobe=16 probe cost): 3 Lloyd rounds from the strided
+    // sample, each round's means rounded to 6 dp and cast to FLOAT so
+    // the oracle unrolls the identical 3-round chain (4 argmin
+    // assignments + 3 grouped means) in closed-form SQL.
+    "embed_knn_ivf_trained" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val stride = math.max(31L, emb.count() / 128L)
+      ext.Similarity.ivfTopK(emb,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        centroids = ext.Similarity.trainCentroids(
+          emb, emb.where(col("vec_id") % stride === 0), iters = 3),
+        k = 5, nprobe = 16)
         .orderBy("query_id", "rank")
     }),
 
@@ -5280,6 +5299,123 @@ object SparkEntry {
         |                  JOIN e t ON t.vec_id = c.vec_id
         |      WHERE c.crank <= 160)
         |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF rebuilt end to end: strided centroids from count(*), argmin
+    // cell assignment (ties → lowest cell_id), the nprobe=16 probe set
+    // per query, exact cosine over probed cells — the ivfpq oracle's
+    // coarse stage with the PQ middle removed and the ivf stride floor
+    // (31, not 100)
+    "embed_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |stc AS (SELECT GREATEST(31, count(*) // 128) AS s FROM e),
+        |cents AS (SELECT vec_id AS cell_id, v AS cv
+        |          FROM e WHERE vec_id % (SELECT s FROM stc) = 0),
+        |cells AS (SELECT vec_id, cell_id FROM (
+        |           SELECT e.vec_id, c.cell_id,
+        |             row_number() OVER (PARTITION BY e.vec_id
+        |               ORDER BY -list_dot_product(e.v, c.cv)
+        |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+        |           FROM e CROSS JOIN cents c) WHERE rn = 1),
+        |probe AS (SELECT query_id, cell_id FROM (
+        |           SELECT q.vec_id AS query_id, c.cell_id,
+        |             row_number() OVER (PARTITION BY q.vec_id
+        |               ORDER BY -list_dot_product(q.v, c.cv)
+        |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+        |           FROM e q CROSS JOIN cents c
+        |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 16)
+        |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+        |FROM (SELECT p.query_id, ce.vec_id,
+        |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
+        |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
+        |      FROM cells ce JOIN probe p ON p.cell_id = ce.cell_id
+        |                  JOIN e q ON q.vec_id = p.query_id
+        |                  JOIN e t ON t.vec_id = ce.vec_id
+        |      WHERE ce.vec_id <> p.query_id)
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // sign-LSH rebuilt end to end: the ±1 planes from md5("p:d")'s first
+    // byte (>= 0x80 → −1, the signed-byte test), bucket = 4 sign bits of
+    // the plane projections, query probes its own bucket plus every
+    // single-bit flip, exact cosine over the probed buckets
+    "embed_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT pp.p,
+        |         list(CASE WHEN CAST(('0x' || substr(md5(CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) >= 128
+        |                   THEN -1.0 ELSE 1.0 END ORDER BY dd.d) AS plane
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS p) pp
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd
+        |       GROUP BY pp.p),
+        |bk AS (SELECT e.vec_id, e.v,
+        |         string_agg(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+        |                         THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS bucket
+        |       FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v),
+        |qp AS (SELECT b.vec_id AS query_id, b.v AS qv,
+        |         CASE WHEN f.j = 0 THEN b.bucket ELSE
+        |           substr(b.bucket, 1, f.j - 1)
+        |           || (CASE WHEN substr(b.bucket, f.j, 1) = '1' THEN '0' ELSE '1' END)
+        |           || substr(b.bucket, f.j + 1) END AS bucket
+        |       FROM bk b CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) f
+        |       WHERE b.vec_id IN (17, 42, 99, 123, 256))
+        |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+        |FROM (SELECT qp.query_id, c.vec_id,
+        |        list_dot_product(qp.qv, c.v) / (sqrt(list_dot_product(qp.qv, qp.qv))
+        |          * sqrt(list_dot_product(c.v, c.v))) AS cosx
+        |      FROM qp JOIN bk c ON c.bucket = qp.bucket
+        |      WHERE c.vec_id <> qp.query_id)
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the 3-Lloyd-round chain unrolled: each round re-assigns over the
+    // previous round's means and re-averages; the 6-dp round + FLOAT
+    // cast between rounds (Similarity.trainCentroids) is what makes the
+    // chain closed-form — then the embed_knn_ivf probe/rerank over the
+    // trained cells
+    "embed_knn_ivf_trained" -> {
+      def assign(cent: String, out: String): String =
+        s"""$out AS (SELECT vec_id, cell_id FROM (
+           |  SELECT e.vec_id, c.cell_id,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY -list_dot_product(e.v, c.cv)
+           |                 / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+           |  FROM e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+      def means(asg: String, out: String): String =
+        s"""$out AS (SELECT cell_id, list(cd ORDER BY pos) AS cv FROM (
+           |  SELECT a.cell_id, p.pos,
+           |    CAST(CAST(round(avg(e.v[p.pos + 1]), 6) AS FLOAT) AS DOUBLE) AS cd
+           |  FROM $asg a JOIN e ON e.vec_id = a.vec_id
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
+           |  GROUP BY a.cell_id, p.pos) GROUP BY cell_id)""".stripMargin
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |stc AS (SELECT GREATEST(31, count(*) // 128) AS s FROM e),
+        |c0 AS (SELECT vec_id AS cell_id, v AS cv
+        |       FROM e WHERE vec_id % (SELECT s FROM stc) = 0),
+        |""".stripMargin +
+        assign("c0", "a1") + ",\n" + means("a1", "c1") + ",\n" +
+        assign("c1", "a2") + ",\n" + means("a2", "c2") + ",\n" +
+        assign("c2", "a3") + ",\n" + means("a3", "c3") + ",\n" +
+        assign("c3", "a4") + ",\n" +
+        """probe AS (SELECT query_id, cell_id FROM (
+          |           SELECT q.vec_id AS query_id, c.cell_id,
+          |             row_number() OVER (PARTITION BY q.vec_id
+          |               ORDER BY -list_dot_product(q.v, c.cv)
+          |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+          |           FROM e q CROSS JOIN c3 c
+          |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 16)
+          |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+          |FROM (SELECT p.query_id, ce.vec_id,
+          |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
+          |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
+          |      FROM a4 ce JOIN probe p ON p.cell_id = ce.cell_id
+          |                  JOIN e q ON q.vec_id = p.query_id
+          |                  JOIN e t ON t.vec_id = ce.vec_id
+          |      WHERE ce.vec_id <> p.query_id)
+          |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "embed_sql_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

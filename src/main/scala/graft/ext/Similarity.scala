@@ -504,10 +504,40 @@ object Similarity {
     Similarity.centroids(
       assignCells(corpus, centroids, idCol, vecCol), "cell_id", "_cv")
 
+  /** k-means training for IVF centroids: `iters` Lloyd rounds from an
+    * initial centroid table. Each round is [[kmeansStep]] (assign to
+    * nearest cell, per-cell elementwise mean rounded to 6 dp) with the
+    * flat means folded back into FLOAT vectors — the round+cast makes
+    * every iteration's output CLOSED-FORM, so a SQL oracle replays the
+    * whole chain exactly (each stage is one grouped avg + one argmin;
+    * no RNG, no iteration-order dependence beyond what the 6-dp round
+    * absorbs). Measured at sf1 gate parameters (PERF.md §ANN-recall):
+    * 3 rounds lift ivfTopK recall@10 from 0.81 (raw strided sample) to
+    * 0.93 at the same nprobe=16 scan cost.
+    *
+    * Scale: each round shuffles (corpus × 1) once for the means and
+    * broadcasts ~128 centroids for the assign — linear in the corpus,
+    * bounded by the cell cap, lineage truncated per round. */
+  def trainCentroids(corpus: DataFrame, init: DataFrame, iters: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.Ckpt._
+    var c = init.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    for (_ <- 0 until iters) {
+      c = kmeansStep(corpus, c, idCol = idCol, vecCol = vecCol)
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("l"))
+        .select(col("cluster").as("vec_id"),
+          expr("transform(l, x -> CAST(x.centroid AS FLOAT))").as("embedding"))
+        .stableCheckpoint()
+    }
+    c
+  }
+
   /** Measured recall@10 vs brute force at sf1 gate parameters
     * (PERF.md §ANN-recall): 0.81 at nprobe=16 of ~128 strided cells
-    * (12.5% scan/query); 0.46 at nprobe=4. The recall-preferred
-    * approximate path. */
+    * (12.5% scan/query); 0.46 at nprobe=4; 0.93 with
+    * [[trainCentroids]](3) centroids at the same probe cost. The
+    * recall-preferred approximate path. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
