@@ -2460,9 +2460,10 @@ object SparkEntry {
 
     // The full merge loop (8 ranked merges). Inherently sequential —
     // each argmax depends on the previous rewrite — so no single-query
-    // SQL oracle exists; BpeSpec hand-verifies the classic corpus,
-    // greedy overlap semantics, and rank-1 agreement with
-    // bpe_pair_count's argmax. Rows-only by declared design.
+    // Hash-checked: the oracle unrolls the 8 sequential merge rounds —
+    // per-round pair-count argmax in SQL, greedy rewrite as a literal
+    // replace over a bracketed symbol string. BpeSpec additionally
+    // hand-verifies the classic corpus and greedy overlap semantics.
     "bpe_merges" -> ((s, d) =>
       ext.Bpe.mergesDf(s,
         ext.Bpe.learnMerges(Tables.load(s, d, "documents"), nMerges = 8))
@@ -6301,6 +6302,39 @@ object SparkEntry {
 
     // frequency-weighted adjacent char-pair counts over the word table —
     // BPE training's inner statistic rebuilt independently
+    // the 8-round sequential merge loop unrolled (the Lloyd-chain trick):
+    // each round re-counts weighted pairs over the current vocab and
+    // takes the (cnt DESC, left, right) argmax; the greedy left-to-right
+    // rewrite is a LITERAL string replace over a chr(1)/chr(2)-bracketed
+    // symbol string — replace() scans left to right non-overlapping,
+    // exactly reference BPE's first-occurrence-first pass, and the
+    // brackets make matches whole-symbol-only
+    "bpe_merges" -> {
+      def round(i: Int): String =
+        s"""p$i AS (SELECT cs[i] AS l, cs[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, cs, unnest(generate_series(1, len(cs) - 1)) AS i
+           |        FROM (SELECT freq, regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1) AS cs
+           |              FROM v${i - 1})
+           |        WHERE len(cs) >= 2)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |v$i AS (SELECT v.freq,
+           |    replace(v.s, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+           |                 chr(1) || b.l || b.r || chr(2)) AS s
+           |  FROM v${i - 1} v CROSS JOIN b$i b)""".stripMargin
+      """WITH wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |v0 AS (SELECT freq, regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s FROM wf),
+        |""".stripMargin +
+        (1 to 8).map(round).mkString(",\n") + "\n" +
+        (1 to 8).map(i =>
+          s"""SELECT CAST(${i - 1} AS INT) AS rank, l AS "left", r AS "right", cnt FROM b$i""")
+          .mkString(" UNION ALL ") + " ORDER BY rank"
+    },
+
     "bpe_pair_count" ->
       """WITH wf AS (
         |  SELECT word, count(*) AS freq FROM (
