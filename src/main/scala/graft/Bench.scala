@@ -11,6 +11,10 @@ object Bench {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // RocksDB state store: scale-correct default, measured no-cost locally
+      // (GraftSession.scala rationale; PERF.md "Streaming state store")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       // cap Tungsten pages (heuristic picks 1 GiB at 48g/32 cores → G1
       // humongous-allocation thrash; see GraftSession.scala)

@@ -40,6 +40,14 @@ object GraftSession {
       // at 32 MiB — the granularity real clusters run at — so spill
       // pressure degrades gracefully instead of failing allocation.
       .config("spark.buffer.pageSize", "32m")
+      // RocksDB state store: the HDFS-backed default keeps ALL streaming
+      // state in executor heap — wrong at 100 TB state sizes (funnel/
+      // sessionization state grows with the key space). RocksDB spills
+      // to local SST files and is measured ≈6% FASTER on this engine's
+      // streaming gate families at sf0.1 (PERF.md "Streaming state
+      // store"), so the scale-correct choice costs nothing locally.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // Reliable-checkpoint files (Ckpt.stableCheckpoint on distributed
       // masters) are deleted when their RDD is GC'd instead of
       // accumulating until context stop — a long session running

@@ -16,6 +16,10 @@ object Verify {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // RocksDB state store: scale-correct default, measured no-cost locally
+      // (GraftSession.scala rationale; PERF.md "Streaming state store")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // cap Tungsten pages (heuristic picks 1 GiB at 48g/32 cores → G1
