@@ -15,6 +15,9 @@ object Bench {
       // (GraftSession.scala rationale; PERF.md "Streaming state store")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // reliable-checkpoint files GC-clean under local-cluster gate runs
+      // (Ckpt.stableCheckpoint defaults to reliable there)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       // cap Tungsten pages (heuristic picks 1 GiB at 48g/32 cores → G1
       // humongous-allocation thrash; see GraftSession.scala)
