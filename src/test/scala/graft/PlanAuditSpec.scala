@@ -15,6 +15,7 @@ class PlanAuditSpec extends SparkSpec {
     "embed_near_dup",           // declared quadratic oracle baseline
     "embed_knn", "embed_knn_quantized", "embed_knn_pq", "embed_knn_ivfpq",
     "embed_knn_ivf", "embed_knn_lsh", // broadcast query sets (non-equi self-exclusion)
+    "embed_knn_ivf_trained",          // same broadcast query set over trained cells
     "embed_sql_cosine",
     "embed_semantic_dedup",     // in-cell pair scan, cells bound the blowup
     "contamination_semantic",   // broadcast benchmark scan
