@@ -122,6 +122,41 @@ object FaultCheck {
       catch { case e: Throwable =>
         println(s"[fault] phase2 UNEXPECTED failure: ${e.getMessage}"); false }
 
+    // ---- phase 2b: kill DURING a reliable-mode iterative query ---------
+    // phases 1/2 kill between materialization and consumption (the
+    // deterministic proof of the lost-block hazard); this phase kills
+    // while an iterative query (dedup CC: argmin rounds, several
+    // stableCheckpoints) is actively running — the realistic preemption.
+    // Expected: task/stage retry + checkpoint files on shared storage
+    // recover mid-flight and the result is exact.
+    waitForExecutors(2)
+    spark.conf.set("spark.graft.checkpoint", "reliable")
+    def q2b() = SparkEntry.queries("dedup_components")(spark, sfDir)
+    val expected2b = q2b().count()
+    waitForExecutors(2)
+    @volatile var killedMidQuery = false
+    val killer = new Thread(() => {
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (spark.sparkContext.statusTracker.getActiveJobIds().isEmpty &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(150)
+      try {
+        val pid = killOne(spark)
+        killedMidQuery = true
+        println(s"[fault] phase2b: killed executor pid=$pid mid-query")
+      } catch { case e: Throwable =>
+        println(s"[fault] phase2b: kill failed: ${e.getMessage}") }
+    })
+    killer.start()
+    val phase2bRecovered =
+      try {
+        val n = q2b().count()
+        println(s"[fault] phase2b completed: $n rows (killedMidQuery=$killedMidQuery)")
+        n == expected2b
+      } catch { case e: Throwable =>
+        println(s"[fault] phase2b UNEXPECTED failure: ${e.getMessage}"); false }
+    killer.join()
+
     // ---- phase 3: overhead of reliable vs local on iterative queries ---
     waitForExecutors(2)
     def time(q: String, mode: String): Double = {
@@ -139,9 +174,11 @@ object FaultCheck {
     }
 
     spark.stop()
-    val ok = phase1FailedAsPredicted && phase2Recovered
+    val ok = phase1FailedAsPredicted && phase2Recovered &&
+      phase2bRecovered && killedMidQuery
     println(s"[fault] RESULT: ${if (ok) "PASS" else "FAIL"} " +
-      s"(phase1FailedAsPredicted=$phase1FailedAsPredicted phase2Recovered=$phase2Recovered)")
+      s"(phase1FailedAsPredicted=$phase1FailedAsPredicted phase2Recovered=$phase2Recovered " +
+      s"phase2bRecovered=$phase2bRecovered killedMidQuery=$killedMidQuery)")
     if (!ok) sys.exit(1)
   }
 }
