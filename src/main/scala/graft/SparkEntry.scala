@@ -2320,6 +2320,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // PERSISTED IVF index (the FAISS-on-disk scale path, lakehouse-style):
+    // cell-partitioned parquet built once per sfDir; the probe reads ONLY
+    // the probed cells' partitions (static PartitionFilters — IvfIndexSpec
+    // asserts the pruning), and the result is row-identical to
+    // embed_knn_ivf, so the SAME oracle hash-checks build+probe end to end.
+    "embed_knn_ivf_indexed" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val stride = math.max(31L, emb.count() / 128L)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfidx_${math.abs(d.hashCode)}"
+      val marker = new java.io.File(dir, "_GRAFT_DONE")
+      this.synchronized {
+        if (!marker.exists()) {
+          ext.Similarity.writeIvfIndex(emb,
+            emb.where(col("vec_id") % stride === 0), dir)
+          marker.createNewFile()
+        }
+      }
+      ext.Similarity.ivfTopKIndexed(s, dir,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        k = 5, nprobe = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // k-means/IVF "update" step: per-label mean vectors in flat
     // (cluster, pos, centroid) form — oracle-checkable, no wide rows.
     "embed_centroids" -> ((s, d) =>
@@ -3181,7 +3204,41 @@ object SparkEntry {
     dir
   }
 
+  /** Shared by embed_knn_ivf and embed_knn_ivf_indexed: the persisted
+    * index is row-identical to the in-plan IVF by contract, so ONE
+    * oracle hash-checks both faces. */
+  private val ivfOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |stc AS (SELECT GREATEST(31, count(*) // 128) AS s FROM e),
+      |cents AS (SELECT vec_id AS cell_id, v AS cv
+      |          FROM e WHERE vec_id % (SELECT s FROM stc) = 0),
+      |cells AS (SELECT vec_id, cell_id FROM (
+      |           SELECT e.vec_id, c.cell_id,
+      |             row_number() OVER (PARTITION BY e.vec_id
+      |               ORDER BY -list_dot_product(e.v, c.cv)
+      |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+      |           FROM e CROSS JOIN cents c) WHERE rn = 1),
+      |probe AS (SELECT query_id, cell_id FROM (
+      |           SELECT q.vec_id AS query_id, c.cell_id,
+      |             row_number() OVER (PARTITION BY q.vec_id
+      |               ORDER BY -list_dot_product(q.v, c.cv)
+      |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+      |           FROM e q CROSS JOIN cents c
+      |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 16)
+      |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+      |FROM (SELECT p.query_id, ce.vec_id,
+      |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
+      |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
+      |      FROM cells ce JOIN probe p ON p.cell_id = ce.cell_id
+      |                  JOIN e q ON q.vec_id = p.query_id
+      |                  JOIN e t ON t.vec_id = ce.vec_id
+      |      WHERE ce.vec_id <> p.query_id)
+      |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "embed_knn_ivf_indexed" -> ivfOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -5305,36 +5362,8 @@ object SparkEntry {
     // cell assignment (ties → lowest cell_id), the nprobe=16 probe set
     // per query, exact cosine over probed cells — the ivfpq oracle's
     // coarse stage with the PQ middle removed and the ivf stride floor
-    // (31, not 100)
-    "embed_knn_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |stc AS (SELECT GREATEST(31, count(*) // 128) AS s FROM e),
-        |cents AS (SELECT vec_id AS cell_id, v AS cv
-        |          FROM e WHERE vec_id % (SELECT s FROM stc) = 0),
-        |cells AS (SELECT vec_id, cell_id FROM (
-        |           SELECT e.vec_id, c.cell_id,
-        |             row_number() OVER (PARTITION BY e.vec_id
-        |               ORDER BY -list_dot_product(e.v, c.cv)
-        |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
-        |           FROM e CROSS JOIN cents c) WHERE rn = 1),
-        |probe AS (SELECT query_id, cell_id FROM (
-        |           SELECT q.vec_id AS query_id, c.cell_id,
-        |             row_number() OVER (PARTITION BY q.vec_id
-        |               ORDER BY -list_dot_product(q.v, c.cv)
-        |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
-        |           FROM e q CROSS JOIN cents c
-        |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 16)
-        |SELECT query_id, vec_id, round(cosx, 4) AS cos,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
-        |FROM (SELECT p.query_id, ce.vec_id,
-        |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
-        |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
-        |      FROM cells ce JOIN probe p ON p.cell_id = ce.cell_id
-        |                  JOIN e q ON q.vec_id = p.query_id
-        |                  JOIN e t ON t.vec_id = ce.vec_id
-        |      WHERE ce.vec_id <> p.query_id)
-        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // (31, not 100). Shared with embed_knn_ivf_indexed (see ivfOracle).
+    "embed_knn_ivf" -> ivfOracle,
 
     // sign-LSH rebuilt end to end: the ±1 planes from md5("p:d")'s first
     // byte (>= 0x80 → −1, the signed-byte test), bucket = 4 sign bits of
