@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Durable-checkpoint RESTART recovery for the streaming surface — the
+  * streaming face of round 6's executor-loss work (graft.FaultCheck
+  * covers batch lineage; this covers the Structured Streaming contract
+  * the README's cluster-scale notes promise: "checkpoint locations must
+  * move from temp to durable storage", and restarting a query on the
+  * same checkpoint must (a) skip everything already processed — offset
+  * log, (b) resume OPEN windows from the state store — a window whose
+  * events straddle the restart aggregates across it, (c) never emit a
+  * closed window twice — file-sink commit log. */
+class StreamRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed agg restarts from checkpoint: offsets skip, state resumes, no re-emission") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val out = new java.io.File(root, "out").getAbsolutePath
+
+    def writeFile(name: String, rows: Seq[(Long, Timestamp, Long)]): Unit =
+      rows.toDF("user_id", "ts", "v").coalesce(1)
+        .write.mode("append").parquet(src.getAbsolutePath)
+
+    def runOnce(): Unit = {
+      val sch = spark.read.parquet(src.getAbsolutePath).schema
+      val q = spark.readStream.schema(sch).parquet(src.getAbsolutePath)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(sum("v").as("total"), count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("user_id"), col("total"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // run 1: window 0 complete (closes when the watermark passes 01:00),
+    // window 1 PARTIAL (v=4) — left open in the state store
+    writeFile("f1", Seq((1L, ts("2026-01-01 00:10:00"), 1L),
+                        (1L, ts("2026-01-01 00:20:00"), 2L)))
+    writeFile("f2", Seq((1L, ts("2026-01-01 01:10:00"), 4L)))
+    runOnce()
+    val afterRun1 = spark.read.parquet(out).collect()
+    assert(afterRun1.map(r => (r.getAs[Timestamp]("ws"), r.getAs[Long]("total"))).toSet ==
+      Set((ts("2026-01-01 00:00:00"), 3L)), "run 1 must emit exactly the closed window 0")
+
+    // run 2 (NEW query on the SAME checkpoint): window 1 gets its second
+    // half (v=8) — the 4 from run 1 must come back from the state store;
+    // the sentinel advances the watermark so windows 1 and 2 close
+    writeFile("f3", Seq((1L, ts("2026-01-01 01:30:00"), 8L),
+                        (1L, ts("2026-01-01 02:10:00"), 16L)))
+    writeFile("f4", Seq((99L, ts("2026-01-01 10:00:00"), 0L)))
+    runOnce()
+
+    val res = spark.read.parquet(out)
+      .where(col("ws") < ts("2026-01-01 09:00:00")) // sentinel window stays open
+      .select(col("ws"), col("user_id"), col("total"), col("n")).collect()
+    val got = res.map(r => (r.getAs[Timestamp]("ws"), r.getAs[Long]("user_id"),
+      r.getAs[Long]("total"), r.getAs[Long]("n"))).toSeq
+
+    // (c) no duplicates: every (window, user) exactly once despite two runs
+    assert(got.size == got.toSet.size, s"duplicate emissions: $got")
+    // (a)+(b): window 1 aggregated ACROSS the restart (4 from run 1's
+    // state + 8 from run 2's file), window 2 from run 2 alone, window 0
+    // not re-emitted — the full set equals the batch twin
+    assert(got.toSet == Set(
+      (ts("2026-01-01 00:00:00"), 1L, 3L, 2L),
+      (ts("2026-01-01 01:00:00"), 1L, 12L, 2L),
+      (ts("2026-01-01 02:00:00"), 1L, 16L, 1L)), s"got: $got")
+
+    // batch parity over the same files (excluding the open sentinel window)
+    val batch = spark.read.parquet(src.getAbsolutePath)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("user_id"), col("total"), col("n"))
+      .where(col("ws") < ts("2026-01-01 09:00:00"))
+      .collect().map(r => (r.getAs[Timestamp]("ws"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("total"), r.getAs[Long]("n"))).toSet
+    assert(got.toSet == batch)
+  }
+}
