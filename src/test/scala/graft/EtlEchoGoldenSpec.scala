@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** The echo transformer against the reference's OWN fixture bytes
+  * (`ais/test/data/transformer/echo/object.{in,out}`, consumed by
+  * `testETLObject`, `ais/test/etl_test.go:205-260`): echo's contract is
+  * byte identity, and the fixture pair pins it. Checked through BOTH
+  * graft faces of that transformer: the in-plan identity transform and
+  * the out-of-process pipe (`io://` comm — an actual `cat` child
+  * process per object, the reference's whole-object stdin→stdout
+  * shape). */
+class EtlEchoGoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/reference/ais/test/data/transformer/echo"
+
+  test("echo golden: fixture pair is byte-identical; both graft echo faces reproduce it") {
+    val in = Files.readAllBytes(Paths.get(dir, "object.in"))
+    val out = Files.readAllBytes(Paths.get(dir, "object.out"))
+    assert(in.sameElements(out), "the reference's echo contract is byte identity")
+
+    val df = Seq(("object.in", in)).toDF("name", "payload")
+
+    // in-plan identity transform (etl registry face)
+    val inline = etl.Transforms.inline(df, etl.Transforms.registry("identity"))
+      .head().getAs[Array[Byte]]("payload")
+    assert(inline.sameElements(out))
+
+    // out-of-process pipe face: a real `cat` child per object
+    val piped = etl.PipeTransform(df, Seq("cat"))
+      .head().getAs[Array[Byte]]("payload")
+    assert(piped.sameElements(out))
+  }
+}
