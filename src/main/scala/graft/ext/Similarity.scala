@@ -195,20 +195,20 @@ object Similarity {
         (r.getLong(0), v, math.sqrt(acc)) // same left-to-right double sum as floatDot
       }.sortBy(_._1)
     require(cents.nonEmpty, "assignCells: empty centroid table")
-    val centArr = typedLit(cents.toSeq)
-    // per-row argmin over the centroid array; ties → lowest cell_id
-    // (array is id-sorted and the fold keeps the first strict minimum),
-    // matching a (dist asc, cell_id asc) ranking exactly
-    def nearestCell(vec: Column): Column =
-      aggregate(centArr,
-        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("id")),
-        (acc, cc) => {
-          val d = -floatDot(vec, cc.getField("_2")) / cc.getField("_3")
-          when(d < acc.getField("d"),
-            struct(d.as("d"), cc.getField("_1").as("id"))).otherwise(acc)
-        }).getField("id")
+    // per-row argmin over the centroid table; ties → lowest cell_id
+    // (array is id-sorted and the loop keeps the first strict minimum),
+    // matching a (dist asc, cell_id asc) ranking exactly. The argmin is
+    // the NATIVE [[graft.functions.NearestCell]] codegen expression —
+    // the earlier aggregate(...) fold over a literal struct array ran
+    // the lambda interpreted (every Spark HOF is CodegenFallback),
+    // measured ~70 µs/row at 128 cells: the sf10 IVF probe spent 15.1 s
+    // almost entirely there; the fused loop runs the same arithmetic at
+    // ~1 µs/row (PERF.md round 6).
+    val nc = graft.functions.VectorFunctions.nearestCell(
+      col("_cv"), cents.map(_._1),
+      cents.map(_._2.toArray), cents.map(_._3))
     corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_cv"))
-      .withColumn("cell_id", nearestCell(col("_cv")))
+      .withColumn("cell_id", nc)
   }
 
   /** PERSISTED IVF index — the FAISS-on-disk shape done the lakehouse
@@ -364,17 +364,20 @@ object Similarity {
                     rerankFactor: Int = 4,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def q8(df: DataFrame, idAs: String, p: String): DataFrame = {
-      val s = aggregate(col(vecCol), lit(0.0d),
-        (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0d
-      df.select(col(idCol).as(idAs), col(vecCol).as(p + "v"), s.as(p + "s"),
-        transform(col(vecCol), x =>
-          when(s === 0d, lit(0L))
-            .otherwise(floor(x.cast("double") / s + 0.5d))).as(p + "q"))
+      // fused native quantization (graft.functions.QuantizeInt8): the
+      // fold+transform column form ran interpreted and Catalyst collapsed
+      // it into the post-join projection - re-quantizing the corpus row
+      // per QUERY (70 of this query's 92 s at sf10)
+      val z = graft.functions.VectorFunctions.quantizeInt8(col(vecCol))
+      df.select(col(idCol).as(idAs), col(vecCol).as(p + "v"),
+        z.getField("s").as(p + "s"), z.getField("q").as(p + "q"))
     }
     val q = q8(queries, "query_id", "_q")
     val c = q8(corpus, "vec_id", "_c")
-    val intDot = aggregate(
-      zip_with(col("_qq"), col("_cq"), (a, b) => a * b), lit(0L), _ + _)
+    // native integer dot (graft.functions.LongDotProduct) — the
+    // zip_with/aggregate form ran interpreted per element on every
+    // (corpus × query) row: 92.5 s at sf10 for this query alone
+    val intDot = graft.functions.VectorFunctions.longDot(col("_qq"), col("_cq"))
     val coarse = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("_coarse", intDot.cast("double") * col("_qs") * col("_cs"))
     val wc = Window.partitionBy("query_id")
@@ -439,20 +442,14 @@ object Similarity {
     * rebuild the identical codebook). */
   /** nearest sub-codeword per subspace: fold over the code-ascending
     * literal codebook, first strict minimum wins (== dist asc, code asc) */
-  private def pqCodesCol(cb: Array[Seq[(Long, Seq[Float], Double)]], vec: Column): Column = {
-    val dsub = cb(0).head._2.length
-    def encodeSub(s: Int): Column = {
-      val sub = slice(vec, s * dsub + 1, dsub)
-      aggregate(typedLit(cb(s)),
-        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("c")),
-        (acc, cw) => {
-          val d = cw.getField("_3") - lit(2.0d) * floatDot(sub, cw.getField("_2"))
-          when(d < acc.getField("d"),
-            struct(d.as("d"), cw.getField("_1").as("c"))).otherwise(acc)
-        }).getField("c")
-    }
-    array(cb.indices.map(encodeSub): _*)
-  }
+  // the whole m-subspace encode is ONE native fused loop
+  // (graft.functions.PqEncode) — the per-subspace aggregate(...) folds
+  // it replaces ran interpreted (the NearestCell rationale; the sf10
+  // IVFPQ query spent ~80 of its 87 s in them)
+  private def pqCodesCol(cb: Array[Seq[(Long, Seq[Float], Double)]], vec: Column): Column =
+    graft.functions.VectorFunctions.pqEncode(vec,
+      cb.map(_.map(_._2.toArray).toArray),
+      cb.map(_.map(_._3).toArray))
 
   /** query ADC lookup tables: lut[s][j] = floor(dot(q_s, c_j) · 10⁴ + ½) */
   private def pqLutCol(cb: Array[Seq[(Long, Seq[Float], Double)]], vec: Column): Column = {
@@ -478,10 +475,9 @@ object Similarity {
       pqCodesCol(cb, col(vecCol)).as("_codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
       pqLutCol(cb, col(vecCol)).as("_lut"))
-    val adc = aggregate(
-      zip_with(col("_codes"), col("_lut"),
-        (cd, l) => element_at(l, cd.cast("int") + 1)),
-      lit(0L), _ + _)
+    // native Σ lut[s][codes[s]] — the zip_with/aggregate plumbing ran
+    // interpreted on every (corpus × query) coarse row
+    val adc = graft.functions.VectorFunctions.adcSum(col("_codes"), col("_lut"))
     val coarse = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("_adc", adc)
     val wc = Window.partitionBy("query_id").orderBy(col("_adc").desc, col("vec_id").asc)
@@ -532,10 +528,9 @@ object Similarity {
       .withColumn("_prank", row_number().over(wp))
       .where(col("_prank") <= nprobe)
       .select("query_id", "cell_id", "_qv", "_lut")
-    val adc = aggregate(
-      zip_with(col("_codes"), col("_lut"),
-        (cd, l) => element_at(l, cd.cast("int") + 1)),
-      lit(0L), _ + _)
+    // native Σ lut[s][codes[s]] — the zip_with/aggregate plumbing ran
+    // interpreted on every (corpus × query) coarse row
+    val adc = graft.functions.VectorFunctions.adcSum(col("_codes"), col("_lut"))
     val wc = Window.partitionBy("query_id").orderBy(col("_adc").desc, col("vec_id").asc)
     val wf = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     c.join(broadcast(q), Seq("cell_id"))
@@ -567,19 +562,29 @@ object Similarity {
     * 3 rounds lift ivfTopK recall@10 from 0.81 (raw strided sample) to
     * 0.93 at the same nprobe=16 scan cost.
     *
-    * Scale: each round shuffles (corpus × 1) once for the means and
-    * broadcasts ~128 centroids for the assign — linear in the corpus,
-    * bounded by the cell cap, lineage truncated per round. */
+    * Scale: each round is the broadcast-argmin assign (zero shuffle)
+    * plus ONE partial-agg'd groupBy(cell) carrying `dim` column sums —
+    * the means are COLUMNAR (sum(v[i]) per dimension), never a
+    * posexplode: the earlier flat-means formulation shuffled dim× the
+    * corpus row count per round (measured 38.9 s for the 3-round chain
+    * at sf10; columnar sums cut the per-round shuffle payload to one
+    * row of dim sums per cell). Same numbers: sum-of-doubles / count is
+    * exactly what avg computes, and the 6-dp round absorbs summation
+    * order as everywhere else. */
   def trainCentroids(corpus: DataFrame, init: DataFrame, iters: Int,
+                     dim: Int = 64,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.Ckpt._
     var c = init.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     for (_ <- 0 until iters) {
-      c = kmeansStep(corpus, c, idCol = idCol, vecCol = vecCol)
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("l"))
-        .select(col("cluster").as("vec_id"),
-          expr("transform(l, x -> CAST(x.centroid AS FLOAT))").as("embedding"))
+      c = assignCells(corpus, c, "vec_id", "embedding")
+        .groupBy("cell_id")
+        .agg(count(lit(1)).as("_n"),
+          array((0 until dim).map(i =>
+            sum(col("_cv").getItem(i).cast("double"))): _*).as("_sums"))
+        .select(col("cell_id").as("vec_id"),
+          transform(col("_sums"), s =>
+            round(s / col("_n"), 6).cast("float")).as("embedding"))
         .stableCheckpoint()
     }
     c

@@ -67,9 +67,366 @@ case class FloatDotProduct(left: Expression, right: Expression) extends BinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid argmin with the centroid table EMBEDDED in the
+  * expression (ids ascending; vectors + precomputed norms as plain JVM
+  * arrays referenced via `addReferenceObj`) — the IVF assignment hot
+  * loop as ONE codegen'd expression.
+  *
+  * Why not the `aggregate(...)` fold over a literal struct array: every
+  * Spark higher-order function is `CodegenFallback` — the lambda runs
+  * interpreted per element, so assignment cost was ~70 µs/row at 128
+  * cells (measured: the sf10 IVF probe spent 15.1 s, almost all of it
+  * in the fold). This expression is the same arithmetic — d =
+  * −floatDot(v, cᵢ)/‖cᵢ‖, doubles left-to-right, first strict minimum
+  * wins (ties → lowest id, the array being id-sorted) — as a fused
+  * nested loop inside whole-stage codegen.
+  *
+  * NaN parity with the fold: a zero-norm centroid yields d = NaN and
+  * `NaN < best` is false in both paths — such cells are never chosen.
+  */
+case class NearestCell(child: Expression, ids: Array[Long],
+                       vecs: Array[Array[Float]], norms: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cell expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var best = Double.MaxValue
+    var bestId = -1L
+    var c = 0
+    while (c < vecs.length) {
+      val cv = vecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
+      val d = -acc / norms(c)
+      if (d < best) { best = d; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val idsRef = ctx.addReferenceObj("ncIds", ids, "long[]")
+      val vecsRef = ctx.addReferenceObj("ncVecs", vecs, "float[][]")
+      val normsRef = ctx.addReferenceObj("ncNorms", norms, "double[]")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d"); val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId"); val cv = ctx.freshName("cv")
+      s"""
+         |double $best = Double.MAX_VALUE;
+         |long $bestId = -1L;
+         |for (int $c = 0; $c < $vecsRef.length; $c++) {
+         |  float[] $cv = $vecsRef[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $cv[$i]);
+         |  }
+         |  double $d = -$acc / $normsRef[$c];
+         |  if ($d < $best) { $best = $d; $bestId = $idsRef[$c]; }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Integer dot product over array<bigint> columns — the int8-quantized
+  * coarse scan's hot loop ([[graft.ext.Similarity.quantizedTopK]]).
+  * Replaces `aggregate(zip_with(a, b, _*_), 0L, _+_)`, which allocates a
+  * zipped array and runs both lambdas interpreted per element on every
+  * (corpus × query) row — measured 92.5 s at sf10 vs ~8 s fused. Exact
+  * integer arithmetic; truncates to the shorter array like
+  * [[FloatDotProduct]]. */
+case class LongDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"long_dot expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Symmetric int8 quantization of one vector as a single fused pass:
+  * struct(s = max|x|/127, q[i] = ⌊x[i]/s + ½⌋, all-zero vector → scale
+  * 0 and zero codes). The column-algebra form (an aggregate fold for
+  * the abs-max plus a transform for the codes) runs interpreted AND
+  * gets collapsed into the post-join projection by Catalyst, so the
+  * sf10 quantized coarse scan re-ran it per (corpus × query) row —
+  * 70 s of the 92 s query. Same arithmetic, double division and
+  * floor(x/s + 0.5) exactly as before. */
+case class QuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("s", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("q",
+      ArrayType(org.apache.spark.sql.types.LongType, false), nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_int8 expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var mx = 0.0; var i = 0
+    while (i < n) { val x = math.abs(v.getFloat(i).toDouble); if (x > mx) mx = x; i += 1 }
+    val s = mx / 127.0
+    val q = new Array[Long](n)
+    if (s != 0.0) {
+      i = 0
+      while (i < n) { q(i) = math.floor(v.getFloat(i).toDouble / s + 0.5).toLong; i += 1 }
+    }
+    InternalRow(s, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val mx = ctx.freshName("mx"); val x = ctx.freshName("x")
+      val s = ctx.freshName("s"); val q = ctx.freshName("q")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($x > $mx) $mx = $x;
+         |}
+         |double $s = $mx / 127.0;
+         |long[] $q = new long[$n];
+         |if ($s != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $q[$i] = (long) java.lang.Math.floor(((double) $a.getFloat($i)) / $s + 0.5);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $s, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($q) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Product-quantization ENCODE as one fused expression: for each of the
+  * `m` subspaces, the argmin codeword by d = ‖c‖² − 2·x·c over the
+  * vector's subspace slice (first strict minimum wins → lowest code on
+  * ties, the codeword arrays being code-sorted). Output is the whole
+  * codes array (array<long>, length m) in one pass — replaces m
+  * interpreted aggregate(...) folds of ncodes lambda evals each (the
+  * [[NearestCell]] rationale; measured: the sf10 IVFPQ encode dominated
+  * an 87 s query). Codebook layout: cw(s)(j) = subspace-s codeword j
+  * (dsub floats), c2(s)(j) = its precomputed ‖c‖². */
+case class PqEncode(child: Expression,
+                    cw: Array[Array[Array[Float]]], c2: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def m = cw.length
+  private def dsub = cw(0)(0).length
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val ws = cw(s); val qs = c2(s)
+      var best = Double.MaxValue; var bestC = -1L
+      var j = 0
+      while (j < ws.length) {
+        val w = ws(j)
+        var acc = 0.0; var i = 0
+        val base = s * dsub
+        val n = math.min(dsub, math.max(0, v.numElements() - base))
+        while (i < n) { acc += v.getFloat(base + i).toDouble * w(i).toDouble; i += 1 }
+        val d = qs(j) - 2.0 * acc
+        if (d < best) { best = d; bestC = j.toLong }
+        j += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cwRef = ctx.addReferenceObj("pqCw", cw, "float[][][]")
+      val c2Ref = ctx.addReferenceObj("pqC2", c2, "double[][]")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val ws = ctx.freshName("ws"); val w = ctx.freshName("w")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
+      val base = ctx.freshName("base"); val n = ctx.freshName("n")
+      s"""
+         |long[] $out = new long[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  float[][] $ws = $cwRef[$s];
+         |  double $best = Double.MAX_VALUE;
+         |  long $bestC = -1L;
+         |  int $base = $s * $dsub;
+         |  for (int $j = 0; $j < $ws.length; $j++) {
+         |    float[] $w = $ws[$j];
+         |    double $acc = 0.0;
+         |    int $n = java.lang.Math.min($dsub, java.lang.Math.max(0, $a.numElements() - $base));
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += ((double) $a.getFloat($base + $i)) * ((double) $w[$i]);
+         |    }
+         |    double $d = $c2Ref[$s][$j] - 2.0 * $acc;
+         |    if ($d < $best) { $best = $d; $bestC = (long) $j; }
+         |  }
+         |  $out[$s] = $bestC;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC sum Σₛ lut[s][codes[s]] as one loop — replaces the interpreted
+  * aggregate(zip_with(codes, lut)) plumbing on the (corpus × queries)
+  * coarse-scan rows. `lut` is the per-subspace table
+  * (array<array<bigint>>, m × ncodes). Range guard: out-of-range codes
+  * add 0 (cannot occur for a lut built from the same codebook; the
+  * guard just keeps the expression total). */
+case class AdcSum(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(ArrayType(org.apache.spark.sql.types.LongType, _), _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"adc_sum expects (array<bigint>, array<array<bigint>>), got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    var acc = 0L; var i = 0
+    val n = math.min(codes.numElements(), lut.numElements())
+    while (i < n) {
+      val c = codes.getLong(i)
+      val sub = lut.getArray(i)
+      if (c >= 0 && c < sub.numElements()) acc += sub.getLong(c.toInt)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val c = ctx.freshName("c"); val acc = ctx.freshName("acc")
+      val sub = ctx.freshName("sub")
+      s"""
+         |long $acc = 0L;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $c = $a.getLong($i);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $sub = $b.getArray($i);
+         |  if ($c >= 0 && $c < $sub.numElements()) $acc += $sub.getLong((int) $c);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** dot(a, b) over array<float> columns, double accumulation. */
   def floatDot(a: Column, b: Column): Column =
     GraftShim.column(FloatDotProduct(
       GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** PQ codes of `vec` over an embedded (m × ncodes × dsub) codebook. */
+  def pqEncode(vec: Column, cw: Array[Array[Array[Float]]],
+               c2: Array[Array[Double]]): Column =
+    GraftShim.column(PqEncode(GraftShim.expression(vec), cw, c2))
+
+  /** Σᵢ lut[codes[i]] over array<bigint> columns. */
+  def adcSum(codes: Column, lut: Column): Column =
+    GraftShim.column(AdcSum(GraftShim.expression(codes), GraftShim.expression(lut)))
+
+  /** dot(a, b) over array<bigint> columns, exact integer accumulation. */
+  def longDot(a: Column, b: Column): Column =
+    GraftShim.column(LongDotProduct(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** struct(s, q): int8 scale + codes of an array<float> vector, fused. */
+  def quantizeInt8(vec: Column): Column =
+    GraftShim.column(QuantizeInt8(GraftShim.expression(vec)))
+
+  /** argmin cell id of `vec` over an embedded centroid table (ids must
+    * be ascending; norms precomputed as √Σc²). */
+  def nearestCell(vec: Column, ids: Array[Long],
+                  vecs: Array[Array[Float]], norms: Array[Double]): Column =
+    GraftShim.column(NearestCell(GraftShim.expression(vec), ids, vecs, norms))
 }
