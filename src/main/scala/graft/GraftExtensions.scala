@@ -31,6 +31,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatDotProduct(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[graft.functions.LongDotProduct].getName, "long_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"long_dot takes 2 arguments, got ${children.length}")
+        graft.functions.LongDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("adc_sum"),
+      new ExpressionInfo(classOf[graft.functions.AdcSum].getName, "adc_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"adc_sum takes 2 arguments, got ${children.length}")
+        graft.functions.AdcSum(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[graft.functions.QuantizeInt8].getName, "quantize_int8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"quantize_int8 takes 1 argument, got ${children.length}")
+        graft.functions.QuantizeInt8(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("md5_lanes"),
       new ExpressionInfo(classOf[Md5Lanes].getName, "md5_lanes"),
       (children: Seq[Expression]) => {
