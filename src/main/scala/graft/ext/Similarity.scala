@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k as the exact baseline, and a sign-LSH
   * (random-hyperplane) bucketed variant as the 100 TB path.
   *
-  * Embeddings are `ArrayType(FloatType)`; all math is done in double via
-  * `zip_with`/`aggregate` (codegen'd higher-order functions — no UDF, no
-  * per-row JVM boundary).
+  * Embeddings are `ArrayType(FloatType)`; all hot-loop math runs in the
+  * native codegen expressions of `functions/VectorExpressions.scala`
+  * (FloatDot/LongDot/NearestCell/PqEncode/AdcSum/QuantizeInt8) — no
+  * UDF, no per-row JVM boundary, and no interpreted higher-order-
+  * function lambdas (Spark HOFs are CodegenFallback; the round-6 PERF.md
+  * section records the 7–33× that cost on the sf10 coarse scans).
   *
   * Scale: brute force is a broadcast nested loop of the (small) query set
   * against the corpus — linear in corpus size, embarrassingly parallel.
