@@ -35,8 +35,19 @@ object Ckpt {
 
   private def ensureDir(s: SparkSession): Unit = synchronized {
     if (s.sparkContext.getCheckpointDir.isEmpty) {
-      val dir = s.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
-        s"${sys.props("java.io.tmpdir")}/graft_ckpt_${s.sparkContext.applicationId}")
+      val dir = s.conf.getOption("spark.graft.checkpoint.dir").getOrElse {
+        // single-machine masters (local-cluster, tests) share the local
+        // tmpdir; on a real multi-node cluster an executor CANNOT read
+        // another node's /tmp — recovery would fail exactly when needed,
+        // so say so loudly instead of failing silently later
+        if (!s.sparkContext.master.startsWith("local"))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "graft: reliable checkpointing is defaulting to the LOCAL " +
+              "tmpdir on a non-local master; set spark.graft.checkpoint.dir " +
+              "to shared storage (HDFS/object store) or recovery after " +
+              "executor loss will not work across nodes")
+        s"${sys.props("java.io.tmpdir")}/graft_ckpt_${s.sparkContext.applicationId}"
+      }
       s.sparkContext.setCheckpointDir(dir)
     }
   }
