@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The Ckpt session policy (round-6 fault tolerance): mode resolution
+  * and both materialization paths. The executor-loss proof itself is
+  * graft.FaultCheck (needs a multi-JVM master); this pins the logic the
+  * proof rides on. */
+class CkptSpec extends SparkSpec {
+  import Ckpt._
+  import spark.implicits._
+
+  test("mode: local[*] defaults to local; conf overrides win") {
+    assert(Ckpt.mode(spark) == "local") // TestSpark master = local[4]
+    try {
+      spark.conf.set("spark.graft.checkpoint", "reliable")
+      assert(Ckpt.mode(spark) == "reliable")
+      spark.conf.set("spark.graft.checkpoint", "local")
+      assert(Ckpt.mode(spark) == "local")
+    } finally spark.conf.unset("spark.graft.checkpoint")
+  }
+
+  test("local mode: stableCheckpoint truncates lineage without a checkpoint dir") {
+    val df = Seq(1, 2, 3).toDF("x").groupBy("x").count().stableCheckpoint()
+    assert(df.count() == 3)
+    // lineage truncated: the analyzed plan is a scan of materialized rows
+    assert(df.queryExecution.analyzed.toString.contains("LogicalRDD") ||
+      df.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+  }
+
+  test("reliable mode: checkpoint files land in the session dir and the frame survives unpersist") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec").toString
+    try {
+      spark.conf.set("spark.graft.checkpoint", "reliable")
+      spark.conf.set("spark.graft.checkpoint.dir", dir)
+      val df = Seq(4, 5, 6, 7).toDF("x").groupBy("x").count().stableCheckpoint()
+      assert(df.count() == 4)
+      // files actually written to the configured shared dir
+      def files(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      // (getCheckpointDir returns a file: URI — list the raw path)
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+      assert(files(new java.io.File(dir)).exists(_.getName.startsWith("part-")),
+        "no checkpoint files written")
+      // unlike executor-resident blocks, the data is re-readable after
+      // every cached block is dropped — the recovery property FaultCheck
+      // proves with a real executor kill
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      assert(df.count() == 4)
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint")
+      spark.conf.unset("spark.graft.checkpoint.dir")
+    }
+  }
+}
