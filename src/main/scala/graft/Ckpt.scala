@@ -33,34 +33,51 @@ object Ckpt {
     s.conf.getOption("spark.graft.checkpoint").getOrElse(
       if (s.sparkContext.isLocal) "local" else "reliable")
 
-  private def ensureDir(s: SparkSession): Unit = synchronized {
-    if (s.sparkContext.getCheckpointDir.isEmpty) {
-      val dir = s.conf.getOption("spark.graft.checkpoint.dir").getOrElse {
-        // single-machine masters (local-cluster, tests) share the local
-        // tmpdir; on a real multi-node cluster an executor CANNOT read
-        // another node's /tmp — recovery would fail exactly when needed,
-        // so say so loudly instead of failing silently later
-        if (!s.sparkContext.master.startsWith("local"))
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            "graft: reliable checkpointing is defaulting to the LOCAL " +
-              "tmpdir on a non-local master; set spark.graft.checkpoint.dir " +
-              "to shared storage (HDFS/object store) or recovery after " +
-              "executor loss will not work across nodes")
-        s"${sys.props("java.io.tmpdir")}/graft_ckpt_${s.sparkContext.applicationId}"
-      }
-      s.sparkContext.setCheckpointDir(dir)
+  /** Checkpoint-directory resolution. Single-machine masters (local,
+    * local-cluster, tests) share the local tmpdir; on a real multi-node
+    * cluster an executor CANNOT read another node's /tmp — recovery
+    * would then fail exactly when it is needed, so FAIL FAST at the
+    * first checkpoint instead of failing silently after an executor
+    * loss. */
+  private[graft] def resolveDir(master: String, configured: Option[String],
+                                appId: String): String =
+    configured.getOrElse {
+      if (!master.startsWith("local"))
+        throw new IllegalStateException(
+          s"graft: reliable checkpointing on a multi-node master ($master) " +
+            "requires spark.graft.checkpoint.dir to point at storage shared " +
+            "across executors (HDFS/object store); the local-tmpdir " +
+            "default cannot be recovered from by other nodes")
+      s"${sys.props("java.io.tmpdir")}/graft_ckpt_$appId"
     }
+
+  private def ensureDir(s: SparkSession): Unit = synchronized {
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(resolveDir(s.sparkContext.master,
+        s.conf.getOption("spark.graft.checkpoint.dir"),
+        s.sparkContext.applicationId))
   }
 
   implicit final class StableOps(private val df: DataFrame) extends AnyVal {
     /** Eager lineage-truncating materialization under the session
       * policy: `localCheckpoint()` (executor blocks) or reliable
       * `checkpoint()` (shared-directory files, survives executor
-      * loss). */
+      * loss).
+      *
+      * Reliable mode persists the frame first: `checkpoint()` runs TWO
+      * jobs (the eager materialization, then the checkpoint-file
+      * write), and without a cache the second recomputes the whole
+      * upstream plan — in iterative loops (connected components,
+      * PageRank, BPE rounds) that doubled every round. The cache is
+      * dropped as soon as the checkpoint files exist. */
     def stableCheckpoint(): DataFrame = {
       val s = df.sparkSession
-      if (mode(s) == "reliable") { ensureDir(s); df.checkpoint() }
-      else df.localCheckpoint()
+      if (mode(s) == "reliable") {
+        ensureDir(s)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint()
+        finally df.unpersist(blocking = false)
+      } else df.localCheckpoint()
     }
   }
 }

@@ -1212,7 +1212,7 @@ object SparkEntry {
         .select(
           concat(regexp_extract(col("path"), "(t2t-\\d+)\\.tfrecord\\.gz", 1),
             lit(".tar")).as("shard"),
-          etl.GzipCodec.decompressUdf(col("content")).as("tfrecord"))
+          etl.GzipCodec.decompressCol(col("content")).as("tfrecord"))
       etl.Tar2Tf.read(streams)
         .select(col("shard"), col("rec_index"), col("ext"),
           md5(col("payload")).as("payload_md5"),
@@ -2328,14 +2328,9 @@ object SparkEntry {
     "embed_knn_ivf_indexed" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       val stride = math.max(31L, emb.count() / 128L)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfidx_${math.abs(d.hashCode)}"
-      val marker = new java.io.File(dir, "_GRAFT_DONE")
-      this.synchronized {
-        if (!marker.exists()) {
-          ext.Similarity.writeIvfIndex(emb,
-            emb.where(col("vec_id") % stride === 0), dir)
-          marker.createNewFile()
-        }
+      val dir = embIndexDir(d, "ivfidx") { dd =>
+        ext.Similarity.writeIvfIndex(emb,
+          emb.where(col("vec_id") % stride === 0), dd)
       }
       ext.Similarity.ivfTopKIndexed(s, dir,
         emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
@@ -3200,6 +3195,34 @@ object SparkEntry {
         }
         marker.createNewFile()
       }
+    }
+    dir
+  }
+
+  /** Cache dir for a persisted vector index derived from `d`'s
+    * embeddings table, keyed by a CONTENT fingerprint — the md5 of
+    * every file's (relative name, length, mtime) under
+    * `embeddings.parquet` — so data regenerated at the same path
+    * invalidates the cache instead of the probe silently reusing a
+    * stale index (the fingerprint-less dHash of the path survived
+    * across JVMs AND across data regenerations). `build` runs once per
+    * distinct fingerprint behind the marker. Gate-harness concern only:
+    * real deployments own their index paths and rebuild/append
+    * explicitly. */
+  private def embIndexDir(d: String, tag: String)(build: String => Unit): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(d, "embeddings.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$sig".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_${tag}_$md5"
+    val marker = new java.io.File(dir, "_GRAFT_DONE")
+    this.synchronized {
+      if (!marker.exists()) { build(dir); marker.createNewFile() }
     }
     dir
   }

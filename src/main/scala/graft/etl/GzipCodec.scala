@@ -2,8 +2,11 @@ package graft.etl
 
 import java.io.ByteArrayOutputStream
 import java.util.zip.{CRC32, Deflater, DeflaterOutputStream, Inflater}
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType}
 
 /** Deterministic gzip for payload columns.
   *
@@ -105,8 +108,48 @@ object GzipCodec {
     out
   }
 
-  val compressUdf: Column => Column = udf(compress _).apply(_)
-  val decompressUdf: Column => Column = udf(decompress _).apply(_)
+  /** Column forms as NATIVE expressions: the ScalaUDF wrapper paid an
+    * encoder round-trip (catalyst binary → Array[Byte] → catalyst) plus
+    * a non-codegen projection boundary per row — measurable at
+    * millions of payload rows (etl_gzip_roundtrip was the #1 bench
+    * line). These stay inside whole-stage codegen: one static call per
+    * row, byte arrays passed through untouched. */
+  val compressCol: Column => Column =
+    c => GraftShim.column(GzipCompress(GraftShim.expression(c)))
+  val decompressCol: Column => Column =
+    c => GraftShim.column(GzipDecompress(GraftShim.expression(c)))
+
+  /** gzip(payload) — [[GzipCodec.compress]] as a codegen'd unary
+    * expression (RFC 1952 single member, pinned MTIME, BEST_SPEED). */
+  case class GzipCompress(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"gzip expects binary, got $other")
+    }
+    override def nullSafeEval(a: Any): Any = compress(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.etl.GzipCodec.compress($a)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** gunzip(payload) — [[GzipCodec.decompress]] as a codegen'd unary
+    * expression (trailer-verified single-member inflate). */
+  case class GzipDecompress(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"gunzip expects binary, got $other")
+    }
+    override def nullSafeEval(a: Any): Any = decompress(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.etl.GzipCodec.decompress($a)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 
   /** Streaming single-member gzip writer over `raw` — byte-identical
     * layout to [[compress]] (pinned MTIME, BEST_SPEED, CRC32 + ISIZE

@@ -47,9 +47,11 @@ object Tar2Tf {
     * the golden fixture `ais/test/data/small-mnist-3.record` carries
     * (`"mnist-3/10000"`, quotes included; [[graft.Tar2TfGoldenSpec]]
     * compares this pipeline's output per-feature against the
-    * reference's own file). Embedded `"` and `\` in the key are
-    * backslash-escaped before quoting, Go-%q style, so the quoted bytes
-    * stay well-formed for any member name. The `__key__` entry is
+    * reference's own file). The key is quoted with FULL Go
+    * `strconv.Quote` semantics ([[graft.functions.GoQuote]]): `"`/`\`
+    * backslash-escape, named control escapes, `\xNN`/`\uNNNN` for the
+    * rest — byte parity with a Go-produced record for any member name,
+    * not just printable ones. The `__key__` entry is
     * PREPENDED — a deterministic choice of feature order; the
     * reference's own order is unspecified Go-map iteration order (the
     * golden fixture interleaves `cls,img,__key__` and `__key__,img,cls`
@@ -64,9 +66,7 @@ object Tar2Tf {
         else concat(
           array(struct(
             lit("__key__").as("ext"),
-            encode(concat(lit("\""),
-              regexp_replace(col("sample_key"), "([\"\\\\])", "\\\\$1"),
-              lit("\"")), "UTF-8")
+            encode(graft.functions.GoQuote.goQuote(col("sample_key")), "UTF-8")
               .as("payload"))),
           col("fs")))
     bySample

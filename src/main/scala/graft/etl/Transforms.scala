@@ -56,8 +56,8 @@ object Transforms {
     * fixed compression level, no gzip mtime header (OS/time-dependent
     * bytes would break content-addressed checksums downstream). Pure
     * JVM-deflate per row — composes with `>>` like any transform. */
-  val gzip: Transform = named("gzip")((p, _, _) => GzipCodec.compressUdf(p))
-  val gunzip: Transform = named("gunzip")((p, _, _) => GzipCodec.decompressUdf(p))
+  val gzip: Transform = named("gzip")((p, _, _) => GzipCodec.compressCol(p))
+  val gunzip: Transform = named("gunzip")((p, _, _) => GzipCodec.decompressCol(p))
 
   /** hash-with-args (`tools/tetl/etl.go:43`, `ais/test/etl_test.go:
     * 528-560`): payload → `%016x` of the standard XXH64(payload, seed),

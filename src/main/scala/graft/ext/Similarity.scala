@@ -575,15 +575,22 @@ object Similarity {
     * exactly what avg computes, and the 6-dp round absorbs summation
     * order as everywhere else. */
   def trainCentroids(corpus: DataFrame, init: DataFrame, iters: Int,
-                     dim: Int = 64,
+                     dim: Int = -1,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.Ckpt._
+    // normalize BOTH frames to (vec_id, embedding) once so the loop is
+    // caller-column-agnostic, and derive dim from the data unless the
+    // caller pins it (a wrong dim would silently truncate the means)
+    val corp = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val d =
+      if (dim > 0) dim
+      else corp.select(size(col("embedding"))).head().getInt(0)
     var c = init.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     for (_ <- 0 until iters) {
-      c = assignCells(corpus, c, "vec_id", "embedding")
+      c = assignCells(corp, c, "vec_id", "embedding")
         .groupBy("cell_id")
         .agg(count(lit(1)).as("_n"),
-          array((0 until dim).map(i =>
+          array((0 until d).map(i =>
             sum(col("_cv").getItem(i).cast("double"))): _*).as("_sums"))
         .select(col("cell_id").as("vec_id"),
           transform(col("_sums"), s =>

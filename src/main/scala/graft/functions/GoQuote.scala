@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Go `strconv.Quote` (`fmt.Sprintf("%q", s)`) semantics for the
+  * tar2tf `__key__` feature — the quoting convention the reference's
+  * golden fixtures carry (`"mnist-3/10000"`, quotes included;
+  * `ais/test/data/small-mnist-3.record`, see [[graft.etl.Tar2Tf]]).
+  *
+  * Exact parity domain: any valid-UTF-8 string. Per Go's rules:
+  * `"` and `\` backslash-escape; the seven named control escapes
+  * `\a \b \f \n \r \t \v`; other ASCII control bytes (and DEL) as
+  * `\xNN`; printable ASCII verbatim; non-ASCII runes verbatim when
+  * printable (Go `unicode.IsPrint` = categories L/M/N/P/S — mapped
+  * here via `Character.getType`, which follows the same Unicode
+  * categories) else `\uNNNN` / `\UNNNNNNNN`. Go's invalid-UTF-8
+  * byte handling (`\xNN` per raw byte) is out of contract: member
+  * names reach this code as already-decoded JVM strings.
+  */
+object GoQuote {
+
+  def quote(s: UTF8String): UTF8String = UTF8String.fromString(quoteStr(s.toString))
+
+  def quoteStr(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      cp match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case 0x07 => sb.append("\\a")
+        case 0x08 => sb.append("\\b")
+        case 0x0c => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case 0x0b => sb.append("\\v")
+        case c if c >= 0x20 && c < 0x7f => sb.append(c.toChar)
+        case c if c < 0x80              => sb.append(f"\\x$c%02x")
+        case c if isGoPrint(c)          => sb.appendCodePoint(c)
+        case c if c < 0x10000           => sb.append(f"\\u$c%04x")
+        case c                          => sb.append(f"\\U$c%08x")
+      }
+    }
+    sb.append('"')
+    sb.toString
+  }
+
+  /** Go `unicode.IsPrint` for non-ASCII: categories L, M, N, P, S. */
+  private def isGoPrint(cp: Int): Boolean = {
+    import java.lang.Character._
+    getType(cp) match {
+      case UPPERCASE_LETTER | LOWERCASE_LETTER | TITLECASE_LETTER |
+           MODIFIER_LETTER | OTHER_LETTER |
+           NON_SPACING_MARK | ENCLOSING_MARK | COMBINING_SPACING_MARK |
+           DECIMAL_DIGIT_NUMBER | LETTER_NUMBER | OTHER_NUMBER |
+           DASH_PUNCTUATION | START_PUNCTUATION | END_PUNCTUATION |
+           CONNECTOR_PUNCTUATION | OTHER_PUNCTUATION |
+           INITIAL_QUOTE_PUNCTUATION | FINAL_QUOTE_PUNCTUATION |
+           MATH_SYMBOL | CURRENCY_SYMBOL | MODIFIER_SYMBOL | OTHER_SYMBOL => true
+      case _ => false
+    }
+  }
+
+  def goQuote(s: Column): Column =
+    GraftShim.column(GoQuoteExpr(GraftShim.expression(s)))
+}
+
+/** `go_quote(s)`: [[GoQuote.quoteStr]] as a codegen'd expression — one
+  * static call per row, no UDF encoder round-trip. */
+case class GoQuoteExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"go_quote expects string, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any = GoQuote.quote(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GoQuote.quote($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

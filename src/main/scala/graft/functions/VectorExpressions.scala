@@ -142,6 +142,23 @@ case class NearestCell(child: Expression, ids: Array[Long],
        """.stripMargin
     })
 
+  // case-class equality on Array fields is reference identity, which
+  // would defeat semanticEquals/subexpression elimination whenever two
+  // call sites build the same centroid table — compare contents
+  override def equals(o: Any): Boolean = o match {
+    case that: NearestCell =>
+      child == that.child &&
+        java.util.Arrays.equals(ids, that.ids) &&
+        java.util.Arrays.deepEquals(
+          vecs.asInstanceOf[Array[AnyRef]], that.vecs.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(norms, that.norms)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Int.box(java.util.Arrays.hashCode(ids)),
+    Int.box(java.util.Arrays.deepHashCode(vecs.asInstanceOf[Array[AnyRef]])),
+    Int.box(java.util.Arrays.hashCode(norms)))
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -341,6 +358,23 @@ case class PqEncode(child: Expression,
          |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
        """.stripMargin
     })
+
+  // deep-content equality for the Array codebook fields (the
+  // NearestCell rationale: reference identity breaks plan
+  // canonicalization when two sites embed the same codebook)
+  override def equals(o: Any): Boolean = o match {
+    case that: PqEncode =>
+      child == that.child &&
+        java.util.Arrays.deepEquals(
+          cw.asInstanceOf[Array[AnyRef]], that.cw.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(
+          c2.asInstanceOf[Array[AnyRef]], that.c2.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child,
+    Int.box(java.util.Arrays.deepHashCode(cw.asInstanceOf[Array[AnyRef]])),
+    Int.box(java.util.Arrays.deepHashCode(c2.asInstanceOf[Array[AnyRef]])))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -20,6 +20,21 @@ class CkptSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.checkpoint")
   }
 
+  test("dir resolution: local masters default to tmpdir, multi-node masters fail fast") {
+    assert(Ckpt.resolveDir("local[4]", scala.None, "app1")
+      .endsWith("graft_ckpt_app1"))
+    assert(Ckpt.resolveDir("local-cluster[2,16,16384]", scala.None, "app2")
+      .endsWith("graft_ckpt_app2"))
+    assert(Ckpt.resolveDir("spark://host:7077", Some("hdfs:///ckpt"), "app3")
+      == "hdfs:///ckpt")
+    // a genuinely multi-node master with no shared dir configured must
+    // refuse, not proceed with an unrecoverable local default
+    val e = intercept[IllegalStateException] {
+      Ckpt.resolveDir("k8s://https://api:443", scala.None, "app4")
+    }
+    assert(e.getMessage.contains("spark.graft.checkpoint.dir"))
+  }
+
   test("local mode: stableCheckpoint truncates lineage without a checkpoint dir") {
     val df = Seq(1, 2, 3).toDF("x").groupBy("x").count().stableCheckpoint()
     assert(df.count() == 3)

