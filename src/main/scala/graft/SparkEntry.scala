@@ -1841,6 +1841,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL band-index maintenance: build the bucketed index on
+    // the even half of the reference, APPEND the odd half (bands are
+    // per-document — no corpus rescan), then decide the same new batch.
+    // Same oracle as dedup_incremental: hash-equality against the
+    // full-corpus decision IS the append ≡ rebuild proof.
+    "dedup_incremental_append" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val table = s"graft_band_index_app_$tag"
+      this.synchronized {
+        if (!s.catalog.tableExists(table)) {
+          ext.Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0),
+            table, s"/tmp/graft_band_index_app_$tag")
+          ext.Dedup.appendBandIndex(docs.where(col("doc_id") % 2 === 1), table)
+        }
+      }
+      ext.Dedup.incrementalDedupIndexed(crawlBatch(docs), docs, table)
+        .orderBy("doc_id")
+    }),
+
     // Bloom-prefiltered exact incremental dedup: the reference corpus
     // as a broadcastable distinct-positions table (capped at 2^20 rows
     // regardless of corpus size); candidates verified against the
@@ -2331,6 +2351,49 @@ object SparkEntry {
       val dir = embIndexDir(d, "ivfidx") { dd =>
         ext.Similarity.writeIvfIndex(emb,
           emb.where(col("vec_id") % stride === 0), dd)
+      }
+      ext.Similarity.ivfTopKIndexed(s, dir,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        k = 5, nprobe = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PERSISTED IVFPQ index — the FAISS on-disk standard composed from
+    // the two persisted-index halves: cell partitions bound which
+    // directories the probe scans (static PartitionFilters), PQ codes
+    // bound the bytes the coarse scan reads (column pruning skips the
+    // embedding column), and the exact re-rank point-reads only the ADC
+    // survivors. Same parameters as embed_knn_ivfpq → the SAME oracle
+    // hash-checks build+probe end to end.
+    "embed_knn_ivfpq_indexed" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val n = emb.count()
+      val dir = embIndexDir(d, "ivfpqidx") { dd =>
+        ext.Similarity.writeIvfPqIndex(emb,
+          emb.where(col("vec_id") % math.max(100L, n / 128L) === 0),
+          emb.where(col("vec_id") % math.max(1L, n / 80L) === 0)
+            .orderBy("vec_id").limit(64),
+          m = 8, dd)
+      }
+      ext.Similarity.ivfPqTopKIndexed(s, dir,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        k = 5, nprobe = 16, rerankFactor = 32)
+        .orderBy("query_id", "rank")
+    }),
+
+    // INCREMENTAL index maintenance: build on the even half, APPEND the
+    // odd half (assignment over the persisted centroids only — no
+    // corpus rescan), probe the result. The oracle is the full-corpus
+    // IVF rebuild (ivfOracle): hash-equality IS the
+    // append(A,B) ≡ rebuild(A ∪ B) proof, because cell geometry is
+    // fixed at build time and per-vector assignment is independent.
+    "embed_knn_ivf_append" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val stride = math.max(31L, emb.count() / 128L)
+      val dir = embIndexDir(d, "ivfapp") { dd =>
+        ext.Similarity.writeIvfIndex(emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % stride === 0), dd)
+        ext.Similarity.appendIvfIndex(emb.where(col("vec_id") % 2 === 1), dd)
       }
       ext.Similarity.ivfTopKIndexed(s, dir,
         emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
@@ -3259,6 +3322,68 @@ object SparkEntry {
       |                  JOIN e t ON t.vec_id = ce.vec_id
       |      WHERE ce.vec_id <> p.query_id)
       |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by embed_knn_ivfpq and embed_knn_ivfpq_indexed: the
+    * persisted IVFPQ index (cell partitions + stored codes + codebook
+    * side table) is row-identical to the in-plan IVFPQ at the same
+    * parameters, so ONE oracle hash-checks both faces. */
+  private val ivfpqOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |stc AS (SELECT GREATEST(100, count(*) // 128) AS s FROM e),
+        |cents AS (SELECT vec_id AS cell_id, v AS cv
+        |          FROM e WHERE vec_id % (SELECT s FROM stc) = 0),
+        |cells AS (SELECT vec_id, cell_id FROM (
+        |           SELECT e.vec_id, c.cell_id,
+        |             row_number() OVER (PARTITION BY e.vec_id
+        |               ORDER BY -list_dot_product(e.v, c.cv)
+        |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+        |           FROM e CROSS JOIN cents c) WHERE rn = 1),
+        |probe AS (SELECT query_id, cell_id FROM (
+        |           SELECT q.vec_id AS query_id, c.cell_id,
+        |             row_number() OVER (PARTITION BY q.vec_id
+        |               ORDER BY -list_dot_product(q.v, c.cv)
+        |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+        |           FROM e q CROSS JOIN cents c
+        |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 16),
+        |stq AS (SELECT greatest(1, count(*) // 80) AS stride FROM e),
+        |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+        |       FROM e WHERE vec_id % (SELECT stride FROM stq) = 0
+        |       ORDER BY vec_id LIMIT 64),
+        |cb AS (SELECT sub.s, cw.code, cw.v[sub.s*8+1 : sub.s*8+8] AS c,
+        |         list_dot_product(cw.v[sub.s*8+1 : sub.s*8+8],
+        |                          cw.v[sub.s*8+1 : sub.s*8+8]) AS c2
+        |       FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |         SELECT e.vec_id, cb.s, cb.code,
+        |           row_number() OVER (PARTITION BY e.vec_id, cb.s
+        |             ORDER BY cb.c2 - 2*list_dot_product(e.v[cb.s*8+1 : cb.s*8+8], cb.c),
+        |                      cb.code) AS rn
+        |         FROM e CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
+        |          CAST(floor(list_dot_product(q.v[cb.s*8+1 : cb.s*8+8], cb.c)
+        |            * 10000 + 0.5) AS BIGINT) AS lv
+        |        FROM e q CROSS JOIN cb WHERE q.vec_id IN (17, 42, 99, 123, 256)),
+        |adc AS (SELECT l.query_id, en.vec_id, sum(l.lv) AS adc
+        |        FROM enc en
+        |        JOIN cells ce ON ce.vec_id = en.vec_id
+        |        JOIN probe p ON p.cell_id = ce.cell_id
+        |        JOIN lut l ON l.query_id = p.query_id
+        |                  AND l.s = en.s AND l.code = en.code
+        |        WHERE en.vec_id <> l.query_id GROUP BY 1, 2),
+        |cand AS (SELECT query_id, vec_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adc DESC, vec_id) AS crank
+        |         FROM adc)
+        |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+        |FROM (SELECT c.query_id, c.vec_id,
+        |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
+        |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
+        |      FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |                  JOIN e t ON t.vec_id = c.vec_id
+        |      WHERE c.crank <= 160)
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "embed_knn_ivf_indexed" -> ivfOracle,
@@ -4522,6 +4647,9 @@ object SparkEntry {
     "dedup_incremental" -> incrementalDedupOracle,
     // the indexed variant must give the IDENTICAL answer — same oracle
     "dedup_incremental_indexed" -> incrementalDedupOracle,
+    // and so must the even-build + odd-append index: the hash equality
+    // against the full-corpus decision IS the append ≡ rebuild proof
+    "dedup_incremental_append" -> incrementalDedupOracle,
 
     // Bloom decisions replayed bit-for-bit: positions are a pure
     // function of md5, so even false positives must agree
@@ -5321,65 +5449,17 @@ object SparkEntry {
         |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // IVFPQ rebuilt end to end: embed_cell_assign's cells + embed_knn_pq's
-    // codebook/encode/LUT, candidates restricted to each query's 4
-    // nearest cells, integer ADC sum, exact cosine re-rank
-    "embed_knn_ivfpq" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |stc AS (SELECT GREATEST(100, count(*) // 128) AS s FROM e),
-        |cents AS (SELECT vec_id AS cell_id, v AS cv
-        |          FROM e WHERE vec_id % (SELECT s FROM stc) = 0),
-        |cells AS (SELECT vec_id, cell_id FROM (
-        |           SELECT e.vec_id, c.cell_id,
-        |             row_number() OVER (PARTITION BY e.vec_id
-        |               ORDER BY -list_dot_product(e.v, c.cv)
-        |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
-        |           FROM e CROSS JOIN cents c) WHERE rn = 1),
-        |probe AS (SELECT query_id, cell_id FROM (
-        |           SELECT q.vec_id AS query_id, c.cell_id,
-        |             row_number() OVER (PARTITION BY q.vec_id
-        |               ORDER BY -list_dot_product(q.v, c.cv)
-        |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
-        |           FROM e q CROSS JOIN cents c
-        |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 16),
-        |stq AS (SELECT greatest(1, count(*) // 80) AS stride FROM e),
-        |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
-        |       FROM e WHERE vec_id % (SELECT stride FROM stq) = 0
-        |       ORDER BY vec_id LIMIT 64),
-        |cb AS (SELECT sub.s, cw.code, cw.v[sub.s*8+1 : sub.s*8+8] AS c,
-        |         list_dot_product(cw.v[sub.s*8+1 : sub.s*8+8],
-        |                          cw.v[sub.s*8+1 : sub.s*8+8]) AS c2
-        |       FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub),
-        |enc AS (SELECT vec_id, s, code FROM (
-        |         SELECT e.vec_id, cb.s, cb.code,
-        |           row_number() OVER (PARTITION BY e.vec_id, cb.s
-        |             ORDER BY cb.c2 - 2*list_dot_product(e.v[cb.s*8+1 : cb.s*8+8], cb.c),
-        |                      cb.code) AS rn
-        |         FROM e CROSS JOIN cb) WHERE rn = 1),
-        |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
-        |          CAST(floor(list_dot_product(q.v[cb.s*8+1 : cb.s*8+8], cb.c)
-        |            * 10000 + 0.5) AS BIGINT) AS lv
-        |        FROM e q CROSS JOIN cb WHERE q.vec_id IN (17, 42, 99, 123, 256)),
-        |adc AS (SELECT l.query_id, en.vec_id, sum(l.lv) AS adc
-        |        FROM enc en
-        |        JOIN cells ce ON ce.vec_id = en.vec_id
-        |        JOIN probe p ON p.cell_id = ce.cell_id
-        |        JOIN lut l ON l.query_id = p.query_id
-        |                  AND l.s = en.s AND l.code = en.code
-        |        WHERE en.vec_id <> l.query_id GROUP BY 1, 2),
-        |cand AS (SELECT query_id, vec_id,
-        |           row_number() OVER (PARTITION BY query_id
-        |             ORDER BY adc DESC, vec_id) AS crank
-        |         FROM adc)
-        |SELECT query_id, vec_id, round(cosx, 4) AS cos,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
-        |FROM (SELECT c.query_id, c.vec_id,
-        |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
-        |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
-        |      FROM cand c JOIN e q ON q.vec_id = c.query_id
-        |                  JOIN e t ON t.vec_id = c.vec_id
-        |      WHERE c.crank <= 160)
-        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // codebook/encode/LUT, candidates restricted to each query's nprobe
+    // nearest cells, integer ADC sum, exact cosine re-rank. Shared with
+    // embed_knn_ivfpq_indexed: the persisted index is row-identical to
+    // the in-plan IVFPQ by contract (see ivfpqOracle).
+    "embed_knn_ivfpq" -> ivfpqOracle,
+    "embed_knn_ivfpq_indexed" -> ivfpqOracle,
+
+    // append(A,B) ≡ rebuild(A ∪ B): the appended index's probe must
+    // hash-match the FULL-corpus IVF oracle — that equality is the
+    // incremental-maintenance proof
+    "embed_knn_ivf_append" -> ivfOracle,
 
     // IVF rebuilt end to end: strided centroids from count(*), argmin
     // cell assignment (ties → lowest cell_id), the nprobe=16 probe set

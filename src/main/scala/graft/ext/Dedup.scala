@@ -759,6 +759,27 @@ object Dedup {
     }
   }
 
+  /** Append a delta reference batch to a [[writeBandIndex]] table
+    * WITHOUT recomputing the existing corpus — the append path the
+    * incremental operator's "append-only persisted state" scaladoc
+    * promises. Bands are a pure per-document function, so
+    * append(A, B) ≡ rebuild(A ∪ B) exactly (gate face
+    * `dedup_incremental_append` hash-checks that against the full
+    * rebuild's oracle). The append writes THROUGH the same
+    * bucketBy(band, band_hash) spec — Spark validates it against the
+    * table's existing layout, and bucketed reads union per-append files
+    * within a bucket — so the no-shuffle index-side join contract is
+    * preserved across appends (spec-guarded: `Bucketed: true`). */
+  def appendBandIndex(deltaRefDocs: DataFrame, table: String,
+                      nBuckets: Int = 8, numHashes: Int = 12,
+                      rowsPerBand: Int = 3): Unit = this.synchronized {
+    lshBands(minhash(shingles(deltaRefDocs), numHashes), rowsPerBand)
+      .withColumnRenamed("doc_id", "ref_id")
+      .write.mode("append")
+      .bucketBy(nBuckets, "band", "band_hash").sortBy("band", "band_hash")
+      .saveAsTable(table)
+  }
+
   /** Bloom-prefiltered exact incremental dedup: the reference corpus's
     * content hashes are folded into a Bloom filter, realized as a
     * DISTINCT-POSITIONS table — `kHashes` bit positions per hash,

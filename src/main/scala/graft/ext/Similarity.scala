@@ -228,9 +228,32 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     assignCells(corpus, centroids, idCol, vecCol)
       .select(col("vec_id"), col("_cv").as("embedding"), col("cell_id"))
+      // vec_id-ordered runs per cell → tight row-group min/max stats, so
+      // candidate point-reads (the IVFPQ rerank's vec_id IN (...)) skip
+      // row groups instead of scanning whole cells
+      .sortWithinPartitions("cell_id", "vec_id")
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
     centroids.select(col(idCol).as("cell_id"), col(vecCol).as("embedding"))
       .write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Append a delta batch to a [[writeIvfIndex]] index WITHOUT touching
+    * the existing corpus: the persisted `_centroids` define the cell
+    * geometry (fixed at index creation — appends never retrain, exactly
+    * FAISS's add-after-train contract), so the delta is one broadcast-
+    * argmin assignment scan appended to the cell partitions it lands
+    * in. A continuously-ingesting corpus maintains the index at
+    * delta-linear cost; append(A, B) ≡ rebuild(A ∪ B) on the same
+    * centroids because per-vector assignment is independent
+    * (IvfIndexSpec asserts the equivalence row-for-row). */
+  def appendIvfIndex(delta: DataFrame, path: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = delta.sparkSession.read.parquet(s"$path/_centroids")
+      .select(col("cell_id").as("vec_id"), col("embedding"))
+    assignCells(delta, cents, idCol, vecCol)
+      .select(col("vec_id"), col("_cv").as("embedding"), col("cell_id"))
+      .sortWithinPartitions("cell_id", "vec_id")
+      .write.partitionBy("cell_id").mode("append").parquet(path)
   }
 
   /** Probe a [[writeIvfIndex]] index: top-nprobe cells per query from
@@ -262,6 +285,141 @@ object Similarity {
       .withColumn("cos", round(cosine(col("_qv"), col("embedding")), 4))
     val wr = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** PERSISTED IVFPQ index — the FAISS on-disk STANDARD (IVF cells
+    * bound which partitions a probe scans; PQ codes bound the bytes the
+    * coarse scan reads): cell-partitioned parquet of
+    * (vec_id, embedding, codes), with `_centroids` and a flat
+    * `_codebook` (s, code, sub) side table so a probe rebuilds the LUTs
+    * from the index alone. Column pruning is the second half of the
+    * contract: the ADC coarse scan projects (vec_id, codes) ONLY — at
+    * dim=64/m=8 that is 8 code bytes per vector instead of 256 embedding
+    * bytes, on top of the partition pruning — and the exact re-rank
+    * fetches full vectors for just the ADC survivors (row-group
+    * point-reads via the vec_id sort). The in-plan [[ivfPqTopK]]
+    * re-encodes the corpus per run; this is its build-once form. */
+  def writeIvfPqIndex(corpus: DataFrame, centroids: DataFrame, codewords: DataFrame,
+                      m: Int, path: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cb = pqCodebook(codewords, m, idCol, vecCol)
+    assignCells(corpus, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("_cv").as("embedding"),
+        pqCodesCol(cb, col("_cv")).as("codes"), col("cell_id"))
+      .sortWithinPartitions("cell_id", "vec_id")
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+    centroids.select(col(idCol).as("cell_id"), col(vecCol).as("embedding"))
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cb.zipWithIndex
+      .flatMap { case (cws, s) => cws.map { case (code, sub, _) => (s, code, sub) } }
+      .toSeq.toDF("s", "code", "sub")
+      .write.mode("overwrite").parquet(s"$path/_codebook")
+  }
+
+  /** Rebuild the in-memory PQ codebook from a persisted `_codebook`
+    * side table — sub-norms recomputed with the identical left-to-right
+    * double sum as [[pqCodebook]], so probe arithmetic is bit-equal to
+    * the build-time encoder's. */
+  private def readPqCodebook(spark: SparkSession,
+                             path: String): Array[Seq[(Long, Seq[Float], Double)]] = {
+    val rows = spark.read.parquet(s"$path/_codebook")
+      .select(col("s").cast("int"), col("code").cast("long"), col("sub")).collect()
+    require(rows.nonEmpty, s"readPqCodebook: empty codebook at $path/_codebook")
+    val byS = rows.groupBy(_.getInt(0))
+    (0 until byS.size).map { s =>
+      byS(s).sortBy(_.getLong(1)).toSeq.map { r =>
+        val sub = r.getSeq[Float](2)
+        var acc = 0.0; var i = 0
+        while (i < sub.length) { acc += sub(i).toDouble * sub(i).toDouble; i += 1 }
+        (r.getLong(1), sub, acc)
+      }
+    }.toArray
+  }
+
+  /** Append a delta batch to a [[writeIvfPqIndex]] index: assignment
+    * AND encoding use the persisted geometry (`_centroids`,
+    * `_codebook`) — fixed at build time, the add-after-train contract —
+    * so the append is one zero-shuffle scan of the delta. Same
+    * rebuild-equivalence as [[appendIvfIndex]]. */
+  def appendIvfPqIndex(delta: DataFrame, path: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val cb = readPqCodebook(spark, path)
+    val cents = spark.read.parquet(s"$path/_centroids")
+      .select(col("cell_id").as("vec_id"), col("embedding"))
+    assignCells(delta, cents, idCol, vecCol)
+      .select(col("vec_id"), col("_cv").as("embedding"),
+        pqCodesCol(cb, col("_cv")).as("codes"), col("cell_id"))
+      .sortWithinPartitions("cell_id", "vec_id")
+      .write.partitionBy("cell_id").mode("append").parquet(path)
+  }
+
+  /** Probe a [[writeIvfPqIndex]] index. Three bounded stages, no
+    * corpus-sized work anywhere:
+    *   1. cell probe — persisted centroids (broadcast) pick nprobe cells
+    *      per query; the probed set folds into a LITERAL partition
+    *      filter exactly as [[ivfTopKIndexed]];
+    *   2. ADC coarse scan — reads ONLY (vec_id, codes) of the probed
+    *      partitions (parquet column pruning never touches the embedding
+    *      bytes), scores with the integer LUTs rebuilt from `_codebook`,
+    *      keeps the top k·rerankFactor per query;
+    *   3. exact re-rank — the candidate (query, vec) pairs are
+    *      index-small by construction (≤ |queries|·k·rerankFactor, the
+    *      same contract as the probed-cell collect), so they fold into a
+    *      literal `vec_id IN (...)` predicate pushed to the parquet scan:
+    *      the full-precision fetch is a row-group point-read of the
+    *      survivors, not a second pass over the probed cells.
+    * Result rows are identical to [[ivfPqTopK]] at the same parameters
+    * (same integer-ADC candidate determinism, same rounded-cosine
+    * rerank) — one oracle hash-checks both. */
+  def ivfPqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                       k: Int, nprobe: Int, rerankFactor: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = readPqCodebook(spark, path)
+    val cent = spark.read.parquet(s"$path/_centroids")
+      .select(col("cell_id"), col("embedding").as("_centv"),
+        sqrt(floatDot(col("embedding"), col("embedding"))).as("_centn"))
+    val wp = Window.partitionBy("query_id").orderBy(col("_cdist").asc, col("cell_id").asc)
+    val probe = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("_cdist", -floatDot(col("_qv"), col("_centv")) / col("_centn"))
+      .withColumn("_prank", row_number().over(wp))
+      .where(col("_prank") <= nprobe)
+      .select(col("query_id"), col("_qv"),
+        pqLutCol(cb, col("_qv")).as("_lut"), col("cell_id"))
+    val probedCells = probe.select("cell_id").distinct().collect().map(_.getLong(0))
+    val adc = graft.functions.VectorFunctions.adcSum(col("codes"), col("_lut"))
+    val wc = Window.partitionBy("query_id").orderBy(col("_adc").desc, col("vec_id").asc)
+    val cand = spark.read.parquet(path)
+      .where(col("cell_id").isin(probedCells.toIndexedSeq: _*))
+      .select(col("cell_id"), col("vec_id"), col("codes"))
+      .join(broadcast(probe.drop("_qv")), Seq("cell_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("_adc", adc)
+      .withColumn("_crank", row_number().over(wc))
+      .where(col("_crank") <= k * rerankFactor)
+      .select(col("query_id"), col("vec_id"))
+      .collect() // ≤ |queries| × k × rerankFactor rows — index-small
+    val candIds = cand.map(_.getLong(1)).distinct.sorted.toIndexedSeq
+    import spark.implicits._
+    val pairs = cand.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("query_id", "vec_id")
+    val fetch = spark.read.parquet(path)
+      .where(col("cell_id").isin(probedCells.toIndexedSeq: _*) &&
+        col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"), col("embedding"))
+    val q = withNorm(queries, "query_id", "_qv", "_qn", idCol, vecCol)
+    val wf = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    fetch.join(broadcast(pairs), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", round(
+        cosineWithNorms(col("_qv"), col("embedding"), col("_qn"),
+          sqrt(floatDot(col("embedding"), col("embedding")))), 4))
+      .withColumn("rank", row_number().over(wf).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
   }

@@ -349,6 +349,30 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("band index append: decisions identical to a full rebuild, still bucketed") {
+    val ref = docs.select($"doc_id", $"text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Dedup.writeBandIndex(ref.where($"doc_id" % 2 === 0),
+        "spec_band_idx_app", "/tmp/graft_spec_band_idx_app", nBuckets = 4)
+      Dedup.appendBandIndex(ref.where($"doc_id" % 2 === 1),
+        "spec_band_idx_app", nBuckets = 4)
+      val newB = ref.where($"doc_id" < 5)
+        .select(($"doc_id" + 500L).as("doc_id"), $"text")
+      val out = Dedup.incrementalDedupIndexed(newB, ref, "spec_band_idx_app")
+      // appends preserve the no-shuffle bucketed-read contract
+      val f = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(f.contains("Bucketed: true"), f.take(3000))
+      // append(A, B) ≡ rebuild(A ∪ B): identical decisions
+      val a = out.collect().map(_.toString).sorted.toSeq
+      val b = Dedup.incrementalDedup(newB, ref).collect().map(_.toString).sorted.toSeq
+      assert(a == b)
+      assert(a.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhash: identical texts collide, signature is 16 bits") {
     val sigs = Dedup.simhash16(corpusWithDups).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -57,4 +57,80 @@ class IvfIndexSpec extends SparkSpec {
       .agg(expr("bit_xor(xxhash64(h))")).head().getLong(0)
     assert(h1 == h2)
   }
+
+  test("append(A, B) is row-identical to rebuild(A ∪ B) on the same centroids") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_ivfidx_spec_app"
+    val n = emb.count()
+    val cents = emb.where(col("vec_id") % math.max(31L, n / 128L) === 0)
+    ext.Similarity.writeIvfIndex(emb.where(col("vec_id") % 2 === 0), cents, d)
+    ext.Similarity.appendIvfIndex(emb.where(col("vec_id") % 2 === 1), d)
+    // the whole index, not just the probe: same rows as a full rebuild
+    val full = ext.Similarity.ivfTopKIndexed(spark, dir, queries, k = 5, nprobe = 16)
+      .orderBy("query_id", "rank").collect().toSeq
+    val appended = ext.Similarity.ivfTopKIndexed(spark, d, queries, k = 5, nprobe = 16)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(appended == full)
+    assert(spark.read.parquet(d).count() == emb.count())
+  }
+
+  private lazy val pqDir = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_ivfpqidx_spec"
+    val n = emb.count()
+    ext.Similarity.writeIvfPqIndex(emb,
+      emb.where(col("vec_id") % math.max(100L, n / 128L) === 0),
+      emb.where(col("vec_id") % math.max(1L, n / 80L) === 0)
+        .orderBy("vec_id").limit(64),
+      m = 8, d)
+    d
+  }
+
+  test("IVFPQ indexed probe is row-identical to the in-plan ivfPqTopK") {
+    val n = emb.count()
+    val direct = ext.Similarity.ivfPqTopK(emb, queries,
+      centroids = emb.where(col("vec_id") % math.max(100L, n / 128L) === 0),
+      codewords = emb.where(col("vec_id") % math.max(1L, n / 80L) === 0)
+        .orderBy("vec_id").limit(64),
+      m = 8, k = 5, nprobe = 16, rerankFactor = 32)
+      .orderBy("query_id", "rank").collect().toSeq
+    val indexed = ext.Similarity.ivfPqTopKIndexed(spark, pqDir, queries,
+      k = 5, nprobe = 16, rerankFactor = 32)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(indexed == direct)
+  }
+
+  test("IVFPQ coarse scan prunes partitions AND never reads the embedding column") {
+    // reproduce the probe's coarse-scan shape and inspect its plan: the
+    // index read must carry cell_id PartitionFilters and a ReadSchema
+    // without `embedding` — codes-bytes-only is the PQ disk contract
+    val cent = spark.read.parquet(s"$pqDir/_centroids")
+    val someCells = cent.select("cell_id").limit(4).collect().map(_.getLong(0)).toSeq
+    val coarse = spark.read.parquet(pqDir)
+      .where(col("cell_id").isin(someCells: _*))
+      .select("cell_id", "vec_id", "codes")
+    val plan = coarse.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(plan).isDefined,
+      "cell_id not in PartitionFilters:\n" + plan.take(2000))
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("codes") && !read.contains("embedding"),
+      s"coarse scan must read codes, not embedding: $read")
+  }
+
+  test("IVFPQ append(A, B) is row-identical to rebuild(A ∪ B)") {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_ivfpqidx_spec_app"
+    val n = emb.count()
+    ext.Similarity.writeIvfPqIndex(emb.where(col("vec_id") % 2 === 0),
+      emb.where(col("vec_id") % math.max(100L, n / 128L) === 0),
+      emb.where(col("vec_id") % math.max(1L, n / 80L) === 0)
+        .orderBy("vec_id").limit(64),
+      m = 8, d)
+    ext.Similarity.appendIvfPqIndex(emb.where(col("vec_id") % 2 === 1), d)
+    val full = ext.Similarity.ivfPqTopKIndexed(spark, pqDir, queries,
+      k = 5, nprobe = 16, rerankFactor = 32)
+      .orderBy("query_id", "rank").collect().toSeq
+    val appended = ext.Similarity.ivfPqTopKIndexed(spark, d, queries,
+      k = 5, nprobe = 16, rerankFactor = 32)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(appended == full)
+    assert(spark.read.parquet(d).count() == emb.count())
+  }
 }
