@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     "embed_knn_ivf_indexed",          // probe stage: queries × centroids broadcast
     // cross join (index-small both sides); the INDEX scan itself is a
     // partition-pruned BroadcastHashJoin (IvfIndexSpec asserts pruning)
+    "embed_knn_ivf_append",           // same ivfTopKIndexed probe shape
+    // over the appended index (IvfIndexSpec asserts append ≡ rebuild)
     "embed_sql_cosine",
     "embed_semantic_dedup",     // in-cell pair scan, cells bound the blowup
     "contamination_semantic",   // broadcast benchmark scan
