@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measures the TarMemberSource filter-pushdown contract on a real
+  * fixture corpus — the Spark-side analog of the reference's
+  * shard-index point read ("orders of magnitude" fast path,
+  * `docs/get_batch.md`; `xact/xs/shard_idx.go:27-53`):
+  *
+  * {{{
+  * SPARK_GRAFT_TARS=/tmp/graft_tars_testdata_local_sf1 \
+  *   tools/run_local.sh graft.PointReadCheck
+  * }}}
+  *
+  * Compares one `shard = X AND member = Y` payload GET in two shapes:
+  *   - PUSHED: the predicate reaches the DSv2 scan — file pruning
+  *     schedules ONE task for the matching shard, and in-file member
+  *     skipping header-hops every other data section;
+  *   - UNPUSHED baseline: the same predicate wrapped so the translator
+  *     cannot push it (`substring(col, 1, n)`), forcing the pre-round-7
+  *     shape — every shard file scheduled and scanned, rows filtered
+  *     after materialization.
+  * Prints partition counts, wall times, and the speedup; asserts the
+  * point read schedules exactly one partition and both shapes return
+  * the identical row. */
+object PointReadCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_TARS", "/tmp/graft_tars_testdata_local_sf1")
+    val df = spark.read.format("tarmembers").load(dir)
+
+    val nShards = new java.io.File(dir).listFiles()
+      .count(f => graft.shards.Archives.extOf(f.getName).isDefined)
+    // deterministic probe target: a mid-corpus shard's first member
+    val target = df.where(col("shard") === f"tshard-${nShards / 2}%03d.tar")
+      .select("shard", "member").orderBy("member").limit(1).collect()(0)
+    val (s, m) = (target.getString(0), target.getString(1))
+    println(s"[pointread] corpus=$dir shards=$nShards target=$s/$m")
+
+    def time[A](what: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = what
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val pushed = df.where(col("shard") === s && col("member") === m)
+      .select(col("shard"), col("member"), md5(col("payload")).as("h"))
+    val unpushed = df
+      .where(substring(col("shard"), 1, 64) === s &&
+        substring(col("member"), 1, 128) === m)
+      .select(col("shard"), col("member"), md5(col("payload")).as("h"))
+
+    val pParts = pushed.rdd.getNumPartitions
+    val uParts = unpushed.rdd.getNumPartitions
+    val (pRows, pSec) = time(pushed.collect())
+    val (uRows, uSec) = time(unpushed.collect())
+    require(pParts == 1, s"point read scheduled $pParts partitions, want 1")
+    require(pRows.toSeq == uRows.toSeq && pRows.length == 1,
+      s"pushed/unpushed disagree: ${pRows.toSeq} vs ${uRows.toSeq}")
+    println(f"[pointread] pushed:   partitions=$pParts%4d  sec=$pSec%.3f")
+    println(f"[pointread] unpushed: partitions=$uParts%4d  sec=$uSec%.3f")
+    println(f"[pointread] speedup=${uSec / pSec}%.1fx  files_pruned=${uParts - pParts}")
+    spark.stop()
+  }
+}

@@ -103,35 +103,137 @@ class TarMemberTable(properties: Map[String, String]) extends Table with Support
     new TarScanBuilder(paths)
 }
 
-class TarScanBuilder(paths: Seq[String]) extends ScanBuilder with SupportsPushDownRequiredColumns {
+/** Predicate pushdown over the NAME-derived columns (`shard`, `member`,
+  * `sample_key`, `ext`) — the Spark-side analog of the reference's
+  * shard-index point read (`xact/xs/shard_idx.go:27-53`, the
+  * "orders of magnitude" fast path in `docs/get_batch.md`):
+  *
+  *   - FILE pruning: a filter that is definitively false knowing only
+  *     the shard name removes that shard file BEFORE task scheduling —
+  *     a `shard = X` point read schedules ONE task instead of one per
+  *     shard in the corpus;
+  *   - MEMBER skipping: inside a scheduled file, pushed filters are
+  *     evaluated on the header fields BEFORE the payload is
+  *     materialized — a non-matching member's data section is skipped
+  *     (for plain TAR: a header hop), never read into memory.
+  *
+  * Tri-state evaluation (`Some(b)` / `None` = attribute unknown) lets
+  * ONE evaluator serve both: file pruning sees only `shard`, member
+  * skipping sees all four columns. Pushed filters are evaluated
+  * EXACTLY (string equality/prefix/In over non-null columns), so they
+  * are not returned as post-scan residuals. */
+object TarFilters {
+  import org.apache.spark.sql.sources._
+
+  private val NameCols = Set("shard", "member", "sample_key", "ext")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => NameCols(a) && v.isInstanceOf[String]
+    case In(a, vs) => NameCols(a) && vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(a, _) => NameCols(a)
+    case StringEndsWith(a, _) => NameCols(a)
+    case StringContains(a, _) => NameCols(a)
+    case IsNotNull(a) => NameCols(a)
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(x) => supported(x)
+    case _ => false
+  }
+
+  /** Tri-state AND/OR evaluation over partially-known attributes. */
+  def eval(f: Filter, attr: String => Option[String]): Option[Boolean] = f match {
+    case EqualTo(a, v) => attr(a).map(_ == v)
+    case In(a, vs) => attr(a).map(x => vs.exists(_ == x))
+    case StringStartsWith(a, p) => attr(a).map(_.startsWith(p))
+    case StringEndsWith(a, s) => attr(a).map(_.endsWith(s))
+    case StringContains(a, s) => attr(a).map(_.contains(s))
+    case IsNotNull(a) if NameCols(a) => Some(true) // name columns are never null
+    case And(l, r) => (eval(l, attr), eval(r, attr)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => scala.None
+    }
+    case Or(l, r) => (eval(l, attr), eval(r, attr)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => scala.None
+    }
+    case Not(x) => eval(x, attr).map(!_)
+    case _ => scala.None
+  }
+
+  /** File-level: keep the shard unless some pushed filter is
+    * definitively false given only the shard name. */
+  def keepShard(filters: Seq[Filter], shard: String): Boolean = {
+    val attr: String => Option[String] =
+      a => if (a == "shard") Some(shard) else scala.None
+    !filters.exists(f => eval(f, attr).contains(false))
+  }
+
+  /** Member-level: all pushed filters must hold on the full name row. */
+  def keepMember(filters: Seq[Filter], shard: String, member: String): Boolean = {
+    val attr: String => Option[String] = {
+      case "shard" => Some(shard)
+      case "member" => Some(member)
+      case "sample_key" => Some(Archives.sampleKeyOf(member))
+      case "ext" => Some(Archives.memberExtOf(member))
+      case _ => scala.None
+    }
+    filters.forall(f => eval(f, attr).getOrElse(true))
+  }
+}
+
+class TarScanBuilder(paths: Seq[String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
   private var required: StructType = TarMemberTable.fullSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new TarScan(paths, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(TarFilters.supported)
+    pushed = sup
+    // pushed filters are evaluated exactly (file prune + member skip),
+    // so only the unsupported remainder needs a post-scan Filter
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new TarScan(paths, required, pushed)
 }
 
 final case class TarFilePartition(file: String) extends InputPartition
 
-class TarScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+class TarScan(paths: Seq[String], required: StructType,
+              pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"TarMemberScan(files=${paths.mkString(",")}, columns=${required.fieldNames.mkString(",")})"
+    s"TarMemberScan(files=${paths.mkString(",")}, " +
+      s"columns=${required.fieldNames.mkString(",")}, " +
+      s"PushedFilters=[${pushed.mkString(", ")}])"
 
   override def planInputPartitions(): Array[InputPartition] =
-    TarMemberTable.listShardFiles(paths).map(f => TarFilePartition(f._1)).toArray
+    TarMemberTable.listShardFiles(paths)
+      .filter(f => TarFilters.keepShard(pushed.toSeq, new Path(f._1).getName))
+      .map(f => TarFilePartition(f._1)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TarReaderFactory(required)
+    new TarReaderFactory(required, pushed)
 }
 
-class TarReaderFactory(required: StructType) extends PartitionReaderFactory {
+class TarReaderFactory(required: StructType,
+                       pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TarPartitionReader(partition.asInstanceOf[TarFilePartition].file, required)
+    new TarPartitionReader(partition.asInstanceOf[TarFilePartition].file, required, pushed)
 }
 
 /** Streams one shard file; emits one InternalRow per member. Payload
-  * bytes are read only when the `payload` column survives pruning. */
-class TarPartitionReader(file: String, required: StructType)
+  * bytes are read only when the `payload` column survives pruning AND
+  * the member passes the pushed name filters — a filtered-out member's
+  * data section is skipped, not materialized. */
+class TarPartitionReader(file: String, required: StructType,
+                         pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
   private val needPayload = required.fieldNames.contains("payload")
@@ -141,22 +243,27 @@ class TarPartitionReader(file: String, required: StructType)
   private val entries = Archives.iterate(shardName, in, readPayloads = needPayload)
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (!entries.hasNext) false
-    else {
+  override def next(): Boolean = {
+    while (entries.hasNext) {
       val e = entries.next()
-      val payload = e.read() // consume (or skip) before advancing
-      current = InternalRow.fromSeq(required.fieldNames.toSeq.map {
-        case "shard" => UTF8String.fromString(shardName)
-        case "member" => UTF8String.fromString(e.name)
-        case "sample_key" => UTF8String.fromString(Archives.sampleKeyOf(e.name))
-        case "ext" => UTF8String.fromString(Archives.memberExtOf(e.name))
-        case "offset" => e.offset
-        case "size" => e.size
-        case "payload" => payload
-      })
-      true
+      if (TarFilters.keepMember(pushed.toSeq, shardName, e.name)) {
+        val payload = e.read() // consume (or skip) before advancing
+        current = InternalRow.fromSeq(required.fieldNames.toSeq.map {
+          case "shard" => UTF8String.fromString(shardName)
+          case "member" => UTF8String.fromString(e.name)
+          case "sample_key" => UTF8String.fromString(Archives.sampleKeyOf(e.name))
+          case "ext" => UTF8String.fromString(Archives.memberExtOf(e.name))
+          case "offset" => e.offset
+          case "size" => e.size
+          case "payload" => payload
+        })
+        return true
+      }
+      // non-matching member: never call read() — the archive iterator
+      // skips its data section on advance (plain TAR: a header hop)
     }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()

@@ -94,6 +94,46 @@ class TarRoundTripSpec extends SparkSpec {
     assert(!plan.contains("payload") || plan.contains("columns=member,size"))
   }
 
+  test("filter pushdown: a shard point read schedules ONE file, not the corpus") {
+    val df = spark.read.format("tarmembers").load(dir.getAbsolutePath)
+      .where(col("shard") === "t1.tar")
+    // the filter reaches the scan (visible in the DSv2 scan description)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters=[") && plan.contains("EqualTo(shard,t1.tar)"),
+      plan.take(2000))
+    // and file pruning is REAL: 4 shard files on disk, 1 task scheduled
+    assert(df.rdd.getNumPartitions == 1,
+      s"expected 1 pruned partition, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == samples.size)
+  }
+
+  test("filter pushdown: member predicates skip non-matching payloads in-scan") {
+    val one = spark.read.format("tarmembers").load(dir.getAbsolutePath)
+      .where(col("shard") === "t1.tar" && col("member") === "n0001_01.jpg")
+    assert(one.rdd.getNumPartitions == 1)
+    val rows = one.select("member", "payload").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "n0001_01.jpg")
+    assert(rows(0).getAs[Array[Byte]](1)
+      .sameElements(samples.find(_._1 == "n0001_01.jpg").get._2))
+    // prefix/suffix/contains forms push too (ext is a NAME-derived col)
+    val suffixed = spark.read.format("tarmembers").load(dir.getAbsolutePath)
+      .where(col("ext") === "cls")
+    val plan = suffixed.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(ext,cls)"), plan.take(2000))
+    assert(suffixed.count() ==
+      samples.count(_._1.endsWith(".cls")) * 4) // all four shards kept
+  }
+
+  test("tri-state filter eval: OR across columns neither over- nor under-prunes") {
+    // shard = t1.tar OR ext = cls: no FILE can be pruned (the ext arm
+    // may match members in any shard), but member rows must be exact
+    val df = spark.read.format("tarmembers").load(dir.getAbsolutePath)
+      .where(col("shard") === "t1.tar" || col("ext") === "cls")
+    assert(df.rdd.getNumPartitions == 4, "OR must not over-prune files")
+    val want = samples.size + samples.count(_._1.endsWith(".cls")) * 3
+    assert(df.count() == want)
+  }
+
   test("writeShards partitions by shard and sorts members") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_tarout").toFile
