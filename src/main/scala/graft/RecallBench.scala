@@ -64,6 +64,98 @@ object RecallBench {
     def trained(iters: Int): DataFrame = ext.Similarity.trainCentroids(
       emb, emb.where(col("vec_id") % math.max(31L, n / 128L) === 0), iters)
     recall("ivf_km3", ext.Similarity.ivfTopK(emb, queries, centroids = trained(3), k = k, nprobe = 16))
+
+    // ---- recall-vs-cost FRONTIER sweep (SPARK_GRAFT_FRONTIER=1):
+    // multi-probe breadth, nprobe, codebook size, rerank depth, trained
+    // cells, and a JL ±1 rotation ahead of PQ (OPQ-style decorrelation)
+    // — the numbers behind PERF.md §ANN-recall-frontier
+    // ---- Hadamard-rotated PQ (SPARK_GRAFT_FRONTIER=had): the JL ±1
+    // rotation below is NOT orthogonal and measured 0.17–0.20 recall —
+    // rank order in the rotated space diverges from the original space.
+    // The Walsh–Hadamard matrix H/√64 IS orthonormal (dim 64 = 2^6), so
+    // it preserves cosine exactly (up to float rounding) while spreading
+    // every input coordinate across all subspaces — true OPQ-style
+    // decorrelation with a closed-form, engine-rebuildable matrix.
+    if (sys.env.get("SPARK_GRAFT_FRONTIER").exists(v => v == "1" || v == "had")) {
+      val km3h = trained(3).cache(); km3h.count()
+      val cw128h = emb.where(col("vec_id") % math.max(1L, n / 160L) === 0)
+        .orderBy("vec_id").limit(128).cache()
+      def hadamard(df: DataFrame): DataFrame = {
+        import graft.functions.VectorFunctions.floatDot
+        val rows = (0 until 64).map { i =>
+          (0 until 64).map { j =>
+            if (java.lang.Integer.bitCount(i & j) % 2 == 1) -0.125f else 0.125f
+          }
+        }
+        val comps = rows.map(r => floatDot(col("embedding"), typedLit(r)).cast("float"))
+        df.select(col("vec_id"), array(comps: _*).as("embedding"))
+      }
+      val hEmb = hadamard(emb).cache(); hEmb.count()
+      val hQ = hadamard(queries).cache()
+      recall("pq_had_cw128_rf64", ext.Similarity.pqTopK(hEmb, hQ,
+        codewords = hadamard(cw128h), m = 8, k = k, rerankFactor = 64))
+      recall("ivfpqkm3_had_np32_cw128_rf64", ext.Similarity.ivfPqTopK(hEmb, hQ,
+        centroids = hadamard(km3h), codewords = hadamard(cw128h),
+        m = 8, k = k, nprobe = 32, rerankFactor = 64))
+    }
+
+    if (sys.env.get("SPARK_GRAFT_FRONTIER").contains("1")) {
+      val km3 = trained(3).cache(); km3.count()
+      val cw64 = emb.where(col("vec_id") % math.max(1L, n / 80L) === 0)
+        .orderBy("vec_id").limit(64).cache()
+      val cw128 = emb.where(col("vec_id") % math.max(1L, n / 160L) === 0)
+        .orderBy("vec_id").limit(128).cache()
+      val cents = emb.where(col("vec_id") % math.max(100L, n / 128L) === 0).cache()
+
+      for (bits <- Seq(4, 6); probes <- Seq(1, bits / 2 + 1, bits + 1))
+        recall(s"lsh_b${bits}_p$probes",
+          ext.Similarity.lshTopK(emb, queries, k = k, bits = bits, dim = 64, probes = probes))
+      for (np <- Seq(8, 16, 32, 48)) {
+        recall(s"ivf_np$np", ext.Similarity.ivfTopK(emb, queries,
+          centroids = emb.where(col("vec_id") % math.max(31L, n / 128L) === 0),
+          k = k, nprobe = np))
+        recall(s"ivfkm3_np$np", ext.Similarity.ivfTopK(emb, queries,
+          centroids = km3, k = k, nprobe = np))
+      }
+      for (cw <- Seq(64, 128); rf <- Seq(32, 64))
+        recall(s"pq_cw${cw}_rf$rf", ext.Similarity.pqTopK(emb, queries,
+          codewords = if (cw == 64) cw64 else cw128, m = 8, k = k, rerankFactor = rf))
+      for (np <- Seq(16, 32); cw <- Seq(64, 128); rf <- Seq(32, 64)) {
+        recall(s"ivfpq_np${np}_cw${cw}_rf$rf", ext.Similarity.ivfPqTopK(emb, queries,
+          centroids = cents, codewords = if (cw == 64) cw64 else cw128,
+          m = 8, k = k, nprobe = np, rerankFactor = rf))
+        recall(s"ivfpqkm3_np${np}_cw${cw}_rf$rf", ext.Similarity.ivfPqTopK(emb, queries,
+          centroids = km3, codewords = if (cw == 64) cw64 else cw128,
+          m = 8, k = k, nprobe = np, rerankFactor = rf))
+      }
+
+      // OPQ-style: rotate with the deterministic JL ±1 family (the
+      // signLshBucket planes / √dim) BEFORE PQ — decorrelates the
+      // subspaces a strided codebook sees; same rotation on corpus,
+      // queries, and codewords keeps neighbor geometry ~intact
+      val planes: Seq[Seq[Float]] = (0 until 64).map { p =>
+        (0 until 64).map { d =>
+          if (java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$p:$d".getBytes)(0) < 0) -1.0f else 1.0f
+        }
+      }
+      def rotate(df: DataFrame): DataFrame = {
+        import graft.functions.VectorFunctions.floatDot
+        val comps = planes.map(pl =>
+          (floatDot(col("embedding"), typedLit(pl)) / 8.0d).cast("float"))
+        df.select(col("vec_id"), array(comps: _*).as("embedding"))
+      }
+      val rEmb = rotate(emb).cache(); rEmb.count()
+      val rQ = rotate(queries).cache()
+      // truth stays in the ORIGINAL space; rotated ids are what we rank
+      recall("pq_rot_cw64_rf32", ext.Similarity.pqTopK(rEmb, rQ,
+        codewords = rotate(cw64), m = 8, k = k, rerankFactor = 32))
+      recall("pq_rot_cw128_rf64", ext.Similarity.pqTopK(rEmb, rQ,
+        codewords = rotate(cw128), m = 8, k = k, rerankFactor = 64))
+      recall("ivfpq_rot_np32_cw128_rf64", ext.Similarity.ivfPqTopK(rEmb, rQ,
+        centroids = rotate(cents), codewords = rotate(cw128),
+        m = 8, k = k, nprobe = 32, rerankFactor = 64))
+    }
     spark.stop()
   }
 }

@@ -2358,6 +2358,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVFPQ at the measured ≥0.9 recall frontier (PERF.md
+    // §ANN-recall-frontier: recall@10 = 0.930 at sf1): TRAINED cells
+    // (3 Lloyd rounds — the embed_knn_ivf_trained chain) + a 128-
+    // codeword codebook + nprobe=32 + rerank 64. The FAISS production
+    // configuration, hash-checked end to end — the oracle unrolls the
+    // training chain AND the PQ encode/LUT/ADC stages in closed form.
+    "embed_knn_ivfpq_trained" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val n = emb.count()
+      ext.Similarity.ivfPqTopK(emb,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        centroids = ext.Similarity.trainCentroids(
+          emb, emb.where(col("vec_id") % math.max(31L, n / 128L) === 0), iters = 3),
+        codewords = emb.where(col("vec_id") % math.max(1L, n / 160L) === 0)
+          .orderBy("vec_id").limit(128),
+        m = 8, k = 5, nprobe = 32, rerankFactor = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // PERSISTED IVFPQ index — the FAISS on-disk standard composed from
     // the two persisted-index halves: cell partitions bound which
     // directories the probe scans (static PartitionFilters), PQ codes
@@ -3322,6 +3341,36 @@ object SparkEntry {
       |                  JOIN e t ON t.vec_id = ce.vec_id
       |      WHERE ce.vec_id <> p.query_id)
       |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** CTE builders for the 3-round Lloyd training chain, shared by the
+    * embed_knn_ivf_trained and embed_knn_ivfpq_trained oracles: c0 =
+    * strided init, aN/cN = assignment/means of round N, a4 = the final
+    * assignment over the trained cells. All over the `e` base CTE. */
+  private def kmAssignSql(cent: String, out: String): String =
+    s"""$out AS (SELECT vec_id, cell_id FROM (
+       |  SELECT e.vec_id, c.cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY -list_dot_product(e.v, c.cv)
+       |                 / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+       |  FROM e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+
+  private def kmMeansSql(asg: String, out: String): String =
+    s"""$out AS (SELECT cell_id, list(cd ORDER BY pos) AS cv FROM (
+       |  SELECT a.cell_id, p.pos,
+       |    CAST(CAST(round(avg(e.v[p.pos + 1]), 6) AS FLOAT) AS DOUBLE) AS cd
+       |  FROM $asg a JOIN e ON e.vec_id = a.vec_id
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
+       |  GROUP BY a.cell_id, p.pos) GROUP BY cell_id)""".stripMargin
+
+  private val kmChainSql: String =
+    """stc AS (SELECT GREATEST(31, count(*) // 128) AS s FROM e),
+      |c0 AS (SELECT vec_id AS cell_id, v AS cv
+      |       FROM e WHERE vec_id % (SELECT s FROM stc) = 0),
+      |""".stripMargin +
+      kmAssignSql("c0", "a1") + ",\n" + kmMeansSql("a1", "c1") + ",\n" +
+      kmAssignSql("c1", "a2") + ",\n" + kmMeansSql("a2", "c2") + ",\n" +
+      kmAssignSql("c2", "a3") + ",\n" + kmMeansSql("a3", "c3") + ",\n" +
+      kmAssignSql("c3", "a4")
 
   /** Shared by embed_knn_ivfpq and embed_knn_ivfpq_indexed: the
     * persisted IVFPQ index (cell partitions + stored codes + codebook
@@ -5506,30 +5555,9 @@ object SparkEntry {
     // cast between rounds (Similarity.trainCentroids) is what makes the
     // chain closed-form — then the embed_knn_ivf probe/rerank over the
     // trained cells
-    "embed_knn_ivf_trained" -> {
-      def assign(cent: String, out: String): String =
-        s"""$out AS (SELECT vec_id, cell_id FROM (
-           |  SELECT e.vec_id, c.cell_id,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY -list_dot_product(e.v, c.cv)
-           |                 / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
-           |  FROM e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
-      def means(asg: String, out: String): String =
-        s"""$out AS (SELECT cell_id, list(cd ORDER BY pos) AS cv FROM (
-           |  SELECT a.cell_id, p.pos,
-           |    CAST(CAST(round(avg(e.v[p.pos + 1]), 6) AS FLOAT) AS DOUBLE) AS cd
-           |  FROM $asg a JOIN e ON e.vec_id = a.vec_id
-           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
-           |  GROUP BY a.cell_id, p.pos) GROUP BY cell_id)""".stripMargin
+    "embed_knn_ivf_trained" -> (
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |stc AS (SELECT GREATEST(31, count(*) // 128) AS s FROM e),
-        |c0 AS (SELECT vec_id AS cell_id, v AS cv
-        |       FROM e WHERE vec_id % (SELECT s FROM stc) = 0),
-        |""".stripMargin +
-        assign("c0", "a1") + ",\n" + means("a1", "c1") + ",\n" +
-        assign("c1", "a2") + ",\n" + means("a2", "c2") + ",\n" +
-        assign("c2", "a3") + ",\n" + means("a3", "c3") + ",\n" +
-        assign("c3", "a4") + ",\n" +
+        |""".stripMargin + kmChainSql + ",\n" +
         """probe AS (SELECT query_id, cell_id FROM (
           |           SELECT q.vec_id AS query_id, c.cell_id,
           |             row_number() OVER (PARTITION BY q.vec_id
@@ -5547,8 +5575,61 @@ object SparkEntry {
           |                  JOIN e q ON q.vec_id = p.query_id
           |                  JOIN e t ON t.vec_id = ce.vec_id
           |      WHERE ce.vec_id <> p.query_id)
-          |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+          |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // the FULL frontier config replayed: the same trained chain feeding
+    // the PQ stages — 128-codeword codebook (stride n//160), probe over
+    // the TRAINED cells at nprobe=32, integer ADC, rerank 64 (crank <=
+    // 5*64); recall@10 = 0.930 at sf1 (PERF.md §ANN-recall-frontier)
+    "embed_knn_ivfpq_trained" -> (
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |""".stripMargin + kmChainSql + ",\n" +
+        """probe AS (SELECT query_id, cell_id FROM (
+          |           SELECT q.vec_id AS query_id, c.cell_id,
+          |             row_number() OVER (PARTITION BY q.vec_id
+          |               ORDER BY -list_dot_product(q.v, c.cv)
+          |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+          |           FROM e q CROSS JOIN c3 c
+          |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 32),
+          |stq AS (SELECT greatest(1, count(*) // 160) AS stride FROM e),
+          |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+          |       FROM e WHERE vec_id % (SELECT stride FROM stq) = 0
+          |       ORDER BY vec_id LIMIT 128),
+          |cb AS (SELECT sub.s, cw.code, cw.v[sub.s*8+1 : sub.s*8+8] AS c,
+          |         list_dot_product(cw.v[sub.s*8+1 : sub.s*8+8],
+          |                          cw.v[sub.s*8+1 : sub.s*8+8]) AS c2
+          |       FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub),
+          |enc AS (SELECT vec_id, s, code FROM (
+          |         SELECT e.vec_id, cb.s, cb.code,
+          |           row_number() OVER (PARTITION BY e.vec_id, cb.s
+          |             ORDER BY cb.c2 - 2*list_dot_product(e.v[cb.s*8+1 : cb.s*8+8], cb.c),
+          |                      cb.code) AS rn
+          |         FROM e CROSS JOIN cb) WHERE rn = 1),
+          |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
+          |          CAST(floor(list_dot_product(q.v[cb.s*8+1 : cb.s*8+8], cb.c)
+          |            * 10000 + 0.5) AS BIGINT) AS lv
+          |        FROM e q CROSS JOIN cb WHERE q.vec_id IN (17, 42, 99, 123, 256)),
+          |adc AS (SELECT l.query_id, en.vec_id, sum(l.lv) AS adc
+          |        FROM enc en
+          |        JOIN a4 ce ON ce.vec_id = en.vec_id
+          |        JOIN probe p ON p.cell_id = ce.cell_id
+          |        JOIN lut l ON l.query_id = p.query_id
+          |                  AND l.s = en.s AND l.code = en.code
+          |        WHERE en.vec_id <> l.query_id GROUP BY 1, 2),
+          |cand AS (SELECT query_id, vec_id,
+          |           row_number() OVER (PARTITION BY query_id
+          |             ORDER BY adc DESC, vec_id) AS crank
+          |         FROM adc)
+          |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+          |FROM (SELECT c.query_id, c.vec_id,
+          |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
+          |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
+          |      FROM cand c JOIN e q ON q.vec_id = c.query_id
+          |                  JOIN e t ON t.vec_id = c.vec_id
+          |      WHERE c.crank <= 320)
+          |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     "embed_sql_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -16,6 +16,7 @@ class PlanAuditSpec extends SparkSpec {
     "embed_knn", "embed_knn_quantized", "embed_knn_pq", "embed_knn_ivfpq",
     "embed_knn_ivf", "embed_knn_lsh", // broadcast query sets (non-equi self-exclusion)
     "embed_knn_ivf_trained",          // same broadcast query set over trained cells
+    "embed_knn_ivfpq_trained",        // same shape at the recall-frontier config
     "embed_knn_ivf_indexed",          // probe stage: queries × centroids broadcast
     // cross join (index-small both sides); the INDEX scan itself is a
     // partition-pruned BroadcastHashJoin (IvfIndexSpec asserts pruning)
