@@ -2760,10 +2760,19 @@ object SparkEntry {
     // the miner): every 97th doc queries the corpus with its own
     // tokens; top-5 lexical neighbors EXCLUDING itself become the
     // contrastive negatives.
-    "hard_negatives" -> ((s, d) =>
-      ext.Retrieval.hardNegatives(Tables.load(s, d, "documents"),
-        col("doc_id") % 97 === 0, k = 5)
-        .orderBy("query_id", "rank")),
+    "hard_negatives" -> ((s, d) => {
+      // the query slice is a TRAINING-BATCH-SIZED CONSTANT (~200), not
+      // corpus-proportional: a fixed % 97 made |queries| grow with the
+      // corpus, and since every query candidate-joins the postings the
+      // cost grew ~quadratically — measured ×36 at the sf0.1→sf1 step
+      // (77.7 s); the adaptive stride is the embed_cell_assign pattern
+      // and restores the DPR-recipe per-batch linear shape
+      val docs = Tables.load(s, d, "documents")
+      val stride = math.max(97L, docs.count() / 200L)
+      ext.Retrieval.hardNegatives(docs,
+        col("doc_id") % stride === 0, k = 5)
+        .orderBy("query_id", "rank")
+    }),
 
     // Dynamic byte-budget mini-batching (DynamicBatchSampler,
     // python/aistore/pytorch/dynamic_sampler.py) with every knob lit:
@@ -5801,9 +5810,10 @@ object SparkEntry {
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
         |         unnest(string_split_regex(trim(text), '\s+')) AS tok
         |  FROM documents),
+        |stq AS (SELECT GREATEST(97, count(*) // 200) AS s FROM documents),
         |q AS (
         |  SELECT DISTINCT doc_id AS query_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-        |  FROM documents WHERE doc_id % 97 = 0),
+        |  FROM documents WHERE doc_id % (SELECT s FROM stq) = 0),
         |postings AS (
         |  SELECT doc_id, dl, tok, count(*) AS tf FROM toks
         |  WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY 1, 2, 3),
