@@ -14,9 +14,54 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") events(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet")
+    widen(spark, df, s"$sfDir/$name.parquet")
+  }
+
+  /** Scan-parallelism floor. A parquet file with ONE row group is
+    * UNSPLITTABLE — `maxPartitionBytes` cannot split below a row-group
+    * boundary, so every narrow stage downstream of the scan runs on one
+    * core no matter how many the cluster has (measured at the sf10
+    * scale step: the 58 MB single-row-group documents file serialized
+    * pii_redact to 125 s and dedup_exact to ×39 — one pegged core, 31
+    * idle). Real lakes are many-file/many-row-group and never trigger
+    * this; the guard keeps a pathological layout from serializing the
+    * whole plan: when the scan yields ≤ parallelism/4 partitions AND
+    * the file is big enough for the shuffle to pay for itself, spread
+    * the rows once with a round-robin repartition. Catalyst pushes
+    * filters and column pruning THROUGH Repartition, so point lookups
+    * (`vec_id IN (...)`) still prune at the scan and shuffle only the
+    * surviving rows. Correctness is partition-layout-independent by the
+    * invariance sweep's contract. */
+  private def widen(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    // count actual ROW GROUPS, not scan partitions: Spark happily plans
+    // ~bytes/maxSplitBytes byte-range splits over an unsplittable file,
+    // but every row lands in the split holding the row-group midpoint —
+    // the other tasks are empty, so the partition count lies about the
+    // effective parallelism
+    val (bytes, groups) =
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        val files = (if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        else Seq(fs.getFileStatus(p))).filter(_.getLen > 0)
+        val b = files.map(_.getLen).sum
+        // footer-only reads: cheap (tail of each file), no data pages
+        val g = files.map { st =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+          try r.getRowGroups.size finally r.close()
+        }.sum
+        (b, g)
+      } catch { case _: Throwable => (0L, Int.MaxValue) }
+    if (bytes >= (4L << 20) && groups * 4 <= par) df.repartition(par) else df
+  }
 
   /** `events.ts` arrives in either of two physical forms depending on the
     * testdata generation: TIMESTAMP(NANOS) (which Spark's vectorized

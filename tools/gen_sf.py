@@ -25,7 +25,12 @@ rng = np.random.default_rng(42)
 
 def write(name, **cols):
     t = pa.table(cols)
-    pq.write_table(t, f"{OUT}/{name}.parquet")
+    # bounded row groups: pyarrow's default (1M rows) makes small-but-
+    # compute-heavy tables (documents, embeddings) SINGLE-row-group and
+    # therefore unsplittable by Spark — every narrow stage then runs on
+    # one core (the sf10 round-7 finding; Tables.widen guards the engine
+    # side, this keeps the local testdata layout realistic too)
+    pq.write_table(t, f"{OUT}/{name}.parquet", row_group_size=65536)
     print(f"{name}: {t.num_rows} rows")
 
 # --- region / nation (fixed) ---
