@@ -11,6 +11,7 @@ object Bench {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // RocksDB state store: scale-correct default, measured no-cost locally
       // (GraftSession.scala rationale; PERF.md "Streaming state store")
       .config("spark.sql.streaming.stateStore.providerClass",

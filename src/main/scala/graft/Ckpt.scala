@@ -69,14 +69,18 @@ object Ckpt {
       * write), and without a cache the second recomputes the whole
       * upstream plan — in iterative loops (connected components,
       * PageRank, BPE rounds) that doubled every round. The cache is
-      * dropped as soon as the checkpoint files exist. */
+      * dropped as soon as the checkpoint files exist — but ONLY the
+      * cache this method added: if the caller already persisted the
+      * frame, unpersisting here would silently drop the caller's cache
+      * entry and force recomputation on their later reuse. */
     def stableCheckpoint(): DataFrame = {
       val s = df.sparkSession
       if (mode(s) == "reliable") {
         ensureDir(s)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ownCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        if (ownCache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try df.checkpoint()
-        finally df.unpersist(blocking = false)
+        finally if (ownCache) df.unpersist(blocking = false)
       } else df.localCheckpoint()
     }
   }

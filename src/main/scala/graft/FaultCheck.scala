@@ -67,6 +67,7 @@ object FaultCheck {
       .master(master)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

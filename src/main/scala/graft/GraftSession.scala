@@ -32,6 +32,12 @@ object GraftSession {
       // bytes (AQE advisory), never by a fixed count.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts sometimes arrives as TIMESTAMP(NANOS), which the
+      // vectorized reader rejects; read nanos as long and let
+      // Tables.normalizeTs convert (lossless — the corpus carries no
+      // sub-µs components). Set HERE, once, so no reader has to mutate
+      // session conf as a load side effect.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // Spark's page-size heuristic scales with heap/cores and at 48g/32
       // picked 1 GiB pages: 32 concurrent humongous allocations thrash G1

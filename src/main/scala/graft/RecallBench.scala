@@ -19,6 +19,7 @@ object RecallBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,7 +70,8 @@ object RecallBench {
     // multi-probe breadth, nprobe, codebook size, rerank depth, trained
     // cells, and a JL ±1 rotation ahead of PQ (OPQ-style decorrelation)
     // — the numbers behind PERF.md §ANN-recall-frontier
-    // ---- Hadamard-rotated PQ (SPARK_GRAFT_FRONTIER=had): the JL ±1
+    // ---- Hadamard-rotated PQ (runs under FRONTIER=1 as part of the
+    // full sweep, or alone under FRONTIER=had): the JL ±1
     // rotation below is NOT orthogonal and measured 0.17–0.20 recall —
     // rank order in the rotated space diverges from the original space.
     // The Walsh–Hadamard matrix H/√64 IS orthonormal (dim 64 = 2^6), so
@@ -133,10 +135,12 @@ object RecallBench {
       // signLshBucket planes / √dim) BEFORE PQ — decorrelates the
       // subspaces a strided codebook sees; same rotation on corpus,
       // queries, and codewords keeps neighbor geometry ~intact
+      // one digest instance for the whole matrix — digest() resets it,
+      // and this loop runs sequentially on the driver
+      val md = java.security.MessageDigest.getInstance("MD5")
       val planes: Seq[Seq[Float]] = (0 until 64).map { p =>
         (0 until 64).map { d =>
-          if (java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$p:$d".getBytes)(0) < 0) -1.0f else 1.0f
+          if (md.digest(s"$p:$d".getBytes)(0) < 0) -1.0f else 1.0f
         }
       }
       def rotate(df: DataFrame): DataFrame = {

@@ -1845,7 +1845,9 @@ object SparkEntry {
     // co-located-join story from the brief, demonstrated end to end.
     "dedup_incremental_indexed" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      // CONTENT-fingerprinted name (embIndexDir rationale): testdata
+      // regenerated at the same path must not reuse a stale index
+      val tag = contentSig(d, "documents.parquet")
       val table = s"graft_band_index_$tag"
       ext.Dedup.writeBandIndex(docs, table, s"/tmp/graft_band_index_$tag")
       ext.Dedup.incrementalDedupIndexed(crawlBatch(docs), docs, table)
@@ -1859,7 +1861,10 @@ object SparkEntry {
     // full-corpus decision IS the append ≡ rebuild proof.
     "dedup_incremental_append" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      // CONTENT-fingerprinted (embIndexDir rationale), so the
+      // tableExists gate below can never reuse an index built on
+      // regenerated-in-place data
+      val tag = contentSig(d, "documents.parquet")
       val table = s"graft_band_index_app_$tag"
       this.synchronized {
         if (!s.catalog.tableExists(table)) {
@@ -3068,7 +3073,10 @@ object SparkEntry {
   }
 
   private def eventsStreamDir(s: SparkSession, d: String): String = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // foreign-session fallback only — our builders set this at build
+    // (GraftSession.scala rationale)
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
     val dir = java.nio.file.Paths.get(
       "/tmp/graft_events_stream_" + d.replaceAll("[^a-zA-Z0-9.]", "_"))
@@ -3311,16 +3319,24 @@ object SparkEntry {
     * distinct fingerprint behind the marker. Gate-harness concern only:
     * real deployments own their index paths and rebuild/append
     * explicitly. */
-  private def embIndexDir(d: String, tag: String)(build: String => Unit): String = {
+  /** Content fingerprint of a table file/dir under `d`: md5 over every
+    * file's (name, length, mtime), so index caches keyed by it
+    * invalidate when the data is REGENERATED at the same path — the
+    * staleness a path-only key silently survives. */
+  private def contentSig(d: String, table: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil).flatMap(walk)
       else Seq(f)
-    val sig = walk(new java.io.File(d, "embeddings.parquet"))
+    val sig = walk(new java.io.File(d, table))
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    val md5 = java.security.MessageDigest.getInstance("MD5")
+    java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|$sig".getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
+  }
+
+  private def embIndexDir(d: String, tag: String)(build: String => Unit): String = {
+    val md5 = contentSig(d, "embeddings.parquet")
     val dir = s"${sys.props("java.io.tmpdir")}/graft_${tag}_$md5"
     val marker = new java.io.File(dir, "_GRAFT_DONE")
     this.synchronized {

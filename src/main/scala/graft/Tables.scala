@@ -52,16 +52,45 @@ object Tables {
           fs.listStatus(p).toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
         else Seq(fs.getFileStatus(p))).filter(_.getLen > 0)
         val b = files.map(_.getLen).sum
-        // footer-only reads: cheap (tail of each file), no data pages
-        val g = files.map { st =>
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-          try r.getRowGroups.size finally r.close()
-        }.sum
+        // SHORT-CIRCUIT before any footer I/O: row groups ≥ files, so a
+        // table with enough FILES alone can never trip the floor — at a
+        // many-thousand-file lake table the per-query footer reads would
+        // otherwise be driver-side planning work proportional to file
+        // count, the exact pathology the floor exists to avoid.
+        val g =
+          if (files.size * 4 > par) Int.MaxValue
+          else {
+            // footer-only reads (tail of each file, no data pages),
+            // memoized per file identity: re-loading the same table must
+            // not re-open footers every query
+            files.map { st =>
+              val key = s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+              val n: Int = groupCache.computeIfAbsent(key, { _ =>
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+                try r.getRowGroups.size finally r.close()
+              })
+              n
+            }.sum
+          }
         (b, g)
-      } catch { case _: Throwable => (0L, Int.MaxValue) }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // fall back to "no floor" but SAY so — a silent fallback would
+          // let the single-core pathology reappear with no signal
+          // (fatal errors — OOM, interrupts — propagate)
+          System.err.println(s"graft: widen($path) footer probe failed, " +
+            s"parallelism floor disabled for this load: $e")
+          (0L, Int.MaxValue)
+      }
     if (bytes >= (4L << 20) && groups * 4 <= par) df.repartition(par) else df
   }
+
+  /** (path, length, mtime) → row-group count, process-wide: footer reads
+    * are pure functions of the file bytes, and the key changes whenever
+    * the file does. */
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
 
   /** `events.ts` arrives in either of two physical forms depending on the
     * testdata generation: TIMESTAMP(NANOS) (which Spark's vectorized
@@ -71,7 +100,14 @@ object Tables {
     * cast to the session-UTC instant type the downstream operators use).
     * Either way the loaded `ts` is a TimestampType UTC instant. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The nanos knob belongs at session build (GraftSession sets it) —
+    // a reader mutating session conf is a surprising global effect. The
+    // conditional below is a fallback for FOREIGN sessions only (e.g.
+    // the gate driver's own smoke-check session): it fires only when
+    // the session owner never expressed a choice, and the setting is a
+    // no-op on non-nano data.
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType))
   }

@@ -367,17 +367,28 @@ object Similarity {
     *      partitions (parquet column pruning never touches the embedding
     *      bytes), scores with the integer LUTs rebuilt from `_codebook`,
     *      keeps the top k·rerankFactor per query;
-    *   3. exact re-rank — the candidate (query, vec) pairs are
-    *      index-small by construction (≤ |queries|·k·rerankFactor, the
-    *      same contract as the probed-cell collect), so they fold into a
-    *      literal `vec_id IN (...)` predicate pushed to the parquet scan:
-    *      the full-precision fetch is a row-group point-read of the
-    *      survivors, not a second pass over the probed cells.
+    *   3. exact re-rank — two shapes, picked by the candidate BOUND
+    *      |queries|·k·rerankFactor:
+    *      - bound ≤ `maxInlineCandidates` (the probe-batch case): the
+    *        candidates collect to the driver and fold into a literal
+    *        `vec_id IN (...)` predicate pushed to the parquet scan — the
+    *        full-precision fetch is a row-group point-read of the
+    *        survivors, not a second pass over the probed cells;
+    *      - bound > `maxInlineCandidates` (offline mining over a large
+    *        query batch — where the collect would build a multi-million-
+    *        element IN literal and hold it in driver memory): the
+    *        candidate frame never leaves the cluster; the fetch is the
+    *        probed cells' (vec_id, embedding) joined against the
+    *        broadcast candidate set. Still partition-pruned to the
+    *        probed cells; the lost row-group point-read is amortized by
+    *        the batch size that triggered the path.
     * Result rows are identical to [[ivfPqTopK]] at the same parameters
     * (same integer-ADC candidate determinism, same rounded-cosine
-    * rerank) — one oracle hash-checks both. */
+    * rerank) — one oracle hash-checks both; the two fetch shapes are
+    * row-identical by construction (IvfIndexSpec asserts it). */
   def ivfPqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                        k: Int, nprobe: Int, rerankFactor: Int = 4,
+                       maxInlineCandidates: Long = 1L << 20,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = readPqCodebook(spark, path)
     val cent = spark.read.parquet(s"$path/_centroids")
@@ -391,31 +402,51 @@ object Similarity {
       .where(col("_prank") <= nprobe)
       .select(col("query_id"), col("_qv"),
         pqLutCol(cb, col("_qv")).as("_lut"), col("cell_id"))
+    // candidate bound known WITHOUT running the ADC stage: |queries| is
+    // one count of the (small) query frame. The inline flag also gates
+    // every broadcast hint below — the large-batch path's per-query
+    // frames (probe LUTs, candidates, query norms) are large by the
+    // definition that selected it, so the planner (AQE) picks join
+    // strategies there.
+    val bound = queries.count() * k.toLong * rerankFactor.toLong
+    val inline = bound <= maxInlineCandidates
+    def bc(df: DataFrame): DataFrame = if (inline) broadcast(df) else df
     val probedCells = probe.select("cell_id").distinct().collect().map(_.getLong(0))
     val adc = graft.functions.VectorFunctions.adcSum(col("codes"), col("_lut"))
     val wc = Window.partitionBy("query_id").orderBy(col("_adc").desc, col("vec_id").asc)
-    val cand = spark.read.parquet(path)
+    val candDf = spark.read.parquet(path)
       .where(col("cell_id").isin(probedCells.toIndexedSeq: _*))
       .select(col("cell_id"), col("vec_id"), col("codes"))
-      .join(broadcast(probe.drop("_qv")), Seq("cell_id"))
+      .join(bc(probe.drop("_qv")), Seq("cell_id"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("_adc", adc)
       .withColumn("_crank", row_number().over(wc))
       .where(col("_crank") <= k * rerankFactor)
       .select(col("query_id"), col("vec_id"))
-      .collect() // ≤ |queries| × k × rerankFactor rows — index-small
-    val candIds = cand.map(_.getLong(1)).distinct.sorted.toIndexedSeq
-    import spark.implicits._
-    val pairs = cand.map(r => (r.getLong(0), r.getLong(1))).toSeq
-      .toDF("query_id", "vec_id")
-    val fetch = spark.read.parquet(path)
-      .where(col("cell_id").isin(probedCells.toIndexedSeq: _*) &&
-        col("vec_id").isin(candIds: _*))
-      .select(col("vec_id"), col("embedding"))
+    val (pairs, fetch) =
+      if (inline) {
+        // probe-batch shape: collect (≤ bound rows by construction) and
+        // point-read the survivors via the pushed vec_id IN (...)
+        val cand = candDf.collect()
+        val candIds = cand.map(_.getLong(1)).distinct.sorted.toIndexedSeq
+        import spark.implicits._
+        (cand.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("query_id", "vec_id"),
+          spark.read.parquet(path)
+            .where(col("cell_id").isin(probedCells.toIndexedSeq: _*) &&
+              col("vec_id").isin(candIds: _*))
+            .select(col("vec_id"), col("embedding")))
+      } else
+        // large-batch shape: candidates never touch the driver; the
+        // fetch joins the (partition-pruned) probed cells against the
+        // broadcast candidate frame
+        (candDf,
+          spark.read.parquet(path)
+            .where(col("cell_id").isin(probedCells.toIndexedSeq: _*))
+            .select(col("vec_id"), col("embedding")))
     val q = withNorm(queries, "query_id", "_qv", "_qn", idCol, vecCol)
     val wf = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    fetch.join(broadcast(pairs), Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
+    fetch.join(bc(pairs), Seq("vec_id"))
+      .join(bc(q), Seq("query_id"))
       .withColumn("cos", round(
         cosineWithNorms(col("_qv"), col("embedding"), col("_qn"),
           sqrt(floatDot(col("embedding"), col("embedding")))), 4))

@@ -69,4 +69,25 @@ class CkptSpec extends SparkSpec {
       spark.conf.unset("spark.graft.checkpoint.dir")
     }
   }
+
+  test("reliable mode: a caller's pre-existing cache is left untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec2").toString
+    try {
+      spark.conf.set("spark.graft.checkpoint", "reliable")
+      spark.conf.set("spark.graft.checkpoint.dir", dir)
+      val df = Seq(8, 9).toDF("x").groupBy("x").count()
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      val ck = df.stableCheckpoint()
+      assert(ck.count() == 2)
+      // the finally-unpersist must only drop a cache stableCheckpoint
+      // itself added — not the caller's
+      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "stableCheckpoint dropped the caller's cache")
+      df.unpersist(blocking = true)
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint")
+      spark.conf.unset("spark.graft.checkpoint.dir")
+    }
+  }
 }

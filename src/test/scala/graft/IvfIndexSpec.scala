@@ -115,6 +115,26 @@ class IvfIndexSpec extends SparkSpec {
       s"coarse scan must read codes, not embedding: $read")
   }
 
+  test("IVFPQ large-batch rerank (join fetch, no driver collect) is row-identical") {
+    // force the large-batch path: maxInlineCandidates = 0 routes every
+    // batch through the distributed candidate join instead of the
+    // collect + IN-literal point-read
+    val inline = ext.Similarity.ivfPqTopKIndexed(spark, pqDir, queries,
+      k = 5, nprobe = 16, rerankFactor = 32)
+      .orderBy("query_id", "rank").collect().toSeq
+    val joined = ext.Similarity.ivfPqTopKIndexed(spark, pqDir, queries,
+      k = 5, nprobe = 16, rerankFactor = 32, maxInlineCandidates = 0L)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(joined == inline)
+    // and the join path still prunes: the fetch scan carries cell_id
+    // PartitionFilters (no corpus-sized pass anywhere)
+    val plan = ext.Similarity.ivfPqTopKIndexed(spark, pqDir, queries,
+      k = 5, nprobe = 16, rerankFactor = 32, maxInlineCandidates = 0L)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(plan).isDefined,
+      "cell_id not in PartitionFilters:\n" + plan.take(2000))
+  }
+
   test("IVFPQ append(A, B) is row-identical to rebuild(A ∪ B)") {
     val d = s"${sys.props("java.io.tmpdir")}/graft_ivfpqidx_spec_app"
     val n = emb.count()
