@@ -2416,6 +2416,56 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The FRONTIER-BEST config ON DISK — trained cells (3 Lloyd rounds)
+    // + 128-codeword codebook persisted via writeIvfPqIndex, probed at
+    // nprobe=32/rerank=64: the production retrieval path a user would
+    // deploy (0.930 recall@10 at sf1, PERF.md §ANN-recall-frontier) as
+    // the build-once artifact. Row-identical to embed_knn_ivfpq_trained
+    // by the persisted-index contract → the SAME oracle hash-checks the
+    // Lloyd chain + PQ stages + probe end to end through the on-disk
+    // index.
+    "embed_knn_ivfpq_trained_indexed" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val n = emb.count()
+      val dir = embIndexDir(d, "ivfpqtidx") { dd =>
+        ext.Similarity.writeIvfPqIndex(emb,
+          ext.Similarity.trainCentroids(
+            emb, emb.where(col("vec_id") % math.max(31L, n / 128L) === 0), iters = 3),
+          emb.where(col("vec_id") % math.max(1L, n / 160L) === 0)
+            .orderBy("vec_id").limit(128),
+          m = 8, dd)
+      }
+      ext.Similarity.ivfPqTopKIndexed(s, dir,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        k = 5, nprobe = 32, rerankFactor = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The measured-BEST retrieval config (0.936 recall@10): the same
+    // trained+persisted index with the Walsh–Hadamard rotation FOLDED
+    // INTO the stored vectors and codebook (writeIvfPqIndex
+    // rotation="hadamard"); the probe reads the `_rotation` marker and
+    // rotates the raw queries itself — the index is self-describing,
+    // like FAISS storing its OPQ matrix. The oracle replays the Lloyd
+    // chain, the closed-form H/√64 rotation, the PQ stages and the
+    // probe in one SQL statement, all in rotated space.
+    "embed_knn_ivfpq_had_indexed" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val n = emb.count()
+      val dir = embIndexDir(d, "ivfpqhidx") { dd =>
+        ext.Similarity.writeIvfPqIndex(emb,
+          ext.Similarity.trainCentroids(
+            emb, emb.where(col("vec_id") % math.max(31L, n / 128L) === 0), iters = 3),
+          emb.where(col("vec_id") % math.max(1L, n / 160L) === 0)
+            .orderBy("vec_id").limit(128),
+          m = 8, dd, rotation = "hadamard")
+      }
+      ext.Similarity.ivfPqTopKIndexed(s, dir,
+        emb.where(col("vec_id").isin(17L, 42L, 99L, 123L, 256L)),
+        k = 5, nprobe = 32, rerankFactor = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // INCREMENTAL index maintenance: build on the even half, APPEND the
     // odd half (assignment over the persisted centroids only — no
     // corpus rescan), probe the result. The oracle is the full-corpus
@@ -3407,6 +3457,147 @@ object SparkEntry {
       kmAssignSql("c1", "a2") + ",\n" + kmMeansSql("a2", "c2") + ",\n" +
       kmAssignSql("c2", "a3") + ",\n" + kmMeansSql("a3", "c3") + ",\n" +
       kmAssignSql("c3", "a4")
+
+  /** Shared by embed_knn_ivfpq_trained and its PERSISTED form
+    * (embed_knn_ivfpq_trained_indexed): the on-disk trained index is
+    * row-identical to the in-plan trained IVFPQ by the persisted-index
+    * contract, so ONE oracle hash-checks Lloyd chain + PQ stages +
+    * probe through both faces. */
+  private val ivfpqTrainedOracle: String = (
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |""".stripMargin + kmChainSql + ",\n" +
+        """probe AS (SELECT query_id, cell_id FROM (
+          |           SELECT q.vec_id AS query_id, c.cell_id,
+          |             row_number() OVER (PARTITION BY q.vec_id
+          |               ORDER BY -list_dot_product(q.v, c.cv)
+          |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+          |           FROM e q CROSS JOIN c3 c
+          |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 32),
+          |stq AS (SELECT greatest(1, count(*) // 160) AS stride FROM e),
+          |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+          |       FROM e WHERE vec_id % (SELECT stride FROM stq) = 0
+          |       ORDER BY vec_id LIMIT 128),
+          |cb AS (SELECT sub.s, cw.code, cw.v[sub.s*8+1 : sub.s*8+8] AS c,
+          |         list_dot_product(cw.v[sub.s*8+1 : sub.s*8+8],
+          |                          cw.v[sub.s*8+1 : sub.s*8+8]) AS c2
+          |       FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub),
+          |enc AS (SELECT vec_id, s, code FROM (
+          |         SELECT e.vec_id, cb.s, cb.code,
+          |           row_number() OVER (PARTITION BY e.vec_id, cb.s
+          |             ORDER BY cb.c2 - 2*list_dot_product(e.v[cb.s*8+1 : cb.s*8+8], cb.c),
+          |                      cb.code) AS rn
+          |         FROM e CROSS JOIN cb) WHERE rn = 1),
+          |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
+          |          CAST(floor(list_dot_product(q.v[cb.s*8+1 : cb.s*8+8], cb.c)
+          |            * 10000 + 0.5) AS BIGINT) AS lv
+          |        FROM e q CROSS JOIN cb WHERE q.vec_id IN (17, 42, 99, 123, 256)),
+          |adc AS (SELECT l.query_id, en.vec_id, sum(l.lv) AS adc
+          |        FROM enc en
+          |        JOIN a4 ce ON ce.vec_id = en.vec_id
+          |        JOIN probe p ON p.cell_id = ce.cell_id
+          |        JOIN lut l ON l.query_id = p.query_id
+          |                  AND l.s = en.s AND l.code = en.code
+          |        WHERE en.vec_id <> l.query_id GROUP BY 1, 2),
+          |cand AS (SELECT query_id, vec_id,
+          |           row_number() OVER (PARTITION BY query_id
+          |             ORDER BY adc DESC, vec_id) AS crank
+          |         FROM adc)
+          |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+          |FROM (SELECT c.query_id, c.vec_id,
+          |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
+          |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
+          |      FROM cand c JOIN e q ON q.vec_id = c.query_id
+          |                  JOIN e t ON t.vec_id = c.vec_id
+          |      WHERE c.crank <= 320)
+          |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin)
+
+  /** `out` = Walsh–Hadamard rotation of `src`'s $vec list column —
+    * the SQL replay of [[graft.ext.Similarity.hadamardRotate]]: one
+    * double dot per output component against the ±0.125 plane, snapped
+    * to REAL exactly as the Spark side's .cast("float"). Requires the
+    * `h` planes CTE in scope. */
+  private def hadRotSql(src: String, out: String, id: String, vec: String): String =
+    s"""$out AS (SELECT s.$id,
+       |  list(CAST(CAST(list_dot_product(s.$vec, h.plane) AS REAL) AS DOUBLE)
+       |       ORDER BY h.i) AS $vec
+       |FROM $src s CROSS JOIN h GROUP BY s.$id)""".stripMargin
+
+  /** The measured-best persisted config replayed end to end IN ROTATED
+    * SPACE: Lloyd chain (original space, as trainCentroids runs it) →
+    * closed-form H/√64 rotation of corpus/centroids/codewords/queries →
+    * rotated-space assignment, PQ encode/LUT/ADC, probe at nprobe=32,
+    * exact rotated-cosine re-rank (crank ≤ 5·64). Hash-equality against
+    * embed_knn_ivfpq_had_indexed proves the on-disk rotated index and
+    * the self-describing `_rotation` probe both fold the identical
+    * matrix. */
+  private val ivfpqHadOracle: String = (
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |""".stripMargin + kmChainSql + ",\n" +
+    """h AS (SELECT ii.i,
+      |        list(CASE WHEN bit_count(CAST(ii.i & dd.d AS BIGINT)) % 2 = 1
+      |                  THEN CAST(-0.125 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END
+      |             ORDER BY dd.d) AS plane
+      |      FROM (SELECT unnest(generate_series(0, 63)) AS i) ii
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd
+      |      GROUP BY ii.i),
+      |""".stripMargin +
+    hadRotSql("e", "re", "vec_id", "v") + ",\n" +
+    hadRotSql("c3", "rc3", "cell_id", "cv") + ",\n" +
+    """ra AS (SELECT vec_id, cell_id FROM (
+      |  SELECT re.vec_id, c.cell_id,
+      |    row_number() OVER (PARTITION BY re.vec_id
+      |      ORDER BY -list_dot_product(re.v, c.cv)
+      |                 / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+      |  FROM re CROSS JOIN rc3 c) WHERE rn = 1),
+      |probe AS (SELECT query_id, cell_id FROM (
+      |           SELECT q.vec_id AS query_id, c.cell_id,
+      |             row_number() OVER (PARTITION BY q.vec_id
+      |               ORDER BY -list_dot_product(q.v, c.cv)
+      |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
+      |           FROM re q CROSS JOIN rc3 c
+      |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 32),
+      |stq AS (SELECT greatest(1, count(*) // 160) AS stride FROM e),
+      |cwid AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+      |         FROM e WHERE vec_id % (SELECT stride FROM stq) = 0
+      |         ORDER BY vec_id LIMIT 128),
+      |rcw AS (SELECT cwid.code, re.v FROM cwid JOIN re ON re.vec_id = cwid.vec_id),
+      |cb AS (SELECT sub.s, rcw.code, rcw.v[sub.s*8+1 : sub.s*8+8] AS c,
+      |         list_dot_product(rcw.v[sub.s*8+1 : sub.s*8+8],
+      |                          rcw.v[sub.s*8+1 : sub.s*8+8]) AS c2
+      |       FROM rcw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub),
+      |enc AS (SELECT vec_id, s, code FROM (
+      |         SELECT re.vec_id, cb.s, cb.code,
+      |           row_number() OVER (PARTITION BY re.vec_id, cb.s
+      |             ORDER BY cb.c2 - 2*list_dot_product(re.v[cb.s*8+1 : cb.s*8+8], cb.c),
+      |                      cb.code) AS rn
+      |         FROM re CROSS JOIN cb) WHERE rn = 1),
+      |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
+      |          CAST(floor(list_dot_product(q.v[cb.s*8+1 : cb.s*8+8], cb.c)
+      |            * 10000 + 0.5) AS BIGINT) AS lv
+      |        FROM re q CROSS JOIN cb WHERE q.vec_id IN (17, 42, 99, 123, 256)),
+      |adc AS (SELECT l.query_id, en.vec_id, sum(l.lv) AS adc
+      |        FROM enc en
+      |        JOIN ra ce ON ce.vec_id = en.vec_id
+      |        JOIN probe p ON p.cell_id = ce.cell_id
+      |        JOIN lut l ON l.query_id = p.query_id
+      |                  AND l.s = en.s AND l.code = en.code
+      |        WHERE en.vec_id <> l.query_id GROUP BY 1, 2),
+      |cand AS (SELECT query_id, vec_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |             ORDER BY adc DESC, vec_id) AS crank
+      |         FROM adc)
+      |SELECT query_id, vec_id, round(cosx, 4) AS cos,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
+      |FROM (SELECT c.query_id, c.vec_id,
+      |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
+      |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
+      |      FROM cand c JOIN re q ON q.vec_id = c.query_id
+      |                  JOIN re t ON t.vec_id = c.vec_id
+      |      WHERE c.crank <= 320)
+      |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin)
 
   /** Shared by embed_knn_ivfpq and embed_knn_ivfpq_indexed: the
     * persisted IVFPQ index (cell partitions + stored codes + codebook
@@ -5617,55 +5808,13 @@ object SparkEntry {
     // the PQ stages — 128-codeword codebook (stride n//160), probe over
     // the TRAINED cells at nprobe=32, integer ADC, rerank 64 (crank <=
     // 5*64); recall@10 = 0.930 at sf1 (PERF.md §ANN-recall-frontier)
-    "embed_knn_ivfpq_trained" -> (
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |""".stripMargin + kmChainSql + ",\n" +
-        """probe AS (SELECT query_id, cell_id FROM (
-          |           SELECT q.vec_id AS query_id, c.cell_id,
-          |             row_number() OVER (PARTITION BY q.vec_id
-          |               ORDER BY -list_dot_product(q.v, c.cv)
-          |                          / sqrt(list_dot_product(c.cv, c.cv)), c.cell_id) AS rn
-          |           FROM e q CROSS JOIN c3 c
-          |           WHERE q.vec_id IN (17, 42, 99, 123, 256)) WHERE rn <= 32),
-          |stq AS (SELECT greatest(1, count(*) // 160) AS stride FROM e),
-          |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
-          |       FROM e WHERE vec_id % (SELECT stride FROM stq) = 0
-          |       ORDER BY vec_id LIMIT 128),
-          |cb AS (SELECT sub.s, cw.code, cw.v[sub.s*8+1 : sub.s*8+8] AS c,
-          |         list_dot_product(cw.v[sub.s*8+1 : sub.s*8+8],
-          |                          cw.v[sub.s*8+1 : sub.s*8+8]) AS c2
-          |       FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub),
-          |enc AS (SELECT vec_id, s, code FROM (
-          |         SELECT e.vec_id, cb.s, cb.code,
-          |           row_number() OVER (PARTITION BY e.vec_id, cb.s
-          |             ORDER BY cb.c2 - 2*list_dot_product(e.v[cb.s*8+1 : cb.s*8+8], cb.c),
-          |                      cb.code) AS rn
-          |         FROM e CROSS JOIN cb) WHERE rn = 1),
-          |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
-          |          CAST(floor(list_dot_product(q.v[cb.s*8+1 : cb.s*8+8], cb.c)
-          |            * 10000 + 0.5) AS BIGINT) AS lv
-          |        FROM e q CROSS JOIN cb WHERE q.vec_id IN (17, 42, 99, 123, 256)),
-          |adc AS (SELECT l.query_id, en.vec_id, sum(l.lv) AS adc
-          |        FROM enc en
-          |        JOIN a4 ce ON ce.vec_id = en.vec_id
-          |        JOIN probe p ON p.cell_id = ce.cell_id
-          |        JOIN lut l ON l.query_id = p.query_id
-          |                  AND l.s = en.s AND l.code = en.code
-          |        WHERE en.vec_id <> l.query_id GROUP BY 1, 2),
-          |cand AS (SELECT query_id, vec_id,
-          |           row_number() OVER (PARTITION BY query_id
-          |             ORDER BY adc DESC, vec_id) AS crank
-          |         FROM adc)
-          |SELECT query_id, vec_id, round(cosx, 4) AS cos,
-          |  CAST(row_number() OVER (PARTITION BY query_id
-          |    ORDER BY round(cosx, 4) DESC, vec_id) AS BIGINT) AS rank
-          |FROM (SELECT c.query_id, c.vec_id,
-          |        list_dot_product(q.v, t.v) / (sqrt(list_dot_product(q.v, q.v))
-          |          * sqrt(list_dot_product(t.v, t.v))) AS cosx
-          |      FROM cand c JOIN e q ON q.vec_id = c.query_id
-          |                  JOIN e t ON t.vec_id = c.vec_id
-          |      WHERE c.crank <= 320)
-          |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "embed_knn_ivfpq_trained" -> ivfpqTrainedOracle,
+    "embed_knn_ivfpq_trained_indexed" -> ivfpqTrainedOracle,
+
+    // the trained chain + the closed-form Walsh–Hadamard rotation +
+    // the PQ stages + the probe, ALL replayed in rotated space — the
+    // hash-check of the measured-best persisted config
+    "embed_knn_ivfpq_had_indexed" -> ivfpqHadOracle,
 
     "embed_sql_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -289,6 +289,55 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** Walsh–Hadamard rotation H/√dim — the closed-form OPQ-style
+    * decorrelation the recall frontier measured as the best PQ front
+    * end (PERF.md §ANN-recall-frontier: +2.4 recall points over
+    * unrotated at the trained-IVFPQ config; the JL ±1 family is NOT
+    * orthogonal and was measured catastrophic). H[i][j] = ±1 by the
+    * parity of bitCount(i & j); the matrix is orthonormal, so cosine is
+    * preserved exactly up to float rounding, and — unlike a learned OPQ
+    * matrix — any engine rebuilds it from nothing (the oracle replays
+    * it in SQL).
+    *
+    * `dim` must be a power of 4 so the 1/√dim scale is an exact float
+    * (0.25, 0.125, …): both engines then fold the identical literal.
+    * Pure map, zero shuffle: dim [[graft.functions.FloatDotProduct]]
+    * codegen loops per row, one per output component. */
+  def hadamardRotate(df: DataFrame, dim: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0 && Integer.bitCount(dim) == 1 &&
+      Integer.numberOfTrailingZeros(dim) % 2 == 0,
+      s"hadamardRotate: dim must be a power of 4 (exact 1/sqrt scale), got $dim")
+    val scale = (1.0 / math.sqrt(dim.toDouble)).toFloat
+    val comps = (0 until dim).map { i =>
+      val row: Seq[Float] = (0 until dim).map { j =>
+        if (Integer.bitCount(i & j) % 2 == 1) -scale else scale
+      }
+      floatDot(col(vecCol), typedLit(row)).cast("float")
+    }
+    df.select(col(idCol).as(idCol), array(comps: _*).as(vecCol))
+  }
+
+  /** Index-side rotation marker: `_rotation` records the build-time
+    * transform so probes and appends apply the SAME one — the index is
+    * self-describing, like FAISS storing its OPQ matrix. */
+  private def writeRotation(spark: SparkSession, path: String, dim: Int): Unit = {
+    import spark.implicits._
+    Seq(("hadamard", dim)).toDF("kind", "dim")
+      .write.mode("overwrite").parquet(s"$path/_rotation")
+  }
+
+  private def readRotation(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_rotation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(s"$path/_rotation").head()
+      require(r.getString(0) == "hadamard", s"unknown index rotation ${r.getString(0)}")
+      Some(r.getInt(1))
+    }
+  }
+
   /** PERSISTED IVFPQ index — the FAISS on-disk STANDARD (IVF cells
     * bound which partitions a probe scans; PQ codes bound the bytes the
     * coarse scan reads): cell-partitioned parquet of
@@ -300,19 +349,38 @@ object Similarity {
     * bytes, on top of the partition pruning — and the exact re-rank
     * fetches full vectors for just the ADC survivors (row-group
     * point-reads via the vec_id sort). The in-plan [[ivfPqTopK]]
-    * re-encodes the corpus per run; this is its build-once form. */
+    * re-encodes the corpus per run; this is its build-once form.
+    *
+    * `rotation = "hadamard"` folds the Walsh–Hadamard decorrelation
+    * into the STORED index: corpus, centroids and codewords are rotated
+    * before assignment/encoding, and a `_rotation` side table records
+    * it so [[ivfPqTopKIndexed]] rotates probe queries and
+    * [[appendIvfPqIndex]] rotates deltas with the identical matrix —
+    * the measured-best retrieval config (PERF.md frontier) as the
+    * on-disk build-once artifact. Cosines are computed in rotated space
+    * (identical up to float rounding, H being orthonormal). */
   def writeIvfPqIndex(corpus: DataFrame, centroids: DataFrame, codewords: DataFrame,
-                      m: Int, path: String,
+                      m: Int, path: String, rotation: String = "none",
                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val cb = pqCodebook(codewords, m, idCol, vecCol)
-    assignCells(corpus, centroids, idCol, vecCol)
+    require(rotation == "none" || rotation == "hadamard",
+      s"writeIvfPqIndex: rotation must be none|hadamard, got $rotation")
+    val spark = corpus.sparkSession
+    val rotDim =
+      if (rotation == "hadamard") Some(corpus.select(size(col(vecCol))).head().getInt(0))
+      else None
+    def rot(df: DataFrame): DataFrame =
+      rotDim.fold(df)(dim => hadamardRotate(df, dim, idCol, vecCol))
+    val (corp, cents, cws) = (rot(corpus), rot(centroids), rot(codewords))
+    val cb = pqCodebook(cws, m, idCol, vecCol)
+    assignCells(corp, cents, idCol, vecCol)
       .select(col("vec_id"), col("_cv").as("embedding"),
         pqCodesCol(cb, col("_cv")).as("codes"), col("cell_id"))
       .sortWithinPartitions("cell_id", "vec_id")
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
-    centroids.select(col(idCol).as("cell_id"), col(vecCol).as("embedding"))
+    // side tables AFTER the main write: overwrite mode clears `path`
+    rotDim.foreach(dim => writeRotation(spark, path, dim))
+    cents.select(col(idCol).as("cell_id"), col(vecCol).as("embedding"))
       .write.mode("overwrite").parquet(s"$path/_centroids")
-    val spark = corpus.sparkSession
     import spark.implicits._
     cb.zipWithIndex
       .flatMap { case (cws, s) => cws.map { case (code, sub, _) => (s, code, sub) } }
@@ -351,7 +419,11 @@ object Similarity {
     val cb = readPqCodebook(spark, path)
     val cents = spark.read.parquet(s"$path/_centroids")
       .select(col("cell_id").as("vec_id"), col("embedding"))
-    assignCells(delta, cents, idCol, vecCol)
+    // a rotated index rotates its deltas with the recorded matrix —
+    // `_centroids` is already stored in rotated space
+    val rotated = readRotation(spark, path)
+      .fold(delta)(dim => hadamardRotate(delta, dim, idCol, vecCol))
+    assignCells(rotated, cents, idCol, vecCol)
       .select(col("vec_id"), col("_cv").as("embedding"),
         pqCodesCol(cb, col("_cv")).as("codes"), col("cell_id"))
       .sortWithinPartitions("cell_id", "vec_id")
@@ -386,10 +458,16 @@ object Similarity {
     * (same integer-ADC candidate determinism, same rounded-cosine
     * rerank) — one oracle hash-checks both; the two fetch shapes are
     * row-identical by construction (IvfIndexSpec asserts it). */
-  def ivfPqTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+  def ivfPqTopKIndexed(spark: SparkSession, path: String, queries0: DataFrame,
                        k: Int, nprobe: Int, rerankFactor: Int = 4,
                        maxInlineCandidates: Long = 1L << 20,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // a rotated index (writeIvfPqIndex rotation="hadamard") probes in
+    // rotated space: queries get the recorded matrix, and the re-rank
+    // cosine runs on the stored (rotated) vectors — identical up to
+    // float rounding, H being orthonormal
+    val queries = readRotation(spark, path)
+      .fold(queries0)(dim => hadamardRotate(queries0, dim, idCol, vecCol))
     val cb = readPqCodebook(spark, path)
     val cent = spark.read.parquet(s"$path/_centroids")
       .select(col("cell_id"), col("embedding").as("_centv"),

@@ -115,6 +115,67 @@ class IvfIndexSpec extends SparkSpec {
       s"coarse scan must read codes, not embedding: $read")
   }
 
+  test("TRAINED persisted IVFPQ == in-plan trained ivfPqTopK (the frontier config on disk)") {
+    val n = emb.count()
+    def trained = ext.Similarity.trainCentroids(
+      emb, emb.where(col("vec_id") % math.max(31L, n / 128L) === 0), iters = 3)
+    def cw128 = emb.where(col("vec_id") % math.max(1L, n / 160L) === 0)
+      .orderBy("vec_id").limit(128)
+    val d = s"${sys.props("java.io.tmpdir")}/graft_ivfpqtidx_spec"
+    ext.Similarity.writeIvfPqIndex(emb, trained, cw128, m = 8, d)
+    val direct = ext.Similarity.ivfPqTopK(emb, queries,
+      centroids = trained, codewords = cw128,
+      m = 8, k = 5, nprobe = 32, rerankFactor = 64)
+      .orderBy("query_id", "rank").collect().toSeq
+    val indexed = ext.Similarity.ivfPqTopKIndexed(spark, d, queries,
+      k = 5, nprobe = 32, rerankFactor = 64)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(indexed == direct)
+  }
+
+  test("HADAMARD-rotated persisted IVFPQ == in-plan IVFPQ over explicitly-rotated inputs") {
+    val n = emb.count()
+    val cents = emb.where(col("vec_id") % math.max(100L, n / 128L) === 0)
+    val cw = emb.where(col("vec_id") % math.max(1L, n / 80L) === 0)
+      .orderBy("vec_id").limit(64)
+    val d = s"${sys.props("java.io.tmpdir")}/graft_ivfpqhidx_spec"
+    ext.Similarity.writeIvfPqIndex(emb, cents, cw, m = 8, d, rotation = "hadamard")
+    def rot(df: org.apache.spark.sql.DataFrame) = ext.Similarity.hadamardRotate(df, 64)
+    // the probe rotates the RAW queries itself (reads the _rotation
+    // marker) and must equal the in-plan run where every input was
+    // rotated by hand
+    val direct = ext.Similarity.ivfPqTopK(rot(emb), rot(queries),
+      centroids = rot(cents), codewords = rot(cw),
+      m = 8, k = 5, nprobe = 16, rerankFactor = 32)
+      .orderBy("query_id", "rank").collect().toSeq
+    val indexed = ext.Similarity.ivfPqTopKIndexed(spark, d, queries,
+      k = 5, nprobe = 16, rerankFactor = 32)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(indexed == direct)
+    // rotation preserved cosine: the rotated top-1 cos per query is
+    // within one 4-dp ulp of the unrotated exact answer
+    val exact = ext.Similarity.bruteForceTopK(emb, queries, 1)
+      .select("query_id", "cos").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // (compare the rotated run's cos for the SAME (query, vec) pairs)
+    val exactPairs = ext.Similarity.bruteForceTopK(emb, queries, 1)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ext.Similarity.bruteForceTopK(rot(emb), rot(queries), 1)
+      .select("query_id", "vec_id", "cos").collect().foreach { r =>
+        if (exactPairs.contains((r.getLong(0), r.getLong(1))))
+          assert(math.abs(r.getDouble(2) - exact(r.getLong(0))) <= 1e-4 + 1e-9,
+            s"rotation distorted cosine for query ${r.getLong(0)}")
+      }
+    // appends follow the recorded rotation: append == rebuild
+    val d2 = s"${sys.props("java.io.tmpdir")}/graft_ivfpqhidx_spec_app"
+    ext.Similarity.writeIvfPqIndex(emb.where(col("vec_id") % 2 === 0),
+      cents, cw, m = 8, d2, rotation = "hadamard")
+    ext.Similarity.appendIvfPqIndex(emb.where(col("vec_id") % 2 === 1), d2)
+    val appended = ext.Similarity.ivfPqTopKIndexed(spark, d2, queries,
+      k = 5, nprobe = 16, rerankFactor = 32)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(appended == indexed)
+  }
+
   test("IVFPQ large-batch rerank (join fetch, no driver collect) is row-identical") {
     // force the large-batch path: maxInlineCandidates = 0 routes every
     // batch through the distributed candidate join instead of the
