@@ -59,6 +59,75 @@ object PointReadCheck {
     println(f"[pointread] pushed:   partitions=$pParts%4d  sec=$pSec%.3f")
     println(f"[pointread] unpushed: partitions=$uParts%4d  sec=$uSec%.3f")
     println(f"[pointread] speedup=${uSec / pSec}%.1fx  files_pruned=${uParts - pParts}")
+
+    // ------------------------------------------------------------------
+    // Shard-index seek path: wall time (and bytes read) must be FLAT in
+    // member position — the reference's shard-index GET fast path
+    // (`xact/xs/shard_idx.go:27-31`, `docs/get_batch.md` "orders of
+    // magnitude"). The streaming probe reads the ENTIRE shard no matter
+    // which member it wants (the scan cannot early-stop, and stream
+    // skip() reads through on most FS stacks — on object storage skip IS
+    // read); the indexed probe is one sidecar load + one exact-size
+    // ranged read, independent of both member position and shard size.
+    // ------------------------------------------------------------------
+    val nMembers = sys.env.getOrElse("SPARK_GRAFT_IDX_MEMBERS", "262144").toInt
+    val pSize = sys.env.getOrElse("SPARK_GRAFT_IDX_PSIZE", "4096").toInt
+    val bigDir = new java.io.File(s"/tmp/graft_bigshard_${nMembers}_$pSize")
+    val bigTar = new java.io.File(bigDir, "big-000.tar")
+    if (!new java.io.File(bigDir, "_SUCCESS").exists()) {
+      bigDir.mkdirs()
+      graft.shards.TarWriter.withTar(new java.io.FileOutputStream(bigTar)) { tar =>
+        var i = 0
+        while (i < nMembers) {
+          graft.shards.TarWriter.putEntry(tar, f"m$i%07d.bin",
+            Array.fill[Byte](pSize)((i % 251).toByte))
+          i += 1
+        }
+      }
+      new java.io.File(bigDir, "_SUCCESS").createNewFile()
+    }
+    val idxDir = bigDir.getAbsolutePath + "_idx"
+    val (_, bSec) = time(graft.shards.ShardIndex.build(spark, bigDir.getAbsolutePath, idxDir))
+    println(f"[pointread] bigshard: members=$nMembers size=${bigTar.length() / 1e6}%.0fMB " +
+      f"index_build_sec=$bSec%.2f")
+
+    def fileBytesRead(): Long =
+      try org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.get("file").getLong("bytesRead")
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    def probe(memberIdx: Int, indexed: Boolean): (Double, Long, String) = {
+      val r0 = spark.read.format("tarmembers")
+      val r = if (indexed) r0.option("index", idxDir) else r0
+      val q = r.load(bigDir.getAbsolutePath)
+        .where(col("member") === f"m$memberIdx%07d.bin")
+        .select(md5(col("payload")).as("h"))
+      val b0 = fileBytesRead()
+      val (rows, sec) = time(q.collect())
+      require(rows.length == 1, s"probe m$memberIdx indexed=$indexed: ${rows.length} rows")
+      (sec, fileBytesRead() - b0, rows(0).getString(0))
+    }
+    probe(0, indexed = true) // warm the JVM + FS cache once, untimed
+
+    val positions = Seq(1, nMembers / 2, nMembers - 2)
+    val results = positions.map { p =>
+      val (sSec, sBytes, sH) = probe(p, indexed = false)
+      val (iSec, iBytes, iH) = probe(p, indexed = true)
+      require(sH == iH, s"streaming/indexed payload mismatch at member $p")
+      println(f"[pointread] member#$p%7d  streaming: sec=$sSec%.3f read=${sBytes / 1e6}%8.2fMB" +
+        f"   indexed: sec=$iSec%.3f read=${iBytes / 1e6}%8.2fMB   speedup=${sSec / iSec}%5.1fx")
+      (p, sSec, iSec, sBytes, iBytes)
+    }
+    // flatness: the indexed probe of the LAST member must not cost more
+    // than a small factor over the FIRST (generous bound — job overhead
+    // dominates both), and must beat the full-shard streaming read
+    val iFirst = results.head._3; val iLast = results.last._3
+    val sLast = results.last._2
+    require(iLast <= iFirst * 5 + 0.2,
+      f"indexed probe not flat in position: first=$iFirst%.3f last=$iLast%.3f")
+    require(sLast > iLast,
+      f"expected streaming last-member probe ($sLast%.3f) slower than indexed ($iLast%.3f)")
+    val bytesRatio = results.last._4.toDouble / math.max(1L, results.last._5)
+    println(f"[pointread] indexed flatness first->last: ${iLast / iFirst}%.2fx; " +
+      f"I/O ratio streaming/indexed: $bytesRatio%.0fx (streaming re-reads the whole shard per probe)")
     spark.stop()
   }
 }

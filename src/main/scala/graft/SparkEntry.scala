@@ -999,6 +999,22 @@ object SparkEntry {
           length(col("payload")).cast("long").as("payload_len"))
         .orderBy("shard", "member")),
 
+    // GB10 build-once index: the shard-index xaction's summary
+    // (xact/xs/shard_idx.go:27-53) — one sidecar per plain-TAR shard,
+    // freshness-skipped on re-runs; counts oracle-checked per shard
+    "shard_index_build" -> ((s, d) => {
+      val dir = shards.TarFixtures.ensure(s, d)
+      shards.ShardIndex.build(s, dir, dir + "_idx").orderBy("shard")
+    }),
+
+    // GB10/S4 metadata fast path: the SAME rows as tar_scan, answered
+    // purely from sidecars — zero shard bytes read (ShardIndexSpec proves
+    // the zero-byte property; the oracle proves row identity)
+    "tar_scan_indexed" -> ((s, d) =>
+      shards.TarFixtures.readIndexed(s, d)
+        .select("shard", "member", "sample_key", "ext", "offset", "size")
+        .orderBy("shard", "member")),
+
     // GB4 end-to-end: create + appendIfExists through a REAL tar on disk,
     // read back via the tarmembers source; new members win collisions
     // (api/apc/multiobj.go:151-180, xact/xs/archive.go)
@@ -1031,6 +1047,56 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"),
           length(col("payload")).cast("long").as("payload_len"))
         .orderBy("shard", "member")),
+
+    // P8/GB10 composed: the same archregx point read THROUGH the persisted
+    // shard index — members resolve from sidecars and each matching payload
+    // is one seek + exact-size ranged read, O(1) in member position
+    // (docs/get_batch.md "orders of magnitude"; xact/xs/shard_idx.go:27-31).
+    // Same oracle as arch_point_read: the index path must be row-identical.
+    "arch_point_read_indexed" -> ((s, d) =>
+      shards.TarFixtures.readIndexed(s, d)
+        .where(shards.ArchMatch.predicate(col("member"), shards.ArchMatch.Suffix, ".cls"))
+        .select(col("shard"), col("member"),
+          md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast("long").as("payload_len"))
+        .orderBy("shard", "member")),
+
+    // GB1 × GB10 end-to-end: GetBatch THROUGH the shard index — the
+    // complete docs/get_batch.md fast path. A constant-size request batch
+    // of (shard, archpath=member) entries (the reference's request IS one
+    // driver-resident JSON message, api/apc/ml.go:14-120) is pushed into
+    // the indexed tarmembers scan as In-filters: non-requested SHARDS are
+    // pruned before task scheduling, and each requested member inside a
+    // scheduled shard is one sidecar lookup + one ranged read. Every 16th
+    // request targets a nonexistent member → __404__ under continueOnErr.
+    "getbatch_indexed" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fix = shards.TarFixtures.membersDf(s, d)
+      val pairs = fix.select(col("shard_name").as("shard"), col("member")).distinct()
+        .withColumn("_h", md5(concat(col("shard"), col("member"))))
+        .orderBy("_h").limit(256)
+      val batch = pairs
+        .withColumn("_req_idx", row_number().over(Window.orderBy("_h")).cast("long"))
+        .drop("_h")
+      // batch-sized driver materialization BY CONTRACT (one request
+      // message) — bounded at 256, never corpus-proportional
+      val reqPairs = batch.select("shard", "member").collect()
+      val reqShards = reqPairs.map(_.getString(0)).distinct.toSeq
+      val reqMembers = reqPairs.map(_.getString(1)).distinct.toSeq
+      val req = batch.select(
+        col("_req_idx"), lit("bck0").as("bucket"), col("shard").as("objname"),
+        when(col("_req_idx") % 16 === 0, concat(col("member"), lit(".missing")))
+          .otherwise(col("member")).as("archpath"))
+      val pay = shards.TarFixtures.readIndexed(s, d)
+        .where(col("shard").isin(reqShards: _*) && col("member").isin(reqMembers: _*))
+        .select(lit("bck0").as("bucket"), col("shard").as("objname"),
+          col("member").as("archpath"), col("payload"))
+      ops.GetBatch.assemble(req, pay)
+        .select(col("_req_idx"), col("tar_name"),
+          md5(col("payload")).as("payload_md5"),
+          col("size").as("out_size"), col("missing"))
+        .orderBy("_req_idx")
+    }),
 
     "getbatch_ranges" -> ((s, d) => {
       val fix = shards.TarFixtures.membersDf(s, d)
@@ -4596,6 +4662,51 @@ object SparkEntry {
         |  CAST(length(payload_str) AS BIGINT) AS payload_len
         |FROM tarfix WHERE member LIKE '%.cls'
         |ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    // identical result contract as arch_point_read — the seek-based index
+    // path must be row-identical to the streaming scan
+    "arch_point_read_indexed" -> o(
+      """SELECT shard, member, md5(payload_str) AS payload_md5,
+        |  CAST(length(payload_str) AS BIGINT) AS payload_len
+        |FROM tarfix WHERE member LIKE '%.cls'
+        |ORDER BY shard, member""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    "shard_index_build" -> o(
+      """SELECT shard, CAST(count(*) AS BIGINT) AS members, TRUE AS indexed
+        |FROM tarfix GROUP BY shard ORDER BY shard""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    "getbatch_indexed" -> o(
+      """SELECT r._req_idx,
+        |  CASE WHEN t.member IS NULL
+        |       THEN '__404__/bck0/' || r.shard || '/' || r.member
+        |       ELSE 'bck0/' || r.shard || '/' || r.member END AS tar_name,
+        |  md5(coalesce(t.payload_str, '')) AS payload_md5,
+        |  CAST(coalesce(length(t.payload_str), 0) AS BIGINT) AS out_size,
+        |  (t.member IS NULL) AS missing
+        |FROM (SELECT _req_idx, shard,
+        |        CASE WHEN _req_idx % 16 = 0 THEN member || '.missing'
+        |             ELSE member END AS member
+        |      FROM (SELECT row_number() OVER (ORDER BY md5(shard || member)) AS _req_idx,
+        |              shard, member
+        |            FROM (SELECT DISTINCT shard, member FROM tarfix
+        |                  ORDER BY md5(shard || member) LIMIT 256))) r
+        |LEFT JOIN tarfix t ON r.shard = t.shard AND r.member = t.member
+        |ORDER BY r._req_idx""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
+
+    // identical result contract as tar_scan — metadata answered purely
+    // from the persisted sidecars
+    "tar_scan_indexed" -> o(
+      """SELECT shard, member, sample_key, ext,
+        |  CAST(512 * row_number() OVER (PARTITION BY shard ORDER BY member, psize)
+        |     + 512 * coalesce(sum((psize + 511) // 512) OVER (
+        |         PARTITION BY shard ORDER BY member, psize
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |  psize AS size
+        |FROM tarfix ORDER BY shard, member""".stripMargin,
       OracleCte.members, OracleCte.tarfix),
 
     "tar_payload_md5" -> o(

@@ -1,0 +1,225 @@
+package graft.shards
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.TarMemberTable
+
+/** Persisted per-shard member index — the Spark-side analog of the
+  * reference's shard index (`cmn/archive/shard.go:94-149` BuildShardIndex /
+  * Pack, `xact/xs/shard_idx.go:27-53` the index-build xaction): one
+  * sequential header scan per TAR shard produces a small sidecar mapping
+  * each member name to the exact byte location of its data section, so a
+  * later point read (`archpath` member GET, GetBatch) issues ONE ranged
+  * read instead of streaming headers from byte 0 — the "orders of
+  * magnitude" fast path of `docs/get_batch.md`.
+  *
+  * Spark-first shape:
+  *   - [[build]] is one embarrassingly-parallel job — one task per shard
+  *     file, each writing `indexDir/<shard>.gidx`; at 100 TB this is the
+  *     same schedule as the scan itself (thousands of independent tasks),
+  *     and re-runs skip shards whose sidecar is already fresh
+  *     (`shard_idx.go` cntSkipHasIdx);
+  *   - probing is executor-side: `spark.read.format("tarmembers")
+  *     .option("index", indexDir)` makes each scan task consult its own
+  *     shard's sidecar — no driver-side index state, no shuffle;
+  *   - staleness mirrors `ErrShardIdxStale` (`shard.go:88-90`): the
+  *     sidecar records the source file's length + mtime at build time and
+  *     the reader falls back to the streaming scan on any mismatch (or a
+  *     missing/corrupt sidecar) — never a wrong answer, only a slower one.
+  *
+  * Only plain `.tar` shards are indexed: compressed members have no
+  * seekable offset, matching the reference's TAR-only fast-path
+  * restriction (`xact/api_table.go:132-143`).
+  *
+  * Sidecar format (ours, little JVM-endian-free big-endian primitives +
+  * unsigned LEB128 varints; the reference's wire format is not reused):
+  * {{{
+  *   magic   "GIDX" + version byte (1)
+  *   srcSize int64   — shard file length at build time
+  *   srcMtime int64  — shard file modificationTime at build time
+  *   count   int32   — number of entries
+  *   crc32   int64   — CRC-32 of the entries section (corruption guard)
+  *   entries count × (varint nameLen, UTF-8 name, varint offset, varint size)
+  * }}}
+  * `offset` is the member's DATA offset (first payload byte), which is
+  * robust across PAX/GNU long-name headers spanning multiple 512-byte
+  * blocks — seek(offset) + read(size) needs no header re-parse.
+  */
+object ShardIndex extends Logging {
+
+  val Ext = ".gidx"
+  private val Magic = Array[Byte]('G', 'I', 'D', 'X')
+  private val Version: Byte = 1
+  /** Bound sidecar memory like the reference (`shard.go` shardIdxMaxEntries). */
+  val MaxEntries: Int = 1 << 20
+
+  final case class IdxEntry(name: String, offset: Long, size: Long)
+
+  def sidecarPath(indexDir: String, shardName: String): Path =
+    new Path(indexDir, shardName + Ext)
+
+  // ---------------------------------------------------------------- build
+
+  /** Index every plain-TAR shard under `shardsDir` into `indexDir`
+    * sidecars (one distributed task per shard; fresh sidecars skipped).
+    * Returns a summary frame `(shard, members, indexed)` — compressed
+    * shards appear with `indexed = false` and `members = -1` (never
+    * opened: counting them would cost the full decompression the index
+    * exists to avoid). */
+  def build(spark: SparkSession, shardsDir: String, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val files = TarMemberTable.listShardFiles(Seq(shardsDir)).map(_._1)
+    // EAGER by contract — "build the index" is an imperative side effect,
+    // not a lazy plan. The summary (one small row per shard) collects to
+    // the driver, same order of driver state as listShardFiles itself.
+    val summary = spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
+      .map { file =>
+        val path = new Path(file)
+        val shardName = path.getName
+        if (!shardName.toLowerCase.endsWith(".tar")) (shardName, -1L, false)
+        else {
+          val fs = path.getFileSystem(new Configuration())
+          val n = buildOne(fs, path, indexDir)
+          (shardName, n, true)
+        }
+      }
+      .collect().toSeq
+    spark.createDataset(summary).toDF("shard", "members", "indexed")
+  }
+
+  /** Build (or freshness-skip) one shard's sidecar; returns member count. */
+  def buildOne(fs: FileSystem, shard: Path, indexDir: String): Long = {
+    val st = fs.getFileStatus(shard)
+    val out = sidecarPath(indexDir, shard.getName)
+    loadHeader(fs, out) match {
+      case Some((srcSize, srcMtime, count))
+          if srcSize == st.getLen && srcMtime == st.getModificationTime =>
+        return count // fresh — skip rebuild (shard_idx.go cntSkipHasIdx)
+      case _ => ()
+    }
+    val in = fs.open(shard)
+    val entries =
+      try Archives.iterate(shard.getName, in, readPayloads = false)
+        .map(e => IdxEntry(e.name, e.offset, e.size)).toArray
+      finally in.close()
+    require(entries.length <= MaxEntries,
+      s"shard index: ${shard.getName} has ${entries.length} members (max $MaxEntries)")
+    write(fs, out, st.getLen, st.getModificationTime, entries)
+    entries.length.toLong
+  }
+
+  def write(fs: FileSystem, out: Path, srcSize: Long, srcMtime: Long,
+            entries: Array[IdxEntry]): Unit = {
+    val body = new ByteArrayOutputStream(entries.length * 48 + 64)
+    entries.foreach { e =>
+      val name = e.name.getBytes(StandardCharsets.UTF_8)
+      writeVarint(body, name.length.toLong)
+      body.write(name)
+      writeVarint(body, e.offset)
+      writeVarint(body, e.size)
+    }
+    val bodyBytes = body.toByteArray
+    val crc = new CRC32(); crc.update(bodyBytes)
+    fs.mkdirs(out.getParent)
+    val tmp = new Path(out.getParent, out.getName + ".tmp")
+    val os = new java.io.DataOutputStream(fs.create(tmp, true))
+    try {
+      os.write(Magic); os.writeByte(Version.toInt)
+      os.writeLong(srcSize); os.writeLong(srcMtime)
+      os.writeInt(entries.length)
+      os.writeLong(crc.getValue)
+      os.write(bodyBytes)
+    } finally os.close()
+    fs.delete(out, false)
+    if (!fs.rename(tmp, out))
+      throw new java.io.IOException(s"shard index: rename $tmp -> $out failed")
+  }
+
+  // ---------------------------------------------------------------- probe
+
+  /** Header peek without parsing entries (freshness skip at build). */
+  private def loadHeader(fs: FileSystem, p: Path): Option[(Long, Long, Long)] =
+    try {
+      if (!fs.exists(p)) return None
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        val m = new Array[Byte](5); in.readFully(m)
+        if (!m.take(4).sameElements(Magic) || m(4) != Version) return None
+        Some((in.readLong(), in.readLong(), in.readInt().toLong))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Load a shard's sidecar iff it is present, uncorrupted, and was built
+    * from exactly this version of the shard (`expectSize`/`expectMtime`
+    * from a fresh FileStatus — the `ErrShardIdxStale` contract). Any
+    * failure is a logged None: the caller falls back to the streaming
+    * scan, so a stale index can never produce a wrong answer. */
+  def load(fs: FileSystem, indexDir: String, shardName: String,
+           expectSize: Long, expectMtime: Long): Option[Array[IdxEntry]] =
+    try {
+      val p = sidecarPath(indexDir, shardName)
+      if (!fs.exists(p)) return None
+      val bytes = {
+        val in = fs.open(p)
+        try in.readAllBytes() finally in.close()
+      }
+      if (bytes.length < 33) return None
+      if (!bytes.take(4).sameElements(Magic) || bytes(4) != Version) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes, 5, bytes.length - 5)
+      val srcSize = bb.getLong; val srcMtime = bb.getLong
+      if (srcSize != expectSize || srcMtime != expectMtime) {
+        logWarning(s"shard index: $shardName sidecar is stale " +
+          s"(src $srcSize/$srcMtime vs now $expectSize/$expectMtime); streaming fallback")
+        return None
+      }
+      val count = bb.getInt; val crcWant = bb.getLong
+      val crc = new CRC32()
+      crc.update(bytes, bb.position(), bb.remaining())
+      if (crc.getValue != crcWant) {
+        logWarning(s"shard index: $shardName sidecar CRC mismatch; streaming fallback")
+        return None
+      }
+      val out = new Array[IdxEntry](count)
+      var i = 0
+      while (i < count) {
+        val nameLen = readVarint(bb).toInt
+        val name = new Array[Byte](nameLen); bb.get(name)
+        val off = readVarint(bb); val size = readVarint(bb)
+        out(i) = IdxEntry(new String(name, StandardCharsets.UTF_8), off, size)
+        i += 1
+      }
+      Some(out)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"shard index: $shardName sidecar unreadable " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); streaming fallback")
+        None
+    }
+
+  // ------------------------------------------------------------- varints
+
+  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    require(v0 >= 0, s"varint: negative $v0")
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def readVarint(bb: java.nio.ByteBuffer): Long = {
+    var v = 0L; var shift = 0
+    while (true) {
+      val b = bb.get()
+      v |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return v
+      shift += 7
+      require(shift < 64, "varint: overflow")
+    }
+    v // unreachable
+  }
+}

@@ -61,4 +61,21 @@ object TarFixtures {
   /** Read the corpus back through the custom DataSourceV2. */
   def read(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.format("tarmembers").load(ensure(spark, sfDir))
+
+  /** Build (or freshness-skip) the corpus's [[ShardIndex]] sidecars and
+    * return the index dir. Idempotent: a repeat call reads one small
+    * sidecar header per shard and skips. */
+  def ensureIndex(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = ensure(spark, sfDir)
+    val idx = dir + "_idx"
+    ShardIndex.build(spark, dir, idx)
+    idx
+  }
+
+  /** Read the corpus through the DSv2 with the shard index enabled:
+    * metadata from sidecars, payloads via seek + exact-size ranged reads. */
+  def readIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = ensureIndex(spark, sfDir)
+    spark.read.format("tarmembers").option("index", idx).load(ensure(spark, sfDir))
+  }
 }

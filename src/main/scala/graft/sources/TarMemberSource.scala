@@ -94,13 +94,19 @@ class TarMemberTable(properties: Map[String, String]) extends Table with Support
       .orElse(properties.get("path").map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException("tarmembers: path option required"))
 
+  /** `.option("index", dir)` — a [[graft.shards.ShardIndex]] sidecar dir:
+    * readers answer metadata from the sidecar and seek straight to member
+    * data (one ranged read each) instead of streaming headers from byte 0;
+    * stale/missing sidecars fall back to the streaming scan per shard. */
+  private val indexDir: Option[String] = properties.get("index")
+
   override def name(): String = s"tarmembers(${paths.mkString(",")})"
   override def schema(): StructType = TarMemberTable.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TarScanBuilder(paths)
+    new TarScanBuilder(paths, indexDir)
 }
 
 /** Predicate pushdown over the NAME-derived columns (`shard`, `member`,
@@ -183,7 +189,7 @@ object TarFilters {
   }
 }
 
-class TarScanBuilder(paths: Seq[String]) extends ScanBuilder
+class TarScanBuilder(paths: Seq[String], indexDir: Option[String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   import org.apache.spark.sql.sources.Filter
   private var required: StructType = TarMemberTable.fullSchema
@@ -197,25 +203,28 @@ class TarScanBuilder(paths: Seq[String]) extends ScanBuilder
     unsup
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new TarScan(paths, required, pushed)
+  override def build(): Scan = new TarScan(paths, required, pushed, indexDir)
 }
 
-final case class TarFilePartition(file: String) extends InputPartition
+final case class TarFilePartition(file: String, indexDir: Option[String] = None)
+    extends InputPartition
 
 class TarScan(paths: Seq[String], required: StructType,
-              pushed: Array[org.apache.spark.sql.sources.Filter])
+              pushed: Array[org.apache.spark.sql.sources.Filter],
+              indexDir: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"TarMemberScan(files=${paths.mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")}, " +
-      s"PushedFilters=[${pushed.mkString(", ")}])"
+      s"PushedFilters=[${pushed.mkString(", ")}]" +
+      indexDir.map(d => s", index=$d").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] =
     TarMemberTable.listShardFiles(paths)
       .filter(f => TarFilters.keepShard(pushed.toSeq, new Path(f._1).getName))
-      .map(f => TarFilePartition(f._1)).toArray
+      .map(f => TarFilePartition(f._1, indexDir)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TarReaderFactory(required, pushed)
@@ -224,23 +233,65 @@ class TarScan(paths: Seq[String], required: StructType,
 class TarReaderFactory(required: StructType,
                        pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TarPartitionReader(partition.asInstanceOf[TarFilePartition].file, required, pushed)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TarFilePartition]
+    new TarPartitionReader(p.file, required, pushed, p.indexDir)
+  }
 }
 
-/** Streams one shard file; emits one InternalRow per member. Payload
+/** Reads one shard file; emits one InternalRow per member. Payload
   * bytes are read only when the `payload` column survives pruning AND
   * the member passes the pushed name filters — a filtered-out member's
-  * data section is skipped, not materialized. */
+  * data section is skipped, not materialized.
+  *
+  * With a fresh [[graft.shards.ShardIndex]] sidecar (`indexDir`), the
+  * reader never streams: member names/offsets/sizes come from the
+  * sidecar (a metadata-only query reads ZERO shard bytes), and each
+  * surviving member's payload is one `seek(offset)` + exact-size ranged
+  * read — O(1) in member position and shard size, the reference's
+  * shard-index GET fast path (`docs/get_batch.md`,
+  * `xact/xs/shard_idx.go:27-53`). A missing/stale/corrupt sidecar falls
+  * back to the streaming scan for that shard only. */
 class TarPartitionReader(file: String, required: StructType,
-                         pushed: Array[org.apache.spark.sql.sources.Filter])
+                         pushed: Array[org.apache.spark.sql.sources.Filter],
+                         indexDir: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private val needPayload = required.fieldNames.contains("payload")
   private val path = new Path(file)
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val fs = path.getFileSystem(new Configuration())
   private val shardName = path.getName
-  private val entries = Archives.iterate(shardName, in, readPayloads = needPayload)
+  private var in: org.apache.hadoop.fs.FSDataInputStream = _ // lazy: pure-index reads never open
+  private def stream(): org.apache.hadoop.fs.FSDataInputStream = {
+    if (in == null) in = fs.open(path)
+    in
+  }
+
+  private val entries: Iterator[Archives.Entry] = {
+    val indexed = indexDir.flatMap { dir =>
+      val st = fs.getFileStatus(path)
+      graft.shards.ShardIndex.load(fs, dir, shardName, st.getLen, st.getModificationTime)
+    }
+    indexed match {
+      case Some(idx) =>
+        // sidecar entries are in archive order => payload seeks are
+        // monotonically forward, sequential-friendly on spinning/object stores
+        idx.iterator.map { e =>
+          Archives.Entry(e.name, e.offset, e.size, () =>
+            if (!needPayload) Array.emptyByteArray
+            else {
+              require(e.size < Int.MaxValue,
+                s"archive member ${e.name} is ${e.size} bytes; " +
+                  "payload materialization caps at 2 GiB per member")
+              val s = stream()
+              s.seek(e.offset)
+              s.readNBytes(e.size.toInt)
+            })
+        }
+      case scala.None =>
+        Archives.iterate(shardName, stream(), readPayloads = needPayload)
+    }
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -266,5 +317,5 @@ class TarPartitionReader(file: String, required: StructType,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (in != null) in.close()
 }
