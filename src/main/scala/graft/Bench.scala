@@ -74,9 +74,21 @@ object Bench {
       // Cleanup time is charged to the query that made the mess (inside
       // the timer would be wrong the other way: it's not query work, but
       // leaving it outside lets a block-heavy query pollute its
-      // neighbor; charge it before reading the clock).
-      if (sys.env.get("SPARK_GRAFT_NO_UNPERSIST").isEmpty) spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // neighbor; charge it before reading the clock). BLOCKING: the
+      // sf10 full-surface sweep showed async removal bleeding into the
+      // six queries AFTER a heavy one (hard_negatives' followers measured
+      // 7-9x their isolated times — arch_point_read 71 s in-run vs 9.9 s
+      // alone); blocking keeps the charge on the maker and off the
+      // neighbors.
+      if (sys.env.get("SPARK_GRAFT_NO_UNPERSIST").isEmpty) spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val sec = (System.nanoTime() - t0) / 1e9
+      // UNtimed inter-query GC (JMH-style iteration hygiene): a heavy
+      // query's dead shuffle/broadcast state is otherwise collected by
+      // the ContextCleaner at some arbitrary point inside a NEIGHBOR's
+      // timer — the same sf10 bleed. Not charged to either side: it is
+      // collection of garbage, not query work.
+      System.gc()
+      name -> (if (ok) sec else -1.0)
     }
     val p1 = pass(); val p2 = pass()
     // min-of-two over the SUCCESSFUL passes: a -1 (failed) pass must not

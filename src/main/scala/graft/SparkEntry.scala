@@ -2293,8 +2293,17 @@ object SparkEntry {
     // ------------------------------------------------------------------
     // Similarity search (SURVEY §7.6)
     // ------------------------------------------------------------------
+    // exact-pairs kernel over a CONSTANT 20k-vector slice (the full gate
+    // tables at sf<=1 — the cap only binds above that): the kernel is
+    // O(n²) by definition, so an uncapped face grows quadratically with
+    // the corpus (measured 15.9 s -> 1374 s at the sf1->sf10 step, 86x —
+    // 43% of the whole sweep). Same cure as hard_negatives' training-
+    // batch cap: the benchmark face pins a fixed slice the oracle
+    // recomputes identically; CORPUS-scale near-dup is the cell-bounded
+    // embed_semantic_dedup / banded dedup_minhash_lsh paths.
     "embed_near_dup" -> ((s, d) =>
-      ext.Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.35)
+      ext.Similarity.nearDupPairs(
+        Tables.load(s, d, "embeddings").where(col("vec_id") < 20000L), 0.35)
         .orderBy("vec_a", "vec_b")),
 
     "embed_knn" -> ((s, d) => {
@@ -5755,7 +5764,8 @@ object SparkEntry {
         |    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 20000) a
+        |  JOIN (SELECT * FROM embeddings WHERE vec_id < 20000) b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
 
     "embed_knn" ->

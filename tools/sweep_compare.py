@@ -1,0 +1,29 @@
+#!/usr/bin/env python3
+"""Compare two full-surface BENCH_LOCAL-style JSON records (e.g. sf1 vs
+sf10) and print the N slowest queries at the larger scale with their
+scale ratios — the PERF.md sweep table (VERDICT r6 item 5 / r7 item 3).
+
+Usage: python3 tools/sweep_compare.py small.json big.json [N]
+"""
+import sys, json
+
+a = json.load(open(sys.argv[1]))
+b = json.load(open(sys.argv[2]))
+n = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+qa, qb = a["queries"], b["queries"]
+print(f"| query | {a['sf'].split('/')[-1]} | {b['sf'].split('/')[-1]} | ratio |")
+print("|---|---|---|---|")
+rows = sorted(qb.items(), key=lambda kv: -kv[1])[:n]
+for k, v in rows:
+    s = qa.get(k)
+    ratio = f"{v / s:.1f}x" if s and s > 0 else "-"
+    print(f"| {k} | {s if s is not None else '-'} | {v} | {ratio} |")
+tot_a, tot_b = sum(qa.values()), sum(qb.values())
+print(f"\ntotal: {tot_a:.1f} -> {tot_b:.1f} s  ({tot_b / tot_a:.2f}x on "
+      f"{len(qb)} queries)")
+sup = [(k, v, qa.get(k)) for k, v in qb.items()
+       if qa.get(k, 0) > 0.5 and v / qa[k] > 10]
+if sup:
+    print("\nsuper-linear (>10x per decade, small>0.5s):")
+    for k, v, s in sorted(sup, key=lambda t: -t[1] / t[2]):
+        print(f"  {k}: {s} -> {v}  ({v / s:.1f}x)")
