@@ -184,7 +184,11 @@ object SparkEntry {
       val n = Tables.load(s, d, "nation")
       val sn = su.join(n, col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("nation"))
-      l.join(broadcast(p.select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      // no pinned hint on the part-derived side: `part` grows with sf, and
+      // Spark honors an explicit broadcast() regardless of size — at 100x
+      // the optimizer (AQE, runtime sizes) must pick the strategy. The
+      // supplier-KEY frame stays hinted: 2 narrow columns, bounded enough.
+      l.join(p.select("p_partkey"), col("l_partkey") === col("p_partkey"))
         .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
         .join(o.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
         .withColumn("o_year", year(col("o_orderdate")).cast("long"))
@@ -213,7 +217,10 @@ object SparkEntry {
           col("s_nationkey") === col("s_nk"))
         .select("s_suppkey", "supp_nation")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+        // custAsia is ~1/5 of customer — linearly scale-growing, so no
+        // pinned broadcast (AQE decides from runtime size); suppNation is
+        // a narrow supplier-key frame and stays hinted
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
         .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
         .withColumn("o_year", year(col("o_orderdate")).cast("long"))
         .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -230,10 +237,11 @@ object SparkEntry {
       val l = li(s, d); val p = Tables.load(s, d, "part")
       val bad = Tables.load(s, d, "supplier")
         .where(col("s_acctbal") < 0).select("s_suppkey")
-      l.join(broadcast(p.where(col("p_brand") =!= "Brand#2" &&
+      // part-derived frame grows with sf — unhinted, AQE picks the join
+      l.join(p.where(col("p_brand") =!= "Brand#2" &&
           !col("p_type").startsWith("PROMO") &&
           col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
-          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          .select("p_partkey", "p_brand", "p_type", "p_size"),
           col("l_partkey") === col("p_partkey"))
         .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
@@ -251,7 +259,7 @@ object SparkEntry {
       val heavy = l
         .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1997-01-01")))
-        .join(broadcast(p.where(col("p_name").contains("red")).select("p_partkey")),
+        .join(p.where(col("p_name").contains("red")).select("p_partkey"),
           col("l_partkey") === col("p_partkey"))
         .groupBy("l_suppkey").agg(sum("l_quantity").as("q"))
         .where(col("q") > 350).select("l_suppkey")
@@ -282,7 +290,7 @@ object SparkEntry {
       late.where(col("is_late") === 1)
         .join(perOrder, Seq("ok"))
         .where(col("n_supp") >= 2 && col("n_late") === 1)
-        .join(broadcast(su), col("sk") === col("s_suppkey"))
+        .join(su, col("sk") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
@@ -296,8 +304,8 @@ object SparkEntry {
       val l = li(s, d); val p = Tables.load(s, d, "part")
       val avgQty = l.groupBy(col("l_partkey").as("a_partkey"))
         .agg(avg("l_quantity").as("avg_qty"))
-      l.join(broadcast(p.where(col("p_brand") === "Brand#2")
-          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      l.join(p.where(col("p_brand") === "Brand#2")
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
         .join(avgQty, col("l_partkey") === col("a_partkey"))
         .where(col("l_quantity") < col("avg_qty") * 0.2)
         .agg(round(sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double") / 7.0, 2).as("avg_yearly"))
@@ -336,10 +344,11 @@ object SparkEntry {
     }),
 
     "q15_top_supplier" -> ((s, d) => {
-      // TPC-H q15: supplier(s) with max 3-month revenue. The max is a
-      // window over the POST-AGG table (one row per supplier) — the
-      // single-partition exchange holds #suppliers rows, never lineitem.
-      val w = Window.partitionBy(lit(1))
+      // TPC-H q15: supplier(s) with max 3-month revenue. The scalar max is
+      // a 1-row aggregate broadcast-joined back to the per-supplier table
+      // (the q22 threshold shape) — no single-partition window exchange;
+      // the two `rev` subtrees share one shuffle via ReuseExchange, so
+      // lineitem is scanned once.
       val rev = li(s, d)
         .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1996-04-01")))
@@ -347,9 +356,9 @@ object SparkEntry {
         .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(30,8)")).cast("double"), 2)
           .as("total_revenue"))
-      rev.withColumn("_mx", max("total_revenue").over(w))
-        .where(col("total_revenue") === col("_mx"))
-        .join(broadcast(Tables.load(s, d, "supplier")),
+      val mx = rev.agg(max("total_revenue").as("_mx"))
+      rev.join(broadcast(mx)).where(col("total_revenue") === col("_mx"))
+        .join(Tables.load(s, d, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy("s_suppkey")
@@ -363,8 +372,11 @@ object SparkEntry {
         .agg(sum("l_quantity").as("q"))
         .where(col("q") > 250)
         .select(col("l_orderkey").as("big_orderkey"))
+      // customer is unhinted: it grows linearly with sf (~15M rows at
+      // sf100) and a pinned broadcast() would force a multi-GB broadcast
+      // the optimizer would never choose — AQE decides at runtime
       o.join(big, col("o_orderkey") === col("big_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"))
@@ -377,7 +389,9 @@ object SparkEntry {
       // p_container in the testdata schema). The OR-of-ANDs sits on the
       // joined row; part is broadcast so lineitem never shuffles.
       val l = li(s, d); val p = Tables.load(s, d, "part")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // part grows with sf — no pinned hint; the disjunctive predicate
+      // still evaluates on the joined row either way
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .where(
           (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
             col("l_quantity").between(1, 11)) ||
@@ -729,6 +743,25 @@ object SparkEntry {
         .orderBy("batch_id", "seq")
     }),
 
+    // GB17 × GB10: the streaming batched GetBatch with payload resolution
+    // THROUGH the persisted shard index — epochs list (shard, member)
+    // requests over the TAR corpus and each epoch's stream-static join
+    // resolves against the indexed tarmembers scan (shard-prefix file
+    // pruning + sidecar seeks; docs/get_batch.md fast path end-to-end in
+    // streaming shape). Members whose size ≡ 0 (mod 7) are withheld from
+    // the payload side → __404__ rows; batch ids stay contiguous across
+    // epochs.
+    "getbatch_stream_indexed" -> ((s, d) => {
+      val payloads = shards.TarFixtures.readIndexed(s, d)
+        .where(col("shard").startsWith("tshard-00") && col("size") % 7 =!= 0)
+        .select(col("shard").as("bucket"), col("member").as("objname"),
+          col("payload"))
+      graft.streaming.GetBatchStream.runBatches(s, getbatchTarEpochDir(s, d), payloads, 32)
+        .select(col("batch_id"), col("seq"), col("tar_name"),
+          md5(col("payload")).as("payload_md5"), col("size"), col("missing"))
+        .orderBy("batch_id", "seq")
+    }),
+
     // WebDataset shard reader (python/aistore/pytorch/shard_reader.py
     // AISShardReader): per-(shard, basename) sample content dicts keyed
     // by extension, with the ZeroDict contract — every sample carries
@@ -737,9 +770,13 @@ object SparkEntry {
     // zero-filled (b"") where the sample lacks that file. Flattened to
     // (shard, basename, ext, content_md5, zero_filled) rows; duplicate
     // same-name members are byte-identical in this corpus (TarWriter
-    // contract) so the min-digest agg is the value itself.
+    // contract) so the min-digest agg is the value itself. The member
+    // table comes THROUGH the persisted shard index (readIndexed) — the
+    // reference's loader takes the sidecar fast path when one exists
+    // (docs/get_batch.md) and streams otherwise; rows are identical
+    // either way, which this face's unchanged oracle proves.
     "shard_reader_samples" -> ((s, d) =>
-      shards.ShardReader.samples(shards.TarFixtures.read(s, d))
+      shards.ShardReader.samples(shards.TarFixtures.readIndexed(s, d))
         .orderBy("shard", "basename", "ext")),
 
     // multi-worker round-robin split + per-worker batching
@@ -3254,6 +3291,41 @@ object SparkEntry {
     dir
   }
 
+  /** 3-epoch LISTING directory for `getbatch_stream_indexed`: lines
+    * `shard/member` over the first 10 consolidated TAR shards
+    * (`tshard-00*.tar` — bounded slice of the 256-shard corpus), split by
+    * `(onum DIV 3) % 3` (bck0 order numbers are ≡0 mod 3, so a plain %3
+    * would collapse to one epoch), same growing-`ls` shape as
+    * [[getbatchEpochDir]]. */
+  private def getbatchTarEpochDir(s: SparkSession, d: String): String = {
+    val dir = "/tmp/graft_gbtidx_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val marker = new java.io.File(dir, "_GRAFT_DONE")
+    this.synchronized {
+      if (!marker.exists()) {
+        new java.io.File(dir).mkdirs()
+        val l = shards.TarFixtures.membersDf(s, d)
+          .where(col("shard_name").startsWith("tshard-00"))
+          .select(concat(col("shard_name"), lit("/"), col("member")).as("value"),
+            regexp_extract(col("member"), "^(\\d+)", 1).cast("long").as("_k"))
+        (0 until 3).foreach { e =>
+          val stage = dir + s"_stage$e"
+          l.where(expr("(_k div 3) % 3") === e).sort("value").select("value")
+            .coalesce(1).write.mode("overwrite").text(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          val dst = new java.io.File(dir, f"epoch-$e%02d.txt")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1000000000L + e * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+        }
+        marker.createNewFile()
+      }
+    }
+    dir
+  }
+
   private def lhotseEpochDir(s: SparkSession, d: String): String = {
     val dir = "/tmp/graft_lhotse_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
     val marker = new java.io.File(dir, "_GRAFT_DONE")
@@ -4357,6 +4429,24 @@ object SparkEntry {
         |  USING (bucket, objname)
         |ORDER BY batch_id, seq""".stripMargin,
       OracleCte.objects),
+
+    "getbatch_stream_indexed" -> o(
+      """SELECT pos // 32 AS batch_id, pos % 32 AS seq,
+        |  CASE WHEN p.member IS NULL THEN '__404__/' || l.shard || '/' || l.member
+        |       ELSE l.shard || '/' || l.member END AS tar_name,
+        |  md5(coalesce(p.payload_str, '')) AS payload_md5,
+        |  CAST(CASE WHEN p.member IS NULL THEN 0 ELSE p.psize END AS BIGINT) AS size,
+        |  (p.member IS NULL) AS missing
+        |FROM (SELECT shard, member,
+        |        row_number() OVER (ORDER BY
+        |          (CAST(regexp_extract(member, '^(\d+)', 1) AS BIGINT) // 3) % 3,
+        |          shard, member) - 1 AS pos
+        |      FROM tarfix WHERE shard LIKE 'tshard-00_.tar') l
+        |LEFT JOIN (SELECT shard, member, psize, payload_str
+        |           FROM tarfix WHERE psize % 7 <> 0) p
+        |  USING (shard, member)
+        |ORDER BY batch_id, seq""".stripMargin,
+      OracleCte.members, OracleCte.tarfix),
 
     "shard_reader_samples" -> o(
       """SELECT s.shard, s.sample_key AS basename, k.ext,

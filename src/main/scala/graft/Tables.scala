@@ -88,9 +88,24 @@ object Tables {
 
   /** (path, length, mtime) → row-group count, process-wide: footer reads
     * are pure functions of the file bytes, and the key changes whenever
-    * the file does. */
-  private val groupCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+    * the file does. Bounded (keys of regenerated/rewritten files would
+    * otherwise accumulate forever in a long-lived session): full-clear on
+    * overflow — the cache refills in one footer pass and a rare clear
+    * beats per-entry LRU bookkeeping on every hit. */
+  private[graft] val GroupCacheMax = 65536
+  private[graft] val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]() {
+      override def computeIfAbsent(
+          key: String,
+          f: java.util.function.Function[_ >: String, _ <: java.lang.Integer]): java.lang.Integer = {
+        if (size() >= GroupCacheMax && !containsKey(key)) {
+          System.err.println(
+            s"graft: widen footer cache exceeded $GroupCacheMax entries; clearing")
+          clear()
+        }
+        super.computeIfAbsent(key, f)
+      }
+    }
 
   /** `events.ts` arrives in either of two physical forms depending on the
     * testdata generation: TIMESTAMP(NANOS) (which Spark's vectorized

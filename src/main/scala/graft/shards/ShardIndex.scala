@@ -3,7 +3,6 @@ package graft.shards
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 import java.util.zip.CRC32
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -27,24 +26,32 @@ import graft.sources.TarMemberTable
   *   - probing is executor-side: `spark.read.format("tarmembers")
   *     .option("index", indexDir)` makes each scan task consult its own
   *     shard's sidecar — no driver-side index state, no shuffle;
-  *   - staleness mirrors `ErrShardIdxStale` (`shard.go:88-90`): the
-  *     sidecar records the source file's length + mtime at build time and
-  *     the reader falls back to the streaming scan on any mismatch (or a
-  *     missing/corrupt sidecar) — never a wrong answer, only a slower one.
+  *   - staleness mirrors `ErrShardIdxStale` (`shard.go:88-90`,
+  *     `shard.go:343-347` IsStale): the sidecar records the source file's
+  *     length + mtime + a content PROBE (CRC-32 of the shard's first and
+  *     last 4 KiB — the cheap stand-in for the reference's source
+  *     checksum comparison) and the reader falls back to the streaming
+  *     scan on any mismatch (or a missing/corrupt sidecar). Metadata-only
+  *     reads check length+mtime without opening the shard (the zero-
+  *     shard-bytes path) — a same-length rewrite landing inside the
+  *     filesystem's mtime granularity is invisible to THAT path; payload
+  *     reads, which open the shard anyway, additionally verify the
+  *     content probe before trusting any recorded offset.
   *
   * Only plain `.tar` shards are indexed: compressed members have no
   * seekable offset, matching the reference's TAR-only fast-path
   * restriction (`xact/api_table.go:132-143`).
   *
-  * Sidecar format (ours, little JVM-endian-free big-endian primitives +
-  * unsigned LEB128 varints; the reference's wire format is not reused):
+  * Sidecar format (ours, big-endian primitives + unsigned LEB128
+  * varints; the reference's wire format is not reused):
   * {{{
-  *   magic   "GIDX" + version byte (1)
-  *   srcSize int64   — shard file length at build time
+  *   magic    "GIDX" + version byte (2)
+  *   srcSize  int64  — shard file length at build time
   *   srcMtime int64  — shard file modificationTime at build time
-  *   count   int32   — number of entries
-  *   crc32   int64   — CRC-32 of the entries section (corruption guard)
-  *   entries count × (varint nameLen, UTF-8 name, varint offset, varint size)
+  *   srcProbe int64  — CRC-32 of the shard's first+last 4 KiB at build time
+  *   count    int32  — number of entries
+  *   crc32    int64  — CRC-32 of the entries section (corruption guard)
+  *   entries  count × (varint nameLen, UTF-8 name, varint offset, varint size)
   * }}}
   * `offset` is the member's DATA offset (first payload byte), which is
   * robust across PAX/GNU long-name headers spanning multiple 512-byte
@@ -54,9 +61,11 @@ object ShardIndex extends Logging {
 
   val Ext = ".gidx"
   private val Magic = Array[Byte]('G', 'I', 'D', 'X')
-  private val Version: Byte = 1
+  private val Version: Byte = 2
   /** Bound sidecar memory like the reference (`shard.go` shardIdxMaxEntries). */
   val MaxEntries: Int = 1 << 20
+  /** Bytes of shard head and tail covered by the content probe CRC. */
+  val ProbeBytes: Int = 4096
 
   final case class IdxEntry(name: String, offset: Long, size: Long)
 
@@ -73,7 +82,12 @@ object ShardIndex extends Logging {
     * exists to avoid). */
   def build(spark: SparkSession, shardsDir: String, indexDir: String): DataFrame = {
     import spark.implicits._
-    val files = TarMemberTable.listShardFiles(Seq(shardsDir)).map(_._1)
+    val hconf = TarMemberTable.driverHadoopConf()
+    val files = TarMemberTable.listShardFiles(Seq(shardsDir), hconf).map(_._1)
+    // executor tasks must see the DRIVER's hadoop conf (object-store
+    // creds, endpoints) — a bare `new Configuration()` on the executor
+    // drops everything set via spark.hadoop.*
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
     // EAGER by contract — "build the index" is an imperative side effect,
     // not a lazy plan. The summary (one small row per shard) collects to
     // the driver, same order of driver state as listShardFiles itself.
@@ -84,7 +98,7 @@ object ShardIndex extends Logging {
         val shardName = path.getName
         if (!shardName.toLowerCase.endsWith(".tar")) (shardName, -1L, false)
         else {
-          val fs = path.getFileSystem(new Configuration())
+          val fs = path.getFileSystem(serConf.value)
           val n = buildOne(fs, path, indexDir)
           (shardName, n, true)
         }
@@ -93,29 +107,58 @@ object ShardIndex extends Logging {
     spark.createDataset(summary).toDF("shard", "members", "indexed")
   }
 
+  /** CRC-32 over the shard's first and last [[ProbeBytes]] — the cheap
+    * content check (two small ranged reads) that catches a same-length
+    * rewrite inside the mtime granularity window. */
+  def probeCrc(fs: FileSystem, shard: Path, len: Long): Long = {
+    val crc = new CRC32()
+    val head = math.min(ProbeBytes.toLong, len).toInt
+    if (head > 0) {
+      val in = fs.open(shard)
+      try {
+        val h = new Array[Byte](head)
+        in.readFully(0L, h)
+        crc.update(h)
+        if (len > head) {
+          val tail = math.min(ProbeBytes.toLong, len - head).toInt
+          val t = new Array[Byte](tail)
+          in.readFully(len - tail, t)
+          crc.update(t)
+        }
+      } finally in.close()
+    }
+    crc.getValue
+  }
+
   /** Build (or freshness-skip) one shard's sidecar; returns member count. */
   def buildOne(fs: FileSystem, shard: Path, indexDir: String): Long = {
     val st = fs.getFileStatus(shard)
     val out = sidecarPath(indexDir, shard.getName)
+    val probe = probeCrc(fs, shard, st.getLen)
     loadHeader(fs, out) match {
-      case Some((srcSize, srcMtime, count))
-          if srcSize == st.getLen && srcMtime == st.getModificationTime =>
+      case Some((srcSize, srcMtime, srcProbe, count))
+          if srcSize == st.getLen && srcMtime == st.getModificationTime &&
+            srcProbe == probe =>
         return count // fresh — skip rebuild (shard_idx.go cntSkipHasIdx)
       case _ => ()
     }
     val in = fs.open(shard)
+    // enforce the cap WHILE scanning (the reference aborts in-loop,
+    // shard.go:127-129): a pathological shard fails right past the cap
+    // instead of first materializing an unbounded entry array
     val entries =
       try Archives.iterate(shard.getName, in, readPayloads = false)
-        .map(e => IdxEntry(e.name, e.offset, e.size)).toArray
+        .map(e => IdxEntry(e.name, e.offset, e.size))
+        .take(MaxEntries + 1).toArray
       finally in.close()
     require(entries.length <= MaxEntries,
-      s"shard index: ${shard.getName} has ${entries.length} members (max $MaxEntries)")
-    write(fs, out, st.getLen, st.getModificationTime, entries)
+      s"shard index: ${shard.getName} exceeds $MaxEntries members")
+    write(fs, out, st.getLen, st.getModificationTime, probe, entries)
     entries.length.toLong
   }
 
   def write(fs: FileSystem, out: Path, srcSize: Long, srcMtime: Long,
-            entries: Array[IdxEntry]): Unit = {
+            srcProbe: Long, entries: Array[IdxEntry]): Unit = {
     val body = new ByteArrayOutputStream(entries.length * 48 + 64)
     entries.foreach { e =>
       val name = e.name.getBytes(StandardCharsets.UTF_8)
@@ -127,41 +170,54 @@ object ShardIndex extends Logging {
     val bodyBytes = body.toByteArray
     val crc = new CRC32(); crc.update(bodyBytes)
     fs.mkdirs(out.getParent)
-    val tmp = new Path(out.getParent, out.getName + ".tmp")
-    val os = new java.io.DataOutputStream(fs.create(tmp, true))
+    // attempt-unique tmp name: a speculative/retried task racing a
+    // straggler on one shared tmp path could interleave writes and
+    // commit a corrupt sidecar (CRC fallback keeps answers right but
+    // silently loses the fast path) — each attempt writes its own file
+    // and the rename is the atomic commit
+    val tmp = new Path(out.getParent,
+      out.getName + ".tmp." + java.util.UUID.randomUUID().toString.substring(0, 8))
     try {
-      os.write(Magic); os.writeByte(Version.toInt)
-      os.writeLong(srcSize); os.writeLong(srcMtime)
-      os.writeInt(entries.length)
-      os.writeLong(crc.getValue)
-      os.write(bodyBytes)
-    } finally os.close()
-    fs.delete(out, false)
-    if (!fs.rename(tmp, out))
-      throw new java.io.IOException(s"shard index: rename $tmp -> $out failed")
+      val os = new java.io.DataOutputStream(fs.create(tmp, true))
+      try {
+        os.write(Magic); os.writeByte(Version.toInt)
+        os.writeLong(srcSize); os.writeLong(srcMtime); os.writeLong(srcProbe)
+        os.writeInt(entries.length)
+        os.writeLong(crc.getValue)
+        os.write(bodyBytes)
+      } finally os.close()
+      fs.delete(out, false)
+      if (!fs.rename(tmp, out))
+        throw new java.io.IOException(s"shard index: rename $tmp -> $out failed")
+    } finally fs.delete(tmp, false) // no-op after a successful rename
   }
 
   // ---------------------------------------------------------------- probe
 
   /** Header peek without parsing entries (freshness skip at build). */
-  private def loadHeader(fs: FileSystem, p: Path): Option[(Long, Long, Long)] =
+  private def loadHeader(fs: FileSystem, p: Path): Option[(Long, Long, Long, Long)] =
     try {
       if (!fs.exists(p)) return None
       val in = new java.io.DataInputStream(fs.open(p))
       try {
         val m = new Array[Byte](5); in.readFully(m)
         if (!m.take(4).sameElements(Magic) || m(4) != Version) return None
-        Some((in.readLong(), in.readLong(), in.readInt().toLong))
+        Some((in.readLong(), in.readLong(), in.readLong(), in.readInt().toLong))
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Load a shard's sidecar iff it is present, uncorrupted, and was built
     * from exactly this version of the shard (`expectSize`/`expectMtime`
-    * from a fresh FileStatus — the `ErrShardIdxStale` contract). Any
-    * failure is a logged None: the caller falls back to the streaming
-    * scan, so a stale index can never produce a wrong answer. */
-  def load(fs: FileSystem, indexDir: String, shardName: String,
-           expectSize: Long, expectMtime: Long): Option[Array[IdxEntry]] =
+    * from a fresh FileStatus — the `ErrShardIdxStale` contract). With
+    * `verifyContent` the shard's first/last-4KiB probe CRC is re-read and
+    * compared too (two small ranged reads — callers that will read
+    * payload bytes open the shard anyway), closing the same-size rewrite
+    * window inside the mtime granularity. Any failure is a logged None:
+    * the caller falls back to the streaming scan. */
+  def load(fs: FileSystem, indexDir: String, shard: Path,
+           expectSize: Long, expectMtime: Long,
+           verifyContent: Boolean = false): Option[Array[IdxEntry]] = {
+    val shardName = shard.getName
     try {
       val p = sidecarPath(indexDir, shardName)
       if (!fs.exists(p)) return None
@@ -169,13 +225,18 @@ object ShardIndex extends Logging {
         val in = fs.open(p)
         try in.readAllBytes() finally in.close()
       }
-      if (bytes.length < 33) return None
+      if (bytes.length < 41) return None
       if (!bytes.take(4).sameElements(Magic) || bytes(4) != Version) return None
       val bb = java.nio.ByteBuffer.wrap(bytes, 5, bytes.length - 5)
-      val srcSize = bb.getLong; val srcMtime = bb.getLong
+      val srcSize = bb.getLong; val srcMtime = bb.getLong; val srcProbe = bb.getLong
       if (srcSize != expectSize || srcMtime != expectMtime) {
         logWarning(s"shard index: $shardName sidecar is stale " +
           s"(src $srcSize/$srcMtime vs now $expectSize/$expectMtime); streaming fallback")
+        return None
+      }
+      if (verifyContent && probeCrc(fs, shard, expectSize) != srcProbe) {
+        logWarning(s"shard index: $shardName content probe mismatch " +
+          "(same-size rewrite?); streaming fallback")
         return None
       }
       val count = bb.getInt; val crcWant = bb.getLong
@@ -201,6 +262,7 @@ object ShardIndex extends Logging {
           s"(${e.getClass.getSimpleName}: ${e.getMessage}); streaming fallback")
         None
     }
+  }
 
   // ------------------------------------------------------------- varints
 

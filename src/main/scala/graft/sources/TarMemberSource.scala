@@ -59,9 +59,18 @@ object TarMemberTable {
     StructField("size", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true)))
 
+  /** The active session's Hadoop configuration (driver side) — carries
+    * object-store credentials/endpoints (e.g. S3A) that a bare
+    * `new Configuration()` would drop; plain default conf when no session
+    * is active (tests driving the reader directly). */
+  def driverHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** Expand the `path`/`paths` option into the shard file list. */
-  def listShardFiles(paths: Seq[String]): Seq[(String, Long)] = {
-    val conf = new Configuration()
+  def listShardFiles(paths: Seq[String],
+                     conf: Configuration = driverHadoopConf()): Seq[(String, Long)] = {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -227,15 +236,21 @@ class TarScan(paths: Seq[String], required: StructType,
       .map(f => TarFilePartition(f._1, indexDir)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TarReaderFactory(required, pushed)
+    // ship the DRIVER's hadoop conf to executor-side readers (object-store
+    // creds/endpoints); the factory is created on the driver where the
+    // session is active
+    new TarReaderFactory(required, pushed,
+      new org.apache.spark.util.SerializableConfiguration(
+        TarMemberTable.driverHadoopConf()))
 }
 
 class TarReaderFactory(required: StructType,
-                       pushed: Array[org.apache.spark.sql.sources.Filter])
+                       pushed: Array[org.apache.spark.sql.sources.Filter],
+                       conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TarFilePartition]
-    new TarPartitionReader(p.file, required, pushed, p.indexDir)
+    new TarPartitionReader(p.file, required, pushed, p.indexDir, conf.value)
   }
 }
 
@@ -254,12 +269,13 @@ class TarReaderFactory(required: StructType,
   * back to the streaming scan for that shard only. */
 class TarPartitionReader(file: String, required: StructType,
                          pushed: Array[org.apache.spark.sql.sources.Filter],
-                         indexDir: Option[String] = None)
+                         indexDir: Option[String] = None,
+                         conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
   private val needPayload = required.fieldNames.contains("payload")
   private val path = new Path(file)
-  private val fs = path.getFileSystem(new Configuration())
+  private val fs = path.getFileSystem(conf)
   private val shardName = path.getName
   private var in: org.apache.hadoop.fs.FSDataInputStream = _ // lazy: pure-index reads never open
   private def stream(): org.apache.hadoop.fs.FSDataInputStream = {
@@ -270,7 +286,12 @@ class TarPartitionReader(file: String, required: StructType,
   private val entries: Iterator[Archives.Entry] = {
     val indexed = indexDir.flatMap { dir =>
       val st = fs.getFileStatus(path)
-      graft.shards.ShardIndex.load(fs, dir, shardName, st.getLen, st.getModificationTime)
+      // payload readers open the shard anyway — verify the sidecar's
+      // content probe (first/last 4 KiB CRC) before trusting recorded
+      // offsets; metadata-only reads keep the zero-shard-bytes path
+      // (staleness there is length+mtime only, see ShardIndex doc)
+      graft.shards.ShardIndex.load(fs, dir, path, st.getLen,
+        st.getModificationTime, verifyContent = needPayload)
     }
     indexed match {
       case Some(idx) =>

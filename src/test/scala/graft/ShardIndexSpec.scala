@@ -118,17 +118,39 @@ class ShardIndexSpec extends SparkSpec {
     val (d, idx) = mkCorpus()
     ShardIndex.build(spark, d.getAbsolutePath, idx.getAbsolutePath)
     val f = new File(d, "s1.tar")
-    val orig = Files.readAllBytes(f.toPath)
-    val mtime = f.lastModified()
-    // garbage content at identical size+mtime: a REbuild would fail or
-    // index junk; a fresh-skip returns the original count untouched
-    Files.write(f.toPath, Array.fill[Byte](orig.length)(0))
-    assert(f.setLastModified(mtime))
     val scBefore = Files.readAllBytes(new File(idx, "s1.tar" + ShardIndex.Ext).toPath)
     val n = ShardIndex.buildOne(fs, new Path(f.getAbsolutePath), idx.getAbsolutePath)
     assert(n == samples.size.toLong)
     val scAfter = Files.readAllBytes(new File(idx, "s1.tar" + ShardIndex.Ext).toPath)
-    assert(scBefore.sameElements(scAfter))
+    assert(scBefore.sameElements(scAfter)) // byte-identical: skipped, not rewritten
+  }
+
+  test("content probe catches a same-size same-mtime rewrite (shard.go IsStale)") {
+    val (d, idx) = mkCorpus()
+    ShardIndex.build(spark, d.getAbsolutePath, idx.getAbsolutePath)
+    val f = new File(d, "s1.tar")
+    val orig = Files.readAllBytes(f.toPath)
+    val mtime = f.lastModified()
+    // rewrite CONTENT at identical size+mtime — a valid tar with shuffled
+    // member order, so length stays equal but bytes differ
+    writeTar(f, samples.reverse)
+    assert(f.length() == orig.length)
+    assert(f.setLastModified(mtime))
+    // build-side: the probe CRC mismatch forces a REBUILD (not a skip)
+    val n = ShardIndex.buildOne(fs, new Path(f.getAbsolutePath), idx.getAbsolutePath)
+    assert(n == samples.size.toLong)
+    // read-side: payload loads with verifyContent against the OLD probe
+    // must refuse the stale sidecar
+    ShardIndex.write(fs, ShardIndex.sidecarPath(idx.getAbsolutePath, "s1.tar"),
+      f.length(), mtime, srcProbe = 0xdeadbeefL,
+      Array(ShardIndex.IdxEntry("bogus", 512L, 1L)))
+    val st = fs.getFileStatus(new Path(f.getAbsolutePath))
+    assert(ShardIndex.load(fs, idx.getAbsolutePath, new Path(f.getAbsolutePath),
+      st.getLen, st.getModificationTime, verifyContent = true).isEmpty)
+    // ...while a metadata-only load (no content verify) still trusts
+    // size+mtime — the documented zero-shard-bytes trade-off
+    assert(ShardIndex.load(fs, idx.getAbsolutePath, new Path(f.getAbsolutePath),
+      st.getLen, st.getModificationTime).nonEmpty)
     Files.write(f.toPath, orig)
   }
 
@@ -154,11 +176,12 @@ class ShardIndexSpec extends SparkSpec {
       ShardIndex.IdxEntry("dir/ünïcode-名前.bin", 123456789L, 987654321L),
       ShardIndex.IdxEntry("big", Long.MaxValue / 2, Long.MaxValue / 3))
     val p = ShardIndex.sidecarPath(idx.getAbsolutePath, "x.tar")
-    ShardIndex.write(fs, p, 42L, 7L, entries)
-    val got = ShardIndex.load(fs, idx.getAbsolutePath, "x.tar", 42L, 7L)
+    val shard = new Path(idx.getAbsolutePath, "x.tar")
+    ShardIndex.write(fs, p, 42L, 7L, 99L, entries)
+    val got = ShardIndex.load(fs, idx.getAbsolutePath, shard, 42L, 7L)
     assert(got.exists(_.sameElements(entries)))
     // wrong expected size/mtime => stale => None
-    assert(ShardIndex.load(fs, idx.getAbsolutePath, "x.tar", 43L, 7L).isEmpty)
-    assert(ShardIndex.load(fs, idx.getAbsolutePath, "x.tar", 42L, 8L).isEmpty)
+    assert(ShardIndex.load(fs, idx.getAbsolutePath, shard, 43L, 7L).isEmpty)
+    assert(ShardIndex.load(fs, idx.getAbsolutePath, shard, 42L, 8L).isEmpty)
   }
 }

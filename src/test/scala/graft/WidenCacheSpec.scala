@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Tables]] widen footer-probe cache: keyed by (path, length, mtime) so
+  * regenerated files take fresh keys — bounded, clearing at the cap
+  * instead of growing forever in a long-lived session over rewritten
+  * testdata. */
+class WidenCacheSpec extends AnyFunSuite {
+
+  test("footer cache clears at the bound instead of growing without limit") {
+    Tables.groupCache.clear()
+    try {
+      (0 until Tables.GroupCacheMax).foreach { i =>
+        Tables.groupCache.computeIfAbsent(s"/data/f$i.parquet:100:$i", _ => 4)
+      }
+      assert(Tables.groupCache.size() == Tables.GroupCacheMax)
+      // a HIT at the bound must not clear (steady-state reuse is free)
+      assert(Tables.groupCache.computeIfAbsent(
+        "/data/f0.parquet:100:0", _ => 99) == 4)
+      assert(Tables.groupCache.size() == Tables.GroupCacheMax)
+      // a MISS at the bound (e.g. the file was regenerated -> new mtime
+      // key) clears and refills rather than growing past the cap
+      assert(Tables.groupCache.computeIfAbsent(
+        "/data/f0.parquet:100:regen", _ => 7) == 7)
+      assert(Tables.groupCache.size() == 1)
+      assert(Tables.groupCache.get("/data/f0.parquet:100:regen") == 7)
+    } finally Tables.groupCache.clear()
+  }
+}
