@@ -54,6 +54,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
+    // SPARK_GRAFT_HARNESS=legacy reproduces the pre-round-8 charging
+    // (non-blocking unpersist OUTSIDE the timer, no inter-query GC) for
+    // same-code old-vs-new reconciliation runs ONLY — the committed
+    // record regime is the default (blocking, in-timer, GC'd); see
+    // PERF.md "Bench harness reconciliation".
+    val legacy = sys.env.get("SPARK_GRAFT_HARNESS").contains("legacy")
     // two timed passes, min per query: steady-state time, not
     // first-touch noise (page cache, codegen of this exact plan)
     def pass(): Map[String, Double] = selected.map { case (name, fn) =>
@@ -80,14 +86,17 @@ object Bench {
       // 7-9x their isolated times — arch_point_read 71 s in-run vs 9.9 s
       // alone); blocking keeps the charge on the maker and off the
       // neighbors.
-      if (sys.env.get("SPARK_GRAFT_NO_UNPERSIST").isEmpty) spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      if (!legacy && sys.env.get("SPARK_GRAFT_NO_UNPERSIST").isEmpty)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val sec = (System.nanoTime() - t0) / 1e9
+      if (legacy && sys.env.get("SPARK_GRAFT_NO_UNPERSIST").isEmpty)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // UNtimed inter-query GC (JMH-style iteration hygiene): a heavy
       // query's dead shuffle/broadcast state is otherwise collected by
       // the ContextCleaner at some arbitrary point inside a NEIGHBOR's
       // timer — the same sf10 bleed. Not charged to either side: it is
       // collection of garbage, not query work.
-      System.gc()
+      if (!legacy) System.gc()
       name -> (if (ok) sec else -1.0)
     }
     val p1 = pass(); val p2 = pass()
@@ -142,12 +151,12 @@ object Bench {
     // Guard the committed record: a SPARK_GRAFT_ONLY subset run must not
     // replace the full-surface record with a handful of entries (round 4
     // committed a clobbered 6-entry record this way).
-    if (only.isEmpty) {
+    if (only.isEmpty && !legacy) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     } else System.err.println(
-      s"[bench] subset run (${results.size} queries): BENCH_LOCAL.json left untouched")
+      s"[bench] ${if (legacy) "legacy-harness" else s"subset (${results.size} queries)"} run: BENCH_LOCAL.json left untouched")
     val slowest = recorded.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val json =
