@@ -93,13 +93,22 @@ object Retrieval {
     * documents that make the hardest contrastive negatives (the standard
     * DPR/sentence-transformers recipe, with BM25 as the miner).
     *
-    * Same scale shape as [[bm25TopK]] with the query set now a
-    * DataFrame: query terms are the slice's DISTINCT (query, token)
-    * pairs; the slice's union vocabulary (language-bounded) broadcasts
-    * as the posting filter; scoring aggregates (query, doc) pairs that
-    * share at least one term and the per-query window ranks them —
-    * never a global sort. Self-pairs are dropped BEFORE ranking so rank
-    * 1 is the best true negative. */
+    * Scale shape (round-9 rework — the sf1→sf10 sweep measured the
+    * token-level candidate join at 21×/decade): all corpus-proportional
+    * shuffles stay at the POSTINGS level (corpus tokens ∩ query vocab —
+    * one row per (doc, matched tok)); per-doc token→BM25-weight maps are
+    * built from that, and the batch-sized query side (|slice| rows, each
+    * a sorted token array) broadcasts against them, so the (query, doc)
+    * candidate score is ONE deterministic array-sum per pair instead of
+    * |q∩d| joined-then-aggregated rows per pair — on a dense shared
+    * vocabulary that is a |vocab|-fold cut of the intermediate row count.
+    * Ranking is a two-stage exact top-k: a partition-local rank under
+    * the same total order (score desc, doc_id) prunes each partition to
+    * ≤k rows per query before the global per-query rank — any row in the
+    * global top-k is necessarily in its partition's top-k, so the result
+    * is identical to the single-window form while never sort-shuffling
+    * the full candidate set into |slice| skewed groups. Self-pairs are
+    * dropped BEFORE ranking so rank 1 is the best true negative. */
   def hardNegatives(docs: DataFrame, queryPred: Column, k: Int,
                     k1: Double = 1.2, b: Double = 0.75,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -128,16 +137,37 @@ object Retrieval {
     val tfNorm: Column = (col("tf") * (k1 + 1)) /
       (col("tf") + (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))))
 
-    postings
+    // one row per doc: tok → idf·tfNorm for the query-vocab tokens it
+    // contains (the only tokens any pair score can touch)
+    val docVecs = postings
       .join(broadcast(dfreq), Seq("tok"))
       .join(broadcast(stats))
-      .join(broadcast(qterms), Seq("tok"))
+      .select(col("doc_id"), col("tok"), (idf * tfNorm).as("w"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("w")))).as("_wmap"))
+
+    // batch-sized query frame: sorted token arrays → the per-pair sum
+    // visits tokens in one canonical order regardless of partitioning
+    val queries = qterms.groupBy("query_id")
+      .agg(sort_array(collect_list(col("tok"))).as("_qtoks"))
+
+    val scored = docVecs
+      .join(broadcast(queries)) // |docs| × |slice| — slice is batch-sized by contract
       .where(col("doc_id") =!= col("query_id")) // negatives only
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum(idf * tfNorm), 4).as("score"))
+      .select(col("query_id"), col("doc_id"),
+        round(aggregate(col("_qtoks"), lit(0.0d),
+          (acc, t) => acc + coalesce(element_at(col("_wmap"), t), lit(0.0d))),
+          4).as("score"))
+
+    val order = Seq(col("score").desc, col("doc_id").asc)
+    val pruned = scored
+      .withColumn("_p", spark_partition_id() % 64)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("query_id", "_p").orderBy(order: _*)))
+      .where(col("_r") <= k)
+    pruned
       .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        Window.partitionBy("query_id").orderBy(order: _*)).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "doc_id", "rank", "score")
   }
