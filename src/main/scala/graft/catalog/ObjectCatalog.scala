@@ -44,7 +44,8 @@ object ObjectCatalog {
   def fromDirectory(spark: SparkSession, root: String, bucket: String,
                     provider: String = "ais"): DataFrame = {
     val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(new Configuration())
+    // driver-side walk: use the session's hadoop conf (object-store creds)
+    val fs = rootPath.getFileSystem(graft.sources.TarMemberTable.driverHadoopConf())
     val rootUri = fs.getFileStatus(rootPath).getPath.toUri
     def walk(st: FileStatus): Seq[FileStatus] =
       if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk) else Seq(st)
@@ -64,7 +65,7 @@ object ObjectCatalog {
     * distributed `binaryFile` source; returns catalog columns + payload. */
   def promote(spark: SparkSession, root: String, bucket: String,
               provider: String = "ais"): DataFrame = {
-    val normalized = new Path(root).getFileSystem(new Configuration())
+    val normalized = new Path(root).getFileSystem(graft.sources.TarMemberTable.driverHadoopConf())
       .getFileStatus(new Path(root)).getPath.toString
     spark.read.format("binaryFile").load(normalized + "/*")
       .select(

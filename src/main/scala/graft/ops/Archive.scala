@@ -20,7 +20,9 @@ object Archive {
              appendIfExists: Boolean = false,
              baseNameOnly: Boolean = false): Long = {
     val path = new Path(outPath)
-    val fs = path.getFileSystem(new Configuration())
+    // driver-side: use the active session's hadoop conf (object-store
+    // creds/endpoints), not a bare default Configuration
+    val fs = path.getFileSystem(graft.sources.TarMemberTable.driverHadoopConf())
 
     val existing: Seq[(String, Array[Byte])] =
       if (appendIfExists && fs.exists(path)) {

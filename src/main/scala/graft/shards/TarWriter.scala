@@ -65,8 +65,12 @@ object TarWriter {
       // projection after the sort: preserves within-partition order (no
       // exchange), drops the order-only columns
       .select(col("shard_name"), col("member"), col("payload"))
+    // executor tasks need the DRIVER's hadoop conf (object-store creds/
+    // endpoints) — same fix as ShardIndex.build
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      graft.sources.TarMemberTable.driverHadoopConf())
     plan.foreachPartition { (rows: Iterator[Row]) =>
-      val conf = new Configuration()
+      val conf = serConf.value
       var curShard: String = null
       var tar: TarArchiveOutputStream = null
       var raw: OutputStream = null
