@@ -137,14 +137,15 @@ object Retrieval {
     val tfNorm: Column = (col("tf") * (k1 + 1)) /
       (col("tf") + (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))))
 
-    // one row per doc: tok → idf·tfNorm for the query-vocab tokens it
-    // contains (the only tokens any pair score can touch)
+    // one row per doc: SORTED (tok, idf·tfNorm) entries for the
+    // query-vocab tokens it contains (the only tokens any pair score can
+    // touch); sorted so the pair kernel is a two-pointer merge
     val docVecs = postings
       .join(broadcast(dfreq), Seq("tok"))
       .join(broadcast(stats))
       .select(col("doc_id"), col("tok"), (idf * tfNorm).as("w"))
       .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("tok"), col("w")))).as("_wmap"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("_wents"))
 
     // batch-sized query frame: sorted token arrays → the per-pair sum
     // visits tokens in one canonical order regardless of partitioning
@@ -155,9 +156,10 @@ object Retrieval {
       .join(broadcast(queries)) // |docs| × |slice| — slice is batch-sized by contract
       .where(col("doc_id") =!= col("query_id")) // negatives only
       .select(col("query_id"), col("doc_id"),
-        round(aggregate(col("_qtoks"), lit(0.0d),
-          (acc, t) => acc + coalesce(element_at(col("_wmap"), t), lit(0.0d))),
-          4).as("score"))
+        // native codegen merge kernel — a HOF fold here runs interpreted
+        // per element (12.4B lambda steps at sf10); see SortedMaskedSum
+        round(graft.functions.VectorFunctions.sortedMaskedSum(
+          col("_wents"), col("_qtoks")), 4).as("score"))
 
     val order = Seq(col("score").desc, col("doc_id").asc)
     val pruned = scored

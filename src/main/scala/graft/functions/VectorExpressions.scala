@@ -434,11 +434,92 @@ case class AdcSum(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Sparse masked sum via two-pointer merge: Σ w over entries whose key
+  * appears in `keys`, both sides SORTED ascending (binary UTF-8 order —
+  * exactly `sort_array`'s ordering on `array<string>` and on
+  * `array<struct<string,double>>` with unique first fields).
+  *
+  * This is the BM25 pair-scoring kernel of hard-negative mining: the
+  * higher-order `aggregate(keys, 0d, acc + element_at(map, k))`
+  * formulation runs the lambda interpreted per element (every Spark HOF
+  * is CodegenFallback) and probes the map linearly — |pairs| × |q| × |d|
+  * work through interpreted plumbing. The merge is O(|d| + |q|) per pair
+  * inside whole-stage codegen. Sum order is ascending key order — the
+  * identical order the sorted-HOF formulation used, so scores are
+  * bit-identical.
+  */
+case class SortedMaskedSum(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(StructType(Array(k, v)), _) =>
+        k.dataType == StringType && v.dataType == DoubleType
+      case _ => false
+    }
+    val okR = right.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (okL && okR) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_masked_sum expects (array<struct<string,double>>, array<string>), " +
+        s"got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val entries = a.asInstanceOf[ArrayData]
+    val keys = b.asInstanceOf[ArrayData]
+    val n = entries.numElements(); val m = keys.numElements()
+    var acc = 0.0
+    var i = 0; var j = 0
+    while (i < n && j < m) {
+      val e = entries.getStruct(i, 2)
+      val c = e.getUTF8String(0).compareTo(keys.getUTF8String(j))
+      if (c == 0) { acc += e.getDouble(1); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val e = ctx.freshName("e"); val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |double $acc = 0.0;
+         |int $i = 0; int $j = 0;
+         |while ($i < $n && $j < $m) {
+         |  org.apache.spark.sql.catalyst.InternalRow $e = $a.getStruct($i, 2);
+         |  int $c = $e.getUTF8String(0).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $acc += $e.getDouble(1); $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** dot(a, b) over array<float> columns, double accumulation. */
   def floatDot(a: Column, b: Column): Column =
     GraftShim.column(FloatDotProduct(
       GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Σ w over sorted (key, w) entries whose key is in the sorted `keys`
+    * array — the codegen'd BM25 pair-scoring kernel. */
+  def sortedMaskedSum(entries: Column, keys: Column): Column =
+    GraftShim.column(SortedMaskedSum(
+      GraftShim.expression(entries), GraftShim.expression(keys)))
 
   /** PQ codes of `vec` over an embedded (m × ncodes × dsub) codebook. */
   def pqEncode(vec: Column, cw: Array[Array[Array[Float]]],

@@ -138,6 +138,54 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(qz.getDouble(0) == qzDf)
   }
 
+
+  test("SortedMaskedSum == the sorted HOF fold it replaced (random + edges)") {
+    val rnd = new Random(97)
+    val vocab = (0 until 40).map(i => f"tok$i%02d")
+    val cases = (1 to 40).map { _ =>
+      val ents = rnd.shuffle(vocab).take(rnd.nextInt(vocab.size))
+        .map(t => (t, rnd.nextDouble() * 10 - 5)).sortBy(_._1)
+      val keys = rnd.shuffle(vocab).take(rnd.nextInt(vocab.size)).sorted
+      (ents, keys)
+    } ++ Seq(
+      (Seq.empty[(String, Double)], Seq("tok00")),            // empty entries
+      (Seq(("tok00", 1.5)), Seq.empty[String]),               // empty keys
+      (Seq(("tok00", 1.5), ("tok01", -2.0)), Seq("tok05")),   // no overlap
+      (vocab.map(t => (t, 0.25)).sortBy(_._1), vocab.sorted)) // full overlap
+    def ref(ents: Seq[(String, Double)], keys: Seq[String]): Double = {
+      // the HOF formulation's arithmetic: sum over sorted keys of the
+      // entry value when present, adding exact 0.0 otherwise
+      val m = ents.toMap
+      var acc = 0.0
+      keys.foreach(k => acc += m.getOrElse(k, 0.0))
+      acc
+    }
+    val df = cases.toDF("ents", "keys")
+      .select(col("ents"), col("keys"),
+        VectorFunctions.sortedMaskedSum(
+          col("ents").cast("array<struct<k:string,v:double>>"),
+          col("keys")).as("got"))
+    df.collect().zip(cases).foreach { case (row, (ents, keys)) =>
+      assert(row.getDouble(2) == ref(ents, keys),
+        s"ents=$ents keys=$keys")
+    }
+    // interpreted eval agrees with the codegen/DataFrame path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val entsLit = Literal(
+      new GenericArrayData(Array[Any](
+        InternalRow(UTF8String.fromString("a"), 2.5),
+        InternalRow(UTF8String.fromString("c"), -1.0))),
+      ArrayType(StructType(Seq(StructField("k", StringType), StructField("v", DoubleType)))))
+    val keysLit = Literal(
+      new GenericArrayData(Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b"))),
+      ArrayType(StringType))
+    assert(graft.functions.SortedMaskedSum(entsLit, keysLit).eval(null) == 2.5)
+  }
+
   test("array-field expressions compare by CONTENT (semanticEquals/CSE safety)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
