@@ -11,6 +11,9 @@ object Bench {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // keep typed-Aggregator top-k partial combines hash-based past 128
+      // groups (GraftSession.scala rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // RocksDB state store: scale-correct default, measured no-cost locally
       // (GraftSession.scala rationale; PERF.md "Streaming state store")

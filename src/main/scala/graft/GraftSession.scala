@@ -32,6 +32,14 @@ object GraftSession {
       // bytes (AQE advisory), never by a fixed count.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
+      // Typed-Aggregator aggregates (bounded top-k, graft.functions.TopK)
+      // run through ObjectHashAggregate, whose in-memory hash map falls
+      // back to SORT-based aggregation past this many distinct keys
+      // (default 128). The top-k groups are query batches (~200+ keys)
+      // with ≤ k-entry buffers each, so the map stays tiny — raise the
+      // threshold so the map-side PARTIAL combine stays hash-based
+      // instead of sorting the full candidate set per partition.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       // events.ts sometimes arrives as TIMESTAMP(NANOS), which the
       // vectorized reader rejects; read nanos as long and let
       // Tables.normalizeTs convert (lossless — the corpus carries no

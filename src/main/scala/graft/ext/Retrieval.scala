@@ -102,13 +102,27 @@ object Retrieval {
     * candidate score is ONE deterministic array-sum per pair instead of
     * |q∩d| joined-then-aggregated rows per pair — on a dense shared
     * vocabulary that is a |vocab|-fold cut of the intermediate row count.
-    * Ranking is a two-stage exact top-k: a partition-local rank under
-    * the same total order (score desc, doc_id) prunes each partition to
-    * ≤k rows per query before the global per-query rank — any row in the
-    * global top-k is necessarily in its partition's top-k, so the result
-    * is identical to the single-window form while never sort-shuffling
-    * the full candidate set into |slice| skewed groups. Self-pairs are
-    * dropped BEFORE ranking so rank 1 is the best true negative. */
+    *
+    * Two invariants of the pairing (round-10):
+    *   - A pair sharing ZERO query terms never enters ranking. The
+    *     broadcast pairing visits every (doc-in-union-vocab, query)
+    *     combination, but BM25's candidate set is the posting join —
+    *     only docs sharing ≥1 term with THAT query — and a fabricated
+    *     0.0-score row can win a tail rank whenever a query has < k
+    *     term-sharing candidates (ties under 0.0 break by doc_id against
+    *     genuine low-idf rows that legitimately round to 0.0000, so a
+    *     `score > 0` guard would be wrong in the other direction). The
+    *     kernel returns its matched-entry count from the same merge
+    *     pass, and the top-k aggregate drops `matched == 0` rows.
+    *   - Ranking is an exact bounded top-k AGGREGATE
+    *     ([[graft.functions.TopKByScore]]) under the same total order
+    *     (score desc, doc_id), not a window: a window rank shuffles the
+    *     full |docs|×|slice| candidate set; the typed aggregator
+    *     map-side-combines each partition to ≤ k rows per query before
+    *     the exchange, so the shuffle carries ≤ |slice|×k rows per map
+    *     partition — at 100 TB the difference between ~10¹² and ~10⁵
+    *     rows on the wire. Self-pairs are dropped BEFORE ranking so
+    *     rank 1 is the best true negative. */
   def hardNegatives(docs: DataFrame, queryPred: Column, k: Int,
                     k1: Double = 1.2, b: Double = 0.75,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -152,26 +166,33 @@ object Retrieval {
     val queries = qterms.groupBy("query_id")
       .agg(sort_array(collect_list(col("tok"))).as("_qtoks"))
 
-    val scored = docVecs
+    // one kernel evaluation per pair: the struct lands in its own
+    // projection (referenced twice below — CollapseProject refuses to
+    // inline a non-cheap multiply-referenced alias, so the merge runs
+    // exactly once; a `where(matched > 0)` here instead would be pushed
+    // through the projection and re-evaluate the kernel in the filter —
+    // the aggregator's reduce() drops matched==0 rows for free)
+    val paired = docVecs
       .join(broadcast(queries)) // |docs| × |slice| — slice is batch-sized by contract
       .where(col("doc_id") =!= col("query_id")) // negatives only
       .select(col("query_id"), col("doc_id"),
         // native codegen merge kernel — a HOF fold here runs interpreted
         // per element (12.4B lambda steps at sf10); see SortedMaskedSum
-        round(graft.functions.VectorFunctions.sortedMaskedSum(
-          col("_wents"), col("_qtoks")), 4).as("score"))
+        graft.functions.VectorFunctions.sortedMaskedSum(
+          col("_wents"), col("_qtoks")).as("_sm"))
+    val scored = paired.select(col("query_id"), col("doc_id"),
+      round(col("_sm").getField("sum"), 4).as("score"),
+      col("_sm").getField("matched").as("matched"))
 
-    val order = Seq(col("score").desc, col("doc_id").asc)
-    val pruned = scored
-      .withColumn("_p", spark_partition_id() % 64)
-      .withColumn("_r", row_number().over(
-        Window.partitionBy("query_id", "_p").orderBy(order: _*)))
-      .where(col("_r") <= k)
-    pruned
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(order: _*)).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "doc_id", "rank", "score")
+    // exact bounded top-k aggregate: partial ObjectHashAggregate combines
+    // each map partition to ≤ k rows per query BEFORE the exchange
+    val topk = graft.functions.TopK.topKByScore(k)
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("doc_id"), col("matched")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("score"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard

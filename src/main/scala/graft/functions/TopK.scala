@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One ranked candidate: (rounded) relevance score + unique item id.
+  * `matched` carries the pair's shared-term count so zero-overlap pairs
+  * (which the BM25 posting join never produces) are dropped INSIDE the
+  * aggregate — a `Filter` on a derived column would be pushed through
+  * the projection by Catalyst and re-evaluate the scoring kernel. */
+case class ScoredCand(score: Double, doc_id: Long, matched: Int)
+
+/** Exact bounded top-k per group under the total order
+  * (score desc, doc_id asc) — the map-side-combined replacement for a
+  * `row_number().over(Window.partitionBy(group))` rank-and-filter.
+  *
+  * Why not the window: ranking N candidate rows per group through a
+  * window shuffles ALL of them — the exchange volume is the full
+  * candidate set (|docs| × |queries| for hard-negative mining; ~10¹²
+  * rows at 100 TB). A typed `Aggregator` is a `TypedImperativeAggregate`
+  * under `functions.udaf`, so Spark plans a PARTIAL ObjectHashAggregate
+  * on the map side: each partition combines down to ≤ k buffered
+  * entries per group before anything crosses the wire — the exchange
+  * carries ≤ |groups| × k rows per map partition (~10⁵), never the
+  * candidate set.
+  *
+  * Exactness: (score, doc_id) is a total order with a unique tiebreak
+  * (doc_id is unique within a group), so bounded per-partition merges
+  * commute and associate — any row of the global top-k is in every
+  * partial buffer it passes through, and the merged result is
+  * IDENTICAL to the single-window rank. Scores must be pre-rounded by
+  * the caller if ranking is defined over rounded scores (it is, for
+  * oracle reproducibility).
+  *
+  * The buffer is kept rank-sorted (best first) and capped at k; with
+  * k ~ 5–100 a per-row insert is an O(k) vector splice, dwarfed by the
+  * scoring kernel that feeds it. NaN never reaches the comparator
+  * (BM25 sums of finite logs); comparison goes through
+  * `java.lang.Double.compare` anyway, matching Spark's `desc` sort
+  * order bit-for-bit.
+  */
+case class TopKByScore(k: Int) extends Aggregator[ScoredCand, Seq[ScoredCand], Seq[ScoredCand]] {
+  require(k > 0, s"k must be positive: $k")
+
+  /** true when `a` outranks `b` under (score desc, doc_id asc). */
+  private def beats(a: ScoredCand, b: ScoredCand): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.doc_id < b.doc_id)
+  }
+
+  override def zero: Seq[ScoredCand] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredCand], a: ScoredCand): Seq[ScoredCand] =
+    if (a.matched <= 0) buf // zero-overlap pair: never a candidate
+    else if (buf.length >= k && !beats(a, buf.last)) buf // below the cut
+    else {
+      val (pre, post) = buf.span(beats(_, a))
+      ((pre :+ a) ++ post).take(k)
+    }
+
+  override def merge(x: Seq[ScoredCand], y: Seq[ScoredCand]): Seq[ScoredCand] = {
+    val out = Vector.newBuilder[ScoredCand]
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < x.length || j < y.length)) {
+      val takeX = j >= y.length || (i < x.length && beats(x(i), y(j)))
+      if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(buf: Seq[ScoredCand]): Seq[ScoredCand] = buf
+
+  override def bufferEncoder: Encoder[Seq[ScoredCand]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredCand]] = ExpressionEncoder()
+}
+
+object TopK {
+  /** DataFrame-usable bounded top-k: call as
+    * `topKByScore(k)(col("score"), col("doc_id"), col("matched"))` in a
+    * `groupBy(...).agg(...)`; returns `array<struct<score, doc_id,
+    * matched>>` sorted best-first (array position + 1 == rank). */
+  def topKByScore(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(TopKByScore(k), Encoders.product[ScoredCand])
+}

@@ -437,7 +437,13 @@ case class AdcSum(left: Expression, right: Expression) extends BinaryExpression 
 /** Sparse masked sum via two-pointer merge: Σ w over entries whose key
   * appears in `keys`, both sides SORTED ascending (binary UTF-8 order —
   * exactly `sort_array`'s ordering on `array<string>` and on
-  * `array<struct<string,double>>` with unique first fields).
+  * `array<struct<string,double>>` with unique first fields). Returns
+  * `struct<sum: double, matched: int>` — `matched` counts the merged
+  * key hits, so callers can tell a GENUINE 0.0 score (low-idf terms
+  * rounding to zero) from a zero-overlap pair in the same O(|d| + |q|)
+  * pass: a pair sharing no terms must NOT enter BM25 ranking at all
+  * (the posting join the oracle runs never produces it), and a
+  * `sum > 0` guard cannot express that.
   *
   * This is the BM25 pair-scoring kernel of hard-negative mining: the
   * higher-order `aggregate(keys, 0d, acc + element_at(map, k))`
@@ -451,7 +457,9 @@ case class AdcSum(left: Expression, right: Expression) extends BinaryExpression 
 case class SortedMaskedSum(left: Expression, right: Expression) extends BinaryExpression {
   import org.apache.spark.sql.types._
 
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum", DoubleType, nullable = false),
+    StructField("matched", IntegerType, nullable = false)))
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val okL = left.dataType match {
       case ArrayType(StructType(Array(k, v)), _) =>
@@ -472,16 +480,16 @@ case class SortedMaskedSum(left: Expression, right: Expression) extends BinaryEx
     val entries = a.asInstanceOf[ArrayData]
     val keys = b.asInstanceOf[ArrayData]
     val n = entries.numElements(); val m = keys.numElements()
-    var acc = 0.0
+    var acc = 0.0; var hits = 0
     var i = 0; var j = 0
     while (i < n && j < m) {
       val e = entries.getStruct(i, 2)
       val c = e.getUTF8String(0).compareTo(keys.getUTF8String(j))
-      if (c == 0) { acc += e.getDouble(1); i += 1; j += 1 }
+      if (c == 0) { acc += e.getDouble(1); hits += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
     }
-    acc
+    InternalRow(acc, hits)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -489,19 +497,20 @@ case class SortedMaskedSum(left: Expression, right: Expression) extends BinaryEx
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n"); val m = ctx.freshName("m")
       val e = ctx.freshName("e"); val c = ctx.freshName("c")
-      val acc = ctx.freshName("acc")
+      val acc = ctx.freshName("acc"); val hits = ctx.freshName("hits")
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
-         |double $acc = 0.0;
+         |double $acc = 0.0; int $hits = 0;
          |int $i = 0; int $j = 0;
          |while ($i < $n && $j < $m) {
          |  org.apache.spark.sql.catalyst.InternalRow $e = $a.getStruct($i, 2);
          |  int $c = $e.getUTF8String(0).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $acc += $e.getDouble(1); $i++; $j++; }
+         |  if ($c == 0) { $acc += $e.getDouble(1); $hits++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}
-         |${ev.value} = $acc;
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$acc, $hits});
        """.stripMargin
     })
 
@@ -515,8 +524,10 @@ object VectorFunctions {
     GraftShim.column(FloatDotProduct(
       GraftShim.expression(a), GraftShim.expression(b)))
 
-  /** Σ w over sorted (key, w) entries whose key is in the sorted `keys`
-    * array — the codegen'd BM25 pair-scoring kernel. */
+  /** `struct(sum, matched)`: Σ w over sorted (key, w) entries whose key
+    * is in the sorted `keys` array, plus the matched-key count — the
+    * codegen'd BM25 pair-scoring kernel. `matched == 0` identifies
+    * zero-overlap pairs that must not enter ranking. */
   def sortedMaskedSum(entries: Column, keys: Column): Column =
     GraftShim.column(SortedMaskedSum(
       GraftShim.expression(entries), GraftShim.expression(keys)))

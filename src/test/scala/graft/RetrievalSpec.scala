@@ -160,6 +160,39 @@ class RetrievalSpec extends SparkSpec {
     assert(out(0)._2 == 20L, s"exact dup should be the hardest negative: ${out.toSeq}")
   }
 
+  test("hard negatives: zero-overlap pairs never enter ranking (multi-query disjoint vocab)") {
+    // Two queries with disjoint vocabularies: the broadcast pairing
+    // visits every (doc-in-UNION-vocab, query) combination, so a doc
+    // sharing terms with only the OTHER query used to enter ranking as
+    // a fabricated 0.0-score row and win tail ranks whenever a query
+    // had < k genuine candidates. The oracle's posting join never
+    // produces such pairs.
+    val docs = Seq(
+      (1L, "alpha beta"),              // query 1
+      (2L, "gamma delta"),             // query 2
+      (3L, "alpha zeta"),              // shares terms with q1 only
+      (4L, "gamma zeta"),              // shares terms with q2 only
+      (5L, "beta alpha")).toDF("doc_id", "text") // q1 only
+    val out = ext.Retrieval.hardNegatives(docs, col("doc_id") <= 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // q1's candidates are exactly {3, 5}; q2's exactly {4} — docs 2/1
+    // (zero shared terms with the respective query) and doc 4 (vocab of
+    // the OTHER query) must be absent
+    assert(out == Set((1L, 3L), (1L, 5L), (2L, 4L)), out.toString)
+  }
+
+  test("hard negatives: top-k is a partial aggregate, not a window over the candidate set") {
+    val docsTable = Tables.load(spark, TestSpark.sf001, "documents")
+    val plan = ext.Retrieval.hardNegatives(docsTable, col("doc_id") % 97 === 0, k = 5)
+      .queryExecution.executedPlan.toString
+    // the candidate exchange must be preceded by a map-side partial
+    // ObjectHashAggregate (bounded top-k buffers), and no window rank
+    // over the full |docs|×|slice| set may remain
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.toLowerCase.contains("partial_topkbyscore"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("hard negatives: deterministic across partitioning; ranks dense per query") {
     val docs = Tables.load(spark, TestSpark.sf001, "documents")
     def run(parts: Int) =

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{ScoredCand, TopK, TopKByScore}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Bounded top-k aggregator (graft.functions.TopKByScore): exactness vs
+  * a brute-force sort under every partitioning, zero-overlap skipping,
+  * and the map-side partial-combine plan shape. */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(rows: Seq[ScoredCand], k: Int): Seq[(Double, Long)] =
+    rows.filter(_.matched > 0)
+      .sortBy(c => (-c.score, c.doc_id))
+      .take(k).map(c => (c.score, c.doc_id))
+
+  test("reduce/merge == brute-force sort on random inputs (incl. ties, dup scores)") {
+    val rnd = new Random(1031)
+    for (trial <- 1 to 50) {
+      val k = 1 + rnd.nextInt(7)
+      val n = rnd.nextInt(60)
+      // coarse scores force score ties → doc_id tiebreak is exercised
+      val rows = (0 until n).map(i =>
+        ScoredCand(rnd.nextInt(5) / 2.0, i.toLong, rnd.nextInt(3)))
+      val agg = TopKByScore(k)
+      // reduce in shuffled order, split into random partial buffers, merge
+      val shuffled = rnd.shuffle(rows)
+      val parts = if (shuffled.isEmpty) Seq(Seq.empty[ScoredCand])
+        else shuffled.grouped(1 + rnd.nextInt(shuffled.length)).toSeq
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge)
+      val got = agg.finish(merged).map(c => (c.score, c.doc_id))
+      assert(got == brute(rows, k), s"trial=$trial k=$k rows=$rows")
+    }
+  }
+
+  test("merge is commutative and bounded; matched<=0 rows are invisible") {
+    val agg = TopKByScore(3)
+    val a = Seq(ScoredCand(9.0, 1, 1), ScoredCand(5.0, 2, 1))
+    val b = Seq(ScoredCand(9.0, 0, 1), ScoredCand(5.0, 9, 1), ScoredCand(1.0, 3, 1))
+    assert(agg.merge(a, b) == agg.merge(b, a))
+    assert(agg.merge(a, b).length == 3)
+    // equal scores order by doc_id
+    assert(agg.merge(a, b).map(_.doc_id) == Seq(0L, 1L, 2L))
+    // a zero-overlap row never displaces anything, even at max score
+    assert(agg.reduce(a, ScoredCand(99.0, 7, 0)) == a)
+  }
+
+  test("DataFrame udaf: groupBy top-k matches a window rank, plan partial-aggregates") {
+    val rnd = new Random(7)
+    val df = (1 to 400).map(i =>
+      (i % 13, rnd.nextInt(20) / 4.0, i.toLong, 1 + rnd.nextInt(2)))
+      .toDF("g", "score", "doc_id", "matched")
+      .repartition(7)
+    val topk = TopK.topKByScore(4)
+    val agg = df.groupBy("g")
+      .agg(topk(col("score"), col("doc_id"), col("matched")).as("_top"))
+      .select(col("g"), posexplode(col("_top")))
+      .select(col("g"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).as("rank"))
+    val windowed = df.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rank") <= 4)
+      .select("g", "doc_id", "rank")
+    val a = agg.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val w = windowed.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(a == w)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_topkbyscore"), plan.take(2000))
+  }
+}

@@ -152,22 +152,25 @@ class VectorExpressionsSpec extends SparkSpec {
       (Seq(("tok00", 1.5)), Seq.empty[String]),               // empty keys
       (Seq(("tok00", 1.5), ("tok01", -2.0)), Seq("tok05")),   // no overlap
       (vocab.map(t => (t, 0.25)).sortBy(_._1), vocab.sorted)) // full overlap
-    def ref(ents: Seq[(String, Double)], keys: Seq[String]): Double = {
+    def ref(ents: Seq[(String, Double)], keys: Seq[String]): (Double, Int) = {
       // the HOF formulation's arithmetic: sum over sorted keys of the
-      // entry value when present, adding exact 0.0 otherwise
+      // entry value when present, adding exact 0.0 otherwise; matched
+      // counts the present keys (the zero-overlap discriminator)
       val m = ents.toMap
-      var acc = 0.0
-      keys.foreach(k => acc += m.getOrElse(k, 0.0))
-      acc
+      var acc = 0.0; var hits = 0
+      keys.foreach(k => m.get(k).foreach { v => acc += v; hits += 1 })
+      (acc, hits)
     }
     val df = cases.toDF("ents", "keys")
       .select(col("ents"), col("keys"),
         VectorFunctions.sortedMaskedSum(
           col("ents").cast("array<struct<k:string,v:double>>"),
           col("keys")).as("got"))
+      .select(col("ents"), col("keys"),
+        col("got.sum").as("sum"), col("got.matched").as("matched"))
     df.collect().zip(cases).foreach { case (row, (ents, keys)) =>
-      assert(row.getDouble(2) == ref(ents, keys),
-        s"ents=$ents keys=$keys")
+      assert(row.getDouble(2) == ref(ents, keys)._1, s"ents=$ents keys=$keys")
+      assert(row.getInt(3) == ref(ents, keys)._2, s"ents=$ents keys=$keys")
     }
     // interpreted eval agrees with the codegen/DataFrame path
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -183,7 +186,9 @@ class VectorExpressionsSpec extends SparkSpec {
     val keysLit = Literal(
       new GenericArrayData(Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b"))),
       ArrayType(StringType))
-    assert(graft.functions.SortedMaskedSum(entsLit, keysLit).eval(null) == 2.5)
+    val got = graft.functions.SortedMaskedSum(entsLit, keysLit).eval(null)
+      .asInstanceOf[InternalRow]
+    assert(got.getDouble(0) == 2.5 && got.getInt(1) == 1)
   }
 
   test("array-field expressions compare by CONTENT (semanticEquals/CSE safety)") {
