@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The committed-record write gate, factored for spec coverage: ONLY a
+    * full-surface run under the CURRENT harness regime may touch
+    * BENCH_LOCAL.json. Subset runs (SPARK_GRAFT_ONLY) would clobber the
+    * full record with a handful of entries (round 4 did); legacy-harness
+    * runs (SPARK_GRAFT_HARNESS=legacy) time a DIFFERENT charging regime
+    * kept only for re-baseline reconciliation — a legacy min merged into
+    * the record would poison every later comparison. */
+  private[graft] def writesRecord(only: Option[Set[String]],
+                                  harnessEnv: Option[String]): Boolean =
+    only.isEmpty && !harnessEnv.contains("legacy")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -154,7 +165,7 @@ object Bench {
     // Guard the committed record: a SPARK_GRAFT_ONLY subset run must not
     // replace the full-surface record with a handful of entries (round 4
     // committed a clobbered 6-entry record this way).
-    if (only.isEmpty && !legacy) {
+    if (writesRecord(only, sys.env.get("SPARK_GRAFT_HARNESS"))) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }

@@ -94,6 +94,12 @@ object PointReadCheck {
     def fileBytesRead(): Long =
       try org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.get("file").getLong("bytesRead")
       catch { case scala.util.control.NonFatal(_) => 0L }
+    // local[*] masters share the JVM with executors, so the reader's
+    // scan-path counters are directly readable — the NON-timing proof
+    // that the sidecar fast path ran (a probe-rejected sidecar degrades
+    // to streaming with identical md5s; only the counter catches it)
+    val countersVisible = spark.sparkContext.master.startsWith("local[")
+    import graft.sources.TarScanStats
     def probe(memberIdx: Int, indexed: Boolean): (Double, Long, String) = {
       val r0 = spark.read.format("tarmembers")
       val r = if (indexed) r0.option("index", idxDir) else r0
@@ -101,8 +107,15 @@ object PointReadCheck {
         .where(col("member") === f"m$memberIdx%07d.bin")
         .select(md5(col("payload")).as("h"))
       val b0 = fileBytesRead()
+      val (i0, f0) = (TarScanStats.indexedScans.get(), TarScanStats.indexFallbacks.get())
       val (rows, sec) = time(q.collect())
       require(rows.length == 1, s"probe m$memberIdx indexed=$indexed: ${rows.length} rows")
+      if (countersVisible && indexed) {
+        require(TarScanStats.indexedScans.get() > i0,
+          s"probe m$memberIdx: index option set but no indexed scan ran")
+        require(TarScanStats.indexFallbacks.get() == f0,
+          s"probe m$memberIdx: sidecar rejected — fell back to streaming")
+      }
       (sec, fileBytesRead() - b0, rows(0).getString(0))
     }
     probe(0, indexed = true) // warm the JVM + FS cache once, untimed
@@ -134,6 +147,12 @@ object PointReadCheck {
     check(sLast > iLast,
       f"expected streaming last-member probe ($sLast%.3f) slower than indexed ($iLast%.3f)")
     val bytesRatio = results.last._4.toDouble / math.max(1L, results.last._5)
+    // bytes-read ratio is a HARD check (I/O volume, not wall time): the
+    // indexed last-member probe must read a small fraction of what the
+    // streaming full-shard scan reads (measured ~230x; require >= 20x)
+    if (results.last._4 > 0)
+      require(bytesRatio >= 20,
+        f"indexed probe read too many bytes: streaming/indexed=$bytesRatio%.1fx (want >= 20x)")
     println(f"[pointread] indexed flatness first->last: ${iLast / iFirst}%.2fx; " +
       f"I/O ratio streaming/indexed: $bytesRatio%.0fx (streaming re-reads the whole shard per probe)")
     spark.stop()

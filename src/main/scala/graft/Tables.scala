@@ -89,19 +89,32 @@ object Tables {
   /** (path, length, mtime) → row-group count, process-wide: footer reads
     * are pure functions of the file bytes, and the key changes whenever
     * the file does. Bounded (keys of regenerated/rewritten files would
-    * otherwise accumulate forever in a long-lived session): full-clear on
-    * overflow — the cache refills in one footer pass and a rare clear
-    * beats per-entry LRU bookkeeping on every hit. */
+    * otherwise accumulate forever in a long-lived session): on overflow,
+    * ONE thread (synchronized double-check) evicts every other entry —
+    * a full clear would re-read every earlier footer
+    * when a SINGLE listing exceeds the cap (100 TB / 1 GiB files is
+    * ~10⁵ paths, right at the bound), turning the overflow into a
+    * repeating mid-listing cliff; halving keeps the amortized refill at
+    * one extra footer read per evicted entry. Concurrent inserts during
+    * the eviction can transiently overshoot the bound by at most the
+    * thread count — tolerated, it's a cache. */
   private[graft] val GroupCacheMax = 65536
   private[graft] val groupCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]() {
       override def computeIfAbsent(
           key: String,
           f: java.util.function.Function[_ >: String, _ <: java.lang.Integer]): java.lang.Integer = {
-        if (size() >= GroupCacheMax && !containsKey(key)) {
-          System.err.println(
-            s"graft: widen footer cache exceeded $GroupCacheMax entries; clearing")
-          clear()
+        if (size() >= GroupCacheMax && !containsKey(key)) synchronized {
+          if (size() >= GroupCacheMax && !containsKey(key)) {
+            System.err.println(
+              s"graft: widen footer cache exceeded $GroupCacheMax entries; evicting half")
+            // alternate-toggle, NOT key-hash parity: structured keys
+            // (path:len:mtime with the file id appearing twice) can share
+            // one hash parity and degenerate to a full clear
+            val it = keySet().iterator()
+            var drop = false
+            while (it.hasNext) { it.next(); drop = !drop; if (drop) it.remove() }
+          }
         }
         super.computeIfAbsent(key, f)
       }

@@ -212,8 +212,14 @@ object ShardIndex extends Logging {
     * `verifyContent` the shard's first/last-4KiB probe CRC is re-read and
     * compared too (two small ranged reads — callers that will read
     * payload bytes open the shard anyway), closing the same-size rewrite
-    * window inside the mtime granularity. Any failure is a logged None:
-    * the caller falls back to the streaming scan. */
+    * window inside the mtime granularity. Without it, metadata-only
+    * loads trust (length, mtime) alone to keep the zero-shard-bytes
+    * property — deliberately WEAKER than the reference, whose IsStale
+    * compares the recorded source checksum on EVERY sidecar load
+    * (`cmn/archive/shard.go:343-347`); readers that need listing-level
+    * certainty opt in via the `verifyIndexContent` reader option. Any
+    * failure is a logged None: the caller falls back to the streaming
+    * scan. */
   def load(fs: FileSystem, indexDir: String, shard: Path,
            expectSize: Long, expectMtime: Long,
            verifyContent: Boolean = false): Option[Array[IdxEntry]] = {

@@ -109,13 +109,26 @@ class TarMemberTable(properties: Map[String, String]) extends Table with Support
     * stale/missing sidecars fall back to the streaming scan per shard. */
   private val indexDir: Option[String] = properties.get("index")
 
+  /** `.option("verifyIndexContent", "true")` — run the first/last-4KiB
+    * content probe on METADATA-ONLY sidecar loads too. By default those
+    * trust (length, mtime) alone to preserve the zero-shard-bytes
+    * property, which is deliberately WEAKER than the reference: its
+    * IsStale compares the recorded source checksum on EVERY sidecar
+    * load (`cmn/archive/shard.go:343-347`), not just payload reads. Set
+    * this where listing correctness matters more than zero-read (a
+    * same-size rewrite inside the filesystem's mtime granularity could
+    * otherwise serve stale member names/sizes); costs two 4 KiB ranged
+    * reads per shard. */
+  private val verifyIndexContent: Boolean =
+    properties.get("verifyIndexContent").exists(_.equalsIgnoreCase("true"))
+
   override def name(): String = s"tarmembers(${paths.mkString(",")})"
   override def schema(): StructType = TarMemberTable.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TarScanBuilder(paths, indexDir)
+    new TarScanBuilder(paths, indexDir, verifyIndexContent)
 }
 
 /** Predicate pushdown over the NAME-derived columns (`shard`, `member`,
@@ -198,7 +211,8 @@ object TarFilters {
   }
 }
 
-class TarScanBuilder(paths: Seq[String], indexDir: Option[String]) extends ScanBuilder
+class TarScanBuilder(paths: Seq[String], indexDir: Option[String],
+                     verifyIndexContent: Boolean = false) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   import org.apache.spark.sql.sources.Filter
   private var required: StructType = TarMemberTable.fullSchema
@@ -212,15 +226,18 @@ class TarScanBuilder(paths: Seq[String], indexDir: Option[String]) extends ScanB
     unsup
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new TarScan(paths, required, pushed, indexDir)
+  override def build(): Scan = new TarScan(paths, required, pushed, indexDir,
+    verifyIndexContent)
 }
 
-final case class TarFilePartition(file: String, indexDir: Option[String] = None)
+final case class TarFilePartition(file: String, indexDir: Option[String] = None,
+                                  verifyIndexContent: Boolean = false)
     extends InputPartition
 
 class TarScan(paths: Seq[String], required: StructType,
               pushed: Array[org.apache.spark.sql.sources.Filter],
-              indexDir: Option[String] = None)
+              indexDir: Option[String] = None,
+              verifyIndexContent: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -233,7 +250,7 @@ class TarScan(paths: Seq[String], required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     TarMemberTable.listShardFiles(paths)
       .filter(f => TarFilters.keepShard(pushed.toSeq, new Path(f._1).getName))
-      .map(f => TarFilePartition(f._1, indexDir)).toArray
+      .map(f => TarFilePartition(f._1, indexDir, verifyIndexContent)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     // ship the DRIVER's hadoop conf to executor-side readers (object-store
@@ -250,7 +267,8 @@ class TarReaderFactory(required: StructType,
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TarFilePartition]
-    new TarPartitionReader(p.file, required, pushed, p.indexDir, conf.value)
+    new TarPartitionReader(p.file, required, pushed, p.indexDir,
+      conf.value, p.verifyIndexContent)
   }
 }
 
@@ -267,10 +285,31 @@ class TarReaderFactory(required: StructType,
   * shard-index GET fast path (`docs/get_batch.md`,
   * `xact/xs/shard_idx.go:27-53`). A missing/stale/corrupt sidecar falls
   * back to the streaming scan for that shard only. */
+/** Executor-JVM-local scan-path counters (per-process, cumulative):
+  * which of the two TarPartitionReader paths served each scan. Used by
+  * `graft.PointReadCheck` as a NON-timing assertion that the sidecar
+  * fast path actually ran — the content-probe fallback preserves result
+  * equality, so timing/result checks alone cannot detect a lost fast
+  * path. In local[*] masters (every committed record run) the driver
+  * shares the JVM and reads these directly; under local-cluster/real
+  * clusters they remain executor-local diagnostics. */
+object TarScanStats {
+  val indexedScans = new java.util.concurrent.atomic.AtomicLong
+  val streamingScans = new java.util.concurrent.atomic.AtomicLong
+  /** streaming scans that WANTED the index (indexDir set, sidecar
+    * missing/stale/probe-rejected). */
+  val indexFallbacks = new java.util.concurrent.atomic.AtomicLong
+}
+
 class TarPartitionReader(file: String, required: StructType,
                          pushed: Array[org.apache.spark.sql.sources.Filter],
                          indexDir: Option[String] = None,
-                         conf: Configuration = new Configuration())
+                         // no default: a bare `new Configuration()` here
+                         // silently drops the driver's filesystem creds
+                         // (S3A endpoints etc.) — callers pass the
+                         // serialized session conf (see the factory above)
+                         conf: Configuration,
+                         verifyIndexContent: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val needPayload = required.fieldNames.contains("payload")
@@ -291,7 +330,16 @@ class TarPartitionReader(file: String, required: StructType,
       // offsets; metadata-only reads keep the zero-shard-bytes path
       // (staleness there is length+mtime only, see ShardIndex doc)
       graft.shards.ShardIndex.load(fs, dir, path, st.getLen,
-        st.getModificationTime, verifyContent = needPayload)
+        st.getModificationTime,
+        verifyContent = needPayload || verifyIndexContent)
+    }
+    // which path actually served the scan — the content-probe fallback
+    // otherwise degrades silently (md5 equality still holds on the
+    // streaming path, so only a counter can prove the fast path ran)
+    if (indexed.isDefined) TarScanStats.indexedScans.incrementAndGet()
+    else {
+      TarScanStats.streamingScans.incrementAndGet()
+      if (indexDir.isDefined) TarScanStats.indexFallbacks.incrementAndGet()
     }
     indexed match {
       case Some(idx) =>

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Bench committed-record write gate ([[Bench.writesRecord]]): only
+  * full-surface CURRENT-harness runs may touch BENCH_LOCAL.json. Keeps
+  * the SPARK_GRAFT_HARNESS=legacy reconciliation bridge usable for
+  * future re-baselines without letting a legacy min poison the record,
+  * and keeps SPARK_GRAFT_ONLY subset runs from clobbering it (the
+  * round-4 6-entry-record incident). */
+class BenchRecordSpec extends AnyFunSuite {
+
+  test("full-surface current-harness run writes the record") {
+    assert(Bench.writesRecord(None, None))
+    // unrelated harness values behave as current
+    assert(Bench.writesRecord(None, Some("current")))
+  }
+
+  test("legacy-harness run never writes the record") {
+    assert(!Bench.writesRecord(None, Some("legacy")))
+    assert(!Bench.writesRecord(Some(Set("q1")), Some("legacy")))
+  }
+
+  test("subset run never writes the record") {
+    assert(!Bench.writesRecord(Some(Set("q1", "q2")), None))
+    // even an 'empty subset' env (SPARK_GRAFT_ONLY set) stays read-only
+    assert(!Bench.writesRecord(Some(Set.empty), None))
+  }
+}

@@ -154,6 +154,31 @@ class ShardIndexSpec extends SparkSpec {
     Files.write(f.toPath, orig)
   }
 
+  test("verifyIndexContent option: metadata-only scan refuses a same-size same-mtime rewrite") {
+    val (d, idx) = mkCorpus()
+    ShardIndex.build(spark, d.getAbsolutePath, idx.getAbsolutePath)
+    val f = new File(d, "s1.tar")
+    val mtime = f.lastModified()
+    // same-size same-mtime rewrite (reversed member order => offsets move)
+    writeTar(f, samples.reverse)
+    assert(f.setLastModified(mtime))
+    def offsets(opts: Map[String, String]) = {
+      val r = opts.foldLeft(spark.read.format("tarmembers")) {
+        case (rd, (k, v)) => rd.option(k, v)
+      }
+      r.load(f.getAbsolutePath).select("member", "offset").collect()
+        .map(row => row.getString(0) -> row.getLong(1)).toMap
+    }
+    val fresh = offsets(Map.empty) // streaming scan: ground truth
+    // default metadata path trusts size+mtime — serves the STALE offsets
+    // (the documented zero-shard-bytes trade-off, weaker than the
+    // reference's every-load IsStale checksum)
+    assert(offsets(Map("index" -> idx.getAbsolutePath)) != fresh)
+    // opt-in content probe detects the rewrite and streams fresh metadata
+    assert(offsets(Map("index" -> idx.getAbsolutePath,
+      "verifyIndexContent" -> "true")) == fresh)
+  }
+
   test("indexed point read: one task, seek-exact payload, plan shows the index") {
     val (d, idx) = mkCorpus()
     ShardIndex.build(spark, d.getAbsolutePath, idx.getAbsolutePath)

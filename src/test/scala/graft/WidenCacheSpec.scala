@@ -3,28 +3,67 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** [[Tables]] widen footer-probe cache: keyed by (path, length, mtime) so
-  * regenerated files take fresh keys — bounded, clearing at the cap
-  * instead of growing forever in a long-lived session over rewritten
-  * testdata. */
+  * regenerated files take fresh keys — bounded, evicting ~half by
+  * key-hash parity at the cap (synchronized, single evictor) instead of
+  * growing forever in a long-lived session over rewritten testdata. */
 class WidenCacheSpec extends AnyFunSuite {
 
-  test("footer cache clears at the bound instead of growing without limit") {
+  test("footer cache evicts at the bound instead of growing without limit") {
     Tables.groupCache.clear()
     try {
       (0 until Tables.GroupCacheMax).foreach { i =>
         Tables.groupCache.computeIfAbsent(s"/data/f$i.parquet:100:$i", _ => 4)
       }
       assert(Tables.groupCache.size() == Tables.GroupCacheMax)
-      // a HIT at the bound must not clear (steady-state reuse is free)
+      // a HIT at the bound must not evict (steady-state reuse is free)
       assert(Tables.groupCache.computeIfAbsent(
         "/data/f0.parquet:100:0", _ => 99) == 4)
       assert(Tables.groupCache.size() == Tables.GroupCacheMax)
       // a MISS at the bound (e.g. the file was regenerated -> new mtime
-      // key) clears and refills rather than growing past the cap
+      // key) evicts roughly half and inserts rather than growing past
+      // the cap — and does NOT full-clear (a single listing bigger than
+      // the cap must not re-read every earlier footer)
       assert(Tables.groupCache.computeIfAbsent(
         "/data/f0.parquet:100:regen", _ => 7) == 7)
-      assert(Tables.groupCache.size() == 1)
+      val after = Tables.groupCache.size()
+      assert(after < Tables.GroupCacheMax && after > Tables.GroupCacheMax / 4,
+        s"expected ~half evicted, size=$after")
       assert(Tables.groupCache.get("/data/f0.parquet:100:regen") == 7)
+    } finally Tables.groupCache.clear()
+  }
+
+  test("concurrent overflow: bound holds (modulo in-flight inserts), values stay consistent") {
+    Tables.groupCache.clear()
+    try {
+      (0 until Tables.GroupCacheMax).foreach { i =>
+        Tables.groupCache.computeIfAbsent(s"/warm/f$i.parquet:100:$i", _ => 1)
+      }
+      val threads = 16
+      val perThread = 2000
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val tasks = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            var i = 0
+            while (i < perThread) {
+              val v = Tables.groupCache.computeIfAbsent(
+                s"/hot/t$t/f$i.parquet:100:$i", _ => t * 10000 + i)
+              // computeIfAbsent must return THIS key's value even when an
+              // eviction races the insert
+              if (v != t * 10000 + i) errs.add(s"t=$t i=$i got=$v")
+              i += 1
+            }
+          } catch { case e: Throwable => errs.add(e.toString) }
+        })
+      }
+      tasks.foreach(_.get())
+      pool.shutdown()
+      assert(errs.isEmpty, errs.toString)
+      // transient overshoot is tolerated up to the racing-insert margin;
+      // the synchronized evictor must keep the steady-state bound
+      assert(Tables.groupCache.size() <= Tables.GroupCacheMax + threads,
+        s"size=${Tables.groupCache.size()}")
     } finally Tables.groupCache.clear()
   }
 }
