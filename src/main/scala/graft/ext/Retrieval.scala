@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   *     term-count-sized table), broadcast back.
   *   - N and avgdl are one scalar aggregate (a second column-pruned scan;
   *     at 100 TB both scans read only the text column).
-  *   - top-k per query is a window over matched docs partitioned by
-  *     query_id — never a global sort of the corpus.
+  *   - top-k per query is an exact bounded top-k AGGREGATE
+  *     ([[graft.functions.TopKByScore]]) over matched docs — the partial
+  *     ObjectHashAggregate combines each partition to ≤ k rows per query
+  *     before the exchange; never a global sort of the corpus, and never
+  *     a window shuffle of the full match set into |queries| groups.
   */
 object Retrieval {
 
@@ -79,12 +82,15 @@ object Retrieval {
       .groupBy("query_id", "doc_id")
       .agg(round(sum(idf * tfNorm), 4).as("score"))
 
+    // every row here shares >= 1 term by construction (posting join) —
+    // matched is a constant 1 for the aggregator's zero-overlap guard
+    val topk = graft.functions.TopK.topKByScore(k)
     scores
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "doc_id", "rank", "score")
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("doc_id"), lit(1)).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("score"))
   }
 
   /** Hard-negative mining for embedding-model training: each document of
