@@ -86,8 +86,11 @@ object ShardIndex extends Logging {
     val files = TarMemberTable.listShardFiles(Seq(shardsDir), hconf).map(_._1)
     // executor tasks must see the DRIVER's hadoop conf (object-store
     // creds, endpoints) — a bare `new Configuration()` on the executor
-    // drops everything set via spark.hadoop.*
-    val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    // drops everything set via spark.hadoop.*. Broadcast: one conf
+    // deserialization per executor JVM instead of per task (the
+    // round-10 TAR-family attribution, TarMemberSource.scala)
+    val serConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
     // EAGER by contract — "build the index" is an imperative side effect,
     // not a lazy plan. The summary (one small row per shard) collects to
     // the driver, same order of driver state as listShardFiles itself.
@@ -98,7 +101,7 @@ object ShardIndex extends Logging {
         val shardName = path.getName
         if (!shardName.toLowerCase.endsWith(".tar")) (shardName, -1L, false)
         else {
-          val fs = path.getFileSystem(serConf.value)
+          val fs = path.getFileSystem(serConf.value.value)
           val n = buildOne(fs, path, indexDir)
           (shardName, n, true)
         }

@@ -66,11 +66,15 @@ object TarWriter {
       // exchange), drops the order-only columns
       .select(col("shard_name"), col("member"), col("payload"))
     // executor tasks need the DRIVER's hadoop conf (object-store creds/
-    // endpoints) — same fix as ShardIndex.build
-    val serConf = new org.apache.spark.util.SerializableConfiguration(
-      graft.sources.TarMemberTable.driverHadoopConf())
+    // endpoints) — BROADCAST so it deserializes once per executor JVM,
+    // not once per task (one task per shard; per-task Configuration
+    // copying measured ~+0.4 s/query on the 256-shard fixture corpus —
+    // the round-10 TAR-family attribution, TarMemberSource.scala)
+    val serConf = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        graft.sources.TarMemberTable.driverHadoopConf()))
     plan.foreachPartition { (rows: Iterator[Row]) =>
-      val conf = serConf.value
+      val conf = serConf.value.value
       var curShard: String = null
       var tar: TarArchiveOutputStream = null
       var raw: OutputStream = null

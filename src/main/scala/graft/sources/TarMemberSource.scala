@@ -255,20 +255,27 @@ class TarScan(paths: Seq[String], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     // ship the DRIVER's hadoop conf to executor-side readers (object-store
     // creds/endpoints); the factory is created on the driver where the
-    // session is active
+    // session is active. BROADCAST, not closure-captured: a
+    // SerializableConfiguration in the factory rides the task binary and
+    // is deserialized per TASK (~1-3 ms of property copying × one task
+    // per shard — measured ~+0.4 s/query on the 256-shard fixture corpus,
+    // the round-9→10 TAR-family drift); a broadcast deserializes once per
+    // executor JVM, the same shape Spark's own file sources use.
     new TarReaderFactory(required, pushed,
-      new org.apache.spark.util.SerializableConfiguration(
-        TarMemberTable.driverHadoopConf()))
+      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          TarMemberTable.driverHadoopConf())))
 }
 
 class TarReaderFactory(required: StructType,
                        pushed: Array[org.apache.spark.sql.sources.Filter],
-                       conf: org.apache.spark.util.SerializableConfiguration)
+                       conf: org.apache.spark.broadcast.Broadcast[
+                         org.apache.spark.util.SerializableConfiguration])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TarFilePartition]
     new TarPartitionReader(p.file, required, pushed, p.indexDir,
-      conf.value, p.verifyIndexContent)
+      conf.value.value, p.verifyIndexContent)
   }
 }
 
