@@ -23,8 +23,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // keep typed-Aggregator top-k partial combines hash-based past 128
-      // groups (GraftSession.scala rationale)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // groups, capped at the query-batch contract so corpus-cardinality
+      // collect_list partials stay sort-fallback-safe (GraftSession.scala
+      // rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2048")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // RocksDB state store: scale-correct default, measured no-cost locally
       // (GraftSession.scala rationale; PERF.md "Streaming state store")

@@ -35,11 +35,21 @@ object GraftSession {
       // Typed-Aggregator aggregates (bounded top-k, graft.functions.TopK)
       // run through ObjectHashAggregate, whose in-memory hash map falls
       // back to SORT-based aggregation past this many distinct keys
-      // (default 128). The top-k groups are query batches (~200+ keys)
-      // with ≤ k-entry buffers each, so the map stays tiny — raise the
-      // threshold so the map-side PARTIAL combine stays hash-based
-      // instead of sorting the full candidate set per partition.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // (default 128). The top-k groups are query batches (≤ ~2048 keys
+      // by the batch contract) with ≤ k-entry buffers each, so the map
+      // stays tiny — raise the threshold so the map-side PARTIAL combine
+      // stays hash-based instead of sorting the candidate set per
+      // partition. 2048 and not higher: the conf is per-session and
+      // Spark reads it per-exec-node from the SAME session conf, so a
+      // query that mixes a top-k with a corpus-cardinality collect_list
+      // (hard_negatives' docVecs) shares one value — at 2048 the
+      // worst-case untracked map is 2048 object buffers/task (measured
+      // sf10 peak in PERF.md "ObjectHashAggregate threshold"), while
+      // 65536 × multi-KB buffers risked executor OOM at 100 TB. Partial
+      // aggs on >2048-cardinality keys (per-doc vectors at sf≥1) fall
+      // back to sort — memory-safe by design, and those partials do
+      // corpus-sized work either way.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2048")
       // events.ts sometimes arrives as TIMESTAMP(NANOS), which the
       // vectorized reader rejects; read nanos as long and let
       // Tables.normalizeTs convert (lossless — the corpus carries no

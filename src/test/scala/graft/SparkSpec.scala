@@ -13,8 +13,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // keep typed-Aggregator top-k partial combines hash-based past 128
-      // groups (GraftSession.scala rationale)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // groups, capped at the query-batch contract so corpus-cardinality
+      // collect_list partials stay sort-fallback-safe (GraftSession.scala
+      // rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2048")
       .config("spark.sql.session.timeZone", "UTC")
       // raw events parquet stores ts as TIMESTAMP(NANOS): suites that read
       // it directly must see INT64, and relying on an earlier Tables.load
