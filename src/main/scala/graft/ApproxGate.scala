@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-gate error bounds for the sketch faces (VERDICT r10 item 3).
+  *
+  * Five `SparkEntry.queries` faces are rows-only in the DuckDB compare
+  * (sketch estimates are algorithm-specific — no oracle can hash-match
+  * them). Their accuracy contracts lived ONLY in specs (`ApproxSpec`),
+  * so a regression in e.g. the HLL union merge would pass the
+  * correctness gate as long as row counts held. This checker runs
+  * INSIDE `graft.Verify`: it reads each approx face's freshly-dumped
+  * parquet (the exact bytes the gate will record), recomputes the exact
+  * twin with Spark in the same session, and asserts the same bounds the
+  * specs prove — `|approx − exact| ≤ max(2, 5%·exact)` for HLL
+  * distincts (the faces run rsd ≤ 0.02, so 5% is a ≥2.5σ band), rank within ±2% for
+  * t-digest quantiles. A violation deletes the dumped face so the
+  * compare reports it MISSING (a hard gate failure, not a quiet
+  * rows-only pass), and the verdicts are written to
+  * `outDir/approx_bounds.json` for `tools/check.py` to surface.
+  *
+  * `catalog_from_dir` is the fifth rows-only face but is not a sketch
+  * (it lists a live directory — inherently unoracle-able); it keeps its
+  * spec-only contract.
+  */
+object ApproxGate {
+
+  private def hllOk(approx: Long, exact: Long): Boolean =
+    math.abs(approx - exact) <= math.max(2L, (exact * 0.05).toLong)
+
+  /** per-face check: returns None when in bounds, Some(detail) on the
+    * first violation. */
+  private def checks(spark: SparkSession, sfDir: String,
+                     read: String => DataFrame): Seq[(String, () => Option[String])] = Seq(
+
+    "bucket_summary_approx" -> { () =>
+      val cat = catalog.DerivedCatalog.objects(spark, sfDir).cache()
+      try {
+        val approx = read("bucket_summary_approx").collect()
+          .map(r => r.getString(0) -> r).toMap
+        val exact = cat.groupBy("bucket")
+          .agg(countDistinct("checksum").as("cs"),
+            countDistinct(concat_ws("@", col("name"), col("version"))).as("vs"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val sizesByBucket = cat.select("bucket", "size").collect()
+          .groupBy(_.getString(0)).map { case (b, rs) =>
+            b -> rs.map(_.getLong(1)).sorted }
+        val errs: Iterable[String] =
+          if (approx.keySet != exact.keySet)
+            Seq(s"bucket sets differ: approx=${approx.keySet} exact=${exact.keySet}")
+          else exact.flatMap { case (b, (cs, vs)) =>
+            val r = approx(b)
+            val hll = Seq(
+              ("uniq_payloads_approx", r.getLong(2), cs),
+              ("uniq_versions_approx", r.getLong(3), vs)
+            ).collect { case (c, a, e) if !hllOk(a, e) => s"$b.$c approx=$a exact=$e" }
+            val sizes = sizesByBucket(b)
+            val quant = Seq(("size_p50", 0.5, r.getLong(4)),
+              ("size_p95", 0.95, r.getLong(5)), ("size_p99", 0.99, r.getLong(6)))
+              .collect { case (c, p, est)
+                if math.abs(sizes.count(_ <= est).toDouble / sizes.length - p) > 0.02 =>
+                  s"$b.$c est=$est rank beyond ±2% of p=$p"
+              }
+            hll ++ quant
+          }
+        if (errs.isEmpty) None else Some(errs.mkString("; "))
+      } finally cat.unpersist()
+    },
+
+    "events_users_approx" -> { () =>
+      val approx = read("events_users_approx").collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      val exact = Tables.events(spark, sfDir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct("user_id").as("u"))
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      val errs = exact.collect { case (day, u)
+        if !hllOk(approx.getOrElse(day, Long.MinValue), u) =>
+          s"day=$day approx=${approx.get(day)} exact=$u" }
+      if (errs.isEmpty) None else Some(errs.mkString("; "))
+    },
+
+    "events_users_sketch" -> { () =>
+      val approx = read("events_users_sketch").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val errs = exact.collect { case (t, u)
+        if !hllOk(approx.getOrElse(t, Long.MinValue), u) =>
+          s"type=$t approx=${approx.get(t)} exact=$u" }
+      if (errs.isEmpty) None else Some(errs.mkString("; "))
+    },
+
+    "vocab_stats_approx" -> { () =>
+      val approx = read("vocab_stats_approx").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = Tables.load(spark, sfDir, "documents")
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("source").agg(countDistinct("tok").as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val errs = exact.collect { case (src, v)
+        if !hllOk(approx.getOrElse(src, Long.MinValue), v) =>
+          s"source=$src approx=${approx.get(src)} exact=$v" }
+      if (errs.isEmpty) None else Some(errs.mkString("; "))
+    })
+
+  /** Run every bound whose face was dumped this run; returns
+    * face → Some(violation detail) | None(ok). Violated faces' dumps are
+    * DELETED so the downstream compare fails hard on them. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          dumped: String => Boolean): Map[String, Option[String]] = {
+    def read(name: String): DataFrame = spark.read.parquet(s"$outDir/$name")
+    checks(spark, sfDir, read).filter(c => dumped(c._1)).map { case (name, chk) =>
+      val verdict =
+        try chk()
+        catch { case e: Throwable => Some(s"bound check errored: ${e.getMessage}") }
+      verdict.foreach { detail =>
+        System.err.println(s"[verify] $name failed: approx bound violated: $detail")
+        // remove the dump: the compare then reports the face missing —
+        // a hard gate failure instead of a quiet rows-only pass
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
+      }
+      name -> verdict
+    }.toMap
+  }
+}

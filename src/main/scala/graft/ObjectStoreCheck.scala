@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.{ObjectStoreBilling, ObjectStoreFileSystem}
+
+/** Drives the tarmembers source + sidecar index + TarWriter over the
+  * `s3g://` object-store scheme ([[graft.sources.ObjectStoreFileSystem]]:
+  * credentialed mounts, billed ranged GETs, skip==read) and prints the
+  * request/byte meter — the PERF.md datum for the sidecar's zero-read
+  * claim in OBJECT-STORE terms, and (under
+  * `SPARK_GRAFT_MASTER=local-cluster[...]`) the cross-JVM proof that the
+  * broadcast session conf is what delivers the mount + creds to executor
+  * readers: executor JVMs are launched bare from SPARK_HOME — they have
+  * NO other source of the `fs.s3g.*` entries, so the run succeeding at
+  * all is the proof (billing counters live in the executor JVMs there
+  * and read 0 on the driver; asserted only under local[*]).
+  *
+  * {{{
+  * tools/run_local.sh graft.ObjectStoreCheck                    # billed-bytes datum
+  * SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  * SPARK_GRAFT_MASTER='local-cluster[2,8,8192]' \
+  *   tools/run_local.sh graft.ObjectStoreCheck                  # cross-JVM creds proof
+  * }}}
+  */
+object ObjectStoreCheck {
+  def main(args: Array[String]): Unit = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val builder = GraftSession.builder(master)
+    val spark = (if (master.startsWith("local-cluster")) {
+      val classesDir = new java.io.File(
+        SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+      builder.config("spark.executor.extraClassPath", classesDir)
+        .config("spark.executor.memory", "4g")
+    } else builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = s"${sys.props("java.io.tmpdir")}/graft_s3g_check"
+    ObjectStoreFileSystem.confEntries(root).foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+    val counted = spark.sparkContext.master.startsWith("local[")
+    println(s"[s3g] master=$master billing_visible=$counted root=$root")
+
+    // fixture: 16 shards × 256 members × 8 KiB = 2 MiB/shard
+    val nShards = 16; val perShard = 256; val pSize = 8192
+    val members = spark.range(nShards * perShard.toLong)
+      .select(
+        format_string("s-%03d.tar", (col("id") / perShard).cast("int")).as("shard_name"),
+        format_string("m-%05d.bin", col("id")).as("member"),
+        expr(s"repeat(chr(65 + CAST(id % 26 AS INT)), $pSize)").cast("binary").as("payload"))
+    val fs = new Path("s3g://checkbucket/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path("s3g://checkbucket/"), true)
+    ObjectStoreBilling.reset()
+    shards.TarWriter.writeShards(members, "s3g://checkbucket/shards")
+    if (counted) println(s"[s3g] write: ${ObjectStoreBilling.snapshot}")
+
+    shards.ShardIndex.build(spark, "s3g://checkbucket/shards", "s3g://checkbucket/idx")
+    val shardLen = fs.getFileStatus(new Path("s3g://checkbucket/shards/s-000.tar")).getLen
+
+    def probe(indexed: Boolean, what: String): Map[String, Long] = {
+      val r0 = spark.read.format("tarmembers")
+      val r = if (indexed) r0.option("index", "s3g://checkbucket/idx") else r0
+      val q = r.load("s3g://checkbucket/shards")
+        .where(col("shard") === "s-000.tar" && col("member") === f"m-${perShard / 2}%05d.bin")
+        .select(md5(col("payload")).as("h"))
+      ObjectStoreBilling.reset()
+      val t0 = System.nanoTime()
+      val rows = q.collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(rows.length == 1, s"$what: ${rows.length} rows")
+      val b = ObjectStoreBilling.snapshot
+      println(f"[s3g] $what%-9s sec=$sec%.3f GETs=${b("getRequests")}%3d " +
+        f"bytesRead=${b("bytesRead")}%9d (shard=$shardLen)")
+      b
+    }
+    probe(indexed = true, "warmup")
+    val bs = probe(indexed = false, "streaming")
+    val bi = probe(indexed = true, "indexed")
+    if (counted) {
+      require(bs("bytesRead") >= shardLen,
+        s"streaming billed ${bs("bytesRead")} < one shard $shardLen — skip did not read through")
+      require(bi("bytesRead") * 10 <= bs("bytesRead"),
+        s"indexed/streaming byte ratio < 10x: ${bi("bytesRead")} vs ${bs("bytesRead")}")
+      println(f"[s3g] byte ratio streaming/indexed = ${bs("bytesRead").toDouble / bi("bytesRead")}%.0fx")
+    }
+
+    // full metadata-only listing through the sidecar, both staleness
+    // modes: the non-local DEFAULT verifies the content probe on every
+    // load (reference IsStale contract — bills 2×4 KiB of shard per
+    // shard), while verifyIndexContent=false opts into the ZERO shard
+    // GET listing at the documented same-size-same-second rewrite risk
+    def listBytes(verify: Option[String]): Long = {
+      val r0 = spark.read.format("tarmembers").option("index", "s3g://checkbucket/idx")
+      val r = verify.fold(r0)(v => r0.option("verifyIndexContent", v))
+      ObjectStoreBilling.reset()
+      val n = r.load("s3g://checkbucket/shards")
+        .select("shard", "member", "size").count()
+      require(n == nShards.toLong * perShard, s"listing rows=$n")
+      ObjectStoreBilling.snapshot("bytesRead")
+    }
+    val bDefault = listBytes(None)
+    val bZeroRead = listBytes(Some("false"))
+    println(s"[s3g] metadata-only listing bytesRead: default(verify)=$bDefault " +
+      s"zero-read(verifyIndexContent=false)=$bZeroRead")
+    if (counted) {
+      // default: sidecars + 8 KiB probe per shard; never the shard bodies
+      val probeCeiling = nShards.toLong * (64 * 1024 + 2 * 4096)
+      require(bDefault <= probeCeiling,
+        s"verified metadata listing billed $bDefault bytes > ceiling $probeCeiling")
+      // opt-out: sidecar bytes only — zero shard GETs
+      val sidecarCeiling = nShards.toLong * 64 * 1024
+      require(bZeroRead <= sidecarCeiling,
+        s"zero-read metadata listing billed $bZeroRead bytes > sidecar ceiling $sidecarCeiling")
+      require(bZeroRead < bDefault,
+        s"zero-read listing should bill less than verified: $bZeroRead vs $bDefault")
+    }
+    println("[s3g] OK" + (if (counted) "" else
+      " (cross-JVM: mount + creds reached executor readers via the broadcast conf)"))
+    spark.stop()
+  }
+}

@@ -478,7 +478,10 @@ object SparkEntry {
     "events_users_approx" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(approx_count_distinct("user_id").as("uniq_users_approx"),
+        // rsd 0.02, not the 0.05 default: the in-gate bound (ApproxGate)
+        // allows 5% — at rsd 0.05 that is ~1σ and a routine sketch draw
+        // violated it at sf0.01; at 0.02 the band is 2.5σ
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("uniq_users_approx"),
           count(lit(1)).as("n_events"))
         .orderBy("day")),
 

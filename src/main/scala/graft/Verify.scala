@@ -51,17 +51,37 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional name filter for local iteration (same contract as Bench)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val dumped = scala.collection.mutable.Set[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += name
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // see Bench: don't let one query's localCheckpoint blocks pile up
       // across the 119-query run
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    // In-gate error bounds for the sketch faces (VERDICT r10 #3): the
+    // rows-only approx dumps are checked against their exact twins HERE,
+    // in the same gate run — a bound violation deletes the dump (hard
+    // compare failure) instead of sailing through as a rows-only pass.
+    val approxVerdicts = ApproxGate.run(spark, sfDir, outDir, dumped)
+    if (approxVerdicts.nonEmpty) {
+      def qj(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val aj = approxVerdicts.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${qj(k)}: {${qj("ok")}: ${v.isEmpty}" +
+          v.map(d => s", ${qj("detail")}: ${qj(d)}").getOrElse("") + "}"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/approx_bounds.json"), aj)
+      approxVerdicts.foreach { case (k, v) =>
+        println(s"[verify] approx bound ${if (v.isEmpty) "OK" else "VIOLATED"}: $k" +
+          v.map(d => s" ($d)").getOrElse(""))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -118,104 +118,169 @@ object Retrieval {
     * documents that make the hardest contrastive negatives (the standard
     * DPR/sentence-transformers recipe, with BM25 as the miner).
     *
-    * Scale shape (round-9 rework — the sf1→sf10 sweep measured the
-    * token-level candidate join at 21×/decade): all corpus-proportional
-    * shuffles stay at the POSTINGS level (corpus tokens ∩ query vocab —
-    * one row per (doc, matched tok)); per-doc token→BM25-weight maps are
-    * built from that, and the batch-sized query side (|slice| rows, each
-    * a sorted token array) broadcasts against them, so the (query, doc)
-    * candidate score is ONE deterministic array-sum per pair instead of
-    * |q∩d| joined-then-aggregated rows per pair — on a dense shared
-    * vocabulary that is a |vocab|-fold cut of the intermediate row count.
+    * Scale shape (round-11 rework — the round-10 shape exploded every
+    * corpus token, broadcast-joined the query vocabulary, and shuffled
+    * posting-level rows twice; measured 20.0 s of the sf10 face's total,
+    * 3× the pair-scoring stage): the corpus is vectorized in ONE
+    * map-side pass — [[graft.functions.TokenTfVector]] binary-searches
+    * each token against the EMBEDDED slice vocabulary (collected to the
+    * driver: |slice| ~ a training batch by contract, so its union vocab
+    * is bounded) and run-length-encodes sorted (tid, tf) entries; df /
+    * N / avgdl aggregate over those entries (the only remaining
+    * corpus-wide shuffle is the partial-agg'd (tid, df) count, ≤ |vocab|
+    * rows per map partition), idf lands back as a dense driver-built
+    * array embedded in [[graft.functions.Bm25WeightEntries]]. tid = rank
+    * of the token in ascending binary-UTF8 order, so every tid-ordered
+    * sum visits tokens in exactly the order the lexicographically-sorted
+    * string kernel used — scores are bit-identical to the round-9/10
+    * formulations (and the DuckDB oracle).
     *
-    * Two invariants of the pairing (round-10):
+    * Invariants of the pairing:
     *   - A pair sharing ZERO query terms never enters ranking. The
-    *     broadcast pairing visits every (doc-in-union-vocab, query)
+    *     broadcast pairing visits every (doc-with-vocab-hits, query)
     *     combination, but BM25's candidate set is the posting join —
     *     only docs sharing ≥1 term with THAT query — and a fabricated
     *     0.0-score row can win a tail rank whenever a query has < k
     *     term-sharing candidates (ties under 0.0 break by doc_id against
     *     genuine low-idf rows that legitimately round to 0.0000, so a
     *     `score > 0` guard would be wrong in the other direction). The
-    *     kernel returns its matched-entry count from the same merge
-    *     pass, and the top-k aggregate drops `matched == 0` rows.
-    *   - Ranking is an exact bounded top-k AGGREGATE
-    *     ([[graft.functions.TopKByScore]]) under the same total order
-    *     (score desc, doc_id), not a window: a window rank shuffles the
-    *     full |docs|×|slice| candidate set; the typed aggregator
-    *     map-side-combines each partition to ≤ k rows per query before
-    *     the exchange, so the shuffle carries ≤ |slice|×k rows per map
-    *     partition — at 100 TB the difference between ~10¹² and ~10⁵
-    *     rows on the wire. Self-pairs are dropped BEFORE ranking so
-    *     rank 1 is the best true negative. */
+    *     merge inside the aggregate counts its hits and zero-hit pairs
+    *     never reach the buffer.
+    *   - Ranking is an exact bounded top-k AGGREGATE with the scoring
+    *     kernel FUSED into it ([[graft.functions.WandTopK]]) under the
+    *     same total order (score desc, doc_id), not a window: a window
+    *     rank shuffles the full |docs|×|slice| candidate set; the
+    *     aggregate map-side-combines each partition to ≤ k rows per
+    *     query before the exchange (~10⁵ rows on the wire at 100 TB,
+    *     not ~10¹²), and its WAND bound check skips the merge kernel
+    *     for pairs that provably cannot reach the running k-th score.
+    *     Self-pairs are dropped BEFORE ranking so rank 1 is the best
+    *     true negative. */
   def hardNegatives(docs: DataFrame, queryPred: Column, k: Int,
                     k1: Double = 1.2, b: Double = 0.75,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val docId = requireLongId(docs, idCol, "hardNegatives")
-    val qterms = docs.where(queryPred)
-      .select(docId.as("query_id"),
-        explode(array_distinct(TextAnalysis.whitespaceTokens(col(textCol)))).as("tok"))
-    val terms = qterms.select("tok").distinct()
+    val spark = docs.sparkSession
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.Ckpt.StableOps
 
-    val postings = docs
+    // the query slice IS a training batch (bounded by contract — the
+    // same bounded-driver-table allowance as the IVF centroid collects):
+    // collect it once; its union vocabulary becomes the embedded
+    // dictionary, tid = rank in ascending binary-UTF8 order (exactly
+    // sort_array's string order, so tid-ordered sums are bit-identical
+    // to the old lexicographic kernel).
+    val slice: Array[(Long, Array[String])] = docs.where(queryPred)
+      .select(docId.as("query_id"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("_w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    def emptyOut = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    if (slice.isEmpty) return emptyOut
+
+    val vocab: Array[UTF8String] = slice.flatMap(_._2).distinct
+      .map(UTF8String.fromString).sortWith(_.compareTo(_) < 0)
+    val tidOf: java.util.HashMap[UTF8String, java.lang.Long] = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](vocab.length * 2)
+      vocab.zipWithIndex.foreach { case (t, i) => m.put(t, i.toLong) }
+      m
+    }
+
+    // ONE corpus scan: per-doc sorted (tid, tf) runs over the embedded
+    // vocabulary — no token explode, no posting-level shuffle.
+    // Checkpointed: the df/N/avgdl aggregates and the pairing both read
+    // it; without the checkpoint each consumer would re-scan the corpus.
+    val vecs0 = docs
       .select(docId.as("doc_id"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("_w"))
       .select(col("doc_id"), size(col("_w")).cast("long").as("dl"),
-        explode(col("_w")).as("tok"))
-      .join(broadcast(terms), Seq("tok"))
-      .groupBy("doc_id", "dl", "tok")
-      .agg(count(lit(1)).as("tf"))
+        graft.functions.Bm25Vectors.tokenTfVector(col("_w"), vocab).as("_tfents"))
+      .stableCheckpoint()
 
-    val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("_n"),
-      avg(size(TextAnalysis.whitespaceTokens(col(textCol)))).as("_avgdl"))
+    // N / avgdl (over ALL docs, matched or not) and per-term df — the
+    // df shuffle carries ≤ |vocab| rows per map partition after the
+    // partial combine; both land on the driver (vocab-bounded)
+    val statsRow = vecs0.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("dl")).as("_avgdl")).collect()(0)
+    val nDocs = statsRow.getDouble(0)
+    if (nDocs == 0) return emptyOut
+    val avgdl = statsRow.getDouble(1)
+    val idfArr = new Array[Double](vocab.length)
+    vecs0.select(explode(col("_tfents").getField("tid")).as("tid"))
+      .groupBy("tid").agg(count(lit(1)).as("df"))
+      .collect().foreach { r =>
+        val df = r.getLong(1).toDouble
+        // exactly the old Column arithmetic: log(1 + ((n − df) + 0.5) / (df + 0.5))
+        idfArr(r.getLong(0).toInt) = math.log(1.0 + (((nDocs - df) + 0.5) / (df + 0.5)))
+      }
 
-    val idf: Column = log(lit(1.0) +
-      (col("_n") - col("df") + 0.5) / (col("df") + 0.5))
-    val tfNorm: Column = (col("tf") * (k1 + 1)) /
-      (col("tf") + (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("_avgdl"))))
+    // per-doc BM25 weight entries (embedded idf table — one array index
+    // per entry) + the WAND upper-bound table `_bnd` (descending-weight
+    // prefix sums): score(q, d) sums ≤ min(|q|, n) of d's entries, so
+    // `_bnd[min(|q|, n)]` (1-based) bounds EVERY query's score in O(1).
+    // Docs with zero vocabulary hits can never share a term with any
+    // query — dropped here, exactly like the old posting inner join.
+    val docVecs = vecs0
+      .where(size(col("_tfents")) > 0)
+      .select(col("doc_id"),
+        graft.functions.Bm25Vectors.weightEntries(
+          col("_tfents"), col("dl"), idfArr, k1, b, avgdl).as("_wents"))
+      .withColumn("_bnd",
+        graft.functions.VectorFunctions.descWeightPrefix(col("_wents")))
 
-    // one row per doc: SORTED (tok, idf·tfNorm) entries for the
-    // query-vocab tokens it contains (the only tokens any pair score can
-    // touch); sorted so the pair kernel is a two-pointer merge
-    val docVecs = postings
-      .join(broadcast(dfreq), Seq("tok"))
-      .join(broadcast(stats))
-      .select(col("doc_id"), col("tok"), (idf * tfNorm).as("w"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("_wents"))
+    // batch-sized query frame, built on the driver from the collected
+    // slice: sorted distinct tid arrays (ascending tid == ascending
+    // token, the canonical merge order)
+    val qRows: java.util.List[org.apache.spark.sql.Row] = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](slice.length)
+      slice.foreach { case (qid, toks) =>
+        val tids = toks.iterator.map(t => tidOf.get(UTF8String.fromString(t)))
+          .filter(_ != null).map(_.longValue()).toArray.distinct.sorted
+        l.add(org.apache.spark.sql.Row(qid, tids.toSeq))
+      }
+      l
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_qtoks",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+    val queries = spark.createDataFrame(qRows, qSchema)
+      .withColumn("_qn", size(col("_qtoks")))
 
-    // batch-sized query frame: sorted token arrays → the per-pair sum
-    // visits tokens in one canonical order regardless of partitioning
-    val queries = qterms.groupBy("query_id")
-      .agg(sort_array(collect_list(col("tok"))).as("_qtoks"))
-
-    // one kernel evaluation per pair: the struct lands in its own
-    // projection (referenced twice below — CollapseProject refuses to
-    // inline a non-cheap multiply-referenced alias, so the merge runs
-    // exactly once; a `where(matched > 0)` here instead would be pushed
-    // through the projection and re-evaluate the kernel in the filter —
-    // the aggregator's reduce() drops matched==0 rows for free)
-    val paired = docVecs
+    // WAND-style exact pruning, FUSED into the top-k aggregate (round
+    // 11): the scoring kernel lives inside [[graft.functions.WandTopK]],
+    // which consults the partition-local running k-th score first — once
+    // a query's buffer is full, a pair whose pre-rounded O(1) bound is
+    // strictly below the cut never runs the O(|d| + |q|) merge. Single
+    // pair enumeration, zero extra passes; skipped pairs cost one double
+    // compare. (Measured alternatives, both rejected: a two-pass static
+    // threshold — seed θ from top-k-by-bound pairs, then filter — re-ran
+    // the |docs|×|slice| enumeration and cost MORE at every scale, sf100
+    // 275 s vs 214.6 brute; a descending-bound local sort of docVecs
+    // made the threshold converge faster but sorting corpus-scale rows
+    // carrying the entry arrays cost more than the extra skips saved,
+    // sf10 22.2 s vs 18.7 unsorted.)
+    val wand = graft.functions.WandTopK.wandTopK(k) _
+    docVecs
       .join(broadcast(queries)) // |docs| × |slice| — slice is batch-sized by contract
       .where(col("doc_id") =!= col("query_id")) // negatives only
-      .select(col("query_id"), col("doc_id"),
-        // native codegen merge kernel — a HOF fold here runs interpreted
-        // per element (12.4B lambda steps at sf10); see SortedMaskedSum
-        graft.functions.VectorFunctions.sortedMaskedSum(
-          col("_wents"), col("_qtoks")).as("_sm"))
-    val scored = paired.select(col("query_id"), col("doc_id"),
-      round(col("_sm").getField("sum"), 4).as("score"),
-      col("_sm").getField("matched").as("matched"))
-
-    // exact bounded top-k aggregate: partial ObjectHashAggregate combines
-    // each map partition to ≤ k rows per query BEFORE the exchange
-    val topk = graft.functions.TopK.topKByScore(k)
-    scored
       .groupBy("query_id")
-      .agg(topk(col("score"), col("doc_id"), col("matched")).as("_top"))
+      .agg(wand(col("doc_id"),
+        round(element_at(col("_bnd"), least(col("_qn"), size(col("_bnd")))), 4),
+        col("_wents"), col("_qtoks")).as("_top"))
       .select(col("query_id"), posexplode(col("_top")))
       .select(col("query_id"), col("col.doc_id").as("doc_id"),
         (col("pos") + 1).cast("long").as("rank"), col("col.score").as("score"))

@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Map-side BM25 vectorization (round 11 — the hardNegatives build-stage
+  * rework). The old shape exploded every corpus token, broadcast-joined
+  * the query vocabulary, and shuffled posting-level rows TWICE
+  * ((doc, tok) tf aggregation, then the per-doc collect_list) — measured
+  * 20.0 s of the sf10 face's ~19-24 s total, dwarfing the pair-scoring
+  * stage (~6 s). These two expressions replace all of it with ONE
+  * map-side pass over documents:
+  *
+  *   - [[TokenTfVector]]: tokens → sorted (tid, tf) runs, with the
+  *     slice-bounded query vocabulary EMBEDDED (sorted UTF8 array,
+  *     binary search per token) — tid is the token's rank in ascending
+  *     binary-UTF8 order, exactly `sort_array`'s ordering, so
+  *     tid-ordered merges sum bit-identically to the old
+  *     lexicographically-sorted string kernel;
+  *   - [[Bm25WeightEntries]]: (tid, tf) runs + dl → (tid, w) with the
+  *     per-term idf table embedded (dense array indexed by tid),
+  *     replicating the old Column-arithmetic operation order exactly
+  *     (see `w` below) for bit-identical weights.
+  *
+  * Document frequencies / N / avgdl still come from Spark aggregates,
+  * but over the VECTORS (matched entries only — slice-vocab-bounded per
+  * doc), not over the corpus token explosion; the only shuffle left is
+  * the partial-agg'd (tid, df) count, ≤ |vocab| rows per map partition.
+  *
+  * Both expressions keep whole-stage codegen by emitting ONE static
+  * call per row (the work is a per-row kernel, not per-element lambda
+  * plumbing — the same reasoning as [[SortedMaskedSum]]).
+  */
+object TokenTf {
+  /** tokens → RLE (tid, tf), tid-ascending; tokens not in `terms` are
+    * dropped. `terms` must be sorted by UTF8String binary order. */
+  def eval(toks: ArrayData, terms: Array[UTF8String]): GenericArrayData = {
+    val n = toks.numElements()
+    val tids = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      // binary search over the sorted term table
+      var lo = 0; var hi = terms.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = terms(mid).compareTo(t)
+        if (c == 0) { tids(m) = mid.toLong; m += 1; lo = hi + 2 } // found
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(tids, 0, m)
+    // run-length encode into (tid, tf) structs
+    val out = new Array[Any](countRuns(tids, m))
+    var o = 0; var j = 0
+    while (j < m) {
+      val tid = tids(j)
+      var tf = 0L
+      while (j < m && tids(j) == tid) { tf += 1; j += 1 }
+      out(o) = InternalRow(tid, tf); o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def countRuns(a: Array[Long], m: Int): Int = {
+    var c = 0; var j = 0
+    while (j < m) { val v = a(j); c += 1; while (j < m && a(j) == v) j += 1 }
+    c
+  }
+}
+
+case class TokenTfVector(child: Expression, terms: Array[UTF8String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tid", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_tf_vector expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TokenTf.eval(a.asInstanceOf[ArrayData], terms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val termsRef = ctx.addReferenceObj("terms", terms,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenTf.eval($a, $termsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Bm25Weights {
+  /** (tid, tf) runs + dl → (tid, w). Operation order replicates the old
+    * Column arithmetic EXACTLY (bit-identical weights):
+    *   tfNorm = (tf · (k1+1)) / (tf + (k1 · ((1−b) + ((b · dl) / avgdl))))
+    *   w      = idf[tid] · tfNorm
+    * (k1+1) and (1−b) are driver-side constants like `lit(...)` was. */
+  def eval(ents: ArrayData, dl: Long, idf: Array[Double],
+           k1p1: Double, k1: Double, oneMinusB: Double, b: Double,
+           avgdl: Double): GenericArrayData = {
+    val n = ents.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val e = ents.getStruct(i, 2)
+      val tid = e.getLong(0)
+      val tf = e.getLong(1).toDouble
+      val w = idf(tid.toInt) * ((tf * k1p1) / (tf + (k1 * (oneMinusB + ((b * dl) / avgdl)))))
+      out(i) = InternalRow(tid, w)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class Bm25WeightEntries(left: Expression, right: Expression,
+                             idf: Array[Double], k1: Double, b: Double,
+                             avgdl: Double) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tid", LongType, nullable = false),
+    StructField("w", DoubleType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(StructType(Array(t, f)), _) =>
+        t.dataType == LongType && f.dataType == LongType
+      case _ => false
+    }
+    if (okL && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bm25_weight_entries expects (array<struct<bigint,bigint>>, bigint), " +
+        s"got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, d: Any): Any =
+    Bm25Weights.eval(a.asInstanceOf[ArrayData], d.asInstanceOf[Long],
+      idf, k1 + 1, k1, 1 - b, b, avgdl)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idfRef = ctx.addReferenceObj("idf", idf, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, d) =>
+      s"${ev.value} = graft.functions.Bm25Weights.eval($a, $d, $idfRef, " +
+        s"${k1 + 1}D, ${k1}D, ${1 - b}D, ${b}D, ${avgdl}D);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Bm25Vectors {
+  /** tokens → sorted (tid, tf) runs over the embedded sorted vocab. */
+  def tokenTfVector(tokens: Column, terms: Array[UTF8String]): Column =
+    GraftShim.column(TokenTfVector(GraftShim.expression(tokens), terms))
+
+  /** (tid, tf) runs + dl → (tid, w) BM25 weight entries. */
+  def weightEntries(ents: Column, dl: Column, idf: Array[Double],
+                    k1: Double, b: Double, avgdl: Double): Column =
+    GraftShim.column(Bm25WeightEntries(GraftShim.expression(ents),
+      GraftShim.expression(dl), idf, k1, b, avgdl))
+}

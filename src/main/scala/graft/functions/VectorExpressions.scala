@@ -518,6 +518,71 @@ case class SortedMaskedSum(left: Expression, right: Expression) extends BinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Descending-weight prefix sums of a (key, w) entry array: out[i] =
+  * Σ of the (i+1) LARGEST weights. This is the WAND-style upper-bound
+  * table for BM25 pair pruning: a query with |q| distinct terms can
+  * match at most min(|q|, n) of a doc's entries, so
+  * `out[min(|q|, n) - 1] ≥ score(q, d)` for EVERY query — the bound is
+  * O(1) per pair once this O(n log n) per-DOC table exists, and a pair
+  * whose bound cannot reach the current top-k threshold skips the
+  * O(|d| + |q|) merge kernel entirely while provably returning the
+  * identical exact top-k (sum of any m weights ≤ sum of the m largest).
+  */
+case class DescWeightPrefix(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(_, v)), _) if v.dataType == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"desc_weight_prefix expects array<struct<_, double>>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val entries = a.asInstanceOf[ArrayData]
+    val n = entries.numElements()
+    val w = new Array[Double](n)
+    var i = 0
+    while (i < n) { w(i) = entries.getStruct(i, 2).getDouble(1); i += 1 }
+    java.util.Arrays.sort(w)
+    val out = new Array[Double](n)
+    var acc = 0.0
+    var j = 0
+    while (j < n) { acc += w(n - 1 - j); out(j) = acc; j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val w = ctx.freshName("w")
+      val out = ctx.freshName("out"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $w = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $w[$i] = $a.getStruct($i, 2).getDouble(1);
+         |}
+         |java.util.Arrays.sort($w);
+         |double[] $out = new double[$n];
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $acc += $w[$n - 1 - $j];
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** dot(a, b) over array<float> columns, double accumulation. */
   def floatDot(a: Column, b: Column): Column =
@@ -531,6 +596,12 @@ object VectorFunctions {
   def sortedMaskedSum(entries: Column, keys: Column): Column =
     GraftShim.column(SortedMaskedSum(
       GraftShim.expression(entries), GraftShim.expression(keys)))
+
+  /** prefix sums of the entry weights sorted DESCENDING — the per-doc
+    * WAND upper-bound table: `prefix[min(|q|, n) - 1] ≥ score(q, d)`
+    * for every query with |q| distinct terms. */
+  def descWeightPrefix(entries: Column): Column =
+    GraftShim.column(DescWeightPrefix(GraftShim.expression(entries)))
 
   /** PQ codes of `vec` over an embedded (m × ncodes × dsub) codebook. */
   def pqEncode(vec: Column, cw: Array[Array[Array[Float]]],

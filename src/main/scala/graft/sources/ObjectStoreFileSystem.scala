@@ -1,0 +1,282 @@
+package graft.sources
+
+import java.io.{File, FileNotFoundException, FileOutputStream, IOException, RandomAccessFile}
+import java.net.URI
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Per-JVM request/byte accounting for [[ObjectStoreFileSystem]] — the
+  * measurable half of the object-store contract: on object storage every
+  * ranged GET is a billed request and every byte crossing the wire is a
+  * billed byte (`skip()` IS read — the HTTP body streams through), which
+  * is exactly the economics the shard-index sidecar exists to avoid
+  * (reference: `docs/get_batch.md` "orders of magnitude";
+  * `xact/xs/shard_idx.go:27-53`). Counters are process-wide like the
+  * FS instances themselves; specs reset() around the probe they
+  * measure. */
+object ObjectStoreBilling {
+  val getRequests = new AtomicLong // ranged GETs opened (open/seek/pread)
+  val bytesRead = new AtomicLong // bytes streamed out of GETs (incl. skip)
+  val headRequests = new AtomicLong // getFileStatus probes
+  val listRequests = new AtomicLong // LIST calls
+  val putRequests = new AtomicLong // uploads completed
+  val bytesWritten = new AtomicLong
+  val copyRequests = new AtomicLong // server-side copies (rename half 1)
+  val deleteRequests = new AtomicLong
+
+  def reset(): Unit = Seq(getRequests, bytesRead, headRequests, listRequests,
+    putRequests, bytesWritten, copyRequests, deleteRequests).foreach(_.set(0))
+  def snapshot: Map[String, Long] = Map(
+    "getRequests" -> getRequests.get(), "bytesRead" -> bytesRead.get(),
+    "headRequests" -> headRequests.get(), "listRequests" -> listRequests.get(),
+    "putRequests" -> putRequests.get(), "bytesWritten" -> bytesWritten.get(),
+    "copyRequests" -> copyRequests.get(), "deleteRequests" -> deleteRequests.get())
+}
+
+/** An S3-semantics Hadoop FileSystem over a local backing directory —
+  * the offline stand-in for an S3A endpoint (no network egress is
+  * available to this build, so hadoop-aws/MinIO/S3Mock cannot be used;
+  * this class reproduces the SEMANTICS a real object store imposes
+  * rather than the wire protocol):
+  *
+  *   - CREDENTIALS: `initialize` requires `fs.s3g.access.key` /
+  *     `fs.s3g.secret.key` in the Configuration it is given and rejects
+  *     the mount otherwise — so an executor-side reader only works if
+  *     the driver's session conf (where the user set the creds) actually
+  *     reached the executor's `path.getFileSystem(conf)` call. This is
+  *     the contract the tarmembers broadcast-conf plumbing claims; a
+  *     bare `new Configuration()` fails here exactly like a bare S3A
+  *     client without credentials.
+  *   - RANGED READS ARE BILLED: every open/seek/pread starts a new GET
+  *     request ([[ObjectStoreBilling.getRequests]]); every byte streamed
+  *     (including `skip`, which reads through like an HTTP body —
+  *     there is no server-side fseek) is billed to `bytesRead`. A
+  *     `seek` ABORTS the current request instead of reading through —
+  *     the skipped range is NOT billed, a new GET is.
+  *   - NO ATOMIC RENAME: `rename` is COPY (server-side, billed) +
+  *     DELETE, the S3 shape; anything relying on atomic rename is
+  *     silently non-atomic here, as it would be on S3.
+  *   - LIST/HEAD are billed requests.
+  *
+  * Scheme: `s3g://<bucket>/<key>`; the backing directory is
+  * `fs.s3g.root` (default `/tmp/graft_s3g`), bucket = first path
+  * segment. Hierarchical listing is emulated over the backing dirs the
+  * way object stores emulate it over key prefixes.
+  */
+class ObjectStoreFileSystem extends FileSystem {
+  import ObjectStoreBilling._
+
+  private var fsUri: URI = _
+  private var root: File = _
+  private var workDir: Path = _
+
+  override def getScheme: String = "s3g"
+  override def getUri: URI = fsUri
+
+  override def initialize(uri: URI, conf: Configuration): Unit = {
+    super.initialize(uri, conf)
+    setConf(conf)
+    val access = conf.get("fs.s3g.access.key")
+    val secret = conf.get("fs.s3g.secret.key")
+    if (access != ObjectStoreFileSystem.Access || secret != ObjectStoreFileSystem.Secret)
+      throw new IOException(
+        "s3g: access denied — fs.s3g.access.key / fs.s3g.secret.key missing or " +
+          "wrong in the Configuration that reached this filesystem (executor-side " +
+          "readers must receive the DRIVER session's hadoop conf; a bare " +
+          "`new Configuration()` has no credentials)")
+    fsUri = URI.create(s"s3g://${Option(uri.getAuthority).getOrElse("")}")
+    root = new File(conf.get("fs.s3g.root", "/tmp/graft_s3g"))
+    workDir = new Path(fsUri.toString + "/")
+  }
+
+  /** s3g://bucket/key → <root>/bucket/key (authority is the bucket). */
+  private def local(f: Path): File = {
+    val p = f.toUri
+    val bucket = Option(p.getAuthority).getOrElse(
+      Option(fsUri.getAuthority).getOrElse(""))
+    new File(new File(root, bucket), p.getPath.stripPrefix("/"))
+  }
+
+  private def qualify(f: File): Path = {
+    val rel = root.toPath.relativize(f.toPath).toString.replace(File.separatorChar, '/')
+    val (bucket, key) = rel.split("/", 2) match {
+      case Array(b, k) => (b, k)
+      case Array(b) => (b, "")
+    }
+    new Path(s"s3g://$bucket/$key")
+  }
+
+  private def status(f: File): FileStatus =
+    new FileStatus(if (f.isDirectory) 0 else f.length(), f.isDirectory, 1,
+      64 * 1024 * 1024, f.lastModified(), qualify(f))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    headRequests.incrementAndGet()
+    val lf = local(f)
+    if (!lf.exists()) throw new FileNotFoundException(s"s3g: no such key: $f")
+    status(lf)
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    listRequests.incrementAndGet()
+    val lf = local(f)
+    if (!lf.exists()) throw new FileNotFoundException(s"s3g: no such prefix: $f")
+    if (lf.isFile) Array(status(lf))
+    else Option(lf.listFiles()).getOrElse(Array.empty).sortBy(_.getName).map(status)
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val lf = local(f)
+    if (!lf.exists() || lf.isDirectory)
+      throw new FileNotFoundException(s"s3g: no such key: $f")
+    new FSDataInputStream(new RangedGetStream(lf))
+  }
+
+  /** One logical object download as ranged GETs. `seek` aborts the
+    * in-flight request (new GET on next read); `skip` streams through
+    * the body (billed). `read(position, ...)` is an independent ranged
+    * GET, position state untouched — the S3A pread shape. */
+  private class RangedGetStream(lf: File)
+      extends java.io.InputStream with Seekable with PositionedReadable {
+    private val raf = new RandomAccessFile(lf, "r")
+    private var pos = 0L
+    private var inRequest = false
+
+    private def ensureRequest(): Unit =
+      if (!inRequest) { getRequests.incrementAndGet(); inRequest = true }
+
+    override def read(): Int = {
+      ensureRequest()
+      raf.seek(pos)
+      val b = raf.read()
+      if (b >= 0) { pos += 1; bytesRead.incrementAndGet() }
+      b
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      ensureRequest()
+      raf.seek(pos)
+      val n = raf.read(buf, off, len)
+      if (n > 0) { pos += n; bytesRead.addAndGet(n) }
+      n
+    }
+    /** object-store skip: the bytes stream through the open GET — they
+      * are read (and billed), not fseek'd over. */
+    override def skip(n: Long): Long = {
+      ensureRequest()
+      val avail = math.max(0L, raf.length() - pos)
+      val k = math.min(n, avail)
+      if (k > 0) { pos += k; bytesRead.addAndGet(k) }
+      k
+    }
+    override def seek(newPos: Long): Unit = {
+      if (newPos != pos) inRequest = false // abort → next read is a new GET
+      pos = newPos
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(position: Long, buffer: Array[Byte], offset: Int, length: Int): Int = {
+      getRequests.incrementAndGet()
+      val r = new RandomAccessFile(lf, "r")
+      try {
+        r.seek(position)
+        val n = r.read(buffer, offset, length)
+        if (n > 0) bytesRead.addAndGet(n)
+        n
+      } finally r.close()
+    }
+    override def readFully(position: Long, buffer: Array[Byte], offset: Int, length: Int): Unit = {
+      var done = 0
+      while (done < length) {
+        val n = read(position + done, buffer, offset + done, length - done)
+        if (n < 0) throw new java.io.EOFException(s"s3g: EOF in readFully of $lf")
+        done += n
+      }
+    }
+    override def readFully(position: Long, buffer: Array[Byte]): Unit =
+      readFully(position, buffer, 0, buffer.length)
+    override def close(): Unit = raf.close()
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val lf = local(f)
+    if (lf.exists() && !overwrite)
+      throw new IOException(s"s3g: key exists and overwrite=false: $f")
+    lf.getParentFile.mkdirs()
+    val out = new FileOutputStream(lf)
+    new FSDataOutputStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = { out.write(b); bytesWritten.incrementAndGet() }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        out.write(b, off, len); bytesWritten.addAndGet(len)
+      }
+      override def close(): Unit = { out.close(); putRequests.incrementAndGet() }
+    }, null)
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("s3g: objects are immutable — no append")
+
+  /** S3 shape: server-side COPY + DELETE, never atomic. */
+  override def rename(src: Path, dst: Path): Boolean = {
+    val ls = local(src); val ld = local(dst)
+    if (!ls.exists()) return false
+    if (ls.isDirectory) {
+      Option(ls.listFiles()).getOrElse(Array.empty).foreach { c =>
+        rename(qualify(c), new Path(dst, c.getName))
+      }
+      ls.delete()
+      true
+    } else {
+      copyRequests.incrementAndGet()
+      ld.getParentFile.mkdirs()
+      java.nio.file.Files.copy(ls.toPath, ld.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      deleteRequests.incrementAndGet()
+      ls.delete()
+    }
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val lf = local(f)
+    if (!lf.exists()) return false
+    if (lf.isDirectory && !recursive && Option(lf.listFiles()).exists(_.nonEmpty))
+      throw new IOException(s"s3g: prefix not empty: $f")
+    def rm(x: File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm))
+      if (x.isFile) deleteRequests.incrementAndGet()
+      x.delete()
+    }
+    rm(lf)
+    true
+  }
+
+  /** object stores have no directories — a "mkdir" just ensures the
+    * backing prefix exists for the hierarchical emulation. */
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = local(f).mkdirs() || local(f).isDirectory
+
+  override def setWorkingDirectory(dir: Path): Unit = workDir = dir
+  override def getWorkingDirectory: Path = workDir
+}
+
+object ObjectStoreFileSystem {
+  /** fixed test credentials — the value is irrelevant, their DELIVERY
+    * through the session conf → broadcast → executor reader is the
+    * thing under test. */
+  val Access = "AKGRAFTTEST"
+  val Secret = "graft-secret-test"
+
+  /** hadoop conf entries that mount the scheme (set them on
+    * `spark.sparkContext.hadoopConfiguration`). `disable.cache` so a
+    * conf WITHOUT creds actually re-initializes (and fails) instead of
+    * hitting the per-JVM FS cache. */
+  def confEntries(root: String): Seq[(String, String)] = Seq(
+    "fs.s3g.impl" -> classOf[ObjectStoreFileSystem].getName,
+    "fs.s3g.root" -> root,
+    "fs.s3g.access.key" -> Access,
+    "fs.s3g.secret.key" -> Secret,
+    "fs.s3g.impl.disable.cache" -> "true")
+}

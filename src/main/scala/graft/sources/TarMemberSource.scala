@@ -133,18 +133,21 @@ class TarMemberTable(properties: Map[String, String]) extends Table with Support
     * stale/missing sidecars fall back to the streaming scan per shard. */
   private val indexDir: Option[String] = properties.get("index")
 
-  /** `.option("verifyIndexContent", "true")` — run the first/last-4KiB
-    * content probe on METADATA-ONLY sidecar loads too. By default those
-    * trust (length, mtime) alone to preserve the zero-shard-bytes
-    * property, which is deliberately WEAKER than the reference: its
-    * IsStale compares the recorded source checksum on EVERY sidecar
-    * load (`cmn/archive/shard.go:343-347`), not just payload reads. Set
-    * this where listing correctness matters more than zero-read (a
-    * same-size rewrite inside the filesystem's mtime granularity could
-    * otherwise serve stale member names/sizes); costs two 4 KiB ranged
+  /** `.option("verifyIndexContent", "true" | "false")` — whether to run
+    * the first/last-4KiB content probe on METADATA-ONLY sidecar loads
+    * too. Unset, the default is SCHEME-DEPENDENT (round 11, ADVICE r10):
+    * local filesystems trust (length, mtime) alone — mtime granularity
+    * is fine (ms/ns) and the zero-shard-bytes listing path stays free —
+    * while every NON-local scheme (object stores: coarse, often
+    * second-granularity upload timestamps) verifies the probe on every
+    * load, the reference's IsStale contract (`cmn/archive/shard.go:
+    * 343-347` compares the recorded source checksum on EVERY sidecar
+    * load). Explicit "false" buys zero-read listings on object storage
+    * at the documented same-size-same-second rewrite risk; explicit
+    * "true" closes it on local FS too. Probe cost: two 4 KiB ranged
     * reads per shard. */
-  private val verifyIndexContent: Boolean =
-    properties.get("verifyIndexContent").exists(_.equalsIgnoreCase("true"))
+  private val verifyIndexContent: Option[Boolean] =
+    properties.get("verifyIndexContent").map(_.equalsIgnoreCase("true"))
 
   override def name(): String = s"tarmembers(${paths.mkString(",")})"
   override def schema(): StructType = TarMemberTable.fullSchema
@@ -236,7 +239,7 @@ object TarFilters {
 }
 
 class TarScanBuilder(paths: Seq[String], indexDir: Option[String],
-                     verifyIndexContent: Boolean = false,
+                     verifyIndexContent: Option[Boolean] = None,
                      confBc: () => org.apache.spark.broadcast.Broadcast[
                        org.apache.spark.util.SerializableConfiguration] =
                        TarScan.fallbackConfBroadcast) extends ScanBuilder
@@ -258,7 +261,7 @@ class TarScanBuilder(paths: Seq[String], indexDir: Option[String],
 }
 
 final case class TarFilePartition(file: String, indexDir: Option[String] = None,
-                                  verifyIndexContent: Boolean = false)
+                                  verifyIndexContent: Option[Boolean] = None)
     extends InputPartition
 
 object TarScan {
@@ -276,7 +279,7 @@ object TarScan {
 class TarScan(paths: Seq[String], required: StructType,
               pushed: Array[org.apache.spark.sql.sources.Filter],
               indexDir: Option[String] = None,
-              verifyIndexContent: Boolean = false,
+              verifyIndexContent: Option[Boolean] = None,
               confBc: () => org.apache.spark.broadcast.Broadcast[
                 org.apache.spark.util.SerializableConfiguration] =
                 TarScan.fallbackConfBroadcast)
@@ -352,7 +355,7 @@ class TarPartitionReader(file: String, required: StructType,
                          // (S3A endpoints etc.) — callers pass the
                          // serialized session conf (see the factory above)
                          conf: Configuration,
-                         verifyIndexContent: Boolean = false)
+                         verifyIndexContent: Option[Boolean] = None)
     extends PartitionReader[InternalRow] {
 
   private val needPayload = required.fieldNames.contains("payload")
@@ -370,11 +373,15 @@ class TarPartitionReader(file: String, required: StructType,
       val st = fs.getFileStatus(path)
       // payload readers open the shard anyway — verify the sidecar's
       // content probe (first/last 4 KiB CRC) before trusting recorded
-      // offsets; metadata-only reads keep the zero-shard-bytes path
-      // (staleness there is length+mtime only, see ShardIndex doc)
+      // offsets. Metadata-only reads: scheme-dependent default — local
+      // FS keeps the zero-shard-bytes path (fine-grained mtime), any
+      // other scheme (object stores, coarse upload timestamps) verifies
+      // on every load like the reference's IsStale; the reader option
+      // overrides either way (see TarMemberTable doc)
       graft.shards.ShardIndex.load(fs, dir, path, st.getLen,
         st.getModificationTime,
-        verifyContent = needPayload || verifyIndexContent)
+        verifyContent = needPayload ||
+          verifyIndexContent.getOrElse(fs.getUri.getScheme != "file"))
     }
     // which path actually served the scan — the content-probe fallback
     // otherwise degrades silently (md5 equality still holds on the

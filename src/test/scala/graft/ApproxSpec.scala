@@ -52,7 +52,7 @@ class ApproxSpec extends SparkSpec {
   test("events_users_approx within 5% of exact per day") {
     val ev = Tables.events(spark, TestSpark.sf001).cache()
     val approx = ev.groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(approx_count_distinct("user_id").as("u"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("u"))
       .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     val exact = ev.groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(countDistinct("user_id").as("u"))

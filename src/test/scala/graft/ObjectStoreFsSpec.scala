@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.{ObjectStoreBilling, ObjectStoreFileSystem}
+
+/** The object-store proof (VERDICT r10 item 1, adapted to a zero-egress
+  * build: no hadoop-aws/MinIO/S3Mock artifact exists offline, so the
+  * S3 SEMANTICS — credentialed mounts, billed ranged GETs, skip==read,
+  * copy+delete rename — are reproduced by
+  * [[graft.sources.ObjectStoreFileSystem]] under the `s3g://` scheme,
+  * and the engine's two headline object-store claims are asserted
+  * against its request/byte meter):
+  *
+  *   1. the tarmembers source + TarWriter + ShardIndex run unchanged
+  *      over `s3g://` URIs and return rows IDENTICAL to the local-FS
+  *      run (the FileSystem-contract drift test);
+  *   2. the broadcast session conf is what carries the creds to
+  *      executor-side readers — a reader handed a bare
+  *      `new Configuration()` is refused, same as an S3A client
+  *      without credentials;
+  *   3. the sidecar's zero-read economics measured in OBJECT-STORE
+  *      terms: a point read through the sidecar bills ~(sidecar +
+  *      content probe + payload) bytes, while the streaming scan bills
+  *      the WHOLE shard (skip() streams through the GET body — "on
+  *      object storage skip IS read and every byte is billed").
+  */
+class ObjectStoreFsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = s"${sys.props("java.io.tmpdir")}/graft_s3g_spec"
+  private val nShards = 4
+  private val membersPerShard = 64
+  private val payloadSize = 8192
+
+  private def mount(): Unit =
+    ObjectStoreFileSystem.confEntries(root).foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+
+  /** deterministic fixture corpus: 4 shards × 64 members × 8 KiB. */
+  private def membersDf = spark.range(nShards * membersPerShard.toLong)
+    .select(
+      format_string("s-%03d.tar", (col("id") / membersPerShard).cast("int")).as("shard_name"),
+      format_string("m-%05d.bin", col("id")).as("member"),
+      // per-member distinct payload: repeat of the id byte
+      expr(s"repeat(chr(65 + CAST(id % 26 AS INT)), $payloadSize)")
+        .cast("binary").as("payload"))
+
+  private def writeCorpus(): Unit = {
+    mount()
+    val fs = new Path("s3g://specbucket/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path("s3g://specbucket/"), true)
+    shards.TarWriter.writeShards(membersDf, "s3g://specbucket/shards")
+  }
+
+  test("tarmembers over s3g:// — rows identical to the local-FS run") {
+    writeCorpus()
+    val localDir = s"${sys.props("java.io.tmpdir")}/graft_s3g_spec_local"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(localDir))
+    shards.TarWriter.writeShards(membersDf, localDir)
+
+    def snap(path: String): Seq[(String, String, Long, Long, String)] =
+      spark.read.format("tarmembers").load(path)
+        .select(col("shard"), col("member"), col("offset"), col("size"),
+          md5(col("payload")).as("h"))
+        .as[(String, String, Long, Long, String)].collect().toSeq.sorted
+
+    val viaS3 = snap("s3g://specbucket/shards")
+    val viaLocal = snap(localDir)
+    assert(viaS3.nonEmpty && viaS3 == viaLocal,
+      s"s3g rows (${viaS3.size}) differ from local rows (${viaLocal.size})")
+  }
+
+  test("credentials: a conf without the keys is refused; the session conf works") {
+    writeCorpus()
+    val p = new Path("s3g://specbucket/shards/s-000.tar")
+    val bare = new Configuration(false)
+    bare.set("fs.s3g.impl", classOf[ObjectStoreFileSystem].getName)
+    bare.set("fs.s3g.impl.disable.cache", "true")
+    bare.set("fs.s3g.root", root)
+    val denied = intercept[java.io.IOException] { p.getFileSystem(bare) }
+    assert(denied.getMessage.contains("access denied"))
+
+    // wrong secret is refused too (not just missing)
+    val wrong = new Configuration(bare)
+    wrong.set("fs.s3g.access.key", ObjectStoreFileSystem.Access)
+    wrong.set("fs.s3g.secret.key", "nope")
+    assert(intercept[java.io.IOException] { p.getFileSystem(wrong) }
+      .getMessage.contains("access denied"))
+
+    // the session conf (what the tarmembers broadcast ships) mounts fine
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.getFileStatus(p).getLen > 0)
+  }
+
+  test("sidecar point read bills ~payload bytes; streaming bills the whole shard") {
+    writeCorpus()
+    val idxDir = "s3g://specbucket/idx"
+    shards.ShardIndex.build(spark, "s3g://specbucket/shards", idxDir)
+
+    val shardLen = new Path("s3g://specbucket/shards/s-000.tar")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new Path("s3g://specbucket/shards/s-000.tar")).getLen
+
+    def probe(indexed: Boolean): (String, Map[String, Long]) = {
+      val r0 = spark.read.format("tarmembers")
+      val r = if (indexed) r0.option("index", idxDir) else r0
+      // mid-shard member of the first shard: streaming must skip (and be
+      // billed for) everything before it, and still read through the rest
+      // of the TAR stream; indexed seeks straight to it
+      val q = r.load("s3g://specbucket/shards")
+        .where(col("shard") === "s-000.tar" && col("member") === "m-00031.bin")
+        .select(md5(col("payload")).as("h"))
+      ObjectStoreBilling.reset()
+      val rows = q.collect()
+      assert(rows.length == 1)
+      (rows(0).getString(0), ObjectStoreBilling.snapshot)
+    }
+
+    val (hStream, bStream) = probe(indexed = false)
+    val (hIdx, bIdx) = probe(indexed = true)
+    assert(hStream == hIdx, "streaming/indexed payload mismatch")
+
+    // streaming: the full shard streams through the GET (skip == read)
+    assert(bStream("bytesRead") >= shardLen,
+      s"streaming billed ${bStream("bytesRead")} < shard $shardLen")
+    // indexed: sidecar + first/last-4KiB content probe + the one payload —
+    // an order of magnitude under the shard, and bounded by construction
+    val idxCeiling = payloadSize + 2 * 4096 + 32 * 1024
+    assert(bIdx("bytesRead") <= idxCeiling,
+      s"indexed billed ${bIdx("bytesRead")} > ceiling $idxCeiling (shard=$shardLen)")
+    assert(bStream("bytesRead") >= 10 * bIdx("bytesRead"),
+      s"expected >=10x byte ratio: streaming=${bStream("bytesRead")} indexed=${bIdx("bytesRead")}")
+    // and the request meter: a point read is a handful of ranged GETs,
+    // not a per-member request storm
+    assert(bIdx("getRequests") <= 12,
+      s"indexed point read made ${bIdx("getRequests")} GET requests")
+  }
+
+  test("non-local staleness default: same-size same-mtime rewrite falls back (fresh names served)") {
+    writeCorpus()
+    val idxDir = "s3g://specbucket/idx2"
+    shards.ShardIndex.build(spark, "s3g://specbucket/shards", idxDir)
+
+    // rewrite shard s-001 with DIFFERENT member names but the same byte
+    // length, then restore the backing file's mtime — the coarse-mtime
+    // object-store hazard. On local FS the metadata-only default trusts
+    // (length, mtime) and would serve the stale names (ShardIndexSpec
+    // asserts that contract); on a non-`file` scheme the default verifies
+    // the content probe on every load (reference IsStale,
+    // cmn/archive/shard.go:343-347) and must fall back to streaming.
+    val backing = new java.io.File(s"$root/specbucket/shards/s-001.tar")
+    val before = (backing.length(), backing.lastModified())
+    val renamed = membersDf
+      .where(col("shard_name") === "s-001.tar")
+      .withColumn("member", regexp_replace(col("member"), "^m-", "x-"))
+    shards.TarWriter.writeShards(renamed, "s3g://specbucket/shards")
+    assert(backing.setLastModified(before._2))
+    assert((backing.length(), backing.lastModified()) == before,
+      "rewrite changed length/mtime — fixture no longer tests the probe")
+
+    val names = spark.read.format("tarmembers").option("index", idxDir)
+      .load("s3g://specbucket/shards")
+      .where(col("shard") === "s-001.tar")
+      .select("member").collect().map(_.getString(0)).sorted
+    assert(names.nonEmpty && names.forall(_.startsWith("x-")),
+      s"stale sidecar names served on a non-local scheme: ${names.take(3).mkString(",")}")
+  }
+
+  test("rename is copy+delete and billed — nothing here relies on atomic rename") {
+    mount()
+    val fs = new Path("s3g://specbucket/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val src = new Path("s3g://specbucket/tmp/a.bin")
+    val out = fs.create(src, true)
+    out.write(Array.fill[Byte](1024)(7)); out.close()
+    ObjectStoreBilling.reset()
+    assert(fs.rename(src, new Path("s3g://specbucket/tmp/b.bin")))
+    val b = ObjectStoreBilling.snapshot
+    assert(b("copyRequests") == 1 && b("deleteRequests") == 1,
+      s"rename billed $b")
+    assert(!fs.exists(src) && fs.exists(new Path("s3g://specbucket/tmp/b.bin")))
+  }
+}

