@@ -84,4 +84,23 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** [[get]], but honoring `SPARK_GRAFT_MASTER` (the check mains'
+    * multi-JVM toggle): local-cluster executors are fresh JVMs launched
+    * from SPARK_HOME — they need our compiled classes on their own
+    * classpath (the driver's -cp is not inherited). Same contract as
+    * Verify/Bench. */
+  def getWithEnvMaster(): SparkSession = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val b = builder(master)
+    val s = (if (master.startsWith("local-cluster")) {
+      val classesDir = new java.io.File(getClass.getProtectionDomain
+        .getCodeSource.getLocation.toURI).getAbsolutePath
+      b.config("spark.executor.extraClassPath", classesDir)
+        .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
+    } else b).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 }

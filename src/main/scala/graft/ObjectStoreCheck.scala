@@ -25,16 +25,8 @@ import graft.sources.{ObjectStoreBilling, ObjectStoreFileSystem}
   */
 object ObjectStoreCheck {
   def main(args: Array[String]): Unit = {
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
-      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-    val builder = GraftSession.builder(master)
-    val spark = (if (master.startsWith("local-cluster")) {
-      val classesDir = new java.io.File(
-        SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
-      builder.config("spark.executor.extraClassPath", classesDir)
-        .config("spark.executor.memory", "4g")
-    } else builder).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.getWithEnvMaster()
+    val master = spark.sparkContext.master
     import spark.implicits._
 
     val root = s"${sys.props("java.io.tmpdir")}/graft_s3g_check"

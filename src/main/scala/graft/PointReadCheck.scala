@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * the identical row. */
 object PointReadCheck {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.get()
+    // SPARK_GRAFT_MASTER=local-cluster[...] runs the whole check with
+    // executors in separate JVMs — the accumulator-based scan-path
+    // asserts must hold there too (VERDICT r10 item 6)
+    val spark = GraftSession.getWithEnvMaster()
     val dir = sys.env.getOrElse("SPARK_GRAFT_TARS", "/tmp/graft_tars_testdata_local_sf1")
     val df = spark.read.format("tarmembers").load(dir)
 
@@ -94,12 +97,15 @@ object PointReadCheck {
     def fileBytesRead(): Long =
       try org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.get("file").getLong("bytesRead")
       catch { case scala.util.control.NonFatal(_) => 0L }
-    // local[*] masters share the JVM with executors, so the reader's
-    // scan-path counters are directly readable — the NON-timing proof
-    // that the sidecar fast path ran (a probe-rejected sidecar degrades
-    // to streaming with identical md5s; only the counter catches it)
-    val countersVisible = spark.sparkContext.master.startsWith("local[")
+    // scan-path proof on ANY topology (round 11): the reader increments
+    // Spark ACCUMULATORS (TarScanStats.accums) alongside the JVM-local
+    // statics, so the "sidecar fast path actually ran / never fell back"
+    // assertions hold under local-cluster and real masters too, where
+    // the statics live in executor JVMs and read 0 on the driver (a
+    // probe-rejected sidecar degrades to streaming with identical md5s;
+    // only a counter catches it)
     import graft.sources.TarScanStats
+    val acc = TarScanStats.accums(spark.sparkContext)
     def probe(memberIdx: Int, indexed: Boolean): (Double, Long, String) = {
       val r0 = spark.read.format("tarmembers")
       val r = if (indexed) r0.option("index", idxDir) else r0
@@ -107,13 +113,13 @@ object PointReadCheck {
         .where(col("member") === f"m$memberIdx%07d.bin")
         .select(md5(col("payload")).as("h"))
       val b0 = fileBytesRead()
-      val (i0, f0) = (TarScanStats.indexedScans.get(), TarScanStats.indexFallbacks.get())
+      val (i0, f0) = (acc.indexed.value.longValue, acc.fallbacks.value.longValue)
       val (rows, sec) = time(q.collect())
       require(rows.length == 1, s"probe m$memberIdx indexed=$indexed: ${rows.length} rows")
-      if (countersVisible && indexed) {
-        require(TarScanStats.indexedScans.get() > i0,
+      if (indexed) {
+        require(acc.indexed.value.longValue > i0,
           s"probe m$memberIdx: index option set but no indexed scan ran")
-        require(TarScanStats.indexFallbacks.get() == f0,
+        require(acc.fallbacks.value.longValue == f0,
           s"probe m$memberIdx: sidecar rejected — fell back to streaming")
       }
       (sec, fileBytesRead() - b0, rows(0).getString(0))
