@@ -1,0 +1,21 @@
+package graft
+
+/** Prints the WAND skip-rate for the hard_negatives face at
+  * `SPARK_GRAFT_SF_DIR` (PERF.md datum): fraction of candidate pairs
+  * whose merge kernel was skipped because their upper bound could not
+  * reach the partition-local running k-th score. local[*] only (the
+  * LongAdder meters are executor-JVM-local). */
+object WandRateCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    functions.WandTopK.evals.reset(); functions.WandTopK.skips.reset()
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries("hard_negatives")(spark, sfDir).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val e = functions.WandTopK.evals.sum(); val sk = functions.WandTopK.skips.sum()
+    println(f"[wand] sf=$sfDir rows=$n sec=$sec%.1f kernel_evals=$e skips=$sk " +
+      f"skip_rate=${100.0 * sk / math.max(1L, e + sk)}%.1f%%")
+    spark.stop()
+  }
+}

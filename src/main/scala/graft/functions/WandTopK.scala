@@ -104,7 +104,11 @@ case class WandTopK(k: Int, docId: Expression, bound: Expression,
     if (b == null) return buf
     // WAND skip: a full buffer whose cut the bound cannot reach — the
     // merge kernel below never runs for this row
-    if (buf.n == k && b.asInstanceOf[Double] < buf.kth) return buf
+    if (buf.n == k && b.asInstanceOf[Double] < buf.kth) {
+      WandTopK.skips.increment()
+      return buf
+    }
+    WandTopK.evals.increment()
     val ents = entries.eval(input).asInstanceOf[ArrayData]
     val ks = keys.eval(input).asInstanceOf[ArrayData]
     if (ents == null || ks == null) return buf
@@ -161,6 +165,14 @@ case class WandTopK(k: Int, docId: Expression, bound: Expression,
 object WandTopK {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.GraftShim
+
+  /** JVM-local skip-rate telemetry (cumulative; LongAdder — striped,
+    * ~ns-scale per hit across 32 update threads, so leaving it always-on
+    * does not distort benches). Skip rate = skips / (skips + evals).
+    * Executor-local under multi-JVM masters, like TarScanStats' statics —
+    * a diagnostic meter, not a correctness surface. */
+  val evals = new java.util.concurrent.atomic.LongAdder
+  val skips = new java.util.concurrent.atomic.LongAdder
 
   /** `groupBy(query).agg(wandTopK(k)(docId, bound, entries, keys))` —
     * array<struct<score, doc_id>> best-first. `bound` must be an upper
