@@ -1,0 +1,17 @@
+package graft
+
+/** Prints the batched-merge driver-round count for the bpe_merges face
+  * corpus (PERF.md datum). */
+object BpeRoundsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for (n <- Seq(8, 64)) {
+      val t0 = System.nanoTime()
+      val m = ext.Bpe.learnMerges(Tables.load(spark, sfDir, "documents"), n)
+      println(f"[bpe] nMerges=$n learned=${m.size} driver_rounds=${ext.Bpe.lastLearnRounds} " +
+        f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -92,6 +92,10 @@ object Bpe extends org.apache.spark.internal.Logging {
     * their time in the per-round rewrite job, not the argmax).
     * `stableCheckpoint` per round truncates the otherwise n-deep
     * rewrite lineage over the vocab-sized table. */
+  /** driver-round count of the most recent [[learnMerges]] call (JVM-
+    * local diagnostics for the batching datum; see the scaladoc above). */
+  @volatile var lastLearnRounds: Int = 0
+
   def learnMerges(docs: DataFrame, nMerges: Int,
                   textCol: String = "text"): Seq[(Int, String, String, Long)] = {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
@@ -140,6 +144,7 @@ object Bpe extends org.apache.spark.internal.Logging {
         rounds += 1
       }
     }
+    lastLearnRounds = rounds
     logInfo(s"bpe: learned ${out.size} merges in $rounds driver rounds " +
       f"(batch avg ${if (rounds == 0) 0.0 else out.size.toDouble / rounds}%.1f)")
     out.toSeq
