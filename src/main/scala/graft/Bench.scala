@@ -40,8 +40,14 @@ object Bench {
       // humongous-allocation thrash; see GraftSession.scala)
       .config("spark.buffer.pageSize", "32m")
       // fine-grained initial shuffles, AQE-coalesced reads — partition
-      // count scales with data volume (see GraftSession.scala)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // count derives from input volume with a 256 floor, so sf≤1 is
+      // unchanged while sf30+ sorts get proportionally more tasks
+      // (see GraftSession.initialPartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        GraftSession.initialPartitions(GraftSession.inputBytes(sfDir)).toString)
+      // input-volume signal for explicit range-partition counts
+      // (DSort cumsum; AQE cannot resize user-specified exchanges)
+      .config("spark.graft.inputBytes", GraftSession.inputBytes(sfDir).toString)
     val spark = (if (master.startsWith("local-cluster")) {
       val classesDir = new java.io.File(
         SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath

@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Prints the connected-components driver-round count and wall time for
+  * the dedup_components face's pipeline (PERF.md round-12 datum: the
+  * pointer-jumping rounds bound). */
+object CcRoundsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val t0 = System.nanoTime()
+    val df = SparkEntry.queries("dedup_components")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    println(f"[cc] driver_rounds=${ext.Dedup.lastCcRounds} " +
+      f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    spark.stop()
+  }
+}

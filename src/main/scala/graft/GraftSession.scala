@@ -10,6 +10,34 @@ import org.apache.spark.sql.SparkSession
   * session time zone for deterministic timestamp rendering.
   */
 object GraftSession {
+
+  /** Recursive on-disk size of the input data dir (the parquet tables);
+    * 0 when unset/missing. One directory walk of ~10 files at session
+    * build — the cheap volume signal the scale-adaptive partition counts
+    * below derive from. */
+  def inputBytes(dir: String): Long =
+    try {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum
+        finally s.close()
+      }
+    } catch { case _: Throwable => 0L }
+
+  /** Scale-adaptive AQE initial shuffle-partition count: one initial
+    * partition per 8 MiB of on-disk input, floored at the round-4 256
+    * default — so the sf≤1 local regime is byte-identical (256, AQE
+    * coalesces the tiny reads back) while a 3×-data run gets 3× the
+    * sort/agg tasks instead of 3× the rows per task (the measured sf30
+    * `sample_group` spill: 6.1× wall at 3× data with the count pinned
+    * at 256). Capped at 32768: shuffle blocks grow as M×R, and above
+    * ~256 GiB of input a deployment sizes this conf explicitly. */
+  def initialPartitions(bytes: Long): Int =
+    math.min(32768L, math.max(256L, bytes / (8L << 20))).toInt
+
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
     SparkSession
       .builder()
@@ -19,18 +47,26 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Shuffles START fine-grained (256 map-output partitions) and AQE
-      // coalesces reads back to the advisory size — partition count then
-      // scales with DATA VOLUME instead of being pinned to core count.
-      // With the pin at 32, a sf100 sort-merge join put ~19M rows in
-      // each task's sorter; its pointer array alone needs ~0.5 GiB
-      // CONTIGUOUS (pageSize cannot cap it) and 32 concurrent ones
-      // starved the memory manager (UNABLE_TO_ACQUIRE_MEMORY). At 256
-      // initial partitions the same join runs ~2.4M rows/task; at sf0.1
-      // AQE coalesces the tiny partitions back so steady-state timing is
-      // unchanged. This is the 100 TB sizing rule: partitions sized by
-      // bytes (AQE advisory), never by a fixed count.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // Shuffles START fine-grained and AQE coalesces reads back to the
+      // advisory size — partition count then scales with DATA VOLUME
+      // instead of being pinned to core count. With the pin at 32, a
+      // sf100 sort-merge join put ~19M rows in each task's sorter; its
+      // pointer array alone needs ~0.5 GiB CONTIGUOUS (pageSize cannot
+      // cap it) and 32 concurrent ones starved the memory manager
+      // (UNABLE_TO_ACQUIRE_MEMORY). Round 12: the 256 became a FLOOR,
+      // not a constant — the count now derives from input volume
+      // (SPARK_GRAFT_SF_DIR on-disk bytes / 8 MiB, see
+      // initialPartitions) because 256 itself was the next pin up:
+      // sample_group's range sort measured 6.1× at 3× data (sf30) with
+      // every sort task carrying 3× the rows. At sf≤1 the derived value
+      // IS 256, so the local bench regime is unchanged.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitions(sys.env.get("SPARK_GRAFT_SF_DIR").map(inputBytes).getOrElse(0L)).toString)
+      // input-volume signal for query-time EXPLICIT partition counts
+      // (DSort cumsum's repartitionByRange — AQE cannot resize a
+      // user-specified exchange, so those sites scale themselves)
+      .config("spark.graft.inputBytes",
+        sys.env.get("SPARK_GRAFT_SF_DIR").map(inputBytes).getOrElse(0L).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // Typed-Aggregator aggregates (bounded top-k, graft.functions.TopK)
       // run through ObjectHashAggregate, whose in-memory hash map falls

@@ -1428,12 +1428,16 @@ object SparkEntry {
     }),
 
     // A5 approx variant: HLL distincts (no oracle - algorithm-specific;
-    // accuracy asserted against exact counts in ExtensionsSpec)
+    // accuracy asserted against exact counts in ExtensionsSpec).
+    // rsd 0.02 explicitly (not the 0.05 default): the in-gate ApproxGate
+    // bound is 5%, which at the default rsd is a ~1σ band a routine
+    // sketch draw can violate (events_users_approx did at sf0.01) — 0.02
+    // makes the gate bound ≥2.5σ, same call as events_users_approx.
     "vocab_stats_approx" -> ((s, d) =>
       Tables.load(s, d, "documents")
         .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
         .groupBy("source")
-        .agg(approx_count_distinct("tok").as("vocab_approx"))
+        .agg(approx_count_distinct(col("tok"), 0.02).as("vocab_approx"))
         .orderBy("source")),
 
     // ------------------------------------------------------------------

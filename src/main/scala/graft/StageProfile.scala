@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import scala.collection.mutable
+
+/** Dev tool (guide §1/§7: measure first, UI is disabled in the bench):
+  * run named gate queries under the bench's session regime with a
+  * stage-metrics listener and print, per query, the top stages by
+  * duration with their shuffle read/write and spill — the poor man's
+  * Stages tab. Usage:
+  *   SPARK_GRAFT_SF_DIR=... tools/run_local.sh graft.StageProfile q1,q2
+  * Not part of the driver contract; never writes BENCH_LOCAL.json. */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get()
+    case class St(name: String, ms: Long, tasks: Int, shufR: Long, shufW: Long,
+                  spillMem: Long, spillDisk: Long, cpuMs: Long, gcMs: Long)
+    val stages = mutable.ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val m = i.taskMetrics
+        val ms = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(0L)
+        stages += St(i.name.take(60), ms, i.numTasks,
+          m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+          m.memoryBytesSpilled, m.diskBytesSpilled,
+          m.executorCpuTime / 1000000, m.jvmGCTime)
+      }
+    })
+    // same warmup as Bench so JIT noise doesn't pollute the first query
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    names.foreach { n =>
+      stages.clear()
+      spark.sparkContext.setJobDescription(n)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"\n== $n%s  wall=$wall%.2f s  stages=${stages.size}%d  " +
+        f"stageTimeSum=${stages.map(_.ms).sum / 1000.0}%.2f s")
+      stages.sortBy(-_.ms).take(14).foreach { s =>
+        println(f"  ${s.ms}%6d ms  tasks=${s.tasks}%4d  cpu=${s.cpuMs}%6d  gc=${s.gcMs}%5d  " +
+          f"shufR=${s.shufR / 1024}%8d K  shufW=${s.shufW / 1024}%8d K  " +
+          f"spill=${s.spillMem / 1048576}%5d M/${s.spillDisk / 1048576}%5d M  ${s.name}%s")
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    spark.stop()
+  }
+}

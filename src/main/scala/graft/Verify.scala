@@ -35,8 +35,14 @@ object Verify {
       // humongous-allocation thrash; see GraftSession.scala)
       .config("spark.buffer.pageSize", "32m")
       // fine-grained initial shuffles, AQE-coalesced reads — partition
-      // count scales with data volume (see GraftSession.scala)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // count derives from input volume with a 256 floor, so sf≤1 is
+      // unchanged while sf30+ sorts get proportionally more tasks
+      // (see GraftSession.initialPartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        GraftSession.initialPartitions(GraftSession.inputBytes(sfDir)).toString)
+      // input-volume signal for explicit range-partition counts
+      // (DSort cumsum; AQE cannot resize user-specified exchanges)
+      .config("spark.graft.inputBytes", GraftSession.inputBytes(sfDir).toString)
     // local-cluster executors are fresh JVMs launched from SPARK_HOME: they
     // need our compiled classes on their classpath (the driver's -cp is not
     // inherited) and the same java.base --add-opens flags Java 17 requires.

@@ -103,6 +103,9 @@ object Bpe extends org.apache.spark.internal.Logging {
       .select(col("freq"), chars(col("word")).as("syms"))
       .stableCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // every learned merge's concatenated symbol — the exact set of multi-
+    // char symbols that can exist in the vocab (collision guard below)
+    val mergedSymbols = scala.collection.mutable.Set.empty[String]
     var done = false
     var rank = 0
     var rounds = 0
@@ -123,8 +126,22 @@ object Bpe extends org.apache.spark.internal.Logging {
         var i = 0
         while (!stop && i < cand.length && sel.size < nMerges - rank) {
           val (l, r, c) = cand(i)
+          // Symbol-collision guard: a member's concatenated symbol l+r
+          // can equal a PRE-EXISTING symbol built from a different split
+          // ('abc' via (a,bc) when 'abc' already exists from an earlier
+          // (ab,c) merge) — the merge then adds occurrences to pairs of
+          // that existing symbol mid-batch, which newCeil (a bound on
+          // NEWLY-CREATED pairs only) does not cover, so later members'
+          // recorded cnts could deviate from sequential replay. Multi-
+          // char symbols can only originate from prior merges, so
+          // `mergedSymbols` (all learned concatenations, incl. this
+          // batch's) tracks the collidable set exactly. A colliding
+          // member may still CLOSE the batch (selecting it alone ≡ the
+          // sequential step), but nothing may follow it.
+          val concatSym = l + r
           if (used(l) || used(r)) stop = true
           else if (sel.nonEmpty && c <= newCeil) stop = true
+          else if (sel.nonEmpty && mergedSymbols(concatSym)) stop = true
           else {
             val maxAdj = math.max(floorUnknown,
               cand.collect { case (x, y, cc) if y == l || x == r => cc }
@@ -132,6 +149,8 @@ object Bpe extends org.apache.spark.internal.Logging {
             newCeil = math.max(newCeil, math.min(c, maxAdj))
             used += l; used += r
             sel += ((l, r, c))
+            if (mergedSymbols(concatSym)) stop = true
+            mergedSymbols += concatSym
           }
           i += 1
         }

@@ -320,16 +320,35 @@ object Dedup {
 
   /** Connected components over a near-dup pair table (the step that turns
     * candidate PAIRS into dedup CLUSTERS with one surviving representative
-    * each): iterative min-label propagation — every node repeatedly takes
-    * the minimum component label among itself and its neighbors until a
-    * fixpoint. Each iteration is one join + one groupBy on the edge list
-    * (both shuffle on node id, partial-aggregated), with a
-    * `localCheckpoint` to truncate the growing lineage; iterations needed
-    * = graph diameter, and near-dup clusters are short chains (a hub
-    * original plus its variants), so 3–5 rounds close real corpora. For
-    * adversarially long chains the same loop body admits the
-    * large-star/small-star optimization; not needed for dedup graphs.
+    * each): min-label propagation with POINTER JUMPING — each round every
+    * node takes the minimum label among itself and its neighbors (one
+    * join + one groupBy on the edge list, both shuffle on node id,
+    * partial-aggregated); from round 3 on it additionally composes the
+    * label map with itself (label ← min(label(v), label(label(v))), one
+    * narrow self-join of the |V|-row label table). The jump step doubles
+    * the label-graph distance covered per round, so convergence needs
+    * ≤ 2 + O(log diameter) rounds instead of O(diameter) — the measured
+    * sf30 fix for long-chain collision graphs (straight propagation went
+    * 4.6× at 3× data because round count grew with the graph) — while
+    * the first two rounds stay the cheap plain-propagation body that
+    * already closes real near-dup graphs (hub + variants, diameter ≤ 2;
+    * unconditional jumping measured +0.9 s on sf0.1).
+    *
+    * Exactness: labels are ids of same-component nodes and only ever
+    * DECREASE (both steps are `least` over same-component labels), so the
+    * loop converges to the same unique fixpoint as plain propagation —
+    * component = min reachable id; `changed == 0` implies next == labels,
+    * and by monotonicity the propagation step alone was already stable,
+    * which is exactly the old convergence criterion. Skew note: the jump
+    * self-join keys on the label (hot for a giant component) — a
+    * sort-merge join AQE's skew handling can split, unlike the groupBy
+    * hot key a single giant star would create under large-star/small-star.
     * Output: (doc_id, component) with component = min doc_id reachable. */
+  /** driver-round count of the most recent [[connectedComponents]] call
+    * (JVM-local diagnostics — the pointer-jumping log-rounds datum, same
+    * contract as [[Bpe.lastLearnRounds]]). */
+  @volatile var lastCcRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, idA: String = "doc_a",
                           idB: String = "doc_b", maxIter: Int = 20): DataFrame = {
     // both directions in ONE scan of the pair plan (a union of two
@@ -359,14 +378,42 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("component").as("_nc")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("_nc").as("_nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("component").as("_old"),
-          least(col("component"), coalesce(col("_nbr"), col("component"))).as("component"))
-        .stableCheckpoint()
+          least(col("component"), coalesce(col("_nbr"), col("component"))).as("_p"))
+      // Jump from round 2 on: real near-dup graphs (hub + variants,
+      // diameter ≤ 2) converge in ONE round — the init fold already
+      // labels them and round 1 just detects no change (CcRoundsCheck:
+      // driver_rounds=1 at sf0.1 AND sf30) — so they exit before the
+      // jump path ever runs and keep the old per-round body unchanged.
+      // Deeper graphs keep iterating and from round 2 double their
+      // covered distance per round — total rounds ≤ 1 + O(log diameter)
+      // instead of O(diameter), same fixpoint (the ExtensionsSpec
+      // 64-chain closes in ≤10 rounds where plain propagation needs 63
+      // and would blow the maxIter guard).
+      val next =
+        if (iter < 1)
+          prop.withColumnRenamed("_p", "component").stableCheckpoint()
+        else {
+          // checkpointed because the jump reads `propC` twice (as the
+          // map and as the probe side) — unmaterialized, the edge join
+          // + groupBy above would execute twice per round
+          val propC = prop.stableCheckpoint()
+          // pointer jump: component ← min(label(v), label(label(v))).
+          // Every _p is itself a node id (v or a neighbor's label), so
+          // it appears as an `id` in propC; left+coalesce keeps the
+          // no-match case total.
+          val jumpMap = propC.select(col("id").as("_p"), col("_p").as("_gp"))
+          propC.join(jumpMap, Seq("_p"), "left")
+            .select(col("id"), col("_old"),
+              least(col("_p"), coalesce(col("_gp"), col("_p"))).as("component"))
+            .stableCheckpoint()
+        }
       changed = next.where(col("component") =!= col("_old")).count()
       labels = next.drop("_old")
       iter += 1
     }
+    lastCcRounds = iter
     // a silent early exit would report one true cluster as several (its
     // duplicates would survive dedup) — fail loudly instead
     if (changed > 0) throw new IllegalStateException(

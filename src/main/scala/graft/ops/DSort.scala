@@ -188,9 +188,26 @@ object DSort {
     * written ones) without paying the shuffle + checkpoints twice.
     * Same machinery as [[cumsumAndOffsets]] — see there for why both
     * checkpoints are load-bearing. */
+  /** Explicit range-partition count for the cumsum machinery: the
+    * session's shuffle partitions, scaled UP with input volume (one
+    * partition per 64 MiB of on-disk input; `spark.graft.inputBytes` is
+    * set at session build — GraftSession/Bench/Verify). Needed because
+    * repartitionByRange pins its partition count: AQE can neither
+    * coalesce nor split a user-specified exchange, so a count tuned to
+    * local core count would under-partition large-scale sorts exactly
+    * the way the fixed 256 AQE floor did for sample_group (6.1× at 3×
+    * data, sf30). At sf≤1 the scale term is 0 and the local regime is
+    * unchanged. */
+  private[graft] def rangePartitions(spark: org.apache.spark.sql.SparkSession): Int = {
+    val base = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val bytes = spark.conf.getOption("spark.graft.inputBytes")
+      .flatMap(b => scala.util.Try(b.toLong).toOption).getOrElse(0L)
+    math.max(base, math.min(32768L, bytes / (64L << 20)).toInt)
+  }
+
   def globalCumsum2(df: DataFrame, order: Seq[Column], v1: Column, v2: Column): DataFrame = {
     val spark = df.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val n = rangePartitions(spark)
     val parted = df.stableCheckpoint()
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
@@ -222,7 +239,7 @@ object DSort {
   private[graft] def cumsumAndOffsets(df: DataFrame, groups: Seq[String],
       order: Seq[Column], value: Column): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val n = rangePartitions(spark)
     val fullOrder = groups.map(col(_).asc) ++ order
     // First checkpoint: repartitionByRange SAMPLES its input to pick
     // boundaries, then shuffles it — without materialization the upstream

@@ -53,4 +53,64 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // all 1-char words
     assert(Bpe.learnMerges(docs, 5).isEmpty)
   }
+
+  /** Reference one-merge-per-round BPE with the exact same semantics as
+    * learnMerges (overlapping adjacent pair counts, greedy left-to-right
+    * rewrite, (cnt desc, left, right) selection) — the batched driver
+    * loop must replay it bit-identically on ANY corpus, including ones
+    * where a merge's concatenated symbol collides with a symbol built
+    * from a different split (the ADVICE r11 Bpe.scala:126 scenario). */
+  private def sequentialBpe(words: Seq[(String, Long)], n: Int): Seq[(Int, String, String, Long)] = {
+    def applySeq(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b) else acc :+ s
+      }
+    var vocab: Seq[(Vector[String], Long)] =
+      words.map { case (w, f) => (w.split("").filter(_.nonEmpty).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    while (rank < n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.iterator.sliding(2).withPartial(false).foreach { p =>
+          val k = (p.head, p(1)); counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      if (counts.isEmpty) return out.toSeq
+      val ((l, r), c) = counts.toSeq.minBy { case ((ll, rr), cc) => (-cc, ll, rr) }
+      out += ((rank, l, r, c))
+      vocab = vocab.map { case (syms, f) => (applySeq(syms, l, r), f) }
+      rank += 1
+    }
+    out.toSeq
+  }
+
+  private def corpusDf(words: Seq[(String, Long)]) = {
+    val text = words.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("batched merges replay sequentially on a symbol-collision corpus") {
+    // 'wxyz' gets built via (w,x)→(wx,y)→(wxy,z); separate yz-context
+    // words then make (y,z) and (wx,yz)-style colliding candidates
+    // competitive — the batch must stop at (not cross) such members.
+    val words = Seq(
+      "wx" -> 20L, "wxy" -> 18L, "wxyz" -> 16L, "ayz" -> 15L,
+      "byz" -> 14L, "cwx" -> 13L, "dwxyz" -> 12L, "yzyz" -> 11L,
+      "wxwx" -> 10L, "ewxy" -> 9L)
+    val docs = corpusDf(words)
+    assert(Bpe.learnMerges(docs, 16) == sequentialBpe(words, 16))
+  }
+
+  test("batched merges replay sequentially on a flat-count random corpus") {
+    // seeded random corpus over a 4-letter alphabet: flat pair counts →
+    // deep batches → maximal exposure of the batching ceiling + guards
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 40).map { _ =>
+      val len = 2 + rnd.nextInt(5)
+      (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }.groupBy(identity).map { case (w, ws) => w -> (ws.size * (1 + rnd.nextInt(3))).toLong }.toSeq
+    val docs = corpusDf(words)
+    assert(Bpe.learnMerges(docs, 24) == sequentialBpe(words, 24))
+  }
 }

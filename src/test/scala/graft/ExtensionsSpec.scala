@@ -34,6 +34,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(comp.length == 10 && comp.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components: pointer jumping closes a 64-chain in logarithmic rounds") {
+    // diameter-63 path: plain min-propagation needs ~63 rounds (it would
+    // blow the maxIter=20 guard); propagate+jump must converge in
+    // O(log d) — and to the identical labeling (component = min id)
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+    assert(comp.length == 64 && comp.forall(_.getLong(1) == 0L))
+    assert(Dedup.lastCcRounds <= 10,
+      s"expected O(log 63) ≈ ≤10 rounds, got ${Dedup.lastCcRounds}")
+  }
+
+  test("connected components: jump rounds match plain propagation's labels on a random graph") {
+    // seeded random sparse graph: same fixpoint as the direct definition
+    // (min reachable id), computed here by an in-test BFS union-find
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val parent = Array.tabulate(80)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val minOf = (0 until 80).groupBy(find).map { case (r, m) => r -> m.min }
+    val expected = (0 until 80).map(i => i.toLong -> minOf(find(i)).toLong).toMap
+    val comp = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only nodes that appear in some edge are labeled
+    comp.foreach { case (id, c) => assert(c == expected(id.toInt), s"node $id") }
+  }
+
   test("contamination: benchmark members self-hit at ratio 1.0, others stay below") {
     val bench = docs.where($"doc_id" % 97 === 0)
     val out = Dedup.contamination(docs, bench, n = 8, threshold = 0.05)
@@ -724,7 +752,9 @@ class ExtensionsSpec extends SparkSpec {
     val toks = docs.select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
     val exact = toks.groupBy("source").agg(countDistinct("tok").as("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = toks.groupBy("source").agg(approx_count_distinct("tok").as("v"))
+    // rsd 0.02, mirroring the vocab_stats_approx face (the 5% assert is
+    // then a ≥2.5σ band instead of ~1σ — ApproxGate rationale)
+    val approx = toks.groupBy("source").agg(approx_count_distinct(col("tok"), 0.02).as("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     approx.foreach { case (s, a) =>
       val e = exact(s)
