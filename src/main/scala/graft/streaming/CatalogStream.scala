@@ -81,20 +81,22 @@ object CatalogStream {
   def runApplyStream(spark: SparkSession, mutationsDir: String, base: DataFrame): DataFrame = {
     val schema = spark.read.parquet(mutationsDir).schema
     var state = init(base).stableCheckpoint()
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(mutationsDir)
-      .writeStream
-      .queryName("catalog_cdc")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // localCheckpoint caps plan growth across epochs (the state
-        // lineage would otherwise deepen by one join per batch)
-        state = step(state, batch).stableCheckpoint()
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    StreamScale.withStatePartitions(spark, mutationsDir) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(mutationsDir)
+        .writeStream
+        .queryName("catalog_cdc")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // localCheckpoint caps plan growth across epochs (the state
+          // lineage would otherwise deepen by one join per batch)
+          state = step(state, batch).stableCheckpoint()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     snapshot(state)
   }
 }

@@ -48,9 +48,11 @@ object CorpusStream {
     val deduped = stream.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
       .toDF("_h", "doc_id", "text", "_seq")
-    val q = deduped.writeStream.outputMode("update").format("memory")
-      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamScale.withStatePartitions(spark, docsDir) {
+      val q = deduped.writeStream.outputMode("update").format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // min over all snapshots == the latest snapshot (the min-fold is
     // monotone), and needs no _seq tie-breaking
     val kept = spark.table(queryName)

@@ -38,13 +38,15 @@ object DedupStream {
     val hashes = stream
       .select(md5(col("text").cast("binary")).as("content_hash"))
       .dropDuplicates("content_hash")
-    val q = hashes.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamScale.withStatePartitions(spark, docsDir) {
+      val q = hashes.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 }

@@ -82,13 +82,15 @@ object EventsStream {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
       .toDF("user_id", "n_events", "n_sessions")
-    val q = out.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamScale.withStatePartitions(spark, eventsDir) {
+      val q = out.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // memory sink in update mode appends each update; keep the last per user
     spark.table(queryName)
       .groupBy("user_id")
@@ -149,9 +151,11 @@ object EventsStream {
     val out = stream.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
       .toDF("user_id", "n_events", "n_sessions", "_seq")
-    val q = out.writeStream.outputMode("update").format("memory")
-      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamScale.withStatePartitions(spark, eventsDir) {
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("_seq"), col("n_sessions"))).as("_m"))
@@ -206,13 +210,15 @@ object EventsStream {
           col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"), round(col("value"), 2).as("value"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamScale.withStatePartitions(spark, eventsDir) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -220,16 +226,18 @@ object EventsStream {
                      keys: Seq[String],
                      queryName: String = "events_deduped"): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
-    val q = spark.readStream.schema(schema).parquet(eventsDir)
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamScale.withStatePartitions(spark, eventsDir) {
+      val q = spark.readStream.schema(schema).parquet(eventsDir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -250,13 +258,15 @@ object EventsStream {
         round(sum("value"), 2).as("value_sum"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamScale.withStatePartitions(spark, eventsDir) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -346,9 +356,11 @@ object EventsStream {
     val flagged = stream.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
       .toDF("user_id", "event_id", "value", "n_prior", "is_spike", "_seq")
-    val q = flagged.writeStream.outputMode("update").format("memory")
-      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamScale.withStatePartitions(spark, eventsDir) {
+      val q = flagged.writeStream.outputMode("update").format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // latest snapshot per event: provisional flags are superseded by the
     // finalized (or final-trigger provisional) emission
     spark.table(queryName)
@@ -389,9 +401,11 @@ object EventsStream {
       "left_outer")
     val out = joined.select(
       stream.columns.toIndexedSeq.map(stream(_)) ++ payloadCols.toIndexedSeq.map(intervals(_)): _*)
-    val q = out.writeStream.outputMode("append").format("memory")
-      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamScale.withStatePartitions(spark, eventsDir) {
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 }

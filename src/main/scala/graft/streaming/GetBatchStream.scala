@@ -35,6 +35,7 @@ object GetBatchStream {
                  maxBatchSize: Int): DataFrame = {
     var consumed = 0L
     var acc: Option[DataFrame] = None
+    StreamScale.withStatePartitions(spark, listingDir) {
     val q = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(listingDir)
@@ -55,6 +56,7 @@ object GetBatchStream {
       }
       .start()
     q.awaitTermination()
+    }
     acc.getOrElse(spark.emptyDataFrame)
   }
 }

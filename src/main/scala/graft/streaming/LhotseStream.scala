@@ -36,6 +36,7 @@ object LhotseStream {
                  sampleRate: Option[Long] = None): DataFrame = {
     var cutsSoFar = 0L
     var acc: Option[DataFrame] = None
+    StreamScale.withStatePartitions(spark, manifestDir) {
     val q = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(manifestDir)
@@ -55,6 +56,7 @@ object LhotseStream {
       }
       .start()
     q.awaitTermination()
+    }
     acc.getOrElse(spark.emptyDataFrame)
   }
 }

@@ -28,6 +28,7 @@ object Tar2TfStream {
     * (epoch per file) and return the unioned records table. */
   def runRecords(spark: SparkSession, manifestDir: String): DataFrame = {
     var acc: Option[DataFrame] = None
+    StreamScale.withStatePartitions(spark, manifestDir) {
     val q = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(manifestDir)
@@ -49,6 +50,7 @@ object Tar2TfStream {
       }
       .start()
     q.awaitTermination()
+    }
     acc.getOrElse(spark.emptyDataFrame)
   }
 }
