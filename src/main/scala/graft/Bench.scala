@@ -48,6 +48,9 @@ object Bench {
       // input-volume signal for explicit range-partition counts
       // (DSort cumsum; AQE cannot resize user-specified exchanges)
       .config("spark.graft.inputBytes", GraftSession.inputBytes(sfDir).toString)
+      // AQE coalescing floor 64 KiB: keep parallelism on sub-MiB
+      // shuffles feeding CPU-heavy stages (GraftSession rationale)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     val spark = (if (master.startsWith("local-cluster")) {
       val classesDir = new java.io.File(
         SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath

@@ -67,6 +67,15 @@ object GraftSession {
       // user-specified exchange, so those sites scale themselves)
       .config("spark.graft.inputBytes",
         sys.env.get("SPARK_GRAFT_SF_DIR").map(inputBytes).getOrElse(0L).toString)
+      // AQE coalescing floor 1 MiB → 64 KiB: with parallelismFirst (the
+      // default) the coalesce target is max(total/parallelism,
+      // minPartitionSize), so a sub-MiB shuffle feeding a CPU-heavy
+      // stage (levenshtein verify over the fixed dedup audit slice —
+      // which stays small at ANY corpus scale by design) collapsed to
+      // ONE task: dedup_edit measured 4.4 → 2.4 s with the floor
+      // lowered. Scale-neutral: partitions at 100 TB are far above
+      // either floor, so only the small-shuffle-heavy-CPU tail changes.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       // Typed-Aggregator aggregates (bounded top-k, graft.functions.TopK)
       // run through ObjectHashAggregate, whose in-memory hash map falls

@@ -43,6 +43,9 @@ object Verify {
       // input-volume signal for explicit range-partition counts
       // (DSort cumsum; AQE cannot resize user-specified exchanges)
       .config("spark.graft.inputBytes", GraftSession.inputBytes(sfDir).toString)
+      // AQE coalescing floor 64 KiB: keep parallelism on sub-MiB
+      // shuffles feeding CPU-heavy stages (GraftSession rationale)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     // local-cluster executors are fresh JVMs launched from SPARK_HOME: they
     // need our compiled classes on their classpath (the driver's -cp is not
     // inherited) and the same java.base --add-opens flags Java 17 requires.

@@ -114,22 +114,33 @@ object GetBatch {
     * @return one row per listed object: `batch_id, seq, tar_name,
     *         payload, size, missing`, ordered (batch_id, seq). */
   def batchedAssemble(listing: DataFrame, payloads: DataFrame, maxBatchSize: Int,
-                      startAt: Long = 0L): DataFrame = {
+                      startAt: Long = 0L): DataFrame =
+    batchedAssembleAndCount(listing, payloads, maxBatchSize, startAt)._1
+
+  /** [[batchedAssemble]] plus the listing row count (== output rows:
+    * the payload attach is a left join on the listing side), read from
+    * the cumsum's tiny offsets table — the streaming caller's
+    * cross-epoch `consumed` counter without a full `out.count()` job
+    * (which re-executed the join + sort per epoch). */
+  def batchedAssembleAndCount(listing: DataFrame, payloads: DataFrame, maxBatchSize: Int,
+                              startAt: Long = 0L): (DataFrame, Long) = {
     require(maxBatchSize > 0, s"maxBatchSize must be positive: $maxBatchSize")
     require(startAt >= 0, s"startAt must be non-negative: $startAt")
     // startAt offsets the global position — the cross-epoch continuation
     // for the streaming face ([[graft.streaming.GetBatchStream]]): a
     // partial batch at an epoch boundary is completed by the next
     // epoch's first objects, and batch ids never restart.
-    val numbered = DSort.globalCumsum(
-        listing.select("bucket", "objname"),
+    val (cum, offsets) = DSort.cumsumAndOffsets(
+        listing.select("bucket", "objname"), Nil,
         Seq(col("bucket").asc, col("objname").asc), lit(1L))
+    val nRows = offsets.agg(coalesce(sum("_ptot"), lit(0L))).head().getLong(0)
+    val numbered = cum
       .withColumn("_pos", col("_cum") - 1 + startAt)
       .withColumn("batch_id", expr(s"`_pos` DIV $maxBatchSize"))
       .withColumn("seq", pmod(col("_pos"), lit(maxBatchSize.toLong)))
       .drop("_cum", "_pos")
     val pay = payloads.select(col("bucket"), col("objname"), col("payload"))
-    numbered.join(pay, Seq("bucket", "objname"), "left_outer")
+    val out = numbered.join(pay, Seq("bucket", "objname"), "left_outer")
       .withColumn("missing", col("payload").isNull)
       .select(
         col("batch_id"), col("seq"),
@@ -139,6 +150,7 @@ object GetBatch {
         when(col("missing"), lit(0L)).otherwise(length(col("payload")).cast("long")).as("size"),
         col("missing"))
       .orderBy("batch_id", "seq")
+    (out, nRows)
   }
 
   /** Multi-worker iteration split composed with batching (reference

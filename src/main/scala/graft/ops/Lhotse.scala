@@ -125,7 +125,16 @@ object Lhotse {
     * COMPLETED by the next epoch's first cuts and the odometer never
     * restarts — the contiguity invariant a growing manifest needs. */
   def batches(requests: DataFrame, order: Seq[Column], batchSize: Int,
-              outputTemplate: String, startAt: Long = 0L): DataFrame = {
+              outputTemplate: String, startAt: Long = 0L): DataFrame =
+    batchesAndTotal(requests, order, batchSize, outputTemplate, startAt)._1
+
+  /** [[batches]] plus the ABSOLUTE request count after this frame
+    * (startAt + rows) — the number the streaming caller otherwise pays
+    * a full `out.count()` job per epoch to learn, already computed here
+    * from the cumsum's tiny offsets table (≤ #partitions rows) for the
+    * template sizing. */
+  def batchesAndTotal(requests: DataFrame, order: Seq[Column], batchSize: Int,
+                      outputTemplate: String, startAt: Long = 0L): (DataFrame, Long) = {
     require(batchSize > 0, "batch size must be positive")
     require(startAt >= 0, s"negative cut offset: $startAt")
     // the input checkpoint is load-bearing even though the upstream
@@ -168,11 +177,12 @@ object Lhotse {
       .toIndexedDF(requests.sparkSession, cap = math.max(needed, capped.count))
       .where(col("idx") < needed) // lazy expansion: broadcast ≤ needed rows
       .select(col("idx").as("batch_id"), col("name").as("shard_name"))
-    numbered.join(broadcast(names), Seq("batch_id"), "left")
+    val out = numbered.join(broadcast(names), Seq("batch_id"), "left")
       .withColumn("shard_name",
         when(col("shard_name").isNull,
           raise_error(concat(lit("output template exhausted at batch "),
             col("batch_id").cast("string"))))
           .otherwise(col("shard_name")))
+    (out, total)
   }
 }

@@ -401,11 +401,12 @@ object EventsStream {
       "left_outer")
     val out = joined.select(
       stream.columns.toIndexedSeq.map(stream(_)) ++ payloadCols.toIndexedSeq.map(intervals(_)): _*)
-    StreamScale.withStatePartitions(spark, eventsDir) {
-      val q = out.writeStream.outputMode("append").format("memory")
-        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    // NOT StreamScale-wrapped: "no streaming state at all" (scaladoc
+    // above) — the range join wants full shuffle parallelism, and the
+    // state-partition cut measured +0.4 s here for nothing
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
     spark.table(queryName)
   }
 }

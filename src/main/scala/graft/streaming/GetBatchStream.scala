@@ -33,30 +33,40 @@ object GetBatchStream {
     * payload, size, missing`. */
   def runBatches(spark: SparkSession, listingDir: String, payloads: DataFrame,
                  maxBatchSize: Int): DataFrame = {
+    // NOT StreamScale-wrapped: no Spark state (cross-epoch state is the
+    // scalar `consumed`) — the per-epoch assemble jobs want full
+    // shuffle parallelism (state-partition cut measured a net loss)
     var consumed = 0L
     var acc: Option[DataFrame] = None
-    StreamScale.withStatePartitions(spark, listingDir) {
     val q = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(listingDir)
       .writeStream
       .queryName("getbatch_ingest")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (epoch: DataFrame, _: Long) =>
+      .foreachBatch { (epoch: DataFrame, epochId: Long) =>
         val listing = epoch
           .select(
             substring_index(col("value"), "/", 1).as("bucket"),
             expr("substring(value, instr(value, '/') + 1)").as("objname"))
           .where(col("objname") =!= "")
-        val out = GetBatch.batchedAssemble(listing, payloads, maxBatchSize,
-          startAt = consumed).stableCheckpoint()
-        consumed += out.count()
-        acc = Some(acc.fold(out)(_.unionByName(out).stableCheckpoint()))
+        // the listing count comes off the cumsum's offsets table inside
+        // the call — the previous out.count() re-executed the payload
+        // join + sort per epoch for a number already known. `out` stays
+        // LAZY: the epoch's rows are pinned eagerly by the cumsum's own
+        // checkpoints inside the call, and the payload side is a static
+        // frame, so deferring the join to the final consumer is safe.
+        val (out, n) = GetBatch.batchedAssembleAndCount(listing, payloads,
+          maxBatchSize, startAt = consumed)
+        consumed += n
+        val unioned = acc.fold(out)(_.unionByName(out))
+        // plan-growth cap: checkpoint the union every 8 epochs, not every
+        // epoch (each epoch's subplan is already shallow)
+        acc = Some(if (epochId % 8 == 7) unioned.stableCheckpoint() else unioned)
         ()
       }
       .start()
     q.awaitTermination()
-    }
     acc.getOrElse(spark.emptyDataFrame)
   }
 }

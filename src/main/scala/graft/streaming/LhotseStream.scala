@@ -34,29 +34,43 @@ object LhotseStream {
   def runBatches(spark: SparkSession, manifestDir: String, batchSize: Int,
                  outputTemplate: String,
                  sampleRate: Option[Long] = None): DataFrame = {
+    // NOT StreamScale-wrapped: no Spark state (cross-epoch state is the
+    // scalar cutsSoFar) — the per-epoch cumsum jobs want full shuffle
+    // parallelism, and the state-partition cut measured a net loss here
     var cutsSoFar = 0L
     var acc: Option[DataFrame] = None
-    StreamScale.withStatePartitions(spark, manifestDir) {
     val q = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(manifestDir)
       .writeStream
       .queryName("lhotse_ingest")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (epoch: DataFrame, _: Long) =>
+      .foreachBatch { (epoch: DataFrame, epochId: Long) =>
         // manifest order within the epoch = line order; cut ids in the
         // fixture manifests are line-ordered, so ordering by cut_id
         // keeps stream == batch parity checkable
         val reqs = Lhotse.toRequests(Lhotse.parseCuts(epoch), sampleRate)
-        val out = Lhotse.batches(reqs, Seq(col("cut_id").asc), batchSize,
-          outputTemplate, startAt = cutsSoFar).stableCheckpoint()
-        cutsSoFar += out.count()
-        acc = Some(acc.fold(out)(_.unionByName(out).stableCheckpoint()))
+        // batchesAndTotal: the absolute cut count comes from the
+        // cumsum's tiny offsets table inside the call — the previous
+        // out.count() job per epoch recomputed the full join for a
+        // number already known. `out` stays LAZY: its plan sits on the
+        // cumsum's own checkpointed partitions (the epoch's data is
+        // pinned eagerly inside batchesAndTotal), so deferring the
+        // window+join to the final consumer is safe and collapses
+        // per-epoch jobs into one parallel execution at the end.
+        val (out, total) = Lhotse.batchesAndTotal(reqs, Seq(col("cut_id").asc),
+          batchSize, outputTemplate, startAt = cutsSoFar)
+        cutsSoFar = total
+        val unioned = acc.fold(out)(_.unionByName(out))
+        // plan-growth cap for long manifests: checkpoint the union every
+        // 8 epochs instead of every epoch (each epoch's subplan is
+        // already shallow — see above — so the union tree is the only
+        // thing that grows)
+        acc = Some(if (epochId % 8 == 7) unioned.stableCheckpoint() else unioned)
         ()
       }
       .start()
     q.awaitTermination()
-    }
     acc.getOrElse(spark.emptyDataFrame)
   }
 }

@@ -32,6 +32,10 @@ class PlanAuditSpec extends SparkSpec {
     "dsir_weights", "quality_unigram_nll", "quality_bigram_nll",
     "quality_nb_classifier", "quality_agreement", "bm25_topk", "q22_dormant_customers",
     "lhotse_batches",
+    "lhotse_stream",            // same declared shape as lhotse_batches:
+    // since round 12 the epoch outputs stay lazy (per-epoch count()
+    // jobs removed), so the stream's final plan exposes the batches
+    // subplan instead of checkpointed RDD scans
     "mixture_temperature",      // 1-row Σweight denominator cross-joined
     "dsort_tgz_pack",           // 1-row compression-ratio frame cross-joined
     // (measured, broadcast-by-contract — DSort.packShardsCompressed)
