@@ -55,19 +55,27 @@ object ApproxGate {
               ("uniq_payloads_approx", r.getLong(2), cs),
               ("uniq_versions_approx", r.getLong(3), vs)
             ).collect { case (c, a, e) if !hllOk(a, e) => s"$b.$c approx=$a exact=$e" }
-            val sizes = sizesByBucket(b)
+            val sizes = sizesByBucket.getOrElse(b, Array.empty[Long])
             // rank tolerance floored at one rank step (1/n): for buckets
             // with fewer than ~1/0.02 values NO estimate has empirical
             // rank within ±2% of p (n=10 → nothing sits within 2% of
             // 0.95), so a fixed 2% band hard-fails small corpora
-            // regardless of sketch accuracy
-            val tol = math.max(0.02, 1.0 / sizes.length)
-            val quant = Seq(("size_p50", 0.5, r.getLong(4)),
-              ("size_p95", 0.95, r.getLong(5)), ("size_p99", 0.99, r.getLong(6)))
-              .collect { case (c, p, est)
-                if math.abs(sizes.count(_ <= est).toDouble / sizes.length - p) > tol =>
-                  s"$b.$c est=$est rank beyond ±${"%.3f".format(tol)} of p=$p"
-              }
+            // regardless of sketch accuracy. An EMPTY bucket fails
+            // loudly instead of sailing through on Infinity/NaN
+            // comparison semantics (round-12 ADVICE): a bucket the
+            // summary reports but the exact twin has no sizes for is a
+            // gate bug, not an in-bounds sketch.
+            val quant = if (sizes.isEmpty)
+              Seq(s"$b: no exact sizes for quantile check — empty bucket in exact twin")
+            else {
+              val tol = math.max(0.02, 1.0 / sizes.length)
+              Seq(("size_p50", 0.5, r.getLong(4)),
+                ("size_p95", 0.95, r.getLong(5)), ("size_p99", 0.99, r.getLong(6)))
+                .collect { case (c, p, est)
+                  if math.abs(sizes.count(_ <= est).toDouble / sizes.length - p) > tol =>
+                    s"$b.$c est=$est rank beyond ±${"%.3f".format(tol)} of p=$p"
+                }
+            }
             hll ++ quant
           }
         if (errs.isEmpty) None else Some(errs.mkString("; "))

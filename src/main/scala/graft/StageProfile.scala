@@ -17,29 +17,43 @@ object StageProfile {
     val spark = GraftSession.get()
     case class St(name: String, ms: Long, tasks: Int, shufR: Long, shufW: Long,
                   spillMem: Long, spillDisk: Long, cpuMs: Long, gcMs: Long)
+    // synchronized + drained before each read: stage completions arrive on
+    // the async listener bus while the main thread reads/clears the buffer
+    // — unsynchronized appends could be dropped or charged to the NEXT
+    // query (round-12 ADVICE; dev tool, but its numbers drive decisions)
     val stages = mutable.ArrayBuffer.empty[St]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val m = i.taskMetrics
         val ms = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(0L)
-        stages += St(i.name.take(60), ms, i.numTasks,
-          m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
-          m.memoryBytesSpilled, m.diskBytesSpilled,
-          m.executorCpuTime / 1000000, m.jvmGCTime)
+        stages.synchronized {
+          stages += St(i.name.take(60), ms, i.numTasks,
+            m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+            m.memoryBytesSpilled, m.diskBytesSpilled,
+            m.executorCpuTime / 1000000, m.jvmGCTime)
+        }
       }
     })
     // same warmup as Bench so JIT noise doesn't pollute the first query
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // listener-bus drain: SparkContext.listenerBus is private[spark], so a
+    // short settle pause stands in for waitUntilEmpty — enough for the tail
+    // of stage-completed events to land before the buffer is read/cleared
+    def drain(): Unit = Thread.sleep(300)
     names.foreach { n =>
-      stages.clear()
+      drain()
+      stages.synchronized(stages.clear())
       spark.sparkContext.setJobDescription(n)
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"\n== $n%s  wall=$wall%.2f s  stages=${stages.size}%d  " +
-        f"stageTimeSum=${stages.map(_.ms).sum / 1000.0}%.2f s")
-      stages.sortBy(-_.ms).take(14).foreach { s =>
+      // drain so late stage completions land in THIS query's list
+      drain()
+      val snap = stages.synchronized(stages.toVector)
+      println(f"\n== $n%s  wall=$wall%.2f s  stages=${snap.size}%d  " +
+        f"stageTimeSum=${snap.map(_.ms).sum / 1000.0}%.2f s")
+      snap.sortBy(-_.ms).take(14).foreach { s =>
         println(f"  ${s.ms}%6d ms  tasks=${s.tasks}%4d  cpu=${s.cpuMs}%6d  gc=${s.gcMs}%5d  " +
           f"shufR=${s.shufR / 1024}%8d K  shufW=${s.shufW / 1024}%8d K  " +
           f"spill=${s.spillMem / 1048576}%5d M/${s.spillDisk / 1048576}%5d M  ${s.name}%s")

@@ -188,99 +188,171 @@ object DSort {
     * written ones) without paying the shuffle + checkpoints twice.
     * Same machinery as [[cumsumAndOffsets]] — see there for why both
     * checkpoints are load-bearing. */
-  /** Explicit range-partition count for the cumsum machinery: the
-    * session's shuffle partitions, scaled UP with input volume (one
-    * partition per 64 MiB of on-disk input; `spark.graft.inputBytes` is
-    * set at session build — GraftSession/Bench/Verify). Needed because
+  /** Explicit range-partition count for the cumsum machinery, derived
+    * from the frame's OWN measured row count (the input-checkpoint job
+    * counts rows for free — [[graft.Ckpt.materializeWithSums]]): up to
+    * the session's shuffle parallelism at one partition per 64 Ki rows,
+    * then one partition per 2 Mi rows (~100-200 MB of sample metadata —
+    * guide §2.2 partition sizing), capped at 32768. Needed because
     * repartitionByRange pins its partition count: AQE can neither
-    * coalesce nor split a user-specified exchange, so a count tuned to
-    * local core count would under-partition large-scale sorts exactly
-    * the way the fixed 256 AQE floor did for sample_group (6.1× at 3×
-    * data, sf30). At sf≤1 the scale term is 0 and the local regime is
-    * unchanged. */
-  private[graft] def rangePartitions(spark: org.apache.spark.sql.SparkSession): Int = {
-    val base = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val bytes = spark.conf.getOption("spark.graft.inputBytes")
-      .flatMap(b => scala.util.Try(b.toLong).toOption).getOrElse(0L)
-    math.max(base, math.min(32768L, bytes / (64L << 20)).toInt)
+    * coalesce nor split a user-specified exchange. Replaces the round-12
+    * global-corpus-bytes signal (`spark.graft.inputBytes`), which sized
+    * SMALL frames — a per-epoch Lhotse manifest at sf30 — to hundreds of
+    * mostly-empty range partitions of pure sampling/scheduling overhead
+    * (round-12 ADVICE). A single-partition frame (every stream epoch)
+    * also skips the RangePartitioner sampling job entirely. */
+  private[graft] def rangePartitionsFor(base: Int, nRows: Long): Int = {
+    val fine = math.min(base.toLong, (nRows + 65535) / 65536)
+    val coarse = math.min(32768L, (nRows + (2L << 20) - 1) / (2L << 20))
+    math.max(1L, math.max(fine, coarse)).toInt
   }
+
+  private def shufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   def globalCumsum2(df: DataFrame, order: Seq[Column], v1: Column, v2: Column): DataFrame = {
     val spark = df.sparkSession
-    val n = rangePartitions(spark)
-    val parted = df.stableCheckpoint()
+    val (input, inCounts, _) = graft.Ckpt.materializeWithSums(df, Nil)
+    val n = rangePartitionsFor(shufflePartitions(spark), inCounts.sum)
+    val parted0 = input
       .repartitionByRange(n, order: _*)
-      .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
-      .stableCheckpoint()
+      .withColumn("_v1", v1)
+      .withColumn("_v2", v2)
+    val integral = Seq("_v1", "_v2").forall(c => parted0.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    })
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted
-      .withColumn("_lcum1", sum(v1).over(w))
-      .withColumn("_lcum2", sum(v2).over(w))
-    val offW = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted
-      .groupBy(col("_pid")).agg(sum(v1).as("_ptot1"), sum(v2).as("_ptot2"))
-      .withColumn("_offset1", coalesce(sum("_ptot1").over(offW), lit(0L)))
-      .withColumn("_offset2", coalesce(sum("_ptot2").over(offW), lit(0L)))
-    local
-      .join(broadcast(offsets.select(col("_pid"), col("_offset1"), col("_offset2"))), Seq("_pid"))
-      .withColumn("_cum1", col("_lcum1") + col("_offset1"))
-      .withColumn("_cum2", col("_lcum2") + col("_offset2"))
-      .drop("_pid", "_lcum1", "_lcum2", "_offset1", "_offset2")
+    if (integral && graft.Ckpt.mode(spark) != "reliable") {
+      val (parted, _, sums) = graft.Ckpt.materializeWithSums(parted0, Seq("_v1", "_v2"))
+      var r1 = 0L; var r2 = 0L
+      val offRows = sums.zipWithIndex.map { case (s, i) =>
+        val o = (i, r1, r2); r1 += s(0); r2 += s(1); o }
+      import spark.implicits._
+      val offsets = offRows.toSeq.toDF("_pid", "_offset1", "_offset2")
+      parted
+        .withColumn("_lcum1", sum(col("_v1")).over(w))
+        .withColumn("_lcum2", sum(col("_v2")).over(w))
+        .join(broadcast(offsets), Seq("_pid"))
+        .withColumn("_cum1", col("_lcum1") + col("_offset1"))
+        .withColumn("_cum2", col("_lcum2") + col("_offset2"))
+        .drop("_pid", "_v1", "_v2", "_lcum1", "_lcum2", "_offset1", "_offset2")
+    } else {
+      val parted = parted0.drop("_v1", "_v2")
+        .sortWithinPartitions(order: _*).stableCheckpoint()
+      val local = parted
+        .withColumn("_lcum1", sum(v1).over(w))
+        .withColumn("_lcum2", sum(v2).over(w))
+      val offW = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parted
+        .groupBy(col("_pid")).agg(sum(v1).as("_ptot1"), sum(v2).as("_ptot2"))
+        .withColumn("_offset1", coalesce(sum("_ptot1").over(offW), lit(0L)))
+        .withColumn("_offset2", coalesce(sum("_ptot2").over(offW), lit(0L)))
+      local
+        .join(broadcast(offsets.select(col("_pid"), col("_offset1"), col("_offset2"))), Seq("_pid"))
+        .withColumn("_cum1", col("_lcum1") + col("_offset1"))
+        .withColumn("_cum2", col("_lcum2") + col("_offset2"))
+        .drop("_pid", "_lcum1", "_lcum2", "_offset1", "_offset2")
+    }
   }
 
   /** [[groupedCumsum]] plus its per-(partition, group) offsets table —
-    * `(_pid, groups*, _ptot, _offset)`, ≤ #partitions + #groups rows.
-    * Callers that need only an aggregate of the cumsum (total size, max
-    * batch id) can agg the tiny offsets frame — one partial-agg scan of
-    * the checkpointed partitions — instead of re-running the full
-    * window+join result. */
+    * `(_pid, groups*, _ptot, _offset)`, ≤ #partitions + #groups rows —
+    * and, on the fused path, the already-known grand total of `value`
+    * (so callers never run a job to learn it).
+    *
+    * Round-13 shape (global, integral-value path — every declared
+    * caller): ONE shuffle and ONE materialization job. The per-partition
+    * totals are computed INSIDE the shuffle-materialization job
+    * ([[graft.Ckpt.materializeWithSums]]), prefix-summed on the driver,
+    * and joined back as a LocalRelation broadcast. The round-12 plan
+    * paid, per cumsum: a second full scan of the checkpointed partitions
+    * for the offsets branch (partial agg + exchange + single-partition
+    * window — the bench tail's `WindowExec: No Partition Defined`
+    * warnings), plus a redundant pre-checkpoint sortWithinPartitions
+    * (the `_pid` window re-sorts after its own exchange anyway). Both
+    * are gone; results are byte-identical because the offsets only need
+    * per-partition SUMS (order-free) and every caller's `order` keys are
+    * unique (ties never straddle the window sort).
+    *
+    * The grouped / non-integral path keeps the round-12 executor-side
+    * offsets computation; reliable-checkpoint mode (distributed masters,
+    * fault-tolerance gates) keeps it too, so recovery semantics are
+    * unchanged where they matter. */
   private[graft] def cumsumAndOffsets(df: DataFrame, groups: Seq[String],
-      order: Seq[Column], value: Column): (DataFrame, DataFrame) = {
+      order: Seq[Column], value: Column): (DataFrame, DataFrame, Option[Long]) = {
     val spark = df.sparkSession
-    val n = rangePartitions(spark)
     val fullOrder = groups.map(col(_).asc) ++ order
     // First checkpoint: repartitionByRange SAMPLES its input to pick
     // boundaries, then shuffles it — without materialization the upstream
     // plan (often an expensive groupBy) runs twice. Load-bearing even
     // for cheap codegen upstreams: skipping it for Lhotse's sub-second
     // manifest parse was MEASURED 2.1x slower at sf1 (14.5 -> 30.8 s).
-    val input = df.stableCheckpoint()
-    // Second checkpoint pins the range partitioning: the plan below reads
-    // `parted` in two branches (offset table + join-back), and without
-    // materialization each branch re-plans the exchange — AQE may coalesce
-    // the two differently, mis-aligning `_pid` between branches (observed:
-    // out-of-order shards). Checkpointing makes both branches read the
-    // same physical partitions.
-    val parted = input
+    // Fused with a row count that sizes the range shuffle — same one job.
+    val (input, inCounts, _) = graft.Ckpt.materializeWithSums(df, Nil)
+    val n = rangePartitionsFor(shufflePartitions(spark), inCounts.sum)
+    val parted0 = input
       .repartitionByRange(n, fullOrder: _*)
-      .sortWithinPartitions(fullOrder: _*)
       .withColumn("_pid", spark_partition_id())
-      .stableCheckpoint()
+      .withColumn("_v", value)
+    val integral = parted0.schema("_v").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
     val localKeys = "_pid" +: groups
     val w = Window.partitionBy(localKeys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("_lcum", sum(value).over(w))
-    // per-(partition, group) totals → running offset within each group
-    // across partitions. The totals come straight off `parted` (partial
-    // agg, no window shuffle): sum(value) per (pid, group) ≡ the local
-    // cumsum's final value. The offset table is tiny, so its own window
-    // is harmless wherever it lands.
-    val offW =
-      if (groups.isEmpty) Window.orderBy("_pid")
-      else Window.partitionBy(groups.map(col): _*).orderBy("_pid")
-    val offsets = parted
-      .groupBy(localKeys.map(col): _*).agg(sum(value).as("_ptot"))
-      .withColumn("_offset",
-        coalesce(
-          sum("_ptot").over(offW.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-    val cum = local
-      .join(broadcast(offsets.select((localKeys :+ "_offset").map(col): _*)), localKeys)
-      .withColumn("_cum", col("_lcum") + col("_offset"))
-      .drop("_pid", "_lcum", "_offset")
-    (cum, offsets)
+    if (groups.isEmpty && integral && graft.Ckpt.mode(spark) != "reliable") {
+      // Second checkpoint pins the range partitioning so `_pid` is stable;
+      // its materialization job ALSO returns the per-partition sums.
+      val (parted, _, sums) = graft.Ckpt.materializeWithSums(parted0, Seq("_v"))
+      val ptots = sums.map(_(0))
+      var running = 0L
+      val offRows = ptots.zipWithIndex.map { case (t, i) =>
+        val o = (i, t, running); running += t; o }
+      import spark.implicits._
+      val offsets = offRows.toSeq.toDF("_pid", "_ptot", "_offset")
+      val cum = parted
+        .withColumn("_lcum", sum(col("_v")).over(w))
+        .join(broadcast(offsets.select("_pid", "_offset")), Seq("_pid"))
+        .withColumn("_cum", col("_lcum") + col("_offset"))
+        .drop("_pid", "_v", "_lcum", "_offset")
+      (cum, offsets, Some(running))
+    } else {
+      // Second checkpoint pins the range partitioning: the plan below reads
+      // `parted` in two branches (offset table + join-back), and without
+      // materialization each branch re-plans the exchange — AQE may coalesce
+      // the two differently, mis-aligning `_pid` between branches (observed:
+      // out-of-order shards). Checkpointing makes both branches read the
+      // same physical partitions.
+      val parted = parted0.drop("_v")
+        .sortWithinPartitions(fullOrder: _*)
+        .stableCheckpoint()
+      val local = parted.withColumn("_lcum", sum(value).over(w))
+      // per-(partition, group) totals → running offset within each group
+      // across partitions. The totals come straight off `parted` (partial
+      // agg, no window shuffle): sum(value) per (pid, group) ≡ the local
+      // cumsum's final value. The offset table is tiny, so its own window
+      // is harmless wherever it lands.
+      val offW =
+        if (groups.isEmpty) Window.orderBy("_pid")
+        else Window.partitionBy(groups.map(col): _*).orderBy("_pid")
+      val offsets = parted
+        .groupBy(localKeys.map(col): _*).agg(sum(value).as("_ptot"))
+        .withColumn("_offset",
+          coalesce(
+            sum("_ptot").over(offW.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+      val cum = local
+        .join(broadcast(offsets.select((localKeys :+ "_offset").map(col): _*)), localKeys)
+        .withColumn("_cum", col("_lcum") + col("_offset"))
+        .drop("_pid", "_lcum", "_offset")
+      (cum, offsets, None)
+    }
   }
 
   /** O5 — size-capped shard assignment. The reference walks sorted

@@ -118,10 +118,18 @@ object GetBatch {
     batchedAssembleAndCount(listing, payloads, maxBatchSize, startAt)._1
 
   /** [[batchedAssemble]] plus the listing row count (== output rows:
-    * the payload attach is a left join on the listing side), read from
-    * the cumsum's tiny offsets table — the streaming caller's
-    * cross-epoch `consumed` counter without a full `out.count()` job
-    * (which re-executed the join + sort per epoch). */
+    * the payload attach is a left join on the listing side), known on
+    * the driver from the cumsum's fused materialization — the streaming
+    * caller's cross-epoch `consumed` counter without a full
+    * `out.count()` job (which re-executed the join + sort per epoch).
+    *
+    * PRECONDITION: `payloads` must be unique on (bucket, objname) — the
+    * payload side of the reference's GetBatch is an object store, one
+    * payload per object name. A duplicate key would fan the left join
+    * out and the returned listing count would no longer equal the
+    * emitted row count (round-12 ADVICE). Every caller passes an object
+    * table keyed by name; the batch twin (`batchedAssemble`) has the
+    * same implicit contract. */
   def batchedAssembleAndCount(listing: DataFrame, payloads: DataFrame, maxBatchSize: Int,
                               startAt: Long = 0L): (DataFrame, Long) = {
     require(maxBatchSize > 0, s"maxBatchSize must be positive: $maxBatchSize")
@@ -130,10 +138,11 @@ object GetBatch {
     // for the streaming face ([[graft.streaming.GetBatchStream]]): a
     // partial batch at an epoch boundary is completed by the next
     // epoch's first objects, and batch ids never restart.
-    val (cum, offsets) = DSort.cumsumAndOffsets(
+    val (cum, offsets, grand) = DSort.cumsumAndOffsets(
         listing.select("bucket", "objname"), Nil,
         Seq(col("bucket").asc, col("objname").asc), lit(1L))
-    val nRows = offsets.agg(coalesce(sum("_ptot"), lit(0L))).head().getLong(0)
+    val nRows = grand.getOrElse(
+      offsets.agg(coalesce(sum("_ptot"), lit(0L))).head().getLong(0))
     val numbered = cum
       .withColumn("_pos", col("_cum") - 1 + startAt)
       .withColumn("batch_id", expr(s"`_pos` DIV $maxBatchSize"))

@@ -142,19 +142,18 @@ object Lhotse {
     // (14.5 -> 30.8 s) — the unmaterialized raise_error-guarded parse
     // tree is re-planned into every downstream branch, and the range
     // sampling pass re-runs it besides
-    val (cum, offsets) = DSort.cumsumAndOffsets(requests, Nil, order, lit(1L))
+    val (cum, offsets, grand) = DSort.cumsumAndOffsets(requests, Nil, order, lit(1L))
     val numbered = cum
       .withColumn("batch_id", ((col("_cum") + (startAt - 1)) / batchSize).cast("long"))
       .drop("_cum")
     // the reference consumes the template lazily (pt.Next() per batch),
     // so an open-ended fmt template ("cuts-%06d.tar" → 0..Long.MaxValue)
     // is legal — expand only as many names as the manifest needs. The
-    // batch count comes from the cumsum's tiny offsets table (one
-    // partial-agg scan of its already-checkpointed partitions, ≤
-    // #partitions rows) — NOT from re-running the window+join over the
-    // full frame, and NOT from re-parsing the manifest.
-    val total = startAt +
-      offsets.agg(coalesce(sum("_ptot"), lit(0L))).head().getLong(0)
+    // batch count is already known on the driver (the cumsum's fused
+    // materialization job returns the per-partition totals) — zero extra
+    // jobs; the offsets-agg fallback covers the reliable-checkpoint mode.
+    val total = startAt + grand.getOrElse(
+      offsets.agg(coalesce(sum("_ptot"), lit(0L))).head().getLong(0))
     val needed = if (total <= 0) 1L else 1L + (total - 1) / batchSize
     val pt = NameTemplate.parse(outputTemplate)
     // Trim the slowest-varying range so expansion covers only the needed

@@ -26,4 +26,23 @@ class BenchRecordSpec extends AnyFunSuite {
     // even an 'empty subset' env (SPARK_GRAFT_ONLY set) stays read-only
     assert(!Bench.writesRecord(Some(Set.empty), None))
   }
+
+  test("record is keyed by (sf, cpus): matching key merges") {
+    assert(Bench.recordCompatible("/root/testdata/sf0.1", 32, "/root/testdata/sf0.1", 32))
+  }
+
+  test("different core count never merges (the round-12 c8-probe poisoning)") {
+    assert(!Bench.recordCompatible("/root/testdata/sf0.1", 32, "/root/testdata/sf0.1", 8))
+    assert(!Bench.recordCompatible("/root/testdata/sf0.1", 8, "/root/testdata/sf0.1", 32))
+  }
+
+  test("different sf never merges") {
+    assert(!Bench.recordCompatible("/root/testdata/sf0.1", 32, "/root/testdata/sf0.01", 32))
+  }
+
+  test("pre-round-13 record without a cpus field is incompatible") {
+    // jackson's asInt(0) default → cpus 0 → rebuilt under the new keying
+    assert(!Bench.recordCompatible("/root/testdata/sf0.1", 0, "/root/testdata/sf0.1", 0))
+    assert(!Bench.recordCompatible("/root/testdata/sf0.1", 0, "/root/testdata/sf0.1", 32))
+  }
 }
